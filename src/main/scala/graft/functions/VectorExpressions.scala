@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, coalesce, lit}
+import org.apache.spark.sql.types._
+
+/** Similarity kernels over `ArrayType(FloatType)` vectors, as native
+  * Catalyst expressions with whole-stage-codegen bodies (a tight primitive
+  * loop; no per-row allocation). Semantics follow the reference kernels in
+  * `similarity.ts:2-41` (dot product, cosine, euclidean distance,
+  * euclidean similarity = 1/(1+dist)), generalized to batch columns.
+  *
+  * All arithmetic accumulates in Double, sequentially over elements — the
+  * same evaluation order as the reference's scalar JS loops and as DuckDB's
+  * sequential list kernels, which makes results bit-reproducible across the
+  * oracle boundary.
+  */
+abstract class VectorKernel extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  /** Java source for the loop body: given array vars `a`,`b` and length `n`,
+    * assign the result to `res` (a declared double). */
+  protected def loopCode(a: String, b: String, res: String): String
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    evalKernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |double $res = 0.0;
+         |${loopCode(a, b, res)}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ — reference `similarity.ts:2-11`. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends VectorKernel {
+  override def prettyName: String = "dot_product"
+  protected def loopCode(a: String, b: String, res: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |for (int i = 0; i < n; i++) {
+       |  $res += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+       |}
+     """.stripMargin
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** dot/(‖a‖·‖b‖) — reference `similarity.ts:13-23` (one fused pass). */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends VectorKernel {
+  override def prettyName: String = "cosine_sim"
+  protected def loopCode(a: String, b: String, res: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double x = (double) $a.getFloat(i);
+       |  double y = (double) $b.getFloat(i);
+       |  dot += x * y; na += x * x; nb += y * y;
+       |}
+       |$res = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+     """.stripMargin
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** √Σ(aᵢ−bᵢ)² — reference `similarity.ts:25-34`. */
+case class EuclideanDistanceExpr(left: Expression, right: Expression)
+    extends VectorKernel {
+  override def prettyName: String = "euclidean_dist"
+  protected def loopCode(a: String, b: String, res: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double s = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double d = ((double) $a.getFloat(i)) - ((double) $b.getFloat(i));
+       |  s += d * d;
+       |}
+       |$res = java.lang.Math.sqrt(s);
+     """.stripMargin
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Column wrappers + SQL registration. Queries call [[VectorFunctions.register]]
+  * once per session (idempotent) and then use either the `Column` API here or
+  * `expr("cosine_sim(a,b)")` in SQL text.
+  */
+object VectorFunctions {
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> (es => DotProductExpr(es(0), es(1))),
+    "cosine_sim" -> (es => CosineSimilarityExpr(es(0), es(1))),
+    "euclidean_dist" -> (es => EuclideanDistanceExpr(es(0), es(1))),
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Reference null semantics: cosine of a missing vector is −1
+    * (`similarity.ts:17`) rather than SQL NULL. */
+  def cosineSimOrNeg1(a: Column, b: Column): Column =
+    coalesce(cosineSim(a, b), lit(-1.0))
+  def euclideanDist(a: Column, b: Column): Column =
+    call_function("euclidean_dist", a, b)
+
+  /** 1/(1+dist) distance→similarity transform — `similarity.ts:36-41`. */
+  def euclideanSim(a: Column, b: Column): Column =
+    lit(1.0) / (lit(1.0) + euclideanDist(a, b))
+}

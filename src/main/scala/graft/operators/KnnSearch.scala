@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Batch kNN search over a vector table — the Spark-native generalization of
+  * the reference's one-query-at-a-time `searchKNNOptimized`
+  * (`hnsw.ts:241-299`) + driver threshold handling
+  * (`driver/driver.ts:290-307`): many query vectors at once, exact scoring.
+  *
+  * Scale design: the queries side is expected to be small relative to the
+  * node table, so it is broadcast — the similarity join is then a map-side
+  * pass over the (arbitrarily large, partition-parallel) node table with no
+  * node-side shuffle. The only shuffle is the per-query top-K rank on the
+  * score-thresholded candidate set, which Spark ≥3.5 executes with a
+  * WindowGroupLimit (running top-K heap) pushed below the exchange, so the
+  * shuffled volume is O(queries × K), not O(queries × nodes).
+  */
+object KnnSearch {
+
+  /** Reference driver threshold semantics (`driver/driver.ts:296-298`):
+    * user-facing strength setting is a 0–100 scale, /100, capped at 0.95. */
+  def scaleThreshold(strengthSetting: Double): Double =
+    math.min(strengthSetting / 100.0, 0.95)
+
+  /** Exact top-K per query vector with a similarity floor.
+    *
+    * @param nodes   vector table with columns (`idCol`, `vecCol`) and
+    *                optionally `deleted` (tombstones excluded, `hnsw.ts:292`)
+    * @param queries query table with columns (`queryIdCol`, `queryVecCol`)
+    * @param k       max results per query (`hnsw.ts:294-296`)
+    * @param minSim  similarity floor, already on the 0–1 scale
+    * @return columns: query_id, id, score, rn (rank, 1-based)
+    */
+  def knnExact(
+      nodes: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      minSim: Double,
+      metric: String = "cosine",
+      idCol: String = "id",
+      vecCol: String = "vector",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val scoreFn: (Column, Column) => Column = metric match {
+      case "cosine" => VectorFunctions.cosineSim
+      case "euclidean" => VectorFunctions.euclideanSim
+      case other => throw new IllegalArgumentException(
+        s"unknown metric $other") // hnsw.ts:39-49 throws likewise
+    }
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    val scored = live
+      .join(broadcast(queries))
+      .withColumn("score", scoreFn(col(queryVecCol), col(vecCol)))
+      .filter(col("score") > lit(minSim))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rn"))
+  }
+
+  /** Point lookup by primary key — returns tombstoned rows too, matching
+    * `getSingleAstroDBNode` (`driver/driver.ts:309-312`). */
+  def pointLookup(nodes: DataFrame, key: Column, idCol: String = "id"): DataFrame =
+    nodes.filter(col(idCol) === key)
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator coverage over the TPC-H-ish testdata (SURVEY §2
+  * Table B): scans, projection, filter, joins (inner/semi/anti/broadcast),
+  * aggregation, window top-k, sort/limit, set ops, distinct.
+  *
+  * Oracle-determinism rules (see FIXTURES.md §Oracle notes):
+  *  - double sums go through DECIMAL(18,2) so partial-aggregation order
+  *    can't perturb low bits, then cast back to double;
+  *  - every rank/row_number has a total order (tie-break on a key column);
+  *  - column names are identical between the DataFrame and the oracle SQL.
+  */
+object RelationalQueries {
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: scan → filter → groupBy agg.
+    // Catalyst pushes the shipdate filter + 7-column pruning to parquet.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Projection + filter pushdown: 2 columns of 11 reach the scan.
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Shuffle join orders↔customer (both large at scale) + broadcast-able
+    // dim would be nation; aggregated revenue per market segment.
+    "q03_revenue_by_segment" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(dec("o_totalprice")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Multi-way join with small broadcast dims: customer→nation→region.
+    "q04_customers_per_region" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec("c_acctbal")).cast("double").as("sum_acctbal"))
+    }),
+
+    // Window top-k per group (the reference's dominant pattern — bounded
+    // top-K per entity, hnsw.ts:294-296): top-3 orders per customer.
+    // Spark ≥3.5 turns this into WindowGroupLimit (running heap, no full sort).
+    "q05_top_orders_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec("o_totalprice").cast("double").as("o_totalprice"), col("rn"))
+    }),
+
+    // Existence joins (driver/worker.ts:14-30 add-vs-update check analog).
+    "q06_customers_with_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q07_customers_without_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Set ops + distinct (edge-union dedup semantics, hnsw.ts:451-456).
+    "q08_union_distinct_keys" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("key"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("key"))
+      o.union(c).distinct()
+    }),
+
+    // Global sort + limit (orderBy().limit(k) → TakeOrderedAndProject:
+    // per-partition top-k then driver merge, no full sort at scale).
+    "q09_top20_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"),
+          dec("o_totalprice").cast("double").as("o_totalprice"))
+    }),
+
+    // Rollup (grouping sets family).
+    "q10_rollup_status_priority" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"))
+    }),
+
+    // Date/time functions over the events stream table.
+    "q11_events_daily" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast("double").as("sum_value"))
+    }),
+
+    // String functions on part.
+    "q12_part_name_stats" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_prefix"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'",
+    "q03_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_customers_per_region" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q05_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q06_customers_with_orders" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q07_customers_without_orders" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    "q08_union_distinct_keys" ->
+      "SELECT o_custkey AS key FROM orders UNION SELECT c_custkey AS key FROM customer",
+    "q09_top20_orders" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q10_rollup_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q11_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q12_part_name_stats" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+        |  length(p_name) AS name_len,
+        |  substring(p_type, 1, 5) AS type_prefix
+        |FROM part""".stripMargin,
+  )
+}

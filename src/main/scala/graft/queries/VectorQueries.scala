@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.{KnnSearch, Mutations}
+
+/** Vector-table operator coverage (SURVEY §2 Table A): similarity kernels,
+  * exact kNN with threshold + tombstones, point lookup, upsert / delete /
+  * diff-sync / compaction flows, deterministic level assignment, and the
+  * per-level kNN-graph neighbor selection that replaces HNSW insert wiring.
+  *
+  * The deterministic query set is every 50th `vec_id` (FIXTURES.md §Derived)
+  * so the DuckDB oracle can re-derive it from the same parquet.
+  */
+object VectorQueries {
+
+  /** Query vectors: every 50th vec_id. */
+  def querySet(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  /** Embeddings as the engine's canonical vector-table schema
+    * (id, vector, deleted) — SURVEY §1.4. */
+  def asVectorTable(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("id"), col("embedding").as("vector"),
+      lit(false).as("deleted"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: exact batch kNN, k=10, driver threshold setting 50 → 0.5
+    // (driver/driver.ts:296-298). Output is rank-based (ids + rn) — integer
+    // columns hash-match across engines without float-rounding hazards.
+    "v01_knn_exact" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      KnnSearch.knnExact(asVectorTable(emb), querySet(emb),
+          k = 10, minSim = KnnSearch.scaleThreshold(50))
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // Same search reporting the score, rounded to 6 decimals. Spark and
+    // DuckDB both accumulate float elements into a double sequentially, so
+    // pre-rounding bits agree (verified by OracleParitySpec).
+    "v02_knn_scores" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      KnnSearch.knnExact(asVectorTable(emb), querySet(emb),
+          k = 5, minSim = KnnSearch.scaleThreshold(50))
+        .select(col("query_id"), col("id"),
+          round(col("score"), 6).as("score_r"))
+    }),
+
+    // Point lookup by primary key — returns tombstoned rows too
+    // (driver/driver.ts:309-312).
+    "v03_point_lookup" -> ((s, d) => {
+      val nodes = asVectorTable(Tables.embeddings(s, d))
+      KnnSearch.pointLookup(nodes, lit(42L))
+        .select(col("id"), size(col("vector")).as("dim"), col("deleted"))
+    }),
+
+    // Threshold semantics: a strength setting of 99 caps at 0.95
+    // (driver/driver.ts:296-298) — count survivors per query.
+    "v04_threshold_cap" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      KnnSearch.knnExact(asVectorTable(emb), querySet(emb),
+          k = 1000000, minSim = KnnSearch.scaleThreshold(99))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // Latest-wins upsert (hnsw.ts:164-167, 497-517): vec_id % 10 == 0 gets
+    // its vector reversed; final state checked via the first element.
+    "v05_upsert_latest_wins" -> ((s, d) => {
+      val cur = asVectorTable(Tables.embeddings(s, d))
+      val delta = cur.filter(col("id") % 10 === 0)
+        .withColumn("vector", reverse(col("vector")))
+      Mutations.upsert(cur, delta)
+        .select(col("id"),
+          element_at(col("vector"), 1).cast("double").as("first_elem"))
+    }),
+
+    // Tombstone delete then search: deleted ids (vec_id % 7 == 0) must not
+    // appear in results (hnsw.ts:292) though rows remain in the table.
+    "v06_tombstone_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val deletes = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("id"))
+      val nodes = Mutations.tombstone(asVectorTable(emb), deletes)
+      KnnSearch.knnExact(nodes, querySet(emb), k = 10, minSim = 0.5)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // Differential sync (driver/worker.ts:3-44): incoming = all current rows
+    // unchanged except vec_id % 3 == 0 reversed, plus new ids (+1000000),
+    // plus empty-vector rows (dropped). Output = the minimal delta ids.
+    "v07_sync_diff" -> ((s, d) => {
+      val cur = asVectorTable(Tables.embeddings(s, d))
+      val incoming = cur
+        .withColumn("vector",
+          when(col("id") % 3 === 0, reverse(col("vector")))
+            .otherwise(col("vector")))
+        .unionByName(cur.select((col("id") + 1000000L).as("id"),
+          col("vector"), col("deleted")))
+        .unionByName(cur.limit(0)) // keep schema
+      val withEmpty = incoming.unionByName(
+        cur.select((col("id") + 2000000L).as("id"),
+          slice(col("vector"), 1, 0).as("vector"), col("deleted")))
+      Mutations.syncDiff(cur, withEmpty).select(col("id"))
+    }),
+
+    // Compaction (astrovault.ts:87-132): physical drop of tombstones.
+    "v08_compaction" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val deletes = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("id"))
+      val nodes = Mutations.tombstone(asVectorTable(emb), deletes)
+      Mutations.compact(nodes)
+        .agg(count(lit(1)).as("n_live"), max(col("id")).as("max_id"))
+    }),
+
+    // Euclidean-similarity kNN (similarity.ts:25-41; metric dispatch
+    // hnsw.ts:39-49): 1/(1+dist), rank output.
+    "v09_knn_euclidean" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      KnnSearch.knnExact(asVectorTable(emb), querySet(emb),
+          k = 10, minSim = 0.0, metric = "euclidean")
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // Deterministic geometric level assignment — the *intended* semantics of
+    // selectLevel (hnsw.ts:68-77; see SURVEY §2-#10 on the reference bug).
+    // level = #trailing base-16 zeros of an integer id hash ⇒ P(level≥k) =
+    // 16^-k, i.e. geometric with p = 1/M for M=16 — pure integer arithmetic,
+    // bit-identical in any engine. Capped at 7 (8 layers, hnsw.ts:51-62).
+    "v10_level_histogram" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("h", col("vec_id") * 2654435761L + 104729L)
+        .withColumn("level",
+          least(lit(7),
+            when(col("h") % 16 =!= 0, 0)
+              .when(col("h") % (16L * 16) =!= 0, 1)
+              .when(col("h") % (16L * 16 * 16) =!= 0, 2)
+              .when(col("h") % (16L * 16 * 16 * 16) =!= 0, 3)
+              .otherwise(4)))
+        .groupBy(col("level")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Per-level kNN-graph neighbor selection — the batch replacement for
+    // HNSW insert wiring (hnsw.ts:82-147): on a deterministic node subset,
+    // top-M=16 neighbors by cosine with bidirectional union + re-shrink
+    // (hnsw.ts:436-489 semantics).
+    "v11_knn_graph" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+      val a = emb.select(col("vec_id").as("src"), col("embedding").as("src_vec"))
+      val b = emb.select(col("vec_id").as("dst"), col("embedding").as("dst_vec"))
+      val scored = a.join(b, col("src") =!= col("dst"))
+        .withColumn("score", VectorFunctions.cosineSim(col("src_vec"), col("dst_vec")))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("score").desc, col("dst").asc)
+      val directed = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 16)
+        .select(col("src"), col("dst"), col("score"))
+      // bidirectional union + dedup + shrink back to M (hnsw.ts:436-489)
+      val undirected = directed
+        .unionByName(directed.select(col("dst").as("src"),
+          col("src").as("dst"), col("score")))
+        .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+      undirected.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 16)
+        .select(col("src"), col("dst"), col("rn"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = {
+    val q = "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id % 50 = 0"
+    Map(
+      "v01_knn_exact" ->
+        s"""WITH q AS ($q),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS id,
+           |    list_cosine_similarity(q.query_vec, e.embedding) AS score
+           |  FROM q CROSS JOIN embeddings e)
+           |SELECT query_id, id, rn FROM (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+           |  FROM scored WHERE score > 0.5)
+           |WHERE rn <= 10""".stripMargin,
+      "v02_knn_scores" ->
+        s"""WITH q AS ($q),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS id,
+           |    list_cosine_similarity(q.query_vec, e.embedding) AS score
+           |  FROM q CROSS JOIN embeddings e)
+           |SELECT query_id, id, round(score, 6) AS score_r FROM (
+           |  SELECT query_id, id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+           |  FROM scored WHERE score > 0.5)
+           |WHERE rn <= 5""".stripMargin,
+      "v03_point_lookup" ->
+        "SELECT vec_id AS id, len(embedding) AS dim, false AS deleted FROM embeddings WHERE vec_id = 42",
+      "v04_threshold_cap" ->
+        s"""WITH q AS ($q)
+           |SELECT q.query_id, count(*) AS n_hits
+           |FROM q CROSS JOIN embeddings e
+           |WHERE list_cosine_similarity(q.query_vec, e.embedding) > 0.95
+           |GROUP BY q.query_id""".stripMargin,
+      "v05_upsert_latest_wins" ->
+        """SELECT vec_id AS id,
+          |  CAST(CASE WHEN vec_id % 10 = 0 THEN embedding[len(embedding)]
+          |            ELSE embedding[1] END AS DOUBLE) AS first_elem
+          |FROM embeddings""".stripMargin,
+      "v06_tombstone_search" ->
+        s"""WITH q AS ($q),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS id,
+           |    list_cosine_similarity(q.query_vec, e.embedding) AS score
+           |  FROM q CROSS JOIN embeddings e
+           |  WHERE e.vec_id % 7 <> 0)
+           |SELECT query_id, id, rn FROM (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+           |  FROM scored WHERE score > 0.5)
+           |WHERE rn <= 10""".stripMargin,
+      "v07_sync_diff" ->
+        """SELECT vec_id AS id FROM embeddings WHERE vec_id % 3 = 0
+          |UNION ALL
+          |SELECT vec_id + 1000000 AS id FROM embeddings""".stripMargin,
+      "v08_compaction" ->
+        "SELECT count(*) AS n_live, max(vec_id) AS max_id FROM embeddings WHERE vec_id % 7 <> 0",
+      "v09_knn_euclidean" ->
+        s"""WITH q AS ($q),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS id,
+           |    1.0 / (1.0 + list_distance(q.query_vec, e.embedding)) AS score
+           |  FROM q CROSS JOIN embeddings e)
+           |SELECT query_id, id, rn FROM (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+           |  FROM scored WHERE score > 0.0)
+           |WHERE rn <= 10""".stripMargin,
+      "v10_level_histogram" ->
+        """SELECT level, count(*) AS n FROM (
+          |  SELECT least(7, CASE
+          |    WHEN (vec_id * 2654435761 + 104729) % 16 <> 0 THEN 0
+          |    WHEN (vec_id * 2654435761 + 104729) % 256 <> 0 THEN 1
+          |    WHEN (vec_id * 2654435761 + 104729) % 4096 <> 0 THEN 2
+          |    WHEN (vec_id * 2654435761 + 104729) % 65536 <> 0 THEN 3
+          |    ELSE 4 END) AS level
+          |  FROM embeddings)
+          |GROUP BY level""".stripMargin,
+      "v11_knn_graph" ->
+        """WITH nodes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+          |directed AS (
+          |  SELECT src, dst, score FROM (
+          |    SELECT a.vec_id AS src, b.vec_id AS dst,
+          |      list_cosine_similarity(a.embedding, b.embedding) AS score,
+          |      row_number() OVER (PARTITION BY a.vec_id
+          |        ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+          |    FROM nodes a CROSS JOIN nodes b WHERE a.vec_id <> b.vec_id)
+          |  WHERE rn <= 16),
+          |undirected AS (
+          |  SELECT src, dst, max(score) AS score FROM (
+          |    SELECT src, dst, score FROM directed
+          |    UNION ALL
+          |    SELECT dst AS src, src AS dst, score FROM directed)
+          |  GROUP BY src, dst)
+          |SELECT src, dst, rn FROM (
+          |  SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
+          |  FROM undirected)
+          |WHERE rn <= 16""".stripMargin,
+    )
+  }
+}

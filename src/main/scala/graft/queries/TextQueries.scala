@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.TextDedup
+
+/** LLM-training-pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine),
+  * text analysis (language id, quality scoring, token counting,
+  * fingerprinting). Every hash is md5-based so the DuckDB oracle reproduces
+  * it bit-for-bit.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on a corpus with injected duplicates (each doc twice under
+    // different ids): one representative + member count per content hash.
+    "d01_exact_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dup = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      TextDedup.exactDedup(docs.select(col("doc_id"), col("text")).unionByName(dup))
+    }),
+
+    // MinHash signature per document (4 seeded components) — the signature
+    // stage of the LSH pipeline, materialized for inspection.
+    "d02_minhash_signature" -> ((s, d) => {
+      val ts = TextDedup.tokenSet(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextDedup.minhash(ts, 0).as("mh0"),
+        TextDedup.minhash(ts, 1).as("mh1"),
+        TextDedup.minhash(ts, 2).as("mh2"),
+        TextDedup.minhash(ts, 3).as("mh3"))
+    }),
+
+    // Full MinHash-LSH near-dup detection: AND-of-6 band bucketing →
+    // candidate equi-join → exact Jaccard ≥ 0.95 verification.
+    "d03_minhash_lsh_pairs" -> ((s, d) => {
+      TextDedup.minhashNearDupPairs(Tables.documents(s, d),
+        nHashes = 6, minJaccard = 0.95)
+    }),
+
+    // Exact word-bigram Jaccard near-dups, blocked by source.
+    "d04_ngram_jaccard" -> ((s, d) => {
+      TextDedup.ngramJaccardPairs(Tables.documents(s, d),
+        n = 2, minJaccard = 0.05, blockCol = "source")
+    }),
+
+    // SimHash-16 signatures + collision groups (identical-signature dedup).
+    "d05_simhash_groups" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextDedup.simhash16(TextDedup.tokenSet(col("text"))).as("simhash"))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs (brute-force a<b; the LSH-bucketed
+    // variant is the ANN index path).
+    "d06_embedding_neardup" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("a_vec"), col("b_vec")))
+        .filter(col("cos") > 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // Language id heuristic + accuracy vs the labeled lang column.
+    "t01_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("pred_lang", TextDedup.langId(col("text")))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Quality scoring features per document.
+    "t02_quality_score" -> ((s, d) => {
+      TextDedup.qualityFeatures(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio_r"),
+          col("quality"))
+    }),
+
+    // Token counting (whitespace + regex alpha runs), aggregated per lang —
+    // also cross-checks the precomputed n_chars column.
+    "t03_token_stats" -> ((s, d) => {
+      TextDedup.tokenStats(Tables.documents(s, d))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("n_ws_tokens")).as("sum_ws_tokens"),
+          sum(col("n_alpha_tokens")).as("sum_alpha_tokens"),
+          sum(when(length(col("text")) === col("n_chars"), 1).otherwise(0))
+            .as("n_chars_ok"))
+    }),
+
+    // Order-insensitive content fingerprint (md5 of sorted token set).
+    "t04_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextDedup.fingerprint(col("text")).as("fp"))
+    }),
+  )
+
+  private val tokSetSql = "list_distinct(string_split(text, ' '))"
+  private def mhSql(seed: Int) =
+    s"list_min(list_transform($tokSetSql, t -> md5('s$seed:' || t)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM all_docs GROUP BY md5(text)""".stripMargin,
+    "d02_minhash_signature" ->
+      s"""SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+         |  ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+         |FROM documents""".stripMargin,
+    "d03_minhash_lsh_pairs" ->
+      s"""WITH prep AS (
+         |  SELECT doc_id AS id, $tokSetSql AS ts,
+         |    md5(concat_ws('|', ${(0 until 6).map(mhSql).mkString(", ")})) AS band
+         |  FROM documents)
+         |SELECT a_id, b_id, round(jacc, 6) AS jacc FROM (
+         |  SELECT a.id AS a_id, b.id AS b_id,
+         |    len(list_intersect(a.ts, b.ts))::DOUBLE /
+         |      len(list_distinct(list_concat(a.ts, b.ts))) AS jacc
+         |  FROM prep a JOIN prep b ON a.band = b.band AND a.id < b.id)
+         |WHERE jacc >= 0.95""".stripMargin,
+    "d04_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |prep AS (
+        |  SELECT doc_id AS id, source AS blk,
+        |    list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS sh
+        |  FROM toks)
+        |SELECT a_id, b_id, round(jacc, 6) AS jacc FROM (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+        |  FROM prep a JOIN prep b ON a.blk = b.blk AND a.id < b.id)
+        |WHERE jacc >= 0.05""".stripMargin,
+    "d05_simhash_groups" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, concat(${(0 until 16).map(i =>
+             s"CASE WHEN list_sum(list_transform($tokSetSql, t -> CASE WHEN substr(md5(t), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"
+           ).mkString(", ")}) AS simhash
+         |  FROM documents)
+         |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+         |FROM sigs GROUP BY simhash""".stripMargin,
+    "d06_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4""".stripMargin,
+    "t01_lang_id" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE /
+        |      len(string_split(text, ' ')) >= 0.02
+        |      THEN 'en' ELSE 'unknown' END AS pred_lang
+        |  FROM documents)
+        |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "t02_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE /
+        |      len(string_split(text, ' ')) AS stopword_ratio,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE /
+        |      len(string_split(text, ' ')) AS uniq_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_uniq,
+        |  round(stopword_ratio, 6) AS stopword_ratio_r,
+        |  round(0.5 * uniq_ratio + 0.5 * (1.0 - stopword_ratio), 6) AS quality
+        |FROM f""".stripMargin,
+    "t03_token_stats" ->
+      """SELECT lang,
+        |  sum(len(string_split(text, ' '))) AS sum_ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_alpha_tokens,
+        |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_chars_ok
+        |FROM documents GROUP BY lang""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+  )
+}

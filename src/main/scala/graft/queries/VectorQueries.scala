@@ -183,7 +183,7 @@ object VectorQueries {
         s"""WITH q AS ($q),
            |scored AS (
            |  SELECT q.query_id, e.vec_id AS id,
-           |    list_cosine_similarity(q.query_vec, e.embedding) AS score
+           |    list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
            |  FROM q CROSS JOIN embeddings e)
            |SELECT query_id, id, rn FROM (
            |  SELECT query_id, id,
@@ -194,7 +194,7 @@ object VectorQueries {
         s"""WITH q AS ($q),
            |scored AS (
            |  SELECT q.query_id, e.vec_id AS id,
-           |    list_cosine_similarity(q.query_vec, e.embedding) AS score
+           |    list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
            |  FROM q CROSS JOIN embeddings e)
            |SELECT query_id, id, round(score, 6) AS score_r FROM (
            |  SELECT query_id, id, score,
@@ -207,7 +207,7 @@ object VectorQueries {
         s"""WITH q AS ($q)
            |SELECT q.query_id, count(*) AS n_hits
            |FROM q CROSS JOIN embeddings e
-           |WHERE list_cosine_similarity(q.query_vec, e.embedding) > 0.95
+           |WHERE list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) > 0.95
            |GROUP BY q.query_id""".stripMargin,
       "v05_upsert_latest_wins" ->
         """SELECT vec_id AS id,
@@ -218,7 +218,7 @@ object VectorQueries {
         s"""WITH q AS ($q),
            |scored AS (
            |  SELECT q.query_id, e.vec_id AS id,
-           |    list_cosine_similarity(q.query_vec, e.embedding) AS score
+           |    list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
            |  FROM q CROSS JOIN embeddings e
            |  WHERE e.vec_id % 7 <> 0)
            |SELECT query_id, id, rn FROM (
@@ -236,7 +236,7 @@ object VectorQueries {
         s"""WITH q AS ($q),
            |scored AS (
            |  SELECT q.query_id, e.vec_id AS id,
-           |    1.0 / (1.0 + list_distance(q.query_vec, e.embedding)) AS score
+           |    1.0 / (1.0 + list_distance(q.query_vec::DOUBLE[], e.embedding::DOUBLE[])) AS score
            |  FROM q CROSS JOIN embeddings e)
            |SELECT query_id, id, rn FROM (
            |  SELECT query_id, id,
@@ -258,9 +258,9 @@ object VectorQueries {
           |directed AS (
           |  SELECT src, dst, score FROM (
           |    SELECT a.vec_id AS src, b.vec_id AS dst,
-          |      list_cosine_similarity(a.embedding, b.embedding) AS score,
+          |      list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score,
           |      row_number() OVER (PARTITION BY a.vec_id
-          |        ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+          |        ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rn
           |    FROM nodes a CROSS JOIN nodes b WHERE a.vec_id <> b.vec_id)
           |  WHERE rn <= 16),
           |undirected AS (

@@ -41,31 +41,82 @@ object TextDedup {
   def minhashBand(tokSet: Column, nHashes: Int): Column =
     md5(concat_ws("|", (0 until nHashes).map(i => minhash(tokSet, i)): _*))
 
-  /** MinHash-LSH near-dup pairs: band-bucket join for candidates, then exact
-    * Jaccard verification. Returns (a_id, b_id, jacc) with a_id < b_id.
-    * The bucket join is an equi-join on the band key — candidates only, never
-    * all pairs; `minJaccard` re-verification removes LSH false positives. */
-  def minhashNearDupPairs(docs: DataFrame, nHashes: Int, minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val prep = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("ts"))
-      .withColumn("band", minhashBand(col("ts"), nHashes))
-    val a = prep.select(col("id").as("a_id"), col("ts").as("a_ts"), col("band"))
-    val b = prep.select(col("id").as("b_id"), col("ts").as("b_ts"), col("band"))
-    a.join(b, Seq("band"))
+  /** Jaccard for every pair of rows sharing `blockCol`, via the scalable
+    * explode→equi-join→count formulation: common-element counts come from a
+    * hash join on (block, element) + aggregation, so cost is proportional to
+    * SHARED content, not candidates × |set|², and everything stays inside
+    * whole-stage codegen (no per-pair array scans). |A∪B| = |A|+|B|−|A∩B|.
+    * Pairs with zero overlap never materialize — correct, since their
+    * Jaccard is 0 and every useful `minJaccard` is positive. */
+  private def blockedJaccardPairs(prepEx: DataFrame, minJaccard: Double): DataFrame = {
+    // prepEx columns: id, blk, el — one row per (doc, distinct element)
+    import org.apache.spark.sql.expressions.Window
+    val ex = prepEx.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("id"))))
+    val a = ex.select(col("blk"), col("el"), col("id").as("a_id"), col("n").as("a_n"))
+    val b = ex.select(col("blk"), col("el"), col("id").as("b_id"), col("n").as("b_n"))
+    a.join(b, Seq("blk", "el"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("jacc",
-        size(array_intersect(col("a_ts"), col("b_ts"))).cast("double") /
-          size(array_union(col("a_ts"), col("b_ts"))))
+        col("c").cast("double") / (col("a_n") + col("b_n") - col("c")))
       .filter(col("jacc") >= minJaccard)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
   }
 
-  /** Word n-gram shingle set (n consecutive tokens joined by one space). */
+  /** MinHash-LSH near-dup pairs, as the hierarchical dedup pipeline a large
+    * corpus needs: (1) collapse identical token sets by fingerprint (exact
+    * dedup — one hash groupBy, removes the dominant duplicate mass before
+    * anything quadratic); (2) LSH band-bucket the unique representatives;
+    * (3) verify candidate pairs with exact Jaccard. Returns
+    * (a_id, b_id, jacc), a_id < b_id, over representative ids (min doc id
+    * per identical-set group).
+    *
+    * Step 3 is per-pair set intersection — quadratic in bucket size, kept in
+    * check by the AND-band length (collision prob = j^nHashes) and by step 1
+    * having removed all identical sets. */
+  def minhashNearDupPairs(docs: DataFrame, nHashes: Int, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val reps = docs
+      .select(col(idCol).as("id"),
+        sort_array(tokenSet(col(textCol))).as("set"))
+      // identical-set collapse keyed on the md5 fingerprint (cheap shuffle
+      // key; tokens can't contain the join delimiter so it's injective)
+      .groupBy(md5(concat_ws(" ", col("set"))).as("fp"))
+      .agg(min(col("id")).as("id"), first(col("set")).as("set"))
+      .withColumn("band", minhashBand(col("set"), nHashes))
+      // verify set ops run on int64 token codes — array_intersect over
+      // longs, not strings (no per-element string hashing in the hot loop)
+      .withColumn("codes", transform(col("set"), t => xxhash64(t)))
+      .withColumn("n", size(col("set")))
+      .select(col("band"), col("id"), col("codes"), col("n"))
+    val a = reps.select(col("band"), col("id").as("a_id"),
+      col("codes").as("a_codes"), col("n").as("a_n"))
+    val b = reps.select(col("band"), col("id").as("b_id"),
+      col("codes").as("b_codes"), col("n").as("b_n"))
+    a.join(b, Seq("band"))
+      .filter(col("a_id") < col("b_id"))
+      // size-compatibility bound: jacc ≤ min(n)/max(n), so pairs failing
+      // min/max ≥ minJaccard can't qualify — pruned before any intersection
+      .filter(least(col("a_n"), col("b_n")) >=
+        greatest(col("a_n"), col("b_n")) * minJaccard)
+      .withColumn("c", size(array_intersect(col("a_codes"), col("b_codes"))))
+      .withColumn("jacc", col("c").cast("double") /
+        (col("a_n") + col("b_n") - col("c")))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
+  }
+
+  /** Word n-gram shingle set (n consecutive tokens joined by one space).
+    * Docs shorter than n tokens yield an empty set (guarded: Spark's
+    * `sequence(0, negative)` would count DOWN, not produce empty). */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), size(t) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(t) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
   }
 
   /** Exact n-gram Jaccard near-dup pairs within a blocking key (e.g. same
@@ -73,31 +124,46 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
       blockCol: String, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val prep = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      shingles(col(textCol), n).as("sh"))
-    val a = prep.select(col("id").as("a_id"), col("sh").as("a_sh"), col("blk"))
-    val b = prep.select(col("id").as("b_id"), col("sh").as("b_sh"), col("blk"))
-    a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("jacc",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
-      .filter(col("jacc") >= minJaccard)
-      .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
+    // Shingles via posexplode + window lead, NOT transform() over the token
+    // array: a HOF lambda that references the split() tree re-evaluates it
+    // per element (Catalyst inlines through lambda bodies), turning an O(L)
+    // tokenization into O(L²) per doc. The exploded form splits once.
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w))
+    val ex = toks
+      .withColumn("last_tok", lead(col("tok"), n - 1).over(w))
+      .withColumn("el", concat_ws(" ", leads: _*))
+      .filter(col("last_tok").isNotNull)
+      .select(col("id"), col("blk"), col("el")).distinct()
+    blockedJaccardPairs(ex, minJaccard)
   }
 
-  /** 16-bit SimHash over the distinct token set: bit i is the sign of the
-    * vote sum where each token votes +1/−1 by the top bit of hex digit i of
-    * its md5. Returned as a 16-char '0'/'1' string (portable; no integer
-    * bit-ops needed). */
-  def simhash16(tokSet: Column): Column = {
-    val hashed = transform(tokSet, t => md5(t))
-    val bits = (0 until 16).map { i =>
-      val vote = aggregate(hashed, lit(0),
-        (acc, h) => acc + when(substring(h, i + 1, 1) >= "8", 1).otherwise(-1))
-      when(vote >= 0, "1").otherwise("0")
+  /** 16-bit SimHash signatures over the distinct token set: bit i is the
+    * sign of the vote sum where each token votes +1/−1 by the top bit of hex
+    * digit i of its md5. Signature is a 16-char '0'/'1' string (portable; no
+    * integer bit-ops needed).
+    *
+    * One explode + hash-aggregate pass: each token's md5 is computed once
+    * and feeds all 16 bit counters as conditional sums — vs. the naive
+    * 16-HOF-pass formulation this is ~10× less hashing and stays in
+    * whole-stage codegen. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 16).map { i =>
+      sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1))
+        .as(s"v$i")
     }
-    concat(bits: _*)
+    val bits = (0 until 16).map(i =>
+      when(col(s"v$i") >= 0, "1").otherwise("0"))
+    ex.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), concat(bits: _*).as("simhash"))
   }
 
   /** Document fingerprint: md5 over the sorted distinct token set — a

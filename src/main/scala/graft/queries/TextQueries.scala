@@ -35,26 +35,24 @@ object TextQueries {
         TextDedup.minhash(ts, 3).as("mh3"))
     }),
 
-    // Full MinHash-LSH near-dup detection: AND-of-6 band bucketing →
-    // candidate equi-join → exact Jaccard ≥ 0.95 verification.
+    // Full MinHash-LSH near-dup pipeline: identical-set collapse → AND-of-6
+    // band bucketing over unique reps → exact Jaccard ≥ 0.95 verification.
     "d03_minhash_lsh_pairs" -> ((s, d) => {
       TextDedup.minhashNearDupPairs(Tables.documents(s, d),
         nHashes = 6, minJaccard = 0.95)
     }),
 
-    // Exact word-bigram Jaccard near-dups, blocked by source.
+    // Exact word-trigram Jaccard near-dups, blocked by source.
     "d04_ngram_jaccard" -> ((s, d) => {
       TextDedup.ngramJaccardPairs(Tables.documents(s, d),
-        n = 2, minJaccard = 0.05, blockCol = "source")
+        n = 3, minJaccard = 0.02, blockCol = "source")
     }),
 
     // SimHash-16 signatures + collision groups (identical-signature dedup).
     "d05_simhash_groups" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextDedup.simhash16(TextDedup.tokenSet(col("text"))).as("simhash"))
+      TextDedup.simhashSignatures(Tables.documents(s, d))
         .groupBy(col("simhash"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
     }),
 
     // Embedding-cosine near-dup pairs (brute-force a<b; the LSH-bucketed
@@ -121,29 +119,35 @@ object TextQueries {
       s"""SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
          |  ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
          |FROM documents""".stripMargin,
-    "d03_minhash_lsh_pairs" ->
-      s"""WITH prep AS (
-         |  SELECT doc_id AS id, $tokSetSql AS ts,
-         |    md5(concat_ws('|', ${(0 until 6).map(mhSql).mkString(", ")})) AS band
-         |  FROM documents)
+    "d03_minhash_lsh_pairs" -> {
+      val mhTs = (s: Int) => s"list_min(list_transform(ts, t -> md5('s$s:' || t)))"
+      s"""WITH reps AS (
+         |  SELECT min(doc_id) AS id, ts FROM (
+         |    SELECT doc_id, list_sort($tokSetSql) AS ts FROM documents)
+         |  GROUP BY ts),
+         |b AS (
+         |  SELECT id, ts,
+         |    md5(concat_ws('|', ${(0 until 6).map(mhTs).mkString(", ")})) AS band
+         |  FROM reps)
          |SELECT a_id, b_id, round(jacc, 6) AS jacc FROM (
-         |  SELECT a.id AS a_id, b.id AS b_id,
-         |    len(list_intersect(a.ts, b.ts))::DOUBLE /
-         |      len(list_distinct(list_concat(a.ts, b.ts))) AS jacc
-         |  FROM prep a JOIN prep b ON a.band = b.band AND a.id < b.id)
-         |WHERE jacc >= 0.95""".stripMargin,
+         |  SELECT a.id AS a_id, e.id AS b_id,
+         |    len(list_intersect(a.ts, e.ts))::DOUBLE /
+         |      (len(a.ts) + len(e.ts) - len(list_intersect(a.ts, e.ts))) AS jacc
+         |  FROM b a JOIN b e ON a.band = e.band AND a.id < e.id)
+         |WHERE jacc >= 0.95""".stripMargin
+    },
     "d04_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
         |prep AS (
         |  SELECT doc_id AS id, source AS blk,
-        |    list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS sh
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS sh
         |  FROM toks)
         |SELECT a_id, b_id, round(jacc, 6) AS jacc FROM (
         |  SELECT a.id AS a_id, b.id AS b_id,
         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
         |  FROM prep a JOIN prep b ON a.blk = b.blk AND a.id < b.id)
-        |WHERE jacc >= 0.05""".stripMargin,
+        |WHERE jacc >= 0.02""".stripMargin,
     "d05_simhash_groups" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, concat(${(0 until 16).map(i =>

@@ -32,9 +32,13 @@ abstract class VectorKernel extends BinaryExpression with Serializable {
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
-  /** Java source for the loop body: given array vars `a`,`b` and length `n`,
-    * assign the result to `res` (a declared double). */
-  protected def loopCode(a: String, b: String, res: String): String
+  /** Java source for the loop body: given array vars `a`,`b`, assign the
+    * result to `res` (a declared double). Every local MUST come from
+    * `fresh` — two instances of one kernel can inline into the same
+    * generated function, and fixed names would collide and silently drop
+    * the whole stage back to interpreted eval. */
+  protected def loopCode(a: String, b: String, res: String,
+      fresh: String => String): String
   protected def evalKernel(a: ArrayData, b: ArrayData): Double
 
   override def nullSafeEval(l: Any, r: Any): Any =
@@ -45,7 +49,7 @@ abstract class VectorKernel extends BinaryExpression with Serializable {
       val res = ctx.freshName("res")
       s"""
          |double $res = 0.0;
-         |${loopCode(a, b, res)}
+         |${loopCode(a, b, res, ctx.freshName)}
          |${ev.value} = $res;
        """.stripMargin
     })
@@ -55,13 +59,16 @@ abstract class VectorKernel extends BinaryExpression with Serializable {
 case class DotProductExpr(left: Expression, right: Expression)
     extends VectorKernel {
   override def prettyName: String = "dot_product"
-  protected def loopCode(a: String, b: String, res: String): String =
+  protected def loopCode(a: String, b: String, res: String,
+      fresh: String => String): String = {
+    val n = fresh("n"); val i = fresh("i")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |for (int i = 0; i < n; i++) {
-       |  $res += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $res += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
        |}
      """.stripMargin
+  }
   protected def evalKernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
@@ -76,17 +83,22 @@ case class DotProductExpr(left: Expression, right: Expression)
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends VectorKernel {
   override def prettyName: String = "cosine_sim"
-  protected def loopCode(a: String, b: String, res: String): String =
+  protected def loopCode(a: String, b: String, res: String,
+      fresh: String => String): String = {
+    val n = fresh("n"); val i = fresh("i")
+    val dot = fresh("dot"); val na = fresh("na"); val nb = fresh("nb")
+    val x = fresh("x"); val y = fresh("y")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double x = (double) $a.getFloat(i);
-       |  double y = (double) $b.getFloat(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double) $a.getFloat($i);
+       |  double $y = (double) $b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |$res = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       |$res = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
      """.stripMargin
+  }
   protected def evalKernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -104,16 +116,20 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 case class EuclideanDistanceExpr(left: Expression, right: Expression)
     extends VectorKernel {
   override def prettyName: String = "euclidean_dist"
-  protected def loopCode(a: String, b: String, res: String): String =
+  protected def loopCode(a: String, b: String, res: String,
+      fresh: String => String): String = {
+    val n = fresh("n"); val i = fresh("i")
+    val acc = fresh("acc"); val d = fresh("d")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = ((double) $a.getFloat(i)) - ((double) $b.getFloat(i));
-       |  s += d * d;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+       |  $acc += $d * $d;
        |}
-       |$res = java.lang.Math.sqrt(s);
+       |$res = java.lang.Math.sqrt($acc);
      """.stripMargin
+  }
   protected def evalKernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate kNN search over a built index — the batch analogs of
+  * `searchKNNOptimized` (`hnsw.ts:241-299`) that avoid scoring every node.
+  *
+  * Two strategies:
+  *  - [[searchLsh]] (primary): bucket the queries with the same hyperplanes
+  *    as the index, equi-join per band for candidates, score only those —
+  *    candidate volume is O(Σ bucket overlap), not O(Q × N).
+  *  - [[searchGraph]]: iterative frontier expansion over the edge table —
+  *    the set-at-a-time analog of the reference's per-layer beam walk
+  *    (`hnsw.ts:301-375`): frontier ⋈ edges ⋈ nodes, score, keep top-ef per
+  *    query, repeat. Driver controls the (bounded) iteration count; each
+  *    step is a pair of hash joins, shuffled on graph keys.
+  */
+object AnnSearch {
+
+  private def scoreFn(metric: String): (Column, Column) => Column =
+    metric match {
+      case "euclidean" => VectorFunctions.euclideanSim
+      case _ => VectorFunctions.cosineSim
+    }
+
+  /** LSH-bucketed ANN: same output shape as [[KnnSearch.knnExact]]
+    * (query_id, id, score, rn). Recall depends on nBands × bucketBits;
+    * measured against the exact oracle in AnnSpec. */
+  def searchLsh(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
+      params: IndexParams): DataFrame = {
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    val candidates = (0 until params.nBands).map { band =>
+      val n = live.withColumn("b", IndexBuild.bucketKey(col("vector"), params, band))
+        .select(col("b"), col("id"), col("vector"))
+      val q = queries
+        .withColumn("b", IndexBuild.bucketKey(col("query_vec"), params, band))
+        .select(col("b"), col("query_id"), col("query_vec"))
+      n.join(broadcast(q), Seq("b")).drop("b")
+    }.reduce(_ unionByName _)
+      .dropDuplicates("query_id", "id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    candidates
+      .withColumn("score", scoreFn(params.metric)(col("query_vec"), col("vector")))
+      .filter(col("score") > lit(minSim))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("score"), col("rn"))
+  }
+
+  /** Graph-traversal ANN over the built (nodes, edges) index.
+    *
+    * Starts from the top-layer membership (the entry-point set) and runs
+    * `itersPerLevel` frontier expansions on each level from `levelMax` down
+    * to 0, keeping the best `ef` candidates per query between steps.
+    * Tombstoned nodes stay routable but are filtered from final results —
+    * the reference's traversal semantics (`hnsw.ts:292,392`; SURVEY §7.5).
+    */
+  def searchGraph(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
+      k: Int, minSim: Double, params: IndexParams,
+      ef: Int = 32, itersPerLevel: Int = 2): DataFrame = {
+    val sf = scoreFn(params.metric)
+    val topW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    def topEf(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("rn", row_number().over(topW)).filter(col("rn") <= n).drop("rn")
+
+    val entryLevel = nodes.agg(max(col("level"))).head().getInt(0)
+    val entries = nodes.filter(col("level") === entryLevel)
+      .select(col("id"), col("vector"))
+    var frontier = topEf(
+      entries.crossJoin(broadcast(queries))
+        .withColumn("score", sf(col("query_vec"), col("vector")))
+        .select(col("query_id"), col("query_vec"), col("id"), col("score")),
+      ef).localCheckpoint()
+
+    for (level <- entryLevel to 0 by -1; _ <- 1 to itersPerLevel) {
+      val e = edges.filter(col("level") === level)
+        .select(col("src"), col("dst"))
+      val expanded = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("query_id"), col("query_vec"), col("dst").as("id"))
+        .dropDuplicates("query_id", "id")
+        .join(nodes.select(col("id"), col("vector")), Seq("id"))
+        .withColumn("score", sf(col("query_vec"), col("vector")))
+        .select(col("query_id"), col("query_vec"), col("id"), col("score"))
+      frontier = topEf(frontier.unionByName(expanded)
+        .dropDuplicates("query_id", "id"), ef)
+        .localCheckpoint() // bound lineage across the driver-side loop
+    }
+    val live = nodes.filter(!col("deleted")).select(col("id"))
+    topEf(frontier.join(live, Seq("id")).filter(col("score") > lit(minSim)), k)
+      .withColumn("rn", row_number().over(topW))
+      .select(col("query_id"), col("id"), col("score"), col("rn"))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Index parameters — the reference's constructor surface (`hnsw.ts:22-37`):
+  * M = max neighbors per level, efConstruction = build beam, metric ∈
+  * {cosine, euclidean}, d = dimension (validated, not inferred —
+  * `hnsw.ts:157-160`). Persisted in the metadata sidecar so a reloaded index
+  * keeps its metric (the reference loses it on reload — `hnsw.ts:794-796`,
+  * a bug we fix rather than replicate).
+  */
+case class IndexParams(
+    m: Int = 16,
+    efConstruction: Int = 200,
+    metric: String = "cosine",
+    dim: Int = 64,
+    levelMax: Int = 7,
+    bucketBits: Int = 8,
+    nBands: Int = 4,
+    seed: Long = 42L)
+
+/** Distributed ANN index construction — the batch-native replacement for
+  * sequential HNSW insertion (`hnsw.ts:82-147`, `hnsw.ts:769-779`).
+  *
+  * Per level L (levels assigned geometrically, every node on layers 0..its
+  * level): candidate pairs come from OR-of-`nBands` random-hyperplane LSH
+  * buckets (equi-joins, never all-pairs), are scored with the codegen'd
+  * similarity kernel, ranked top-M per source (window group-limit), unioned
+  * with their reversals for bidirectionality, and re-shrunk to M — the
+  * `selectNeighbors`/`addBidirectionalConnections`/`shrinkConnectionsIfNeeded`
+  * semantics (`hnsw.ts:419-489`) as set-at-a-time dataflow.
+  *
+  * Scale notes: the only shuffles are per-band bucket joins (keys are
+  * hyperplane sign patterns — AQE handles skewed buckets) and the per-src
+  * top-M rank. Upper layers thin out 16× per level, so their joins are
+  * negligible; layer 0 dominates and is linear in Σ bucket².
+  * Insert-order-free by construction — tests assert recall, not graph
+  * isomorphism (SURVEY §7.5).
+  */
+object IndexBuild {
+
+  /** Deterministic geometric level: trailing base-16 zeros of an id hash
+    * (P(level ≥ k) = 16^-k — the intended `selectLevel` distribution,
+    * `hnsw.ts:51-77`, seeded by id instead of Math.random so builds are
+    * reproducible). Pure integer arithmetic. */
+  def levelOf(id: Column, levelMax: Int = 7): Column = {
+    val h = id * 2654435761L + 104729L
+    (1 to levelMax).foldLeft(lit(0)) { (acc, k) =>
+      when(h % math.pow(16L, k).toLong === 0, k).otherwise(acc)
+    }
+  }
+
+  /** Deterministic pseudo-uniform in [-1, 1] from (seed, plane, dim) — a
+    * splitmix64-style integer mix, reproducible across JVMs (no
+    * java.util.Random stream dependence). */
+  private def mix(seed: Long, a: Long, b: Long): Double = {
+    var z = seed + a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random hyperplanes for one LSH band: `bits` planes × `dim` components. */
+  def hyperplanes(params: IndexParams, band: Int): Array[Array[Float]] =
+    Array.tabulate(params.bucketBits) { p =>
+      Array.tabulate(params.dim) { j =>
+        mix(params.seed + band * 1000003L, p, j).toFloat
+      }
+    }
+
+  /** Sign-bit bucket key of `vec` under one band's hyperplanes — random
+    * hyperplane LSH for cosine: P(same bit) = 1 − angle/π. */
+  def bucketKey(vec: Column, params: IndexParams, band: Int): Column = {
+    val planes = hyperplanes(params, band)
+    val bits = planes.map { w =>
+      when(VectorFunctions.dotProduct(vec, typedLit(w.toSeq)) >= 0, "1")
+        .otherwise("0")
+    }
+    concat(bits.toIndexedSeq: _*)
+  }
+
+  /** Directed top-M candidate edges among `members` (id, vector) using
+    * OR-of-bands LSH blocking. */
+  private def knnGraphLevel(members: DataFrame, params: IndexParams): DataFrame = {
+    val scoreFn: (Column, Column) => Column = params.metric match {
+      case "euclidean" => VectorFunctions.euclideanSim
+      case _ => VectorFunctions.cosineSim
+    }
+    val candidates = (0 until params.nBands).map { band =>
+      val withB = members.withColumn("b", bucketKey(col("vector"), params, band))
+      val a = withB.select(col("b"), col("id").as("src"), col("vector").as("src_vec"))
+      val bb = withB.select(col("b"), col("id").as("dst"), col("vector").as("dst_vec"))
+      a.join(bb, Seq("b")).filter(col("src") =!= col("dst")).drop("b")
+    }.reduce(_ unionByName _)
+      .dropDuplicates("src", "dst")
+    val scored = candidates
+      .withColumn("score", scoreFn(col("src_vec"), col("dst_vec")))
+      .select(col("src"), col("dst"), col("score"))
+    val w = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst").asc)
+    val directed = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= params.m).drop("rn")
+    // bidirectional union + dedup, then shrink back to M (hnsw.ts:436-489)
+    val undirected = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst"),
+        col("score")))
+      .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+    undirected.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= params.m)
+      .select(col("src"), col("dst"), col("score"))
+  }
+
+  /** Full index build (`buildIndex`, `hnsw.ts:769-779`): level assignment +
+    * per-level kNN graph. Input: (id, vector[, deleted]). Returns
+    * (nodes(id, vector, level, deleted), edges(level, src, dst, score)). */
+  def build(nodes: DataFrame, params: IndexParams): (DataFrame, DataFrame) = {
+    val withDel =
+      if (nodes.columns.contains("deleted")) nodes
+      else nodes.withColumn("deleted", lit(false))
+    val live = withDel.filter(!col("deleted"))
+      .withColumn("level", levelOf(col("id"), params.levelMax))
+    val edges = (0 to params.levelMax).map { l =>
+      knnGraphLevel(
+        live.filter(col("level") >= l).select(col("id"), col("vector")),
+        params)
+        .withColumn("level", lit(l))
+        .select(col("level"), col("src"), col("dst"), col("score"))
+    }.reduce(_ unionByName _)
+    (live.select(col("id"), col("vector"), col("level"), col("deleted")), edges)
+  }
+
+  /** Persist nodes + edges as parquet plus a metadata sidecar (replaces the
+    * single-JSON-blob snapshot, `hnsw.ts:781-810` / `astrovault.ts:34-40` —
+    * self-describing, partitioned, and metric-preserving). */
+  def save(nodes: DataFrame, edges: DataFrame, params: IndexParams,
+      path: String): Unit = {
+    nodes.write.mode("overwrite").parquet(s"$path/nodes")
+    edges.write.mode("overwrite").partitionBy("level").parquet(s"$path/edges")
+    val meta =
+      s"""{"m":${params.m},"efConstruction":${params.efConstruction},
+         |"metric":"${params.metric}","dim":${params.dim},
+         |"levelMax":${params.levelMax},"bucketBits":${params.bucketBits},
+         |"nBands":${params.nBands},"seed":${params.seed}}""".stripMargin
+      .replaceAll("\n", "")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/meta.json"), meta)
+  }
+
+  /** Load a saved index; the metadata sidecar restores every parameter
+    * (including metric — see metric-loss bug note on [[IndexParams]]). */
+  def load(spark: SparkSession, path: String): (DataFrame, DataFrame, IndexParams) = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/meta.json")))
+    def field(name: String): String = {
+      val m = ("\"" + name + "\"\\s*:\\s*\"?([^,}\"]+)\"?").r
+      m.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"missing $name in $path/meta.json"))
+    }
+    val params = IndexParams(
+      m = field("m").toInt,
+      efConstruction = field("efConstruction").toInt,
+      metric = field("metric"),
+      dim = field("dim").toInt,
+      levelMax = field("levelMax").toInt,
+      bucketBits = field("bucketBits").toInt,
+      nBands = field("nBands").toInt,
+      seed = field("seed").toLong)
+    (spark.read.parquet(s"$path/nodes"),
+      spark.read.parquet(s"$path/edges"), params)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnSearch, IndexBuild, IndexParams, KnnSearch}
+import graft.queries.VectorQueries
+
+/** ANN build + search: recall vs the exact oracle, persistence round-trip,
+  * structural invariants of the built graph. Distributed builds are
+  * insert-order-free, so tests assert recall and invariants, not graph
+  * isomorphism (SURVEY §7.5). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val nodesDf = VectorQueries.asVectorTable(emb)
+  private lazy val queriesDf = VectorQueries.querySet(emb)
+  private val params = IndexParams(m = 8, levelMax = 3, bucketBits = 4, nBands = 4)
+
+  private def recallAt(k: Int, approx: DataFrame): Double = {
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, k, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val got = approx.select("query_id", "id").as[(Long, Long)].collect().toSet
+    exact.intersect(got).size.toDouble / exact.size
+  }
+
+  test("LSH search recall@10 beats 0.6 with coarse buckets") {
+    // coarser buckets (8 per band) trade candidate volume for recall —
+    // the knob a caller turns per workload
+    val coarse = params.copy(bucketBits = 3)
+    val r = recallAt(10,
+      AnnSearch.searchLsh(nodesDf, queriesDf, 10, minSim = -2.0, coarse))
+    assert(r > 0.6, s"recall@10 = $r")
+  }
+
+  test("built graph: degree ≤ M per level, edges bidirectional-deduped, no self loops") {
+    val (nodes, edges) = IndexBuild.build(nodesDf, params)
+    val maxDeg = edges.groupBy("level", "src").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxDeg <= params.m)
+    assert(edges.filter(col("src") === col("dst")).count() === 0)
+    assert(edges.groupBy("level", "src", "dst").count()
+      .filter(col("count") > 1).count() === 0)
+    // every edge endpoint is a member of that level
+    val members = nodes.select(col("id"), col("level").as("node_level"))
+    val bad = edges.join(members, edges("src") === members("id"))
+      .filter(col("node_level") < col("level")).count()
+    assert(bad === 0)
+  }
+
+  test("graph search recall@10 beats 0.4 and excludes tombstones") {
+    val (nodes, edges) = IndexBuild.build(nodesDf, params)
+    val r = recallAt(10, AnnSearch.searchGraph(nodes, edges, queriesDf,
+      k = 10, minSim = -2.0, params, ef = 48, itersPerLevel = 2))
+    assert(r > 0.4, s"graph recall@10 = $r")
+
+    val deadId = 100L // a query's own best match — delete it
+    val tombstoned = nodes.withColumn("deleted", col("id") === deadId)
+    val got = AnnSearch.searchGraph(tombstoned, edges, queriesDf,
+      k = 10, minSim = -2.0, params)
+      .filter(col("id") === deadId).count()
+    assert(got === 0)
+  }
+
+  test("save/load round-trip preserves params (incl. metric) and tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+    val (nodes, edges) = IndexBuild.build(nodesDf,
+      params.copy(metric = "euclidean"))
+    IndexBuild.save(nodes, edges, params.copy(metric = "euclidean"), dir)
+    val (n2, e2, p2) = IndexBuild.load(spark, dir)
+    assert(p2 === params.copy(metric = "euclidean")) // no metric loss on reload
+    assert(n2.count() === nodes.count())
+    assert(e2.count() === edges.count())
+  }
+
+  test("level assignment is geometric-ish: level 0 dominates 10:1") {
+    val levels = nodesDf.withColumn("level", IndexBuild.levelOf(col("id")))
+      .groupBy("level").count().as[(Int, Long)].collect().toMap
+    assert(levels.getOrElse(0, 0L) > 10 * levels.getOrElse(1, 1L))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingIngest
+
+case class MutEvent(id: Long, vector: Seq[Float], op: String, seq: Long)
+
+/** The FIFO single-writer queue (driver/driver.ts:24-80) as Structured
+  * Streaming: batches apply in order, snapshots flip atomically. */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches apply serially; final state = sequential application") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[MutEvent]
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val empty = Seq.empty[(Long, Seq[Float], Boolean)]
+      .toDF("id", "vector", "deleted")
+
+    val q = StreamingIngest.start(spark, stream.toDF(), statePath, empty)
+    try {
+      // batch 0: two inserts (arrival order via seq)
+      stream.addData(
+        MutEvent(1L, Seq(1f, 0f), "upsert", 1),
+        MutEvent(2L, Seq(0f, 1f), "upsert", 2))
+      q.processAllAvailable()
+      // batch 1: update 1, delete 2, insert 3 — plus a same-batch
+      // double-write to id 3 where the later seq must win
+      stream.addData(
+        MutEvent(1L, Seq(9f, 9f), "upsert", 1),
+        MutEvent(2L, Seq.empty, "delete", 2),
+        MutEvent(3L, Seq(0.1f, 0.1f), "upsert", 3),
+        MutEvent(3L, Seq(0.2f, 0.2f), "upsert", 4))
+      q.processAllAvailable()
+
+      val state = StreamingIngest.loadState(spark, statePath).get
+        .orderBy("id").as[(Long, Seq[Float], Boolean)].collect().toList
+      assert(state === List(
+        (1L, Seq(9f, 9f), false),
+        (2L, Seq(0f, 1f), true),   // tombstoned, still present
+        (3L, Seq(0.2f, 0.2f), false)))
+      assert(StreamingIngest.currentVersion(statePath).contains(1L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextDedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat", "a"),
+    (2L, "the cat sat on the mat", "a"),  // exact dup of 1
+    (3L, "the cat sat on the hat", "a"),  // near dup
+    (4L, "completely different words here", "a"),
+    (5L, "unrelated text in block b", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDedup groups identical texts") {
+    val out = TextDedup.exactDedup(docs)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 2L) // docs 1+2 collapse, representative is min id
+    assert(out.values.sum === 5L)
+  }
+
+  test("minhash is order-insensitive over the token set") {
+    val a = Seq((1L, "x y z")).toDF("id", "text")
+      .select(TextDedup.minhash(TextDedup.tokenSet(col("text")), 0)).head.getString(0)
+    val b = Seq((1L, "z x y x")).toDF("id", "text")
+      .select(TextDedup.minhash(TextDedup.tokenSet(col("text")), 0)).head.getString(0)
+    assert(a === b)
+  }
+
+  test("minhashNearDupPairs finds near dups and collapses exact dups first") {
+    // jacc(doc1-set, doc3-set): sets {the,cat,sat,on,mat} vs {the,cat,sat,on,hat}
+    // = 4/6 — use a threshold below that; doc2 collapses into doc1's rep.
+    val out = TextDedup.minhashNearDupPairs(docs, nHashes = 1, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toList
+    assert(out.forall { case (a, b, _) => a < b })
+    assert(!out.exists { case (a, b, _) => a == 2L || b == 2L }) // dup collapsed
+    out.find { case (a, b, _) => a == 1L && b == 3L } match {
+      case Some((_, _, j)) => assert(math.abs(j - 4.0 / 6.0) < 1e-6) // output is round(jacc, 6)
+      case None => fail("expected (1,3) pair — band should collide at j=2/3 " +
+        "with 1 hash sometimes; deterministic hashes make this stable")
+    }
+  }
+
+  test("ngramJaccardPairs respects blocking (no cross-block pairs)") {
+    val out = TextDedup.ngramJaccardPairs(docs, n = 2, minJaccard = 0.01,
+      blockCol = "source").as[(Long, Long, Double)].collect().toList
+    // doc 5 is alone in block b → never paired
+    assert(!out.exists { case (a, b, _) => a == 5L || b == 5L })
+    // bigram jacc(1,3): {the cat, cat sat, sat on, on the, the mat/hat}
+    // common 4 of 6 distinct
+    val j13 = out.collectFirst { case (1L, 3L, j) => j }
+    assert(j13.exists(j => math.abs(j - 4.0 / 6.0) < 1e-6)) // round(jacc, 6)
+  }
+
+  test("shingles guard: doc shorter than n yields empty set, not a crash") {
+    val out = Seq((1L, "one two")).toDF("id", "text")
+      .select(TextDedup.shingles(col("text"), 3).as("s"))
+      .select(size(col("s"))).head.getInt(0)
+    assert(out === 0)
+  }
+
+  test("simhash: identical texts share signatures; signature is 16 bits") {
+    val sigs = TextDedup.simhashSignatures(docs)
+      .as[(Long, String)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs.values.forall(s => s.length == 16 && s.forall("01".contains(_))))
+  }
+
+  test("fingerprint is token-order-insensitive") {
+    val fp = (t: String) => Seq((1L, t)).toDF("id", "text")
+      .select(TextDedup.fingerprint(col("text"))).head.getString(0)
+    assert(fp("a b c") === fp("c b a b"))
+    assert(fp("a b c") !== fp("a b d"))
+  }
+
+  test("quality features: ratios for a known doc") {
+    val f = TextDedup.qualityFeatures(Seq((1L, "the the cat")).toDF("id", "text"))
+      .select("n_tokens", "n_uniq", "stopword_ratio").head
+    assert(f.getInt(0) === 3 && f.getInt(1) === 2)
+    assert(math.abs(f.getDouble(2) - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("langId flags stopword-bearing text as en") {
+    val out = Seq((1L, "the cat and the dog"), (2L, "gato perro sol luna"))
+      .toDF("id", "text")
+      .select(col("id"), TextDedup.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en" && out(2L) === "unknown")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded/processed multimodal asset row. */
+case class AssetFeatures(
+    asset_id: Long,
+    modality: String,
+    n_bytes: Int,
+    features: Array[Float])
+
+/** Multimodal (image/audio/video) column handling for a training-data
+  * pipeline: media as opaque `binary` columns with a typed metadata struct,
+  * processed executor-side in batches.
+  *
+  * The actual media decode is STUBBED — no codec libraries exist in this
+  * environment — behind [[decodeStub]], a deterministic fake that derives
+  * "features" from payload bytes. Everything around it is the real
+  * engineering surface: schema, binary column plumbing, per-partition batch
+  * processing (`mapPartitions` — the Scala analog of arrow-batched python
+  * UDFs), and the feature-vector handoff into the kNN/dedup operators.
+  */
+object Multimodal {
+
+  /** Deterministic fake decoder: PLACEHOLDER for a real image/audio decode.
+    * Derives `dim` pseudo-features from payload bytes (stable across runs /
+    * partitionings). Swap with a real codec call; the pipeline shape —
+    * bytes in, float features out, executed per-partition on executors —
+    * is what a real implementation keeps. */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    var j = 0
+    while (j < dim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(j) = ((h >>> 40).toInt % 1000) / 1000.0f
+      j += 1
+    }
+    out
+  }
+
+  /** Build the canonical asset table from any (id, payload) source:
+    * binary column + typed metadata struct (modality, declared dims,
+    * format). Metadata travels with the bytes so downstream stages never
+    * re-probe the payload. */
+  def asAssetTable(src: DataFrame, idCol: String, payloadCol: String,
+      modality: String): DataFrame =
+    src.select(
+      col(idCol).as("asset_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit(modality).as("modality"),
+        octet_length(col(payloadCol).cast("binary")).as("n_bytes"),
+        lit("raw").as("format")).as("meta"))
+
+  /** Executor-side batched decode + feature extraction over the binary
+    * column. Partition-parallel; each task iterates its partition's rows
+    * once (the batch shape a real decoder needs — open codec once per
+    * partition, stream rows through it). */
+  def extractFeatures(assets: DataFrame, dim: Int): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("meta.modality").as("modality"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition setup (real impl: initialize the codec here, once)
+        rows.map { case (id, modality, payload) =>
+          AssetFeatures(id, modality, payload.length,
+            decodeStub(payload, dim))
+        }
+      }
+  }
+
+  /** Video frame sampling stub: treat the payload as fixed-size frames and
+    * keep every `stride`-th — pure offset arithmetic on the binary column
+    * (a real impl swaps substring for a demuxer; the explode shape stays). */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = floor(octet_length(col("payload")) / frameBytes)
+    assets
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("asset_id"), col("frame_idx"), col("frame"))
+  }
+}

@@ -132,6 +132,89 @@ object RelationalQueries {
           length(col("p_name")).as("name_len"),
           substring(col("p_type"), 1, 5).as("type_prefix"))
     }),
+
+    // Cube (full grouping-sets family alongside q10's rollup).
+    "q13_cube_events" -> ((s, d) => {
+      Tables.events(s, d)
+        .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("dow"), col("n"))
+    }),
+
+    // Pivot: order counts per status column, one row per priority.
+    "q14_pivot_status" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // INTERSECT / EXCEPT set operators on customer key sets.
+    "q15_intersect_except" -> ((s, d) => {
+      val withOrders = Tables.orders(s, d).select(col("o_custkey").as("key"))
+      val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("key"))
+      val both = withOrders.intersect(rich)
+        .agg(count(lit(1)).as("n")).withColumn("which", lit("intersect"))
+      val richOnly = rich.except(withOrders)
+        .agg(count(lit(1)).as("n")).withColumn("which", lit("except"))
+      both.unionByName(richOnly).select(col("which"), col("n"))
+    }),
+
+    // Correlated EXISTS through the SQL surface (spark.sql + temp views).
+    "q16_exists_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus FROM orders_v o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM lineitem_v l
+          |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)""".stripMargin)
+    }),
+
+    // Math functions (sqrt/exp/ln/pow/abs/sign), rounded for oracle parity.
+    "q17_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          round(exp(col("l_discount")), 6).as("exp_disc"),
+          round(log(col("l_quantity")), 6).as("ln_qty"),
+          round(pow(col("l_tax"), 2), 6).as("tax_sq"),
+          abs(col("l_quantity") - 25).cast("double").as("abs_dev"),
+          signum(col("l_discount") - lit(0.05)).as("disc_sign"))
+    }),
+
+    // Array construction + aggregation into ordered arrays (serialized to
+    // csv strings so the compare is representation-stable).
+    "q18_array_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+    }),
+
+    // Higher-order functions over the embedding arrays (order-independent
+    // reductions only — element count and max need no float accumulation).
+    "q19_higher_order" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          round(array_max(col("embedding")).cast("double"), 6).as("max_elem"),
+          size(col("embedding")).as("dim"))
+    }),
+
+    // Wider string-function coverage on customer names.
+    "q20_string_funcs" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          instr(col("c_name"), "0").as("first_zero"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -189,5 +272,54 @@ object RelationalQueries {
         |  length(p_name) AS name_len,
         |  substring(p_type, 1, 5) AS type_prefix
         |FROM part""".stripMargin,
+    "q13_cube_events" ->
+      """SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        |  count(*) AS n
+        |FROM events GROUP BY CUBE (event_type, dow)""".stripMargin,
+    "q14_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q15_intersect_except" ->
+      """WITH wo AS (SELECT o_custkey AS key FROM orders),
+        |rich AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'intersect' AS which, count(*) AS n FROM (SELECT key FROM wo INTERSECT SELECT key FROM rich)
+        |UNION ALL
+        |SELECT 'except' AS which, count(*) AS n FROM (SELECT key FROM rich EXCEPT SELECT key FROM wo)""".stripMargin,
+    "q16_exists_subquery" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)""".stripMargin,
+    "q17_math_funcs" ->
+      """SELECT l_orderkey,
+        |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |  round(exp(l_discount), 6) AS exp_disc,
+        |  round(ln(l_quantity), 6) AS ln_qty,
+        |  round(pow(l_tax, 2), 6) AS tax_sq,
+        |  CAST(abs(l_quantity - 25) AS DOUBLE) AS abs_dev,
+        |  CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+        |       WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "q18_array_agg" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q19_higher_order" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
+        |  len(embedding) AS dim
+        |FROM embeddings""".stripMargin,
+    "q20_string_funcs" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  strpos(c_name, '0') AS first_zero
+        |FROM customer""".stripMargin,
   )
 }

@@ -149,6 +149,27 @@ object VectorQueries {
         .groupBy(col("level")).agg(count(lit(1)).as("n"))
     }),
 
+    // Same search as v01 through the custom bounded-heap aggregate
+    // (graft.functions.TopKIds) instead of the window rank: map-side partial
+    // aggregation keeps only k candidates per (partition, query), so the
+    // shuffle carries O(queries × k) rows — the pqueue.ts eviction pattern
+    // as a TypedImperativeAggregate. Oracle: identical semantics to v01.
+    "v12_topk_aggregate" -> ((s, d) => {
+      VectorFunctions.register(s)
+      graft.functions.TopKAggregate.register(s)
+      val emb = Tables.embeddings(s, d)
+      val live = asVectorTable(emb)
+      val scored = live.join(broadcast(querySet(emb)))
+        .withColumn("score",
+          VectorFunctions.cosineSim(col("query_vec"), col("vector")))
+        .filter(col("score") > 0.5)
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.TopKAggregate.topkIds(
+          col("id"), col("score"), 10).as("ids"))
+        .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "id")))
+        .select(col("query_id"), col("id"), (col("pos") + 1).cast("int").as("rn"))
+    }),
+
     // Per-level kNN-graph neighbor selection — the batch replacement for
     // HNSW insert wiring (hnsw.ts:82-147): on a deterministic node subset,
     // top-M=16 neighbors by cosine with bidirectional union + re-shrink
@@ -242,6 +263,17 @@ object VectorQueries {
            |  SELECT query_id, id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
            |  FROM scored WHERE score > 0.0)
+           |WHERE rn <= 10""".stripMargin,
+      "v12_topk_aggregate" ->
+        s"""WITH q AS ($q),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS id,
+           |    list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+           |  FROM q CROSS JOIN embeddings e)
+           |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+           |  FROM scored WHERE score > 0.5)
            |WHERE rn <= 10""".stripMargin,
       "v10_level_histogram" ->
         """SELECT level, count(*) AS n FROM (

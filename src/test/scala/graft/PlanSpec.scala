@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.{RelationalQueries, VectorQueries}
+
+/** Physical-plan assertions — the properties that make these operators
+  * viable at 100 TB: filters and column pruning reach the parquet scan,
+  * small sides broadcast, top-k windows use the group-limit pushdown
+  * (running heap below the exchange) instead of full partition sorts, and
+  * the scalar kernels stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val fn = SparkEntry.queries(name)
+    val df = fn(spark, sf001)
+    df.collect() // action on THIS plan finalizes AQE → codegen annotated
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicate + projection pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_quantity,45"), p)
+    // pruned read schema: only the needed columns reach the scan
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("q04: dimension joins are broadcast, not shuffled") {
+    val p = plan("q04_customers_per_region")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q05: window top-k runs as WindowGroupLimit (no full sort per group)") {
+    val p = plan("q05_top_orders_per_customer")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q09: global sort+limit is TakeOrderedAndProject, not a total sort") {
+    val p = plan("q09_top20_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("v01: query side broadcasts; kernel stays in whole-stage codegen") {
+    val p = plan("v01_knn_exact")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string;
+    // the scoring Project must carry one
+    assert(p.linesIterator.exists(l =>
+      l.contains("cosine_sim") && l.contains("*(")), p)
+  }
+
+  test("v01 executes with zero codegen compile failures") {
+    // CodegenFallback-style silent degradation would still pass result
+    // checks — catch it by scanning for the kernel inside a codegen stage.
+    val df = SparkEntry.queries("v01_knn_exact")(spark, sf001)
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(codegen.contains("Found"), codegen.take(200))
+    assert(!codegen.contains("Redefinition"), "codegen local name collision")
+  }
+}

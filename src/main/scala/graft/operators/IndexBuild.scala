@@ -83,52 +83,54 @@ object IndexBuild {
     concat(bits.toIndexedSeq: _*)
   }
 
-  /** Directed top-M candidate edges among `members` (id, vector) using
-    * OR-of-bands LSH blocking. */
-  private def knnGraphLevel(members: DataFrame, params: IndexParams): DataFrame = {
+  /** Full index build (`buildIndex`, `hnsw.ts:769-779`): level assignment +
+    * per-level kNN graph, built in ONE dataflow pass. Each node explodes
+    * into its layer memberships (a node at level l lives on layers 0..l —
+    * geometric levels mean the explode only grows data by ~1/(1−1/16)),
+    * bucket joins key on (layer, band bucket), and a single window ranks
+    * top-M per (layer, src). No per-level driver loop: levels × bands of
+    * separate small jobs collapse into `nBands` joins + 2 windows total.
+    *
+    * Input: (id, vector[, deleted]). Returns
+    * (nodes(id, vector, level, deleted), edges(level, src, dst, score)). */
+  def build(nodes: DataFrame, params: IndexParams): (DataFrame, DataFrame) = {
     val scoreFn: (Column, Column) => Column = params.metric match {
       case "euclidean" => VectorFunctions.euclideanSim
       case _ => VectorFunctions.cosineSim
     }
-    val candidates = (0 until params.nBands).map { band =>
-      val withB = members.withColumn("b", bucketKey(col("vector"), params, band))
-      val a = withB.select(col("b"), col("id").as("src"), col("vector").as("src_vec"))
-      val bb = withB.select(col("b"), col("id").as("dst"), col("vector").as("dst_vec"))
-      a.join(bb, Seq("b")).filter(col("src") =!= col("dst")).drop("b")
-    }.reduce(_ unionByName _)
-      .dropDuplicates("src", "dst")
-    val scored = candidates
-      .withColumn("score", scoreFn(col("src_vec"), col("dst_vec")))
-      .select(col("src"), col("dst"), col("score"))
-    val w = Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst").asc)
-    val directed = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= params.m).drop("rn")
-    // bidirectional union + dedup, then shrink back to M (hnsw.ts:436-489)
-    val undirected = directed
-      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst"),
-        col("score")))
-      .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
-    undirected.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= params.m)
-      .select(col("src"), col("dst"), col("score"))
-  }
-
-  /** Full index build (`buildIndex`, `hnsw.ts:769-779`): level assignment +
-    * per-level kNN graph. Input: (id, vector[, deleted]). Returns
-    * (nodes(id, vector, level, deleted), edges(level, src, dst, score)). */
-  def build(nodes: DataFrame, params: IndexParams): (DataFrame, DataFrame) = {
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
       else nodes.withColumn("deleted", lit(false))
     val live = withDel.filter(!col("deleted"))
       .withColumn("level", levelOf(col("id"), params.levelMax))
-    val edges = (0 to params.levelMax).map { l =>
-      knnGraphLevel(
-        live.filter(col("level") >= l).select(col("id"), col("vector")),
-        params)
-        .withColumn("level", lit(l))
-        .select(col("level"), col("src"), col("dst"), col("score"))
+    val members = live
+      .withColumn("layer", explode(sequence(lit(0), col("level"))))
+      .select(col("layer"), col("id"), col("vector"))
+    val candidates = (0 until params.nBands).map { band =>
+      val withB = members.withColumn("b", bucketKey(col("vector"), params, band))
+      val a = withB.select(col("layer"), col("b"), col("id").as("src"),
+        col("vector").as("src_vec"))
+      val bb = withB.select(col("layer"), col("b"), col("id").as("dst"),
+        col("vector").as("dst_vec"))
+      a.join(bb, Seq("layer", "b")).filter(col("src") =!= col("dst")).drop("b")
     }.reduce(_ unionByName _)
+      .dropDuplicates("layer", "src", "dst")
+    val scored = candidates
+      .withColumn("score", scoreFn(col("src_vec"), col("dst_vec")))
+      .select(col("layer"), col("src"), col("dst"), col("score"))
+    val w = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("score").desc, col("dst").asc)
+    val directed = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= params.m).drop("rn")
+    // bidirectional union + dedup, then shrink back to M (hnsw.ts:436-489)
+    val undirected = directed
+      .unionByName(directed.select(col("layer"), col("dst").as("src"),
+        col("src").as("dst"), col("score")))
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("score")).as("score"))
+    val edges = undirected.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= params.m)
+      .select(col("layer").as("level"), col("src"), col("dst"), col("score"))
     (live.select(col("id"), col("vector"), col("level"), col("deleted")), edges)
   }
 

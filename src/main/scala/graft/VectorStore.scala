@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import graft.operators._
+
+/** The user-facing store API — a drop-in functional replacement for the
+  * reference's driver facade (`driver/driver.ts`): open-or-create
+  * (`createAstroDB`, driver.ts:28-48), add / remove / removeMultiple /
+  * updateVector / sync (driver.ts:115-282), threshold-scaled search
+  * (driver.ts:290-307), point lookup (driver.ts:309-312), compaction
+  * (`rebuildGraphNodes`, astrovault.ts:87-132), and store deletion
+  * (astrovault.ts:134-146).
+  *
+  * State is a versioned parquet snapshot chain with an atomic CURRENT
+  * pointer (same layout as [[graft.streaming.StreamingIngest]]) — readers
+  * always see a complete snapshot, and persistence cost is O(table), once
+  * per batch, instead of the reference's O(index) per mutation. All
+  * mutations are batch-first: the single-record overloads wrap one-row
+  * DataFrames around the batch operators.
+  */
+class VectorStore private (
+    val spark: SparkSession,
+    val path: String,
+    val params: IndexParams) {
+  import graft.streaming.StreamingIngest.{currentVersion, loadState}
+
+  /** Current table snapshot (id, vector, deleted). */
+  def nodes: DataFrame =
+    loadState(spark, path).getOrElse(VectorStore.emptyTable(spark))
+
+  def count(): Long = nodes.filter(!col("deleted")).count()
+
+  private def persist(next: DataFrame): Unit = {
+    val v = currentVersion(path).getOrElse(-1L) + 1
+    next.write.mode("overwrite").parquet(s"$path/v$v")
+    val tmp = java.nio.file.Paths.get(s"$path/CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Validation: non-null ids (driver.ts:124-129 rejects empty ids) and
+    * exact dimension match (hnsw.ts:155-160 throws on mismatch). */
+  private def validate(batch: DataFrame): DataFrame = {
+    val bad = batch.filter(col("id").isNull ||
+      size(col("vector")) =!= params.dim).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"invalid row (null id or dimension != ${params.dim}): ${bad.head}")
+    batch
+  }
+
+  /** Batch upsert (covers add + update, hnsw.ts:154-173/497-517). */
+  def addBatch(batch: DataFrame): Unit =
+    persist(Mutations.upsert(nodes,
+      validate(batch).withColumn("deleted", lit(false))))
+
+  def add(id: Long, vector: Seq[Float]): Unit = {
+    import spark.implicits._
+    addBatch(Seq((id, vector)).toDF("id", "vector"))
+  }
+
+  def updateVector(id: Long, vector: Seq[Float]): Unit = add(id, vector)
+
+  /** Tombstone one/many ids (driver.ts:157-192). */
+  def removeMultiple(ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    persist(Mutations.tombstone(nodes, ids.toDF("id")))
+  }
+  def remove(id: Long): Unit = removeMultiple(Seq(id))
+
+  /** Differential sync (driver.ts:245-282 / worker.ts:3-44): apply only
+    * new-or-changed incoming rows; returns how many were applied. */
+  def sync(incoming: DataFrame): Long = {
+    val delta = Mutations.syncDiff(nodes, incoming)
+    val n = delta.count()
+    if (n > 0)
+      persist(Mutations.upsert(nodes, delta.withColumn("deleted", lit(false))))
+    n
+  }
+
+  /** Threshold-scaled batch search (driver.ts:290-307): strengthSetting on
+    * the 0–100 scale, /100 capped at 0.95. */
+  def search(queries: DataFrame, k: Int, strengthSetting: Double = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    KnnSearch.knnExact(nodes, queries, k,
+      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
+  /** One-vector convenience search returning (id, score) rows. */
+  def search(vector: Seq[Float], k: Int, strengthSetting: Double): DataFrame = {
+    import spark.implicits._
+    search(Seq((0L, vector)).toDF("query_id", "query_vec"), k, strengthSetting)
+      .select(col("id"), col("score"))
+  }
+
+  /** Point lookup — returns tombstoned rows too (driver.ts:309-312). */
+  def getNode(id: Long): Option[(Long, Seq[Float], Boolean)] = {
+    import spark.implicits._
+    KnnSearch.pointLookup(nodes, lit(id))
+      .as[(Long, Seq[Float], Boolean)].collect().headOption
+  }
+
+  /** Compaction (astrovault.ts:87-132): physically drop tombstones, then
+    * rebuild + save the ANN index from the compacted table. */
+  def rebuild(): Unit = {
+    val compacted = Mutations.compact(nodes)
+    persist(compacted)
+    val (n, e) = IndexBuild.build(compacted, params)
+    IndexBuild.save(n, e, params, s"$path/index")
+  }
+
+  /** ANN search against the last rebuilt index (LSH path). */
+  def searchAnn(queries: DataFrame, k: Int, strengthSetting: Double = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val (n, _, p) = IndexBuild.load(spark, s"$path/index")
+    AnnSearch.searchLsh(n, queries, k,
+      KnnSearch.scaleThreshold(strengthSetting), p)
+  }
+
+  /** Drop the store (astrovault.ts:134-146). */
+  def delete(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+}
+
+object VectorStore {
+  private[graft] def emptyTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Float], Boolean)].toDF("id", "vector", "deleted")
+  }
+
+  /** Open an existing store or create an empty one — `getAstroDB`
+    * (driver.ts:40-48). */
+  def openOrCreate(spark: SparkSession, path: String,
+      params: IndexParams = IndexParams()): VectorStore = {
+    new java.io.File(path).mkdirs()
+    new VectorStore(spark, path, params)
+  }
+}

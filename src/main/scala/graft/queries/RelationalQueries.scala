@@ -206,6 +206,15 @@ object RelationalQueries {
           size(col("embedding")).as("dim"))
     }),
 
+    // JSON functions over the events props column.
+    "q21_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
+    }),
+
     // Wider string-function coverage on customer names.
     "q20_string_funcs" -> ((s, d) => {
       Tables.customer(s, d)
@@ -314,6 +323,12 @@ object RelationalQueries {
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
         |  len(embedding) AS dim
         |FROM embeddings""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT event_type,
+        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q20_string_funcs" ->
       """SELECT c_custkey,
         |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,

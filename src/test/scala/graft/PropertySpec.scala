@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{KnnSearch, Mutations}
+
+/** Property-based checks (SURVEY §5.2): search against a scala-side
+  * brute-force oracle on random vectors; mutation algebra invariants.
+  * Raw ScalaCheck generators sampled from a fixed seed (the scalatest
+  * bridge artifact isn't available offline) — deterministic cases, 5 per
+  * property. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)).map(_.toSeq)
+  private val tableGen: Gen[List[(Long, Seq[Float])]] = for {
+    n <- Gen.choose(5, 30)
+    vecs <- Gen.listOfN(n, vecGen)
+  } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  private def cases[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).map(i =>
+      gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("knnExact equals the brute-force oracle on random tables") {
+    for ((rows, qv) <- cases(Gen.zip(tableGen, vecGen))
+         if qv.exists(_ != 0f)) {
+      val nodes = rows.map { case (id, v) => (id, v, false) }
+        .toDF("id", "vector", "deleted")
+      val q = Seq((0L, qv)).toDF("query_id", "query_vec")
+      val got = KnnSearch.knnExact(nodes, q, k = 3, minSim = 0.2)
+        .select("id").as[Long].collect().toList
+      val expected = rows
+        .filter { case (_, v) => v.exists(_ != 0f) } // zero vec → NaN score
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .filter(_._2 > 0.2)
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).map(_._1)
+      assert(got === expected, s"query=$qv")
+    }
+  }
+
+  test("upsert is idempotent: applying the same delta twice = once") {
+    for (rows <- cases(tableGen)) {
+      val cur = rows.map { case (id, v) => (id, v, false) }
+        .toDF("id", "vector", "deleted")
+      val delta = rows.take(3).map { case (id, v) =>
+        (id, v.map(_ * 2f), false) }.toDF("id", "vector", "deleted")
+      val once = Mutations.upsert(cur, delta)
+      val twice = Mutations.upsert(once, delta)
+      assert(once.as[(Long, Seq[Float], Boolean)].collect().toSet ===
+        twice.as[(Long, Seq[Float], Boolean)].collect().toSet)
+    }
+  }
+
+  test("compaction preserves exactly the non-deleted set") {
+    for ((rows, mod) <- cases(Gen.zip(tableGen, Gen.choose(2, 5)))) {
+      val cur = rows.map { case (id, v) => (id, v, false) }
+        .toDF("id", "vector", "deleted")
+      val dels = rows.map(_._1).filter(_ % mod == 0).toDF("id")
+      val out = Mutations.compact(Mutations.tombstone(cur, dels))
+        .select("id").as[Long].collect().toSet
+      assert(out === rows.map(_._1).filterNot(_ % mod == 0).toSet)
+    }
+  }
+}

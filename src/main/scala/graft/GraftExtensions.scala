@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Session-extension entry point: registers every graft SQL function
+  * (similarity kernels + topk_ids) at session build time, so a cluster
+  * deployment gets them in plain `spark.sql` with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * The per-session `VectorFunctions.register`/`TopKAggregate.register`
+  * calls remain for sessions created without extensions (the driver
+  * harness path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  /** (name, usage, builder) for every injected function. */
+  def functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", "dot_product(a, b) - float-array dot product",
+      es => DotProductExpr(es(0), es(1))),
+    ("cosine_sim", "cosine_sim(a, b) - cosine similarity",
+      es => CosineSimilarityExpr(es(0), es(1))),
+    ("euclidean_dist", "euclidean_dist(a, b) - euclidean distance",
+      es => EuclideanDistanceExpr(es(0), es(1))),
+    ("topk_ids", "topk_ids(id, score, k) - top-k ids by score per group",
+      es => TopKIds(es(0), es(1), es(2)).toAggregateExpression()),
+  )
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}

@@ -34,14 +34,14 @@ object AnnSearch {
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes
-    val candidates = (0 until params.nBands).map { band =>
-      val n = live.withColumn("b", IndexBuild.bucketKey(col("vector"), params, band))
-        .select(col("b"), col("id"), col("vector"))
-      val q = queries
-        .withColumn("b", IndexBuild.bucketKey(col("query_vec"), params, band))
-        .select(col("b"), col("query_id"), col("query_vec"))
-      n.join(broadcast(q), Seq("b")).drop("b")
-    }.reduce(_ unionByName _)
+    // one scan per side: all band keys in a single projection, exploded
+    val n = live
+      .withColumn("b", explode(IndexBuild.bucketKeys(col("vector"), params)))
+      .select(col("b"), col("id"), col("vector"))
+    val q = queries
+      .withColumn("b", explode(IndexBuild.bucketKeys(col("query_vec"), params)))
+      .select(col("b"), col("query_id"), col("query_vec"))
+    val candidates = n.join(broadcast(q), Seq("b")).drop("b")
       .dropDuplicates("query_id", "id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)

@@ -80,8 +80,14 @@ object IndexBuild {
       when(VectorFunctions.dotProduct(vec, typedLit(w.toSeq)) >= 0, "1")
         .otherwise("0")
     }
-    concat(bits.toIndexedSeq: _*)
+    concat(lit(s"$band:") +: bits.toIndexedSeq: _*)
   }
+
+  /** All bands' bucket keys in ONE projection (band-prefixed so keys from
+    * different bands never collide) — callers posexplode this instead of
+    * scanning the input once per band. */
+  def bucketKeys(vec: Column, params: IndexParams): Column =
+    array((0 until params.nBands).map(b => bucketKey(vec, params, b)): _*)
 
   /** Full index build (`buildIndex`, `hnsw.ts:769-779`): level assignment +
     * per-level kNN graph, built in ONE dataflow pass. Each node explodes
@@ -103,17 +109,17 @@ object IndexBuild {
       else nodes.withColumn("deleted", lit(false))
     val live = withDel.filter(!col("deleted"))
       .withColumn("level", levelOf(col("id"), params.levelMax))
+    // one scan: every node row expands to (layer × band-key) join rows
     val members = live
       .withColumn("layer", explode(sequence(lit(0), col("level"))))
-      .select(col("layer"), col("id"), col("vector"))
-    val candidates = (0 until params.nBands).map { band =>
-      val withB = members.withColumn("b", bucketKey(col("vector"), params, band))
-      val a = withB.select(col("layer"), col("b"), col("id").as("src"),
+      .withColumn("b", explode(bucketKeys(col("vector"), params)))
+      .select(col("layer"), col("b"), col("id"), col("vector"))
+    val candidates = members
+      .select(col("layer"), col("b"), col("id").as("src"),
         col("vector").as("src_vec"))
-      val bb = withB.select(col("layer"), col("b"), col("id").as("dst"),
-        col("vector").as("dst_vec"))
-      a.join(bb, Seq("layer", "b")).filter(col("src") =!= col("dst")).drop("b")
-    }.reduce(_ unionByName _)
+      .join(members.select(col("layer"), col("b"), col("id").as("dst"),
+        col("vector").as("dst_vec")), Seq("layer", "b"))
+      .filter(col("src") =!= col("dst")).drop("b")
       .dropDuplicates("layer", "src", "dst")
     val scored = candidates
       .withColumn("score", scoreFn(col("src_vec"), col("dst_vec")))

@@ -206,6 +206,24 @@ object RelationalQueries {
           size(col("embedding")).as("dim"))
     }),
 
+    // Gap-based sessionization via window lag: a new session starts after
+    // a >30 min silence; #sessions = #session starts. Gaps compare in
+    // microseconds (unix_micros ↔ DuckDB epoch_us — both truncate the
+    // source nanos identically).
+    "q22_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // JSON functions over the events props column.
     "q21_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -323,6 +341,16 @@ object RelationalQueries {
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
         |  len(embedding) AS dim
         |FROM embeddings""".stripMargin,
+    "q22_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM e GROUP BY user_id""".stripMargin,
     "q21_json_extract" ->
       """SELECT event_type,
         |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,

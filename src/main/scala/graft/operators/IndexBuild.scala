@@ -114,16 +114,19 @@ object IndexBuild {
       .withColumn("layer", explode(sequence(lit(0), col("level"))))
       .withColumn("b", explode(bucketKeys(col("vector"), params)))
       .select(col("layer"), col("b"), col("id"), col("vector"))
-    val candidates = members
+    // score in the join projection, THEN dedup multi-band hits via
+    // groupBy-max on (layer, src, dst): the dedup shuffle carries 3 keys +
+    // a double instead of two dim-width vectors (scoring a duplicate pair
+    // ≤ nBands−1 extra times is far cheaper than shuffling its vectors)
+    val scored = members
       .select(col("layer"), col("b"), col("id").as("src"),
         col("vector").as("src_vec"))
       .join(members.select(col("layer"), col("b"), col("id").as("dst"),
         col("vector").as("dst_vec")), Seq("layer", "b"))
-      .filter(col("src") =!= col("dst")).drop("b")
-      .dropDuplicates("layer", "src", "dst")
-    val scored = candidates
+      .filter(col("src") =!= col("dst"))
       .withColumn("score", scoreFn(col("src_vec"), col("dst_vec")))
-      .select(col("layer"), col("src"), col("dst"), col("score"))
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("score")).as("score"))
     val w = Window.partitionBy(col("layer"), col("src"))
       .orderBy(col("score").desc, col("dst").asc)
     val directed = scored.withColumn("rn", row_number().over(w))

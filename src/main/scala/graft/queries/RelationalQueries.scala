@@ -271,7 +271,8 @@ object RelationalQueries {
         |GROUP BY r_name""".stripMargin,
     "q05_top_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice, rn
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(rn AS INT) AS rn
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -353,7 +354,7 @@ object RelationalQueries {
         |FROM e GROUP BY user_id""".stripMargin,
     "q21_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,

@@ -206,7 +206,7 @@ object VectorQueries {
            |  SELECT q.query_id, e.vec_id AS id,
            |    list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
            |  FROM q CROSS JOIN embeddings e)
-           |SELECT query_id, id, rn FROM (
+           |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
            |  SELECT query_id, id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
            |  FROM scored WHERE score > 0.5)
@@ -242,7 +242,7 @@ object VectorQueries {
            |    list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
            |  FROM q CROSS JOIN embeddings e
            |  WHERE e.vec_id % 7 <> 0)
-           |SELECT query_id, id, rn FROM (
+           |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
            |  SELECT query_id, id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
            |  FROM scored WHERE score > 0.5)
@@ -259,7 +259,7 @@ object VectorQueries {
            |  SELECT q.query_id, e.vec_id AS id,
            |    1.0 / (1.0 + list_distance(q.query_vec::DOUBLE[], e.embedding::DOUBLE[])) AS score
            |  FROM q CROSS JOIN embeddings e)
-           |SELECT query_id, id, rn FROM (
+           |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
            |  SELECT query_id, id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
            |  FROM scored WHERE score > 0.0)
@@ -301,7 +301,7 @@ object VectorQueries {
           |    UNION ALL
           |    SELECT dst AS src, src AS dst, score FROM directed)
           |  GROUP BY src, dst)
-          |SELECT src, dst, rn FROM (
+          |SELECT src, dst, CAST(rn AS INT) AS rn FROM (
           |  SELECT src, dst,
           |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
           |  FROM undirected)

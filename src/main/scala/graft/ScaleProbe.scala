@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Manual scale probe (not part of the driver harness): deterministic
+  * synthetic clustered vectors at arbitrary N — evidence for the SCALING.md
+  * claims that index build and ANN search stay sub-quadratic as N grows far
+  * beyond the committed fixtures.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe 100000 64"`.
+  * Vectors: 10 cluster centers + noise, every component a pure column
+  * expression (hash-derived) — generated distributed, nothing collected.
+  */
+object ScaleProbe {
+
+  def syntheticVectors(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    def unit(h: org.apache.spark.sql.Column) =
+      (h.cast("double") / Int.MaxValue)
+    val center = transform(sequence(lit(0), lit(dim - 1)),
+      j => unit(hash(pmod(col("id"), lit(10)) * 1000 + 7, j)))
+    val noise = transform(sequence(lit(0), lit(dim - 1)),
+      j => unit(hash(col("id"), j)) * lit(0.4))
+    spark.range(n).select(col("id"),
+      zip_with(center, noise, (c, x) => (c + x).cast("float")).as("vector"),
+      lit(false).as("deleted"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val nodes = syntheticVectors(spark, n, dim)
+    nodes.count() // materialize cost excluded from timings below
+    val queries = nodes.filter(col("id") % (n / 100) === 0)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val params = IndexParams(m = 16, dim = dim, levelMax = 7,
+      bucketBits = math.max(4, (math.log(n / 64.0) / math.log(2)).toInt),
+      nBands = 4)
+
+    val (_, tExact) = timed {
+      KnnSearch.knnExact(nodes, queries, 10, minSim = -2.0).count()
+    }
+    val ((nodesIdx, edges), tBuild) = timed {
+      val r = IndexBuild.build(nodes, params)
+      r._2.count(); r
+    }
+    val (annRows, tLsh) = timed {
+      AnnSearch.searchLsh(nodes, queries, 10, minSim = -2.0, params)
+        .select("query_id", "id").collect()
+    }
+    val exact = KnnSearch.knnExact(nodes, queries, 10, minSim = -2.0)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = annRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+    val nEdges = edges.count()
+
+    println(s"""{"n":$n,"dim":$dim,"bucketBits":${params.bucketBits},""" +
+      s""""exact_search_sec":$tExact,"index_build_sec":$tBuild,""" +
+      s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges}""")
+    spark.stop()
+  }
+}

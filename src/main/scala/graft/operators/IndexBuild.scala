@@ -20,6 +20,11 @@ case class IndexParams(
     levelMax: Int = 7,
     bucketBits: Int = 8,
     nBands: Int = 4,
+    /** Max nodes compared within one LSH bucket chunk: a hot bucket (dense
+      * similarity cluster) is split into ring-overlapped chunks of this
+      * size, bounding candidate pairs at O(members × chunk) instead of
+      * O(bucket²). */
+    bucketChunk: Int = 64,
     seed: Long = 42L)
 
 /** Distributed ANN index construction — the batch-native replacement for
@@ -109,10 +114,26 @@ object IndexBuild {
       else nodes.withColumn("deleted", lit(false))
     val live = withDel.filter(!col("deleted"))
       .withColumn("level", levelOf(col("id"), params.levelMax))
-    // one scan: every node row expands to (layer × band-key) join rows
+    // one scan: every node row expands to (layer × band-key) join rows.
+    // Hot-bucket bound: rank members within each bucket (deterministic
+    // hash order) and let each belong to ring-overlapping chunks c and c+1
+    // of `bucketChunk` ranks — any two members whose chunks overlap meet,
+    // so every node still sees ~2×bucketChunk neighbors, but a bucket of
+    // size S costs O(S × bucketChunk) pairs, never O(S²). Dense similarity
+    // clusters (the LSH worst case — all mutual near-neighbors) stay
+    // linear, and the graph quality loss is minimal exactly because such
+    // buckets are mutually similar.
+    val bucketW = Window.partitionBy(col("layer"), col("b"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
     val members = live
       .withColumn("layer", explode(sequence(lit(0), col("level"))))
       .withColumn("b", explode(bucketKeys(col("vector"), params)))
+      .select(col("layer"), col("b"), col("id"), col("vector"))
+      .withColumn("r", row_number().over(bucketW) - 1)
+      .withColumn("chunk", explode(array(
+        (col("r") / params.bucketChunk).cast("int"),
+        (col("r") / params.bucketChunk).cast("int") + 1)))
+      .withColumn("b", concat(col("b"), lit("#"), col("chunk")))
       .select(col("layer"), col("b"), col("id"), col("vector"))
     // score in the join projection, THEN dedup multi-band hits via
     // groupBy-max on (layer, src, dst): the dedup shuffle carries 3 keys +

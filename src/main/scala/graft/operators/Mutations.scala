@@ -44,9 +44,11 @@ object Mutations {
     * (`driver/driver.ts:172-192`). Rows stay in the table with
     * `deleted = true`; queries exclude them (`hnsw.ts:292`). */
   def tombstone(current: DataFrame, deleteIds: DataFrame, idCol: String = "id"): DataFrame = {
+    // no forced broadcast: the delete set is caller input and can be huge
+    // (bulk expiry); AQE broadcasts it when it's actually small
     val ids = deleteIds.select(col(idCol).as("__del_id")).distinct()
     current
-      .join(broadcast(ids), col(idCol) === col("__del_id"), "left_outer")
+      .join(ids, col(idCol) === col("__del_id"), "left_outer")
       .withColumn("deleted", col("deleted") || col("__del_id").isNotNull)
       .drop("__del_id")
   }

@@ -42,6 +42,13 @@ class StreamingIngestSpec extends SparkSpec {
         (2L, Seq(0f, 1f), true),   // tombstoned, still present
         (3L, Seq(0.2f, 0.2f), false)))
       assert(StreamingIngest.currentVersion(statePath).contains(1L))
+
+      // the streamed state IS a VectorStore (same snapshot layout): open it
+      // and search directly — stream-ingest and batch APIs share storage
+      val store = VectorStore.openOrCreate(spark, statePath,
+        graft.operators.IndexParams(dim = 2))
+      assert(store.count() === 2) // id 2 tombstoned
+      assert(store.getNode(3L).exists(_._2 === Seq(0.2f, 0.2f)))
     } finally q.stop()
   }
 }

@@ -46,7 +46,7 @@ object ScaleProbe {
 
     val nodes = syntheticVectors(spark, n, dim)
     nodes.count() // materialize cost excluded from timings below
-    val queries = nodes.filter(col("id") % (n / 100) === 0)
+    val queries = nodes.filter(col("id") % math.max(1L, n / 100) === 0)
       .select(col("id").as("query_id"), col("vector").as("query_vec"))
     val params = IndexParams(m = 16, dim = dim, levelMax = 7,
       bucketBits = math.max(4, (math.log(n / 64.0) / math.log(2)).toInt),

@@ -33,13 +33,9 @@ class VectorStore private (
   def count(): Long = nodes.filter(!col("deleted")).count()
 
   private def persist(next: DataFrame): Unit = {
-    val v = currentVersion(path).getOrElse(-1L) + 1
+    val v = currentVersion(spark, path).getOrElse(-1L) + 1
     next.write.mode("overwrite").parquet(s"$path/v$v")
-    val tmp = java.nio.file.Paths.get(s"$path/CURRENT.tmp")
-    java.nio.file.Files.writeString(tmp, v.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.util.Fs.writeStringAtomic(spark, s"$path/CURRENT", v.toString)
   }
 
   /** Validation: non-null ids (driver.ts:124-129 rejects empty ids) and
@@ -122,13 +118,7 @@ class VectorStore private (
   }
 
   /** Drop the store (astrovault.ts:134-146). */
-  def delete(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
+  def delete(): Unit = graft.util.Fs.deleteRecursive(spark, path)
 }
 
 object VectorStore {
@@ -141,7 +131,7 @@ object VectorStore {
     * (driver.ts:40-48). */
   def openOrCreate(spark: SparkSession, path: String,
       params: IndexParams = IndexParams()): VectorStore = {
-    new java.io.File(path).mkdirs()
+    graft.util.Fs.mkdirs(spark, path)
     new VectorStore(spark, path, params)
   }
 }

@@ -20,12 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // Drop any stale dump from a previous run so a failure can't be
-        // masked by old output during comparison.
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete()); dir.delete()
+        // Drop any stale/partial dump (recursively — failed writes leave
+        // _temporary subdirs) so a failure can't be masked by old output.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
         }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -14,13 +14,20 @@ import org.apache.spark.sql.types._
   * eviction beyond a bound (`pqueue.ts:18-24`, `hnsw.ts:367-369,397-399`).
   */
 final class TopKBuffer(val k: Int) {
+  require(k > 0, s"k must be positive, got $k")
   // parallel arrays, kept sorted: score desc, id asc; size ≤ k
   var n: Int = 0
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
 
-  @inline private def beats(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  // Double.compare, not primitive >: Spark SQL orders NaN as the LARGEST
+  // double (a NaN score outranks everything, as in the window-rank path);
+  // primitive NaN comparisons are all-false and would both drop NaNs and
+  // corrupt the sorted invariant.
+  @inline private def beats(s: Double, id: Long, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && id < ids(i))
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (n == k && !beats(s, id, n - 1)) return
@@ -64,6 +71,19 @@ case class TopKIds(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "topk_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (idExpr.dataType != LongType)
+      TypeCheckFailure(s"topk_ids: id must be BIGINT, got ${idExpr.dataType.simpleString}")
+    else if (scoreExpr.dataType != DoubleType)
+      TypeCheckFailure(s"topk_ids: score must be DOUBLE, got ${scoreExpr.dataType.simpleString}")
+    else if (!kExpr.foldable || !Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(kExpr.dataType))
+      TypeCheckFailure("topk_ids: k must be an integer literal")
+    else if (k <= 0)
+      TypeCheckFailure(s"topk_ids: k must be positive, got $k")
+    else TypeCheckSuccess
+  }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 

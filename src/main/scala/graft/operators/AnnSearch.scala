@@ -70,8 +70,16 @@ object AnnSearch {
     def topEf(df: DataFrame, n: Int): DataFrame =
       df.withColumn("rn", row_number().over(topW)).filter(col("rn") <= n).drop("rn")
 
-    val entryLevel = nodes.agg(max(col("level"))).head().getInt(0)
-    val entries = nodes.filter(col("level") === entryLevel)
+    val withDel =
+      if (nodes.columns.contains("deleted")) nodes
+      else nodes.withColumn("deleted", lit(false))
+    val maxLevelRow = withDel.agg(max(col("level"))).head()
+    if (maxLevelRow.isNullAt(0)) // empty index → empty result, not an NPE
+      return withDel.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("id"),
+          lit(0.0).as("score"), lit(0).as("rn")).limit(0)
+    val entryLevel = maxLevelRow.getInt(0)
+    val entries = withDel.filter(col("level") === entryLevel)
       .select(col("id"), col("vector"))
     var frontier = topEf(
       entries.crossJoin(broadcast(queries))
@@ -86,14 +94,14 @@ object AnnSearch {
         .join(e, frontier("id") === e("src"))
         .select(col("query_id"), col("query_vec"), col("dst").as("id"))
         .dropDuplicates("query_id", "id")
-        .join(nodes.select(col("id"), col("vector")), Seq("id"))
+        .join(withDel.select(col("id"), col("vector")), Seq("id"))
         .withColumn("score", sf(col("query_vec"), col("vector")))
         .select(col("query_id"), col("query_vec"), col("id"), col("score"))
       frontier = topEf(frontier.unionByName(expanded)
         .dropDuplicates("query_id", "id"), ef)
         .localCheckpoint() // bound lineage across the driver-side loop
     }
-    val live = nodes.filter(!col("deleted")).select(col("id"))
+    val live = withDel.filter(!col("deleted")).select(col("id"))
     topEf(frontier.join(live, Seq("id")).filter(col("score") > lit(minSim)), k)
       .withColumn("rn", row_number().over(topW))
       .select(col("query_id"), col("id"), col("score"), col("rn"))

@@ -175,17 +175,18 @@ object IndexBuild {
       s"""{"m":${params.m},"efConstruction":${params.efConstruction},
          |"metric":"${params.metric}","dim":${params.dim},
          |"levelMax":${params.levelMax},"bucketBits":${params.bucketBits},
-         |"nBands":${params.nBands},"seed":${params.seed}}""".stripMargin
+         |"nBands":${params.nBands},"bucketChunk":${params.bucketChunk},
+         |"seed":${params.seed}}""".stripMargin
       .replaceAll("\n", "")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/meta.json"), meta)
+    // sidecar goes through the data path's Hadoop FS, not driver-local nio
+    graft.util.Fs.writeStringAtomic(nodes.sparkSession,
+      s"$path/meta.json", meta)
   }
 
   /** Load a saved index; the metadata sidecar restores every parameter
     * (including metric — see metric-loss bug note on [[IndexParams]]). */
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame, IndexParams) = {
-    val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$path/meta.json")))
+    val raw = graft.util.Fs.readString(spark, s"$path/meta.json")
     def field(name: String): String = {
       val m = ("\"" + name + "\"\\s*:\\s*\"?([^,}\"]+)\"?").r
       m.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
@@ -199,6 +200,7 @@ object IndexBuild {
       levelMax = field("levelMax").toInt,
       bucketBits = field("bucketBits").toInt,
       nBands = field("nBands").toInt,
+      bucketChunk = field("bucketChunk").toInt,
       seed = field("seed").toLong)
     (spark.read.parquet(s"$path/nodes"),
       spark.read.parquet(s"$path/edges"), params)

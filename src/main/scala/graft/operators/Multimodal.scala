@@ -81,8 +81,12 @@ object Multimodal {
   def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = floor(octet_length(col("payload")) / frameBytes)
     assets
+      // assets shorter than one full frame produce NO rows (an empty
+      // sequence explodes to nothing) — never a phantom partial frame 0
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
+        explode(when(nFrames > 0,
+          sequence(lit(0L), nFrames - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<bigint>"))))
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select(col("asset_id"), col("frame_idx"), col("frame"))

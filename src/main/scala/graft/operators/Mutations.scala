@@ -32,7 +32,11 @@ object Mutations {
     val d =
       if (delta.columns.contains("batch_seq")) delta
       else delta.withColumn("batch_seq", lit(1L))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("batch_seq").desc)
+    // secondary content-hash tie-break: several delta rows for one id with
+    // equal batch_seq would otherwise pick a partitioning-dependent winner
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("batch_seq").desc,
+        xxhash64(struct(current.columns.map(col).toIndexedSeq: _*)).desc)
     cur.unionByName(d.select(cur.columns.map(col).toIndexedSeq: _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -44,6 +44,6 @@ object MultimodalQueries {
         |  FROM documents)
         |SELECT asset_id, (n - 1) // 2 + 1 AS n_frames,
         |  ((n - 1) // 2) * 2 AS last_idx
-        |FROM f""".stripMargin,
+        |FROM f WHERE n > 0""".stripMargin,
   )
 }

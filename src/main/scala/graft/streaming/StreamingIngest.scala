@@ -1,9 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Mutations
+import graft.util.Fs
 
 /** Streaming ingest into the vector table — the Structured Streaming
   * replacement for the reference's FIFO single-writer mutation queue
@@ -17,54 +19,72 @@ import graft.operators.Mutations
   * (`hnsw.ts:154-173`, `hnsw.ts:497-517`), delete is the tombstone
   * (`hnsw.ts:212-226`). `seq` orders events within a batch (arrival order);
   * batch order itself is the stream order.
+  *
+  * All pointer/sidecar I/O goes through the Hadoop FileSystem of the state
+  * path, so the layout works on any cluster filesystem, not just the
+  * driver's local disk.
   */
 object StreamingIngest {
 
   /** Current state pointer (versioned snapshot directory), or None before
     * the first batch. */
-  def currentVersion(statePath: String): Option[Long] = {
-    val f = new java.io.File(s"$statePath/CURRENT")
-    if (f.exists())
-      Some(new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong)
+  def currentVersion(spark: SparkSession, statePath: String): Option[Long] = {
+    val p = s"$statePath/CURRENT"
+    if (Fs.exists(spark, p)) Some(Fs.readString(spark, p).trim.toLong)
     else None
   }
 
   def loadState(spark: SparkSession, statePath: String): Option[DataFrame] =
-    currentVersion(statePath).map(v =>
+    currentVersion(spark, statePath).map(v =>
       spark.read.parquet(s"$statePath/v$v"))
 
-  /** Apply one mutation batch to the state (pure transform, also used by the
-    * batch path): upserts latest-wins by seq, then tombstones. */
+  /** Apply one mutation batch to the state (pure transform, also used by
+    * the batch path), respecting `seq` arrival order per id:
+    *  - the surviving vector is the LATEST upsert's vector;
+    *  - the row is tombstoned iff a delete arrived AFTER that upsert;
+    *  - delete-only ids tombstone whatever the prior state holds
+    *    (a delete for an absent id is a no-op — `hnsw.ts:212-226`). */
   def applyBatch(state: DataFrame, batch: DataFrame): DataFrame = {
-    val ups = batch.filter(col("op") === "upsert")
-      .select(col("id"), col("vector"), lit(false).as("deleted"),
-        col("seq").as("batch_seq"))
-    val dels = batch.filter(col("op") === "delete").select(col("id"))
-    val upserted = Mutations.upsert(state, ups)
-    Mutations.tombstone(upserted, dels)
+    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    val lastUpsert = batch.filter(col("op") === "upsert")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id"), col("vector"), col("seq").as("up_seq"))
+    val lastDelete = batch.filter(col("op") === "delete")
+      .groupBy(col("id")).agg(max(col("seq")).as("del_seq"))
+    val upserted = lastUpsert
+      .join(lastDelete, Seq("id"), "left_outer")
+      .select(col("id"), col("vector"),
+        (col("del_seq").isNotNull && col("del_seq") > col("up_seq"))
+          .as("deleted"),
+        col("up_seq").as("batch_seq"))
+    val deleteOnlyIds = lastDelete
+      .join(lastUpsert, Seq("id"), "left_anti").select(col("id"))
+    Mutations.tombstone(Mutations.upsert(state, upserted), deleteOnlyIds)
   }
 
   /** Start the single-writer ingest query. Each micro-batch reads the
     * current snapshot, applies the batch, writes snapshot v{batchId}, and
-    * atomically flips the CURRENT pointer — so readers always see a complete
-    * snapshot (the Spark analog of IndexedDB's transactional put). */
+    * atomically flips the CURRENT pointer — so readers always see a
+    * complete snapshot (the Spark analog of IndexedDB's transactional put).
+    *
+    * Replay-safe: after a restart Structured Streaming may re-run the last
+    * batch; if CURRENT already covers this batchId the batch is skipped —
+    * re-applying would double-apply AND overwrite the very snapshot the
+    * plan is reading from. */
   def start(spark: SparkSession, events: DataFrame, statePath: String,
       emptyState: DataFrame): StreamingQuery = {
-    new java.io.File(statePath).mkdirs()
+    Fs.mkdirs(spark, statePath)
     events.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark2 = batch.sparkSession
-        val state = loadState(spark2, statePath).getOrElse(emptyState)
-        applyBatch(state, batch)
-          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
-        val tmp = java.nio.file.Paths.get(s"$statePath/CURRENT.tmp")
-        java.nio.file.Files.writeString(tmp, batchId.toString)
-        java.nio.file.Files.move(tmp,
-          java.nio.file.Paths.get(s"$statePath/CURRENT"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        if (!currentVersion(spark2, statePath).exists(_ >= batchId)) {
+          val state = loadState(spark2, statePath).getOrElse(emptyState)
+          applyBatch(state, batch)
+            .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+          Fs.writeStringAtomic(spark2, s"$statePath/CURRENT", batchId.toString)
+        }
         ()
       }
       .start()

@@ -1,0 +1,55 @@
+package graft.util
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file I/O through the Hadoop FileSystem API so metadata sidecars and
+  * snapshot pointers live on the SAME filesystem as the parquet data
+  * (local, HDFS, s3a, …) — java.nio would silently target the driver's
+  * local disk for any non-local deployment.
+  *
+  * Pointer updates go through write-temp + rename; rename is atomic on
+  * HDFS/local. On object stores without atomic rename, pair this with a
+  * store that offers it (or accept last-writer-wins on the tiny pointer).
+  */
+object Fs {
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  def readString(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new Path(path))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val out = fs(spark, path).create(new Path(path), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Write `content` to a temp sibling then rename over `path`. */
+  def writeStringAtomic(spark: SparkSession, path: String, content: String): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(path + ".tmp")
+    val dst = new Path(path)
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  def mkdirs(spark: SparkSession, path: String): Unit = {
+    fs(spark, path).mkdirs(new Path(path)); ()
+  }
+
+  def deleteRecursive(spark: SparkSession, path: String): Unit = {
+    fs(spark, path).delete(new Path(path), true); ()
+  }
+}

@@ -41,7 +41,7 @@ class StreamingIngestSpec extends SparkSpec {
         (1L, Seq(9f, 9f), false),
         (2L, Seq(0f, 1f), true),   // tombstoned, still present
         (3L, Seq(0.2f, 0.2f), false)))
-      assert(StreamingIngest.currentVersion(statePath).contains(1L))
+      assert(StreamingIngest.currentVersion(spark, statePath).contains(1L))
 
       // the streamed state IS a VectorStore (same snapshot layout): open it
       // and search directly — stream-ingest and batch APIs share storage

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) ANN index — the coarse-quantizer alternative to the
+  * LSH scale path (SURVEY §7.3 step 6): k-means centroids partition the
+  * corpus into cells; search scores only the `nProbe` cells nearest each
+  * query.
+  *
+  * Training is Lloyd's iterations as pure dataflow: assign = broadcast the
+  * (small) centroid set and argmax similarity per node (one map-side pass);
+  * update = groupBy(cell) columnar mean via posexplode — shuffles only
+  * (cell, dim-position, partial sums). Seeding is deterministic (hash-ranked
+  * sample), so training is reproducible run-to-run.
+  *
+  * Scale: nodes never shuffle during assignment (centroids broadcast);
+  * the per-iteration shuffle is O(n × dim) slim rows with map-side partial
+  * aggregation; search cost is Q × (k centroids + n × nProbe / k).
+  */
+object IvfIndex {
+
+  /** Deterministic seed centroids: the k nodes with smallest id hash. */
+  private def seedCentroids(nodes: DataFrame, k: Int): DataFrame =
+    nodes.withColumn("__h", xxhash64(col("id")))
+      .orderBy(col("__h").asc, col("id").asc).limit(k)
+      .withColumn("cell", row_number().over(
+        Window.orderBy(col("__h").asc, col("id").asc)) - 1)
+      .select(col("cell"), col("vector").as("centroid"))
+
+  /** Nearest-centroid assignment (cosine): one broadcast join + rank. */
+  def assign(nodes: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__sim").desc, col("cell").asc)
+    nodes.join(broadcast(centroids))
+      .withColumn("__sim", VectorFunctions.cosineSim(col("vector"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__sim", "__rn", "centroid")
+  }
+
+  /** Lloyd's k-means on the vector column; returns (cell, centroid). */
+  def train(nodes: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = seedCentroids(nodes, k).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = assign(nodes, centroids)
+      val newCentroids = assigned
+        .select(col("cell"), posexplode(col("vector")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+      // cells that lost all members keep their previous centroid
+      centroids = centroids.select(col("cell"), col("centroid").as("old"))
+        .join(newCentroids, Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("centroid"), col("old")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** ANN search: rank centroids per query, probe the top `nProbe` cells,
+    * exact-score only their members. Output shape matches knnExact. */
+  def search(nodes: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, minSim: Double, nProbe: Int): DataFrame = {
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("__csim",
+        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
+      .withColumn("__crn", row_number().over(cw))
+      .filter(col("__crn") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("cell"))
+    val members = assign(nodes, centroids)
+      .select(col("cell"), col("id"), col("vector"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    members.join(broadcast(probed), Seq("cell"))
+      .withColumn("score",
+        VectorFunctions.cosineSim(col("query_vec"), col("vector")))
+      .filter(col("score") > lit(minSim))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("score"), col("rn"))
+  }
+}

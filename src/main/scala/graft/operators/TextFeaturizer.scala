@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Batch embedding generation — the "embed text, store id+vector" workflow
+  * the reference is built around (`README.md:99-109`, which embeds with a
+  * MiniLM model client-side). A neural encoder isn't available in this
+  * environment, so the embedder is FEATURE HASHING (the classic hashing
+  * trick): tokens hash into `dim` buckets, counts form the vector, L2
+  * normalized — a real, deterministic, unsupervised text vectorizer whose
+  * pipeline shape (explode → bucket → groupBy → densify → normalize) is
+  * exactly what a model-server batch encoder slots into.
+  *
+  * Scale: one explode + one groupBy(doc, bucket) + one groupBy(doc) —
+  * map-side combinable, shuffle keys uniform by construction (md5 buckets).
+  */
+object TextFeaturizer {
+
+  /** (id, vector float[dim], L2-normalized) from a text column. Bucket =
+    * md5-derived (engine-portable, no JVM hash dependence). Empty/short
+    * docs yield the zero vector (norm 0 → left unnormalized to avoid NaN).
+    */
+  /** Sparse stage: (id, bucket, cnt) token-bucket counts — the
+    * oracle-checkable core (md5-hex buckets reproduce in any engine). */
+  def featureHashSparse(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(dim)).cast("int"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+
+  def featureHash(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val buckets = featureHashSparse(docs, dim, idCol, textCol)
+    val dense = buckets
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+        .as("m"))
+      .withColumn("raw", transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0.0))))
+      .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .withColumn("vector", transform(
+        when(col("norm") > 0, expr("transform(raw, x -> x / norm)"))
+          .otherwise(col("raw")),
+        x => x.cast("float")))
+      .select(col("id"), col("vector"))
+    dense
+  }
+
+  /** End-to-end "embed and index" job: featurize a corpus and return the
+    * vector table ready for [[KnnSearch]] / [[IndexBuild]] — the batch
+    * replacement for the reference's embed-per-note client loop. */
+  def embedCorpus(docs: DataFrame, dim: Int): DataFrame =
+    featureHash(docs, dim).withColumn("deleted", lit(false))
+}

@@ -52,6 +52,18 @@ object AnnQueries {
           countDistinct(col("src")).as("n_nodes"))
     }),
 
+    // IVF coarse-quantizer ANN (the k-means alternative to LSH): train a
+    // small codebook, probe the 3 nearest cells per query.
+    "a04_ivf_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val centroids = graft.operators.IvfIndex.train(nodesDf, k = 10, iters = 3)
+      graft.operators.IvfIndex.search(nodesDf, centroids,
+          VectorQueries.querySet(emb), k = 10, minSim = -2.0, nProbe = 3)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Graph-traversal ANN search over the saved index, reporting per-query
     // recall vs the exact top-k.
     "a03_ann_graph_recall" -> ((s, d) => {

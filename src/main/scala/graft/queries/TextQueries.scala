@@ -101,6 +101,20 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), TextDedup.fingerprint(col("text")).as("fp"))
     }),
+
+    // Batch embedding generation (feature hashing): the sparse L2-normalized
+    // weights per (doc, bucket) — the engine-portable core of the
+    // embed-then-index workflow (dense form covered by IvfFeaturizerSpec).
+    "e01_feature_hash" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = graft.operators.TextFeaturizer
+        .featureHashSparse(Tables.documents(s, d), dim = 32)
+      val w = Window.partitionBy(col("id"))
+      sparse
+        .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(w)))
+        .select(col("id"), col("bucket"),
+          round(col("cnt") / col("norm"), 6).as("weight"))
+    }),
   )
 
   private val tokSetSql = "list_distinct(string_split(text, ' '))"
@@ -191,6 +205,18 @@ object TextQueries {
         |  sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_alpha_tokens,
         |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_chars_ok
         |FROM documents GROUP BY lang""".stripMargin,
+    "e01_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS INT) AS bucket,
+        |    count(*)::DOUBLE AS cnt
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT id, bucket,
+        |  round(cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY id)), 6) AS weight
+        |FROM b""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, KnnSearch, TextFeaturizer}
+import graft.queries.VectorQueries
+
+class IvfFeaturizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val nodesDf = VectorQueries.asVectorTable(emb)
+  private lazy val queriesDf = VectorQueries.querySet(emb)
+
+  test("IVF: cells partition the corpus; search recall@10 beats 0.6 at nProbe=3") {
+    val centroids = IvfIndex.train(nodesDf, k = 10, iters = 3)
+    assert(centroids.count() === 10)
+    val assigned = IvfIndex.assign(nodesDf, centroids)
+    assert(assigned.count() === nodesDf.count()) // every node in exactly one cell
+    assert(assigned.select("cell").distinct().count() > 1)
+
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.search(nodesDf, centroids, queriesDf,
+        k = 10, minSim = -2.0, nProbe = 3)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"IVF recall@10 = $recall")
+  }
+
+  test("IVF training is deterministic across runs") {
+    val a = IvfIndex.train(nodesDf, k = 5, iters = 2)
+      .select("cell", "centroid").as[(Int, Seq[Float])].collect().toMap
+    val b = IvfIndex.train(nodesDf.repartition(7), k = 5, iters = 2)
+      .select("cell", "centroid").as[(Int, Seq[Float])].collect().toMap
+    assert(a.keySet === b.keySet)
+    // same cells; centroid means may differ in low bits across partitionings
+    // (avg order), so compare with tolerance
+    a.foreach { case (cell, v) =>
+      v.zip(b(cell)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-4) }
+    }
+  }
+
+  test("featureHash: unit-norm deterministic vectors that drive kNN") {
+    val docs = Tables.documents(spark, sf001)
+    val vecs = TextFeaturizer.embedCorpus(docs, dim = 32)
+    assert(vecs.count() === docs.count())
+    val norms = vecs.select(
+      sqrt(aggregate(col("vector"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("n"))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+
+    // same text → same vector (pure function of content)
+    val dup = TextFeaturizer.featureHash(
+      docs.limit(5).union(docs.limit(5)), dim = 32)
+    assert(dup.select("id", "vector").distinct().count() === 5)
+
+    // embeddings feed search: a doc's own vector must retrieve itself first
+    val q = vecs.limit(3).select(col("id").as("query_id"),
+      col("vector").as("query_vec"))
+    val hits = KnnSearch.knnExact(vecs, q, k = 1, minSim = -2.0)
+    assert(hits.filter(col("query_id") === col("id")).count() === 3)
+  }
+}

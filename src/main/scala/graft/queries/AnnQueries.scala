@@ -13,7 +13,7 @@ import graft.operators.{AnnSearch, IndexBuild, IndexParams, KnnSearch}
   */
 object AnnQueries {
 
-  private def params = IndexParams(m = 8, levelMax = 3, bucketBits = 4, nBands = 4)
+  private def params = IndexParams(m = 12, levelMax = 3, bucketBits = 4, nBands = 4)
 
   /** Build-once-per-process index per data dir, persisted to a temp path and
     * reloaded — searches run against the saved index (the real usage
@@ -73,7 +73,7 @@ object AnnQueries {
       val queriesDf = VectorQueries.querySet(emb)
       val (nodes, edges) = indexFor(s, d)
       val approx = AnnSearch.searchGraph(nodes, edges, queriesDf,
-        k = 10, minSim = -2.0, params, ef = 48, itersPerLevel = 1)
+        k = 10, minSim = -2.0, params, ef = 64, itersPerLevel = 2)
         .select(col("query_id"), col("id"))
       val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
         .select(col("query_id").as("eq"), col("id").as("eid"))

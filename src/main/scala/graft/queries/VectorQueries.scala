@@ -170,6 +170,17 @@ object VectorQueries {
         .select(col("query_id"), col("id"), (col("pos") + 1).cast("int").as("rn"))
     }),
 
+    // Lower similarity floor (0.3) so ranking is exercised across cluster
+    // neighbors, not just self-matches (inter-vector cosine tops out ~0.5
+    // on this fixture).
+    "v13_knn_ranked" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      KnnSearch.knnExact(asVectorTable(emb), querySet(emb),
+          k = 10, minSim = 0.3)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Per-level kNN-graph neighbor selection — the batch replacement for
     // HNSW insert wiring (hnsw.ts:82-147): on a deterministic node subset,
     // top-M=16 neighbors by cosine with bidirectional union + re-shrink
@@ -274,6 +285,17 @@ object VectorQueries {
            |  SELECT query_id, id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
            |  FROM scored WHERE score > 0.5)
+           |WHERE rn <= 10""".stripMargin,
+      "v13_knn_ranked" ->
+        s"""WITH q AS ($q),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS id,
+           |    list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+           |  FROM q CROSS JOIN embeddings e)
+           |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+           |  FROM scored WHERE score > 0.3)
            |WHERE rn <= 10""".stripMargin,
       "v10_level_histogram" ->
         """SELECT level, count(*) AS n FROM (

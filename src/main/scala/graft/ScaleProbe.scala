@@ -31,9 +31,12 @@ object ScaleProbe {
     val n = if (args.nonEmpty) args(0).toLong else 100000L
     val dim = if (args.length > 1) args(1).toInt else 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partitions scale with n: big windows/joins need units of work small
+    // enough that concurrent tasks fit the execution-memory budget
+    val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", partitions.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

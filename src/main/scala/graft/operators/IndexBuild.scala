@@ -125,15 +125,22 @@ object IndexBuild {
     // buckets are mutually similar.
     val bucketW = Window.partitionBy(col("layer"), col("b"))
       .orderBy(xxhash64(col("id")).asc, col("id").asc)
-    val members = live
+    // rank on NARROW rows (layer, bucket, id): a window buffers whole
+    // partition frames in execution memory, and dim-width vectors in those
+    // frames is what blows the budget on hot buckets — vectors re-attach
+    // by an id equi-join after chunking
+    val membership = live
       .withColumn("layer", explode(sequence(lit(0), col("level"))))
       .withColumn("b", explode(bucketKeys(col("vector"), params)))
-      .select(col("layer"), col("b"), col("id"), col("vector"))
+      .select(col("layer"), col("b"), col("id"))
       .withColumn("r", row_number().over(bucketW) - 1)
       .withColumn("chunk", explode(array(
         (col("r") / params.bucketChunk).cast("int"),
         (col("r") / params.bucketChunk).cast("int") + 1)))
       .withColumn("b", concat(col("b"), lit("#"), col("chunk")))
+      .select(col("layer"), col("b"), col("id"))
+    val members = membership
+      .join(live.select(col("id"), col("vector")), Seq("id"))
       .select(col("layer"), col("b"), col("id"), col("vector"))
     // score in the join projection, THEN dedup multi-band hits via
     // groupBy-max on (layer, src, dst): the dedup shuffle carries 3 keys +

@@ -206,6 +206,27 @@ object RelationalQueries {
           size(col("embedding")).as("dim"))
     }),
 
+    // Source/sink format coverage: documents round-trip through json and
+    // csv sinks and come back identical in count and key cardinality.
+    "q23_source_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-roundtrip").toString
+      docs.write.mode("overwrite").json(s"$base/json")
+      docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      val fromJson = s.read.json(s"$base/json")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("fmt", lit("json"))
+      val fromCsv = s.read.option("header", "true")
+        .option("inferSchema", "true").csv(s"$base/csv")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("fmt", lit("csv"))
+      fromJson.unionByName(fromCsv).select(col("fmt"), col("n_rows"), col("n_langs"))
+    }),
+
     // Gap-based sessionization via window lag: a new session starts after
     // a >30 min silence; #sessions = #session starts. Gaps compare in
     // microseconds (unix_micros ↔ DuckDB epoch_us — both truncate the
@@ -342,6 +363,11 @@ object RelationalQueries {
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
         |  len(embedding) AS dim
         |FROM embeddings""".stripMargin,
+    "q23_source_roundtrip" ->
+      """SELECT fmt, count(*) AS n_rows, count(DISTINCT lang) AS n_langs
+        |FROM (SELECT 'json' AS fmt, lang FROM documents
+        |      UNION ALL SELECT 'csv' AS fmt, lang FROM documents)
+        |GROUP BY fmt""".stripMargin,
     "q22_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts,

@@ -73,9 +73,25 @@ object ScaleProbe {
       .count(exact.contains).toDouble / exact.size
     val nEdges = edges.count()
 
+    // IVF comparison: centroids adapt to clusters, so candidate volume per
+    // query is n×nProbe/k regardless of how clustered the data is — the
+    // counterpoint to LSH's hot-bucket sensitivity
+    val kCells = math.min(1024, math.max(16, math.sqrt(n.toDouble).toInt))
+    val (centroids, tIvfTrain) = timed {
+      val c = IvfIndex.train(nodes, kCells, iters = 3); c.count(); c
+    }
+    val (ivfRows, tIvf) = timed {
+      IvfIndex.search(nodes, centroids, queries, 10, minSim = -2.0, nProbe = 8)
+        .select("query_id", "id").collect()
+    }
+    val ivfRecall = ivfRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+
     println(s"""{"n":$n,"dim":$dim,"bucketBits":${params.bucketBits},""" +
       s""""exact_search_sec":$tExact,"index_build_sec":$tBuild,""" +
-      s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges}""")
+      s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges,""" +
+      s""""ivf_cells":$kCells,"ivf_train_sec":$tIvfTrain,""" +
+      s""""ivf_search_sec":$tIvf,"ivf_recall_at_10":$ivfRecall}""")
     spark.stop()
   }
 }

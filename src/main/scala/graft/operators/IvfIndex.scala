@@ -41,11 +41,15 @@ object IvfIndex {
       .drop("__sim", "__rn", "centroid")
   }
 
-  /** Lloyd's k-means on the vector column; returns (cell, centroid). */
+  /** Lloyd's k-means on the vector column; returns (cell, centroid).
+    * Tombstoned rows don't participate. */
   def train(nodes: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = seedCentroids(nodes, k).localCheckpoint()
+    val liveNodes =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    var centroids = seedCentroids(liveNodes, k).localCheckpoint()
     for (_ <- 1 to iters) {
-      val assigned = assign(nodes, centroids)
+      val assigned = assign(liveNodes, centroids)
       val newCentroids = assigned
         .select(col("cell"), posexplode(col("vector")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -66,7 +70,12 @@ object IvfIndex {
   /** ANN search: rank centroids per query, probe the top `nProbe` cells,
     * exact-score only their members. Output shape matches knnExact. */
   def search(nodes: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, minSim: Double, nProbe: Int): DataFrame = {
+      k: Int, minSim: Double, nProbe: Int,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    // tombstones excluded like every other search path (hnsw.ts:292)
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("cell").asc)
     val probed = queries.join(broadcast(centroids))
@@ -75,14 +84,16 @@ object IvfIndex {
       .withColumn("__crn", row_number().over(cw))
       .filter(col("__crn") <= nProbe)
       .select(col("query_id"), col("query_vec"), col("cell"))
-    val members = assign(nodes, centroids)
+    // cell assignment is O(n x cells): reuse a persisted assignment from
+    // build time when provided instead of recomputing per search
+    val members = assignments.getOrElse(assign(live, centroids))
       .select(col("cell"), col("id"), col("vector"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
     members.join(broadcast(probed), Seq("cell"))
       .withColumn("score",
         VectorFunctions.cosineSim(col("query_vec"), col("vector")))
-      .filter(col("score") > lit(minSim))
+      .filter(col("score") > lit(minSim) && !isnan(col("score")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("id"), col("score"), col("rn"))

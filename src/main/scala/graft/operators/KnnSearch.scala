@@ -56,7 +56,11 @@ object KnnSearch {
     val scored = live
       .join(broadcast(queries))
       .withColumn("score", scoreFn(col(queryVecCol), col(vecCol)))
-      .filter(col("score") > lit(minSim))
+      // NaN guard: a zero-norm vector scores NaN; the reference's JS
+      // `score > strength` is FALSE for NaN (dropped), but Spark orders
+      // NaN above every double, so it would pass the filter AND take
+      // rank 1 — exclude it explicitly to keep reference semantics
+      .filter(col("score") > lit(minSim) && !isnan(col("score")))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     scored

@@ -29,6 +29,10 @@ object TextFeaturizer {
     docs
       .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
+      // split("") yields [""] and repeated spaces yield empty tokens —
+      // drop them so blank docs get NO buckets (zero vector), not a
+      // spurious md5("")-bucket one-hot
+      .filter(length(col("tok")) > 0)
       .withColumn("bucket",
         pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
           lit(dim)).cast("int"))

@@ -209,11 +209,12 @@ object TextQueries {
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
+        |tf AS (SELECT id, tok FROM toks WHERE length(tok) > 0),
         |b AS (
         |  SELECT id,
         |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS INT) AS bucket,
         |    count(*)::DOUBLE AS cnt
-        |  FROM toks GROUP BY 1, 2)
+        |  FROM tf GROUP BY 1, 2)
         |SELECT id, bucket,
         |  round(cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY id)), 6) AS weight
         |FROM b""".stripMargin,

@@ -162,7 +162,7 @@ object VectorQueries {
       val scored = live.join(broadcast(querySet(emb)))
         .withColumn("score",
           VectorFunctions.cosineSim(col("query_vec"), col("vector")))
-        .filter(col("score") > 0.5)
+        .filter(col("score") > 0.5 && !isnan(col("score")))
       scored.groupBy(col("query_id"))
         .agg(graft.functions.TopKAggregate.topkIds(
           col("id"), col("score"), 10).as("ids"))

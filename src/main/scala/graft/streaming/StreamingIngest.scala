@@ -23,6 +23,11 @@ import graft.util.Fs
   * All pointer/sidecar I/O goes through the Hadoop FileSystem of the state
   * path, so the layout works on any cluster filesystem, not just the
   * driver's local disk.
+  *
+  * Single-writer contract: one running ingest query (or one batch
+  * VectorStore writer) owns a state path at a time — batchIds and
+  * VectorStore.persist share the version namespace, so concurrent writers
+  * would race the pointer.
   */
 object StreamingIngest {
 
@@ -56,7 +61,10 @@ object StreamingIngest {
       .select(col("id"), col("vector"),
         (col("del_seq").isNotNull && col("del_seq") > col("up_seq"))
           .as("deleted"),
-        col("up_seq").as("batch_seq"))
+        // normalized: exactly one upsert per id survives the window, and
+        // prior state carries batch_seq 0 — raw event seqs of 0/negative
+        // would tie or lose against state in Mutations.upsert
+        lit(1L).as("batch_seq"))
     val deleteOnlyIds = lastDelete
       .join(lastUpsert, Seq("id"), "left_anti").select(col("id"))
     Mutations.tombstone(Mutations.upsert(state, upserted), deleteOnlyIds)
@@ -72,18 +80,32 @@ object StreamingIngest {
     * re-applying would double-apply AND overwrite the very snapshot the
     * plan is reading from. */
   def start(spark: SparkSession, events: DataFrame, statePath: String,
-      emptyState: DataFrame): StreamingQuery = {
+      emptyState: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      retainVersions: Int = 3): StreamingQuery = {
     Fs.mkdirs(spark, statePath)
     events.writeStream
       .outputMode("append")
-      .trigger(Trigger.ProcessingTime("1 second"))
+      // checkpoint makes batchIds monotonic across restarts — without it
+      // they reset to 0 and the replay guard below would discard new
+      // batches until the old CURRENT was exceeded (silent data loss)
+      .option("checkpointLocation", s"$statePath/_checkpoint")
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark2 = batch.sparkSession
-        if (!currentVersion(spark2, statePath).exists(_ >= batchId)) {
+        if (!batch.isEmpty &&
+            !currentVersion(spark2, statePath).exists(_ >= batchId)) {
           val state = loadState(spark2, statePath).getOrElse(emptyState)
           applyBatch(state, batch)
             .write.mode("overwrite").parquet(s"$statePath/v$batchId")
           Fs.writeStringAtomic(spark2, s"$statePath/CURRENT", batchId.toString)
+          // retention: superseded snapshots beyond the last N are dropped
+          // AFTER the pointer flip (readers of older versions finish their
+          // already-planned scans; new readers resolve CURRENT)
+          (0L until batchId - retainVersions).foreach { v =>
+            if (Fs.exists(spark2, s"$statePath/v$v"))
+              Fs.deleteRecursive(spark2, s"$statePath/v$v")
+          }
         }
         ()
       }

@@ -26,13 +26,9 @@ object Fs {
     finally in.close()
   }
 
-  def writeString(spark: SparkSession, path: String, content: String): Unit = {
-    val out = fs(spark, path).create(new Path(path), true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  /** Write `content` to a temp sibling then rename over `path`. */
+  /** Write `content` to a temp sibling then atomically rename over `path`
+    * (FileContext rename with OVERWRITE — no delete-then-rename window in
+    * which the pointer doesn't exist). */
   def writeStringAtomic(spark: SparkSession, path: String, content: String): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(path + ".tmp")
@@ -40,9 +36,9 @@ object Fs {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def mkdirs(spark: SparkSession, path: String): Unit = {

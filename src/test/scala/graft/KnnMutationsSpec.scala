@@ -30,6 +30,18 @@ class KnnMutationsSpec extends SparkSpec {
     assert(got === List((1L, 1), (5L, 2), (2L, 3)))
   }
 
+  test("zero-norm vector (NaN score) never surfaces in results") {
+    // Spark orders NaN above every double; without the explicit guard a
+    // zero vector would pass the threshold and take rank 1 for all queries
+    val n = nodes(
+      (1L, Seq(1f, 0f), false),
+      (2L, Seq(0f, 0f), false)) // zero vector → NaN cosine
+    val q = queries((100L, Seq(1f, 0f)))
+    val got = KnnSearch.knnExact(n, q, k = 10, minSim = -10.0)
+      .select("id").as[Long].collect().toList
+    assert(got === List(1L))
+  }
+
   test("unknown metric throws (hnsw.ts:39-49)") {
     val e = intercept[IllegalArgumentException] {
       KnnSearch.knnExact(nodes(), queries(), 1, 0.5, metric = "manhattan")

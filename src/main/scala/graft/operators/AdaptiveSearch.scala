@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cost-based search-strategy selection — a small physical "optimizer" over
+  * the three kNN paths, driven by measured corpus statistics instead of
+  * guesswork (the ScaleProbe findings in SCALING.md, distilled into rules):
+  *
+  *  - small corpus → EXACT: one codegen'd broadcast pass, zero shuffle,
+  *    beats any index below the candidate-generation overhead;
+  *  - heavy bucket skew (a dense similarity cluster owns a big share of an
+  *    LSH bucket) → IVF: centroids adapt to clusters, candidate volume is
+  *    n × nProbe / cells regardless of clustering;
+  *  - otherwise → LSH: cheapest candidates on uniform-ish corpora, no
+  *    training step.
+  *
+  * Statistics come from one aggregation over a sampled bucket histogram —
+  * O(sample) work, reusable across queries of one session.
+  */
+object AdaptiveSearch {
+
+  sealed trait Strategy
+  case object UseExact extends Strategy
+  case object UseLsh extends Strategy
+  case object UseIvf extends Strategy
+
+  /** Decide from corpus stats. `maxBucketShare` is the largest fraction of
+    * the (sampled) corpus landing in one band-0 LSH bucket. */
+  def decide(n: Long, maxBucketShare: Double,
+      exactCutoff: Long = 50000, skewCutoff: Double = 0.05): Strategy =
+    if (n <= exactCutoff) UseExact
+    else if (maxBucketShare >= skewCutoff) UseIvf
+    else UseLsh
+
+  /** Measure the decision inputs: corpus size + hot-bucket share under the
+    * band-0 hyperplanes (sampled — the histogram shape, not exact counts). */
+  def stats(nodes: DataFrame, params: IndexParams,
+      sampleFraction: Double = 0.1): (Long, Double) = {
+    val n = nodes.count()
+    val sampled =
+      if (sampleFraction >= 1.0 || n < 10000) nodes
+      else nodes.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val hist = sampled
+      .withColumn("b", IndexBuild.bucketKey(col("vector"), params, band = 0))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot")).head()
+    val share =
+      if (hist.isNullAt(0) || hist.getLong(1) == 0L) 0.0
+      else hist.getLong(0).toDouble / hist.getLong(1)
+    (n, share)
+  }
+
+  /** One-call adaptive search: measure, decide, dispatch. Returns the
+    * chosen strategy alongside the result for observability. */
+  def search(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
+      params: IndexParams, nProbe: Int = 8,
+      ivfCells: Int = 256): (Strategy, DataFrame) = {
+    val (n, share) = stats(nodes, params)
+    decide(n, share) match {
+      case UseExact =>
+        (UseExact, KnnSearch.knnExact(nodes, queries, k, minSim, params.metric))
+      case UseLsh =>
+        (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params))
+      case UseIvf =>
+        val cells = math.min(ivfCells, math.max(16, math.sqrt(n.toDouble).toInt))
+        val centroids = IvfIndex.train(nodes, cells, iters = 3)
+        (UseIvf, IvfIndex.search(nodes, centroids, queries, k, minSim, nProbe))
+    }
+  }
+}

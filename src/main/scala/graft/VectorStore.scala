@@ -40,16 +40,23 @@ class VectorStore private (
 
   /** Validation: non-null ids (driver.ts:124-129 rejects empty ids) and
     * exact dimension match (hnsw.ts:155-160 throws on mismatch). */
-  private def validate(batch: DataFrame): DataFrame = {
-    val bad = batch.filter(col("id").isNull ||
-      size(col("vector")) =!= params.dim).limit(1).collect()
+  private def validate(batch: DataFrame, idC: String = "id",
+      vecC: String = "vector"): DataFrame = {
+    // NULL-safe: size(NULL) is NULL, so a plain =!= predicate would let
+    // null-vector rows through silently
+    val bad = batch.filter(col(idC).isNull || col(vecC).isNull ||
+      size(col(vecC)) =!= params.dim).limit(1).collect()
     if (bad.nonEmpty)
       throw new IllegalArgumentException(
-        s"invalid row (null id or dimension != ${params.dim}): ${bad.head}")
+        s"invalid row (null id/vector or dimension != ${params.dim}): ${bad.head}")
     batch
   }
 
-  /** Batch upsert (covers add + update, hnsw.ts:154-173/497-517). */
+  /** Batch upsert (covers add + update, hnsw.ts:154-173/497-517).
+    * A DataFrame carries no arrival order: duplicate ids within one batch
+    * resolve deterministically (content-hash tie-break) — callers that
+    * need FIFO order across duplicates must provide a `batch_seq` column
+    * (higher wins), as the streaming ingest path does. */
   def addBatch(batch: DataFrame): Unit =
     persist(Mutations.upsert(nodes,
       validate(batch).withColumn("deleted", lit(false))))
@@ -71,17 +78,22 @@ class VectorStore private (
   /** Differential sync (driver.ts:245-282 / worker.ts:3-44): apply only
     * new-or-changed incoming rows; returns how many were applied. */
   def sync(incoming: DataFrame): Long = {
-    val delta = Mutations.syncDiff(nodes, incoming)
-    val n = delta.count()
-    if (n > 0)
-      persist(Mutations.upsert(nodes, delta.withColumn("deleted", lit(false))))
-    n
+    val delta = Mutations.syncDiff(nodes, incoming).persist()
+    try {
+      val n = delta.count() // also materializes the cache for the upsert
+      if (n > 0)
+        persist(Mutations.upsert(nodes, delta.withColumn("deleted", lit(false))))
+      n
+    } finally { delta.unpersist(); () }
   }
 
   /** Threshold-scaled batch search (driver.ts:290-307): strengthSetting on
     * the 0–100 scale, /100 capped at 0.95. */
   def search(queries: DataFrame, k: Int, strengthSetting: Double = 50): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    // reference throws on dimension mismatch (hnsw.ts:155-160); the kernel
+    // would otherwise silently truncate to min(len) and score garbage
+    validate(queries, "query_id", "query_vec")
     KnnSearch.knnExact(nodes, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }

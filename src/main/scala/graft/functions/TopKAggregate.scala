@@ -80,9 +80,17 @@ case class TopKIds(
       TypeCheckFailure(s"topk_ids: score must be DOUBLE, got ${scoreExpr.dataType.simpleString}")
     else if (!kExpr.foldable || !Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(kExpr.dataType))
       TypeCheckFailure("topk_ids: k must be an integer literal")
-    else if (k <= 0)
-      TypeCheckFailure(s"topk_ids: k must be positive, got $k")
-    else TypeCheckSuccess
+    else kExpr.eval(InternalRow.empty) match {
+      case null => TypeCheckFailure("topk_ids: k must not be null")
+      case v =>
+        val kv = v match {
+          case i: Int => i.toLong; case l: Long => l
+          case sh: Short => sh.toLong; case b: Byte => b.toLong
+        }
+        if (kv <= 0 || kv > Int.MaxValue) // no silent toInt wrap
+          TypeCheckFailure(s"topk_ids: k out of range (1..2^31-1), got $kv")
+        else TypeCheckSuccess
+    }
   }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)

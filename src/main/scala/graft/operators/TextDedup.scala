@@ -91,6 +91,10 @@ object TextDedup {
       .withColumn("codes", transform(col("set"), t => xxhash64(t)))
       .withColumn("n", size(col("set")))
       .select(col("band"), col("id"), col("codes"), col("n"))
+      // compute-once for the self-join below; persist (lazy, recoverable
+      // from lineage) rather than localCheckpoint (eager job at plan-build
+      // time, non-recoverable executor-local blocks)
+      .persist()
     val a = reps.select(col("band"), col("id").as("a_id"),
       col("codes").as("a_codes"), col("n").as("a_n"))
     val b = reps.select(col("band"), col("id").as("b_id"),

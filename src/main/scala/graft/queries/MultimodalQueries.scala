@@ -34,7 +34,7 @@ object MultimodalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "m01_asset_metadata" ->
-      """SELECT doc_id AS asset_id, length(text) AS n_bytes,
+      """SELECT doc_id AS asset_id, strlen(text) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents""".stripMargin,
     "m02_frame_sample" ->

@@ -211,8 +211,10 @@ object RelationalQueries {
     "q23_source_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         col("source"), col("n_chars"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-roundtrip").toString
+      // fixed path + overwrite: no temp-dir leak per run. Driver-local
+      // tmp is fine here — the harness runs local[N]; a cluster deployment
+      // would point this at a shared filesystem path.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip"
       docs.write.mode("overwrite").json(s"$base/json")
       docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
       val fromJson = s.read.json(s"$base/json")

@@ -138,14 +138,8 @@ object VectorQueries {
     // bit-identical in any engine. Capped at 7 (8 layers, hnsw.ts:51-62).
     "v10_level_histogram" -> ((s, d) => {
       Tables.embeddings(s, d)
-        .withColumn("h", col("vec_id") * 2654435761L + 104729L)
         .withColumn("level",
-          least(lit(7),
-            when(col("h") % 16 =!= 0, 0)
-              .when(col("h") % (16L * 16) =!= 0, 1)
-              .when(col("h") % (16L * 16 * 16) =!= 0, 2)
-              .when(col("h") % (16L * 16 * 16 * 16) =!= 0, 3)
-              .otherwise(4)))
+          graft.operators.IndexBuild.levelOf(col("vec_id")))
         .groupBy(col("level")).agg(count(lit(1)).as("n"))
     }),
 
@@ -298,13 +292,16 @@ object VectorQueries {
            |  FROM scored WHERE score > 0.3)
            |WHERE rn <= 10""".stripMargin,
       "v10_level_histogram" ->
-        """SELECT level, count(*) AS n FROM (
-          |  SELECT least(7, CASE
-          |    WHEN (vec_id * 2654435761 + 104729) % 16 <> 0 THEN 0
-          |    WHEN (vec_id * 2654435761 + 104729) % 256 <> 0 THEN 1
-          |    WHEN (vec_id * 2654435761 + 104729) % 4096 <> 0 THEN 2
-          |    WHEN (vec_id * 2654435761 + 104729) % 65536 <> 0 THEN 3
-          |    ELSE 4 END) AS level
+        s"""SELECT level, count(*) AS n FROM (
+          |  SELECT CAST(CASE
+        |    WHEN (vec_id * 2654435761 + 104729) % 16 <> 0 THEN 0
+        |    WHEN (vec_id * 2654435761 + 104729) % 256 <> 0 THEN 1
+        |    WHEN (vec_id * 2654435761 + 104729) % 4096 <> 0 THEN 2
+        |    WHEN (vec_id * 2654435761 + 104729) % 65536 <> 0 THEN 3
+        |    WHEN (vec_id * 2654435761 + 104729) % 1048576 <> 0 THEN 4
+        |    WHEN (vec_id * 2654435761 + 104729) % 16777216 <> 0 THEN 5
+        |    WHEN (vec_id * 2654435761 + 104729) % 268435456 <> 0 THEN 6
+          |    ELSE 7 END AS INT) AS level
           |  FROM embeddings)
           |GROUP BY level""".stripMargin,
       "v11_knn_graph" ->

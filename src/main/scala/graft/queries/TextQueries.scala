@@ -201,9 +201,9 @@ object TextQueries {
         |FROM f""".stripMargin,
     "t03_token_stats" ->
       """SELECT lang,
-        |  sum(len(string_split(text, ' '))) AS sum_ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_alpha_tokens,
-        |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_chars_ok
+        |  sum(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-z]+')))::BIGINT AS sum_alpha_tokens,
+        |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)::BIGINT AS n_chars_ok
         |FROM documents GROUP BY lang""".stripMargin,
     "e01_feature_hash" ->
       """WITH toks AS (

@@ -49,8 +49,31 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        def norm_type(t):
+            # Normalize to the driver's observed hash-equivalence classes
+            # (round 1: INT-vs-BIGINT and DOUBLE-vs-DECIMAL skews passed its
+            # compare; HUGEINT, i.e. uncast DuckDB integer sum(), failed).
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "int64"
+            if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+                return "float"
+            return t
+
+        got_types = dict(zip(got_rel.columns,
+                             (norm_type(t) for t in got_rel.types)))
+        exp_types = dict(zip(exp_rel.columns,
+                             (norm_type(t) for t in exp_rel.types)))
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} vs {exp_cols}")
+            n_fail += 1
+        elif got_types != exp_types:
+            # The driver hashes typed values (e.g. DuckDB HUGEINT sum() vs
+            # Spark BIGINT) — a type skew fails its compare even when the
+            # Python values are equal.
+            diff = {c: (got_types[c], exp_types[c]) for c in got_types
+                    if got_types[c] != exp_types.get(c)}
+            print(f"FAIL {name}: column types spark-vs-oracle {diff}")
             n_fail += 1
         elif got != exp:
             only_got = [r for r in got if r not in set(exp)][:3]

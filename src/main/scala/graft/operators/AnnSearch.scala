@@ -30,7 +30,36 @@ object AnnSearch {
     * (query_id, id, score, rn). Recall depends on nBands × bucketBits;
     * measured against the exact oracle in AnnSpec. */
   def searchLsh(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
-      params: IndexParams): DataFrame = {
+      params: IndexParams): DataFrame =
+    searchLshKeyed(nodes, queries, k, minSim, params.metric,
+      v => IndexBuild.bucketKeys(v, params))
+
+  /** [[searchLsh]] with data-derived anchor hyperplanes instead of the
+    * seeded-random ones: bit p of band b = sign(vec · anchors(b)(p)).
+    * Anchors sampled from the corpus split it along its own density
+    * directions, and — being plain data rows — make the whole search
+    * reproducible by an external engine (the DuckDB oracle re-derives the
+    * buckets from the same parquet). `anchors` is tiny (nBands × bits rows
+    * collected once on the driver) and is inlined into the projection as
+    * literals, so bucketing stays a single narrow scan per side. */
+  def searchLshAnchored(nodes: DataFrame, queries: DataFrame, k: Int,
+      minSim: Double, anchors: Seq[Seq[Array[Float]]],
+      metric: String = "cosine"): DataFrame =
+    searchLshKeyed(nodes, queries, k, minSim, metric,
+      v => anchorBucketKeys(v, anchors))
+
+  /** All band keys for anchor-hyperplane LSH in one projection (same
+    * band-prefixed shape as [[IndexBuild.bucketKeys]]). */
+  def anchorBucketKeys(vec: Column, anchors: Seq[Seq[Array[Float]]]): Column =
+    array(anchors.zipWithIndex.map { case (planes, b) =>
+      concat(lit(s"$b:") +: planes.map { w =>
+        when(VectorFunctions.dotProduct(vec, typedLit(w.toSeq)) >= 0, "1")
+          .otherwise("0")
+      }: _*)
+    }: _*)
+
+  private def searchLshKeyed(nodes: DataFrame, queries: DataFrame, k: Int,
+      minSim: Double, metric: String, keyFn: Column => Column): DataFrame = {
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes
@@ -40,10 +69,10 @@ object AnnSearch {
     // through hot-bucket candidate sets dominated wall time at 500k nodes
     // (measured: 2.7× slower than this shape)
     val n = live
-      .withColumn("b", explode(IndexBuild.bucketKeys(col("vector"), params)))
+      .withColumn("b", explode(keyFn(col("vector"))))
       .select(col("b"), col("id"))
     val q = queries
-      .withColumn("b", explode(IndexBuild.bucketKeys(col("query_vec"), params)))
+      .withColumn("b", explode(keyFn(col("query_vec"))))
       .select(col("b"), col("query_id"))
     val candidates = n.join(broadcast(q), Seq("b")).drop("b")
       .dropDuplicates("query_id", "id")
@@ -53,7 +82,7 @@ object AnnSearch {
       .join(live.select(col("id"), col("vector")), Seq("id"))
       .join(broadcast(queries.select(col("query_id"), col("query_vec"))),
         Seq("query_id"))
-      .withColumn("score", scoreFn(params.metric)(col("query_vec"), col("vector")))
+      .withColumn("score", scoreFn(metric)(col("query_vec"), col("vector")))
       .filter(col("score") > lit(minSim) && !isnan(col("score"))) // see KnnSearch NaN note
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

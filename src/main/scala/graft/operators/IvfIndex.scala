@@ -22,6 +22,23 @@ import graft.functions.VectorFunctions
   */
 object IvfIndex {
 
+  /** Externally-reproducible codebook: the k lowest-id live vectors, cells
+    * numbered in id order. Unlike [[train]] (whose float mean accumulation
+    * is engine-internal), this codebook is plain data selection — an
+    * external engine can re-derive it from the same parquet, so IVF search
+    * over it is oracle-checkable end-to-end. At scale this is the classic
+    * sample-codebook IVF bootstrap: assignment + probing cost is identical
+    * to a trained codebook; only cell balance differs. */
+  def sampleCodebook(nodes: DataFrame, k: Int): DataFrame = {
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    live.orderBy(col("id").asc).limit(k)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("id").asc)) - 1)
+      .select(col("cell"), col("vector").as("centroid"))
+  }
+
   /** Deterministic seed centroids: the k nodes with smallest id hash. */
   private def seedCentroids(nodes: DataFrame, k: Int): DataFrame =
     nodes.withColumn("__h", xxhash64(col("id")))

@@ -31,14 +31,28 @@ object AnnQueries {
     (n, e)
   }
 
+  /** Anchor hyperplanes for a01: the `nBands × bits` lowest-vec_id
+    * embeddings, banded in id order — tiny driver-side collect, and the
+    * DuckDB oracle re-derives the same planes from the parquet. */
+  private def anchorPlanes(emb: DataFrame, nBands: Int, bits: Int)
+      : Seq[Seq[Array[Float]]] = {
+    val rows = emb.filter(col("vec_id") < nBands * bits)
+      .orderBy(col("vec_id").asc)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    rows.grouped(bits).toSeq.map(_.toSeq)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // LSH-bucketed ANN search (the scale path of v01's exact search).
+    // LSH-bucketed ANN search (the scale path of v01's exact search) with
+    // data-derived anchor hyperplanes — fully oracle-checkable: the DuckDB
+    // SQL recomputes the same sign-bit buckets from the same parquet.
     "a01_ann_lsh_search" -> ((s, d) => {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
-      AnnSearch.searchLsh(VectorQueries.asVectorTable(emb),
+      AnnSearch.searchLshAnchored(VectorQueries.asVectorTable(emb),
         VectorQueries.querySet(emb), k = 10, minSim = 0.0,
-        params.copy(bucketBits = 3))
+        anchorPlanes(emb, nBands = 4, bits = 3))
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
@@ -52,13 +66,15 @@ object AnnQueries {
           countDistinct(col("src")).as("n_nodes"))
     }),
 
-    // IVF coarse-quantizer ANN (the k-means alternative to LSH): train a
-    // small codebook, probe the 3 nearest cells per query.
+    // IVF coarse-quantizer ANN (the cell-probing alternative to LSH) over
+    // the externally-reproducible sample codebook — oracle-checkable (the
+    // k-means-trained codebook path is covered by IvfFeaturizerSpec; its
+    // parallel float mean isn't reproducible outside the engine).
     "a04_ivf_search" -> ((s, d) => {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val centroids = graft.operators.IvfIndex.train(nodesDf, k = 10, iters = 3)
+      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
       graft.operators.IvfIndex.search(nodesDf, centroids,
           VectorQueries.querySet(emb), k = 10, minSim = -2.0, nProbe = 3)
         .select(col("query_id"), col("id"), col("rn"))
@@ -85,5 +101,85 @@ object AnnQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** a01/a04 are oracle-checkable because their "random" structure is
+    * data-derived (anchor planes / sample codebook are plain rows of the
+    * embeddings parquet) and every float comparison goes through the same
+    * sequential-double kernels DuckDB uses (list_dot_product /
+    * list_cosine_similarity on DOUBLE[] — bit-identical to the engine's
+    * codegen'd expressions, verified by OracleParitySpec). a02/a03 (graph
+    * build + walk) stay rows-only: their structure depends on
+    * engine-internal hash ordering that no external SQL can re-derive. */
+  val oracleSql: Map[String, String] = Map(
+    "a01_ann_lsh_search" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+        |  FROM embeddings WHERE vec_id < 12),
+        |nk AS (
+        |  SELECT n.id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bkey
+        |  FROM nodes n CROSS JOIN anch a GROUP BY n.id, a.aid // 3),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qk AS (
+        |  SELECT q.query_id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(q.qv, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bkey
+        |  FROM q CROSS JOIN anch a GROUP BY q.query_id, a.aid // 3),
+        |cand AS (
+        |  SELECT DISTINCT qk.query_id, nk.id
+        |  FROM nk JOIN qk ON nk.band = qk.band AND nk.bkey = qk.bkey),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM cand c
+        |  JOIN nodes n ON n.id = c.id
+        |  JOIN q ON q.query_id = c.query_id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM scored WHERE score > 0.0)
+        |WHERE rn <= 10""".stripMargin,
+    "a04_ivf_search" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN cb c)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN cb c)
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM probed p
+        |  JOIN asg a ON a.cell = p.cell
+        |  JOIN nodes n ON n.id = a.id
+        |  JOIN q ON q.query_id = p.query_id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM scored WHERE score > -2.0)
+        |WHERE rn <= 10""".stripMargin,
+  )
 }

@@ -33,6 +33,37 @@ class AnnSpec extends SparkSpec {
     assert(r > 0.6, s"recall@10 = $r")
   }
 
+  test("anchored LSH search: sane recall, and ⊆ exact-candidate semantics") {
+    // data-derived anchor planes (lowest-id vectors, 4 bands × 3 bits) —
+    // the oracle-checkable a01 path
+    val anchors = emb.filter(col("vec_id") < 12).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).grouped(3).toSeq.map(_.toSeq)
+    val got = AnnSearch.searchLshAnchored(
+      nodesDf, queriesDf, 10, minSim = -2.0, anchors)
+    val r = recallAt(10, got)
+    assert(r > 0.3, s"recall@10 = $r")
+    // per-query ranks are dense 1..n and scores are within [-1, 1]
+    val badRank = got.groupBy("query_id")
+      .agg(max("rn").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(badRank === 0)
+  }
+
+  test("IVF sample codebook: k cells in id order, search matches exact at nProbe=k") {
+    import graft.operators.IvfIndex
+    val cb = IvfIndex.sampleCodebook(nodesDf, 10)
+    val cells = cb.select("cell").as[Int].collect().sorted
+    assert(cells.toSeq === (0 until 10))
+    // probing every cell degrades IVF to exact search — results must match
+    val ivfAll = IvfIndex.search(nodesDf, cb, queriesDf,
+      k = 10, minSim = -2.0, nProbe = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(ivfAll === exact)
+  }
+
   test("built graph: degree ≤ M per level, edges bidirectional-deduped, no self loops") {
     val (nodes, edges) = IndexBuild.build(nodesDf, params)
     val maxDeg = edges.groupBy("level", "src").count()

@@ -15,10 +15,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++ AnnQueries.queries ++ MultimodalQueries.queries
+    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++ AnnQueries.queries ++ MultimodalQueries.queries ++ AnalyticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ TextQueries.oracleSql ++ AnnQueries.oracleSql ++ MultimodalQueries.oracleSql
+    RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ TextQueries.oracleSql ++ AnnQueries.oracleSql ++ MultimodalQueries.oracleSql ++ AnalyticQueries.oracleSql
 }

@@ -123,19 +123,27 @@ object AnnSearch {
         .select(col("query_id"), col("query_vec"), col("id"), col("score")),
       ef).localCheckpoint()
 
-    for (level <- entryLevel to 0 by -1; _ <- 1 to itersPerLevel) {
+    for (level <- entryLevel to 0 by -1) {
       val e = edges.filter(col("level") === level)
         .select(col("src"), col("dst"))
-      val expanded = frontier
-        .join(e, frontier("id") === e("src"))
-        .select(col("query_id"), col("query_vec"), col("dst").as("id"))
-        .dropDuplicates("query_id", "id")
-        .join(withDel.select(col("id"), col("vector")), Seq("id"))
-        .withColumn("score", sf(col("query_vec"), col("vector")))
-        .select(col("query_id"), col("query_vec"), col("id"), col("score"))
-      frontier = topEf(frontier.unionByName(expanded)
-        .dropDuplicates("query_id", "id"), ef)
-        .localCheckpoint() // bound lineage across the driver-side loop
+      // All expansions of one level run inside a single plan: the frontier
+      // below them is a checkpointed leaf, so the ×2 subtree duplication
+      // from (join ∪ union) re-reads cached blocks, not recomputed lineage.
+      // One materialization per LEVEL (not per hop) halves the sequential
+      // job count — the walk on a small index is scheduler-bound.
+      var cur = frontier
+      for (_ <- 1 to itersPerLevel) {
+        val expanded = cur
+          .join(e, cur("id") === e("src"))
+          .select(col("query_id"), col("query_vec"), col("dst").as("id"))
+          .dropDuplicates("query_id", "id")
+          .join(withDel.select(col("id"), col("vector")), Seq("id"))
+          .withColumn("score", sf(col("query_vec"), col("vector")))
+          .select(col("query_id"), col("query_vec"), col("id"), col("score"))
+        cur = topEf(cur.unionByName(expanded)
+          .dropDuplicates("query_id", "id"), ef)
+      }
+      frontier = cur.localCheckpoint() // bound lineage across the level loop
     }
     val live = withDel.filter(!col("deleted")).select(col("id"))
     frontier.join(live, Seq("id"))

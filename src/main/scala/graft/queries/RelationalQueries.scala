@@ -217,6 +217,7 @@ object RelationalQueries {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip"
       docs.write.mode("overwrite").json(s"$base/json")
       docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      docs.write.mode("overwrite").orc(s"$base/orc")
       val fromJson = s.read.json(s"$base/json")
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("lang")).as("n_langs"))
@@ -226,7 +227,12 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("lang")).as("n_langs"))
         .withColumn("fmt", lit("csv"))
-      fromJson.unionByName(fromCsv).select(col("fmt"), col("n_rows"), col("n_langs"))
+      val fromOrc = s.read.orc(s"$base/orc")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("fmt", lit("orc"))
+      fromJson.unionByName(fromCsv).unionByName(fromOrc)
+        .select(col("fmt"), col("n_rows"), col("n_langs"))
     }),
 
     // Gap-based sessionization via window lag: a new session starts after
@@ -368,7 +374,8 @@ object RelationalQueries {
     "q23_source_roundtrip" ->
       """SELECT fmt, count(*) AS n_rows, count(DISTINCT lang) AS n_langs
         |FROM (SELECT 'json' AS fmt, lang FROM documents
-        |      UNION ALL SELECT 'csv' AS fmt, lang FROM documents)
+        |      UNION ALL SELECT 'csv' AS fmt, lang FROM documents
+        |      UNION ALL SELECT 'orc' AS fmt, lang FROM documents)
         |GROUP BY fmt""".stripMargin,
     "q22_sessionize" ->
       """WITH e AS (

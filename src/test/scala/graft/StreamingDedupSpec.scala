@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.TTLConfig
+import graft.streaming.{DedupIn, DedupOut, StreamingDedup}
+
+/** transformWithState (state v2) streaming dedup: first occurrence passes,
+  * re-encounters are suppressed and counted across micro-batches. Needs the
+  * RocksDB state store provider — set per-query via the session conf. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transformWithState dedup suppresses cross-batch duplicates") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[DedupIn]
+      val q = StreamingDedup.dedup(stream.toDS(), TTLConfig.NONE)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out").start()
+      try {
+        // batch 0: h1 twice (one in-batch dup), h2 once
+        stream.addData(DedupIn(3L, "h1"), DedupIn(7L, "h1"), DedupIn(5L, "h2"))
+        q.processAllAvailable()
+        val b0 = spark.table("dedup_out").as[DedupOut].collect()
+          .map(o => (o.content_hash, o.doc_id, o.n_dropped, o.first_seen))
+          .sortBy(_._1)
+        assert(b0.toSeq === Seq(("h1", 3L, 1L, true), ("h2", 5L, 0L, true)))
+
+        // batch 1: h1 again (cross-batch dup) + fresh h3
+        stream.addData(DedupIn(9L, "h1"), DedupIn(2L, "h3"))
+        q.processAllAvailable()
+        val all = spark.table("dedup_out").as[DedupOut].collect()
+          .map(o => (o.content_hash, o.doc_id, o.n_dropped, o.first_seen))
+          .sortBy(r => (r._1, r._4))
+        assert(all.toSeq === Seq(
+          ("h1", 9L, 2L, false),  // suppressed, running dropped count
+          ("h1", 3L, 1L, true),
+          ("h2", 5L, 0L, true),
+          ("h3", 2L, 0L, true)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}

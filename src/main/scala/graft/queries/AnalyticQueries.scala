@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Sketches
 import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Temporal-join + statistical-aggregate coverage (beyond the reference's
@@ -85,9 +87,83 @@ object AnalyticQueries {
            sqrt(n * col("sdd") - col("sd") * col("sd"))), 6)
           .as("corr_qty_disc"))
     }),
+    // KMV bottom-k distinct-count sketch — mergeable AND engine-portable
+    // (the oracle recomputes the identical sketch), vs HLL++ whose register
+    // state is engine-internal. Compared against the exact count.
+    "q28_distinct_sketch" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val est = Sketches.kmvDistinct(li, Seq("l_returnflag"), "l_partkey",
+        k = 64)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("est_distinct"), col("n_kept"),
+          col("n_exact"))
+    }),
+
+    // Window frames: running totals (decimal-exact), bounded moving
+    // average (explicit sum/count in double — no engine-specific
+    // incremental-avg rounding), offsets and partition extremes.
+    "q29_window_frames" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m3 = ord.rowsBetween(-2, Window.currentRow)
+      ev.select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(run)
+          .cast("double").as("running_value"),
+        round(sum(col("value").cast("decimal(18,2)")).over(m3).cast("double")
+          / count(lit(1)).over(m3), 6).as("avg3"),
+        round(col("value") - coalesce(lag(col("value"), 1).over(ord),
+          col("value")), 6).as("delta_prev"),
+        first(col("event_type")).over(run).as("first_type"))
+    }),
+    // Bucketed-table co-located join: both fact tables written bucketed +
+    // sorted on the join key, so the SortMergeJoin needs NO exchange and
+    // NO sort on either side (BucketedJoinSpec pins the plan). At 100 TB
+    // this is the difference between re-shuffling every join and paying
+    // the shuffle once at write time.
+    "q30_bucketed_join" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed"
+      // report the write-time sortBy order from the scan (elides the
+      // join-time Sort; sound here because each bucket is ONE file — see
+      // repartition below). Session-wide but only bucketed-table scans
+      // read it, and only this query creates them.
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      s.sql("DROP TABLE IF EXISTS graft_orders_b")
+      s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      // repartition on the bucket key first → exactly ONE file per bucket
+      // (task i holds precisely bucket i's rows — HashPartitioning and the
+      // bucket spec share the same murmur3 pmod); Spark elides the
+      // join-time Sort only for single-file buckets
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$base/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$base/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      s.table("graft_lineitem_b").hint("merge")
+        .join(s.table("graft_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q30_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
     "q24_asof_join" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -115,6 +191,45 @@ object AnalyticQueries {
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         |  round(quantile_cont(l_quantity, 0.99), 6) AS p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q28_distinct_sketch" ->
+      """WITH dv AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |h AS (
+        |  SELECT l_returnflag,
+        |    (('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+        |      / 1152921504606846976 AS f
+        |  FROM dv),
+        |r AS (
+        |  SELECT l_returnflag, f,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY f) AS rn
+        |  FROM h),
+        |g AS (
+        |  SELECT l_returnflag, count(*)::INT AS n_kept, max(f) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY l_returnflag),
+        |x AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT g.l_returnflag,
+        |  round(CASE WHEN g.n_kept < 64 THEN g.n_kept::DOUBLE
+        |             ELSE 63.0 / g.kth END, 3) AS est_distinct,
+        |  g.n_kept, x.n_exact
+        |FROM g JOIN x USING (l_returnflag)""".stripMargin,
+    "q29_window_frames" ->
+      """SELECT event_id, user_id,
+        |  (sum(value::DECIMAL(18,2)) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |    AS running_value,
+        |  round((sum(value::DECIMAL(18,2)) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3,
+        |  round(value - coalesce(lag(value, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id), value), 6) AS delta_prev,
+        |  first_value(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+        |FROM events""".stripMargin,
     "q27_stat_moments" ->
       """WITH s AS (
         |  SELECT l_returnflag,

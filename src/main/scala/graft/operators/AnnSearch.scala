@@ -97,9 +97,14 @@ object AnnSearch {
     * Tombstoned nodes stay routable but are filtered from final results —
     * the reference's traversal semantics (`hnsw.ts:292,392`; SURVEY §7.5).
     */
+  /** `efUpper` bounds the frontier on levels > 0 — the reference descends
+    * upper layers with a width-1 greedy walk and spends the full ef only on
+    * the bottom layer (`hnsw.ts:99-110` vs `hnsw.ts:112-140`); upper levels
+    * here get ONE expansion at `efUpper` (routing), level 0 gets
+    * `itersPerLevel` at `ef` (the actual search). */
   def searchGraph(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int, minSim: Double, params: IndexParams,
-      ef: Int = 32, itersPerLevel: Int = 2): DataFrame = {
+      ef: Int = 32, itersPerLevel: Int = 2, efUpper: Int = 8): DataFrame = {
     val sf = scoreFn(params.metric)
     val topW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
@@ -121,18 +126,20 @@ object AnnSearch {
       entries.crossJoin(broadcast(queries))
         .withColumn("score", sf(col("query_vec"), col("vector")))
         .select(col("query_id"), col("query_vec"), col("id"), col("score")),
-      ef).localCheckpoint()
+      if (entryLevel > 0) math.max(efUpper, k) else ef).localCheckpoint()
 
     for (level <- entryLevel to 0 by -1) {
       val e = edges.filter(col("level") === level)
         .select(col("src"), col("dst"))
+      val (iters, levelEf) =
+        if (level > 0) (1, math.max(efUpper, k)) else (itersPerLevel, ef)
       // All expansions of one level run inside a single plan: the frontier
       // below them is a checkpointed leaf, so the ×2 subtree duplication
       // from (join ∪ union) re-reads cached blocks, not recomputed lineage.
       // One materialization per LEVEL (not per hop) halves the sequential
       // job count — the walk on a small index is scheduler-bound.
       var cur = frontier
-      for (_ <- 1 to itersPerLevel) {
+      for (_ <- 1 to iters) {
         val expanded = cur
           .join(e, cur("id") === e("src"))
           .select(col("query_id"), col("query_vec"), col("dst").as("id"))
@@ -141,7 +148,7 @@ object AnnSearch {
           .withColumn("score", sf(col("query_vec"), col("vector")))
           .select(col("query_id"), col("query_vec"), col("id"), col("score"))
         cur = topEf(cur.unionByName(expanded)
-          .dropDuplicates("query_id", "id"), ef)
+          .dropDuplicates("query_id", "id"), levelEf)
       }
       frontier = cur.localCheckpoint() // bound lineage across the level loop
     }

@@ -41,6 +41,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q28: KMV bottom-k bounds the window map-side (WindowGroupLimit)") {
+    val p = plan("q28_distinct_sketch")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("v01: query side broadcasts; kernel stays in whole-stage codegen") {
     val p = plan("v01_knn_exact")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -84,6 +84,35 @@ object IvfIndex {
     centroids
   }
 
+  /** One Lloyd refinement step with ORDER-FORCED per-component means:
+    * members of each (cell, dim) are summed sequentially in id order
+    * (collect → sort → left-fold), so the result is bit-reproducible by any
+    * engine with a sequential list reduce — the verifiability twin of
+    * [[train]]'s parallel mean. Returns (cell, pos, m): the refined
+    * centroid components.
+    *
+    * Scale note: the per-(cell, pos) collect_list is bounded by cell size —
+    * at 100 TB use [[train]] (map-side partial avg, no per-group
+    * materialization) and keep THIS path for small verification samples;
+    * forcing a summation order is fundamentally at odds with parallel
+    * reduction, so the exactness/scale trade is explicit. */
+  def lloydIterOrdered(nodes: DataFrame, codebook: DataFrame): DataFrame = {
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    assign(live, codebook)
+      .select(col("cell"), col("id"),
+        posexplode(col("vector")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("id"), col("x")))),
+          lit(0.0),
+          (acc, e) => acc + e.getField("x").cast("double")).as("s"),
+        count(lit(1)).as("cnt"))
+      .select(col("cell"), col("pos"),
+        (col("s") / col("cnt")).as("m"))
+  }
+
   /** ANN search: rank centroids per query, probe the top `nProbe` cells,
     * exact-score only their members. Output shape matches knnExact. */
   def search(nodes: DataFrame, centroids: DataFrame, queries: DataFrame,

@@ -80,6 +80,18 @@ object AnnQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // One deterministic Lloyd refinement over the sample codebook — k-means
+    // TRAINING as verifiable dataflow: assignment is argmax cosine
+    // (tiebreak cell asc), means are order-forced sequential folds, so the
+    // DuckDB oracle reproduces the refined centroids bit-for-bit.
+    "a05_kmeans_iter" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val nodesDf = VectorQueries.asVectorTable(Tables.embeddings(s, d))
+      val cb = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      graft.operators.IvfIndex.lloydIterOrdered(nodesDf, cb)
+        .select(col("cell"), col("pos"), round(col("m"), 6).as("m_r"))
+    }),
+
     // Graph-traversal ANN search over the saved index, reporting per-query
     // recall vs the exact top-k.
     "a03_ann_graph_recall" -> ((s, d) => {
@@ -144,6 +156,29 @@ object AnnQueries {
         |                       ORDER BY score DESC, id) AS rn
         |  FROM scored WHERE score > 0.0)
         |WHERE rn <= 10""".stripMargin,
+    "a05_kmeans_iter" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN cb c)
+        |  WHERE rn = 1),
+        |ex AS (
+        |  SELECT a.cell, CAST(p.pos AS INT) - 1 AS pos,
+        |    n.v[CAST(p.pos AS INT)] AS x, n.id
+        |  FROM asg a JOIN nodes n ON n.id = a.id
+        |  CROSS JOIN range(1, 65) p(pos))
+        |SELECT cell, pos,
+        |  round(list_reduce(list(x ORDER BY id), (acc, e) -> acc + e)
+        |        / count(*), 6) AS m_r
+        |FROM ex GROUP BY cell, pos""".stripMargin,
     "a04_ivf_search" ->
       """WITH nodes AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

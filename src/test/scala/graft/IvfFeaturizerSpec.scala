@@ -27,6 +27,23 @@ class IvfFeaturizerSpec extends SparkSpec {
     assert(recall > 0.6, s"IVF recall@10 = $recall")
   }
 
+  test("ordered Lloyd step matches a parallel mean of the same assignment") {
+    // the order-forced fold must compute the same mathematical mean as a
+    // plain parallel avg over the identical assignment (≤ float-sum ulps)
+    val cb = IvfIndex.sampleCodebook(nodesDf, 10)
+    val ordered = IvfIndex.lloydIterOrdered(nodesDf, cb)
+      .select("cell", "pos", "m").as[(Int, Int, Double)].collect()
+      .map { case (c, p, m) => (c, p) -> m }.toMap
+    val parallel = IvfIndex.assign(nodesDf, cb)
+      .select(col("cell"), posexplode(col("vector")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .select("cell", "pos", "m").as[(Int, Int, Double)].collect()
+      .map { case (c, p, m) => (c, p) -> m }.toMap
+    assert(ordered.keySet === parallel.keySet)
+    val maxDiff = ordered.map { case (k, v) => math.abs(v - parallel(k)) }.max
+    assert(maxDiff < 1e-6, s"ordered vs parallel mean drift: $maxDiff")
+  }
+
   test("IVF training is deterministic across runs") {
     val a = IvfIndex.train(nodesDf, k = 5, iters = 2)
       .select("cell", "centroid").as[(Int, Seq[Float])].collect().toMap

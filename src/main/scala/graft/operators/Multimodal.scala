@@ -75,6 +75,17 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: stride decimation of the payload stream — keep the first
+    * of every `stride` characters (PLACEHOLDER for a real image scaler; the
+    * dataflow a real impl keeps is identical: a narrow per-row transform,
+    * no shuffle, output travels as a new payload column). Implemented as a
+    * regex so the decimation is reproducible by any regex engine. */
+  def resizeStride(payloadText: org.apache.spark.sql.Column,
+      stride: Int): org.apache.spark.sql.Column = {
+    require(stride >= 2, s"stride $stride")
+    regexp_replace(payloadText, s"(.).{0,${stride - 1}}", "$1")
+  }
+
   /** Video frame sampling stub: treat the payload as fixed-size frames and
     * keep every `stride`-th — pure offset arithmetic on the binary column
     * (a real impl swaps substring for a demuxer; the explode shape stays). */

@@ -30,9 +30,23 @@ object MultimodalQueries {
         .groupBy(col("asset_id"))
         .agg(count(lit(1)).as("n_frames"), max(col("frame_idx")).as("last_idx"))
     }),
+    // Resize stub: 2:1 stride decimation of the payload stream; the
+    // decimated payload re-hashes deterministically in any engine.
+    "m03_resize_stride" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("resized", Multimodal.resizeStride(col("text"), 2))
+        .select(col("doc_id").as("asset_id"),
+          length(col("resized")).as("n_chars_resized"),
+          md5(col("resized").cast("binary")).as("resized_md5"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "m03_resize_stride" ->
+      """SELECT doc_id AS asset_id,
+        |  length(regexp_replace(text, '(.).{0,1}', '\1', 'g')) AS n_chars_resized,
+        |  md5(regexp_replace(text, '(.).{0,1}', '\1', 'g')) AS resized_md5
+        |FROM documents""".stripMargin,
     "m01_asset_metadata" ->
       """SELECT doc_id AS asset_id, strlen(text) AS n_bytes,
         |  md5(text) AS payload_md5

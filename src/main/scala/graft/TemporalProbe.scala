@@ -42,8 +42,8 @@ object TemporalProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val ev = syntheticEvents(spark, n, users)
-    ev.count() // materialize path warm; generation excluded from timings
+    val ev = syntheticEvents(spark, n, users).cache()
+    ev.count() // materialize the cache — generation excluded from timings
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
     val errors = ev.filter(col("event_type") === "error")

@@ -29,7 +29,11 @@ object Sketches {
     val frac = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
       16, 10).cast("long").cast("double") / math.pow(2, 60)
     val w = Window.partitionBy(gs: _*).orderBy(col("__f").asc)
-    df.select(gs :+ col(valueCol): _*).distinct()
+    // countDistinct semantics: NULL is not a value — and unfiltered it
+    // would hash to a NULL fraction that sorts FIRST (Spark nulls-first),
+    // stealing a sketch slot
+    df.filter(col(valueCol).isNotNull)
+      .select(gs :+ col(valueCol): _*).distinct()
       .withColumn("__f", frac)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

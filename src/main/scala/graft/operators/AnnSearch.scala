@@ -133,13 +133,16 @@ object AnnSearch {
         .select(col("src"), col("dst"))
       val (iters, levelEf) =
         if (level > 0) (1, math.max(efUpper, k)) else (itersPerLevel, ef)
-      // All expansions of one level run inside a single plan: the frontier
-      // below them is a checkpointed leaf, so the ×2 subtree duplication
-      // from (join ∪ union) re-reads cached blocks, not recomputed lineage.
-      // One materialization per LEVEL (not per hop) halves the sequential
-      // job count — the walk on a small index is scheduler-bound.
+      // Expansions of one level run inside a single plan where possible:
+      // the frontier below them is a checkpointed leaf, so the ×2 subtree
+      // duplication from (join ∪ union) re-reads cached blocks, not
+      // recomputed lineage. Fewer materializations = fewer sequential jobs
+      // (the walk on a small index is scheduler-bound) — but the ×2 per
+      // hop COMPOUNDS, so re-checkpoint every 2 hops to keep the logical
+      // plan linear in itersPerLevel instead of 2^iters.
       var cur = frontier
-      for (_ <- 1 to iters) {
+      for (it <- 1 to iters) {
+        if (it > 1 && it % 2 == 1) cur = cur.localCheckpoint()
         val expanded = cur
           .join(e, cur("id") === e("src"))
           .select(col("query_id"), col("query_vec"), col("dst").as("id"))

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 /** Backward as-of join — for each left row, the single latest right row with
   * `right.time <= left.time` in the same key group ("latest observation
@@ -35,16 +34,23 @@ object AsOfJoin {
       timeCol: String, tieCol: String, rightValCols: Seq[String],
       asofPrefix: String = "asof_"): DataFrame = {
     val keyCols = keys.map(col)
-    val lPayload = StructType(left.schema.fields)
-    val rPayload = StructType(
-      right.select(rightValCols.map(col): _*).schema.fields)
+    val lPayload = left.schema
+    // SQL comparison semantics: a right row with a NULL time or NULL key
+    // precedes nothing (`r.ts <= l.ts` is NULL) — drop it, or Spark's
+    // nulls-first sort would carry it onto every left row. Left rows are
+    // NEVER filtered (as-of preserves the left side; null-key left rows
+    // just find no match once null-key right rows are gone).
+    val rightClean = (timeCol +: keys).foldLeft(right) { (df, c) =>
+      df.filter(col(c).isNotNull)
+    }
+    val rPayload = rightClean.select(rightValCols.map(col): _*).schema
     val l = left.select(keyCols ++ Seq(
       col(timeCol).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(right.schema(tieCol).dataType).as("__tie"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
       lit(null).cast(rPayload).as("__r")): _*)
-    val r = right.select(keyCols ++ Seq(
+    val r = rightClean.select(keyCols ++ Seq(
       col(timeCol).as("__t"),
       lit(0).as("__side"),
       col(tieCol).as("__tie"),

@@ -83,7 +83,11 @@ object Multimodal {
   def resizeStride(payloadText: org.apache.spark.sql.Column,
       stride: Int): org.apache.spark.sql.Column = {
     require(stride >= 2, s"stride $stride")
-    regexp_replace(payloadText, s"(.).{0,${stride - 1}}", "$1")
+    // [\s\S] instead of `.`: Java regex excludes \r\n
+    // from `.` while RE2 engines exclude only \n — the explicit class
+    // decimates identically everywhere, payload content notwithstanding
+    regexp_replace(payloadText,
+      s"([\\s\\S])[\\s\\S]{0,${stride - 1}}", "$1")
   }
 
   /** Video frame sampling stub: treat the payload as fixed-size frames and

@@ -32,15 +32,16 @@ object AnnQueries {
   }
 
   /** Anchor hyperplanes for a01: the `nBands × bits` lowest-vec_id
-    * embeddings, banded in id order — tiny driver-side collect, and the
-    * DuckDB oracle re-derives the same planes from the parquet. */
-  private def anchorPlanes(emb: DataFrame, nBands: Int, bits: Int)
+    * embeddings, banded by vec_id VALUE (`vec_id / bits` — exactly the
+    * oracle's `aid // bits`, so a gap in the id range changes both sides
+    * identically, not just the Spark one). Tiny driver-side collect. */
+  def anchorPlanes(emb: DataFrame, nBands: Int, bits: Int)
       : Seq[Seq[Array[Float]]] = {
     val rows = emb.filter(col("vec_id") < nBands * bits)
-      .orderBy(col("vec_id").asc)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    rows.grouped(bits).toSeq.map(_.toSeq)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    rows.groupBy(_._1 / bits).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._1).map(_._2).toSeq)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

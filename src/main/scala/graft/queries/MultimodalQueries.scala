@@ -44,8 +44,8 @@ object MultimodalQueries {
   val oracleSql: Map[String, String] = Map(
     "m03_resize_stride" ->
       """SELECT doc_id AS asset_id,
-        |  length(regexp_replace(text, '(.).{0,1}', '\1', 'g')) AS n_chars_resized,
-        |  md5(regexp_replace(text, '(.).{0,1}', '\1', 'g')) AS resized_md5
+        |  length(regexp_replace(text, '([\s\S])[\s\S]{0,1}', '\1', 'g')) AS n_chars_resized,
+        |  md5(regexp_replace(text, '([\s\S])[\s\S]{0,1}', '\1', 'g')) AS resized_md5
         |FROM documents""".stripMargin,
     "m01_asset_metadata" ->
       """SELECT doc_id AS asset_id, strlen(text) AS n_bytes,

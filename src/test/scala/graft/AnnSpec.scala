@@ -35,10 +35,8 @@ class AnnSpec extends SparkSpec {
 
   test("anchored LSH search: sane recall, and ⊆ exact-candidate semantics") {
     // data-derived anchor planes (lowest-id vectors, 4 bands × 3 bits) —
-    // the oracle-checkable a01 path
-    val anchors = emb.filter(col("vec_id") < 12).orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray).grouped(3).toSeq.map(_.toSeq)
+    // the exact derivation a01 runs (shared helper, not a re-implementation)
+    val anchors = graft.queries.AnnQueries.anchorPlanes(emb, nBands = 4, bits = 3)
     val got = AnnSearch.searchLshAnchored(
       nodesDf, queriesDf, 10, minSim = -2.0, anchors)
     val r = recallAt(10, got)

@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.Sketches
+
+/** KMV distinct-sketch semantics beyond the q28 oracle path. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("small groups report exact counts; NULL is not a value") {
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(2L)), ("a", Some(2L)), ("a", None),
+      ("b", Some(7L)), ("b", None)
+    ).toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .select("g", "est_distinct", "n_kept")
+      .as[(String, Double, Int)].collect().sortBy(_._1)
+    // below-k groups: estimate = exact distinct count, nulls excluded
+    // (countDistinct semantics)
+    assert(got.toSeq === Seq(("a", 2.0, 2), ("b", 1.0, 1)))
+  }
+
+  test("estimate is within 25% of exact on a 10k-distinct group at k=256") {
+    val df = spark.range(10000).selectExpr("'g' AS g", "id AS v")
+    val est = Sketches.kmvDistinct(df, Seq("g"), "v", k = 256)
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - 10000) / 10000 < 0.25, s"est=$est")
+  }
+}

@@ -31,6 +31,19 @@ class TemporalJoinSpec extends SparkSpec {
       3L -> None, 4L -> None))
   }
 
+  test("asof backward: NULL-time right rows precede nothing (SQL comparison semantics)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:00:05")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, Option.empty[Timestamp], 1.0), // undated → never carried
+      (102L, 10L, Some(ts("2024-01-01 00:00:01")), 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.backward(left, right, Seq("user_id"), "ts",
+        "event_id", Seq("event_id"), "r_")
+      .select("r_event_id").as[Option[Long]].head()
+    assert(got === Some(102L))
+  }
+
   test("asof backward: equal-time right rows resolve by tie column (max wins)") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:01:00")))
       .toDF("event_id", "user_id", "ts")

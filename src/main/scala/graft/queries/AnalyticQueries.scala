@@ -120,6 +120,34 @@ object AnalyticQueries {
           col("value")), 6).as("delta_prev"),
         first(col("event_type")).over(run).as("first_type"))
     }),
+    // Wide→long unpivot (melt) + re-aggregation per measure — the schema
+    // normalization step feature pipelines run before per-feature stats.
+    "q31_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    // Semi-structured VARIANT ingestion (Spark 4): parse once into the
+    // binary variant encoding, then typed path extraction — the
+    // shred-on-read pattern for heterogeneous JSON event payloads
+    // (vs q21's per-access string parsing with get_json_object).
+    "q32_variant_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(col("k")).as("n_k"))
+    }),
+
     // Bucketed-table co-located join: both fact tables written bucketed +
     // sorted on the join key, so the SortMergeJoin needs NO exchange and
     // NO sort on either side (BucketedJoinSpec pins the plan). At 100 TB
@@ -159,6 +187,23 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q32_variant_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+        |  count(CAST(props->>'$.k' AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q31_unpivot" ->
+      """WITH long AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |  sum(val::DECIMAL(18,2))::DOUBLE AS total
+        |FROM long GROUP BY l_returnflag, measure""".stripMargin,
     "q30_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
         |  sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue

@@ -176,8 +176,16 @@ object IndexBuild {
     * self-describing, partitioned, and metric-preserving). */
   def save(nodes: DataFrame, edges: DataFrame, params: IndexParams,
       path: String): Unit = {
-    nodes.write.mode("overwrite").parquet(s"$path/nodes")
-    edges.write.mode("overwrite").partitionBy("level").parquet(s"$path/edges")
+    // Range-cluster before writing: nodes sorted by id give parquet
+    // min/max pruning for point lookups; edges range-partitioned on
+    // (level, src) land level-aligned — small upper levels get one file
+    // instead of one per write task, big levels split by volume (AQE
+    // sizes the ranges). Cuts file count ~4× at small scale and keeps
+    // file sizes balanced at large scale.
+    nodes.repartitionByRange(col("id"))
+      .write.mode("overwrite").parquet(s"$path/nodes")
+    edges.repartitionByRange(col("level"), col("src"))
+      .write.mode("overwrite").partitionBy("level").parquet(s"$path/edges")
     val meta =
       s"""{"m":${params.m},"efConstruction":${params.efConstruction},
          |"metric":"${params.metric}","dim":${params.dim},

@@ -91,17 +91,14 @@ object AnnSearch {
 
   /** Graph-traversal ANN over the built (nodes, edges) index.
     *
-    * Starts from the top-layer membership (the entry-point set) and runs
-    * `itersPerLevel` frontier expansions on each level from `levelMax` down
-    * to 0, keeping the best `ef` candidates per query between steps.
-    * Tombstoned nodes stay routable but are filtered from final results —
-    * the reference's traversal semantics (`hnsw.ts:292,392`; SURVEY §7.5).
-    */
-  /** `efUpper` bounds the frontier on levels > 0 — the reference descends
-    * upper layers with a width-1 greedy walk and spends the full ef only on
-    * the bottom layer (`hnsw.ts:99-110` vs `hnsw.ts:112-140`); upper levels
-    * here get ONE expansion at `efUpper` (routing), level 0 gets
-    * `itersPerLevel` at `ef` (the actual search). */
+    * Starts from the top-layer membership (the entry-point set) and walks
+    * down: each level > 0 gets ONE frontier expansion bounded by
+    * `max(efUpper, k)` (routing — the reference descends upper layers with
+    * a width-1 greedy walk, `hnsw.ts:99-110`), and level 0 gets
+    * `itersPerLevel` expansions keeping the best `ef` candidates per query
+    * (the actual search, `hnsw.ts:112-140`). Tombstoned nodes stay
+    * routable but are filtered from final results — the reference's
+    * traversal semantics (`hnsw.ts:292,392`; SURVEY §7.5). */
   def searchGraph(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int, minSim: Double, params: IndexParams,
       ef: Int = 32, itersPerLevel: Int = 2, efUpper: Int = 8): DataFrame = {

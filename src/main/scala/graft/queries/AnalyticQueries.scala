@@ -149,23 +149,22 @@ object AnalyticQueries {
     }),
 
     // Bucketed-table co-located join: both fact tables written bucketed +
-    // sorted on the join key, so the SortMergeJoin needs NO exchange and
-    // NO sort on either side (BucketedJoinSpec pins the plan). At 100 TB
-    // this is the difference between re-shuffling every join and paying
-    // the shuffle once at write time.
+    // sorted on the join key, so the SortMergeJoin needs NO exchange on
+    // either side (BucketedJoinSpec pins the plan). At 100 TB this is the
+    // difference between re-shuffling every join and paying the shuffle
+    // once at write time. The join-time Sort stays: Spark 3+ deliberately
+    // ignores write-time sortBy order at read (multi-file buckets would
+    // make an elided sort silently wrong — SPARK-28595), and sorting
+    // already-sorted runs is cheap; we keep the safe upstream default
+    // rather than flipping the legacy session-wide conf.
     "q30_bucketed_join" -> ((s, d) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed"
-      // report the write-time sortBy order from the scan (elides the
-      // join-time Sort; sound here because each bucket is ONE file — see
-      // repartition below). Session-wide but only bucketed-table scans
-      // read it, and only this query creates them.
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       s.sql("DROP TABLE IF EXISTS graft_orders_b")
       s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
       // repartition on the bucket key first → exactly ONE file per bucket
       // (task i holds precisely bucket i's rows — HashPartitioning and the
-      // bucket spec share the same murmur3 pmod); Spark elides the
-      // join-time Sort only for single-file buckets
+      // bucket spec share the same murmur3 pmod): minimal file count and
+      // each file internally sorted for min/max pruning
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
         .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").option("path", s"$base/orders")

@@ -41,20 +41,22 @@ object StreamingDedup {
 
     override def handleInputRows(key: String, rows: Iterator[DedupIn],
         timerValues: TimerValues): Iterator[DedupOut] = {
-      val batch = rows.toSeq
-      if (batch.isEmpty) Iterator.empty
+      // one pass over the iterator, O(1) memory — a hot key's micro-batch
+      // is never materialized on the heap (that would defeat the RocksDB
+      // spill-to-disk argument for state v2)
+      var n = 0L
+      var minId = Long.MaxValue
+      rows.foreach { r => n += 1; if (r.doc_id < minId) minId = r.doc_id }
+      if (n == 0L) Iterator.empty
       else if (seen.exists()) {
         // key already emitted in an earlier batch: suppress all, bump count
-        val dropped = seen.get() + batch.size
+        val dropped = seen.get() + n
         seen.update(dropped)
-        Iterator(DedupOut(batch.minBy(_.doc_id).doc_id, key, dropped,
-          first_seen = false))
+        Iterator(DedupOut(minId, key, dropped, first_seen = false))
       } else {
         // first encounter: emit the lowest-id representative, count the rest
-        val rep = batch.minBy(_.doc_id)
-        seen.update(batch.size - 1L)
-        Iterator(DedupOut(rep.doc_id, key, batch.size - 1L,
-          first_seen = true))
+        seen.update(n - 1L)
+        Iterator(DedupOut(minId, key, n - 1L, first_seen = true))
       }
     }
   }
@@ -62,8 +64,12 @@ object StreamingDedup {
   def dedup(in: Dataset[DedupIn], ttl: TTLConfig = TTLConfig.NONE)(
       implicit spark: SparkSession): Dataset[DedupOut] = {
     import spark.implicits._
+    // a TTL needs a clock: Spark rejects any non-NONE TTLConfig under
+    // TimeMode.None (StatefulProcessorCannotAssignTTLInTimeMode)
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     in.groupByKey(_.content_hash)
-      .transformWithState(new DedupProcessor(ttl), TimeMode.None(),
+      .transformWithState(new DedupProcessor(ttl), timeMode,
         OutputMode.Append())
   }
 }

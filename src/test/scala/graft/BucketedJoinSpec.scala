@@ -2,13 +2,16 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** The q30 bucketed-join plan contract: when both sides are bucketed AND
-  * sorted on the join key with equal bucket counts, the SortMergeJoin runs
-  * with no exchange and no sort on either input — the write-time shuffle
-  * replaces every join-time shuffle. */
+/** The q30 bucketed-join plan contract: when both sides are bucketed on
+  * the join key with equal bucket counts, the SortMergeJoin runs with no
+  * exchange on either input — the write-time shuffle replaces every
+  * join-time shuffle. (The join-time Sort intentionally remains: Spark 3+
+  * ignores write-time sortBy order at read — SPARK-28595 — because an
+  * elided sort over multi-file buckets is silently wrong; sorting
+  * already-sorted runs is cheap.) */
 class BucketedJoinSpec extends SparkSpec {
 
-  test("bucketed+sorted tables join without exchange or sort below the SMJ") {
+  test("bucketed tables join without exchange below the SMJ") {
     val df = SparkEntry.queries("q30_bucketed_join")(spark, sf001)
     df.collect() // finalize AQE
     val plan = df.queryExecution.executedPlan.toString
@@ -20,9 +23,5 @@ class BucketedJoinSpec extends SparkSpec {
       s"join-side shuffle present:\n$plan")
     // bucketed scan engaged on both sides
     assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
-    // sortBy at write time removes the join-time Sort: no Sort node keyed
-    // on the join keys
-    assert(!plan.contains("Sort [l_orderkey") && !plan.contains("Sort [o_orderkey"),
-      s"join-side sort present:\n$plan")
   }
 }

@@ -43,4 +43,34 @@ class StreamingDedupSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("a non-NONE TTL starts and dedups (ProcessingTime time mode)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[DedupIn]
+      stream.addData(DedupIn(1L, "h1"), DedupIn(2L, "h1"))
+      // regression: TTL + TimeMode.None threw at query start; dedup() must
+      // switch to ProcessingTime when a TTL is configured. AvailableNow
+      // (not processAllAvailable) because processing-time semantics keep
+      // the engine triggering batches — the query must terminate itself.
+      val q = StreamingDedup.dedup(stream.toDS(),
+          TTLConfig(java.time.Duration.ofHours(1)))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_ttl_out").start()
+      try {
+        // poll, don't await: processing-time semantics keep the engine
+        // triggering batches, so neither processAllAvailable nor
+        // AvailableNow termination ever settles (NOTES gotcha)
+        val deadline = System.nanoTime() + 120e9.toLong
+        def rows() = spark.table("dedup_ttl_out").as[DedupOut].collect()
+        while (rows().isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        assert(rows().toSeq === Seq(DedupOut(1L, "h1", 1L, first_seen = true)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

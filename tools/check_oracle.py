@@ -27,6 +27,18 @@ def canon(rows):
     return out
 
 
+def norm_type(t):
+    # Normalize to the driver's observed hash-equivalence classes
+    # (round 1: INT-vs-BIGINT and DOUBLE-vs-DECIMAL skews passed its
+    # compare; HUGEINT, i.e. uncast DuckDB integer sum(), failed).
+    t = str(t)
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int64"
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"
+    return t
+
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -49,17 +61,6 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
-        def norm_type(t):
-            # Normalize to the driver's observed hash-equivalence classes
-            # (round 1: INT-vs-BIGINT and DOUBLE-vs-DECIMAL skews passed its
-            # compare; HUGEINT, i.e. uncast DuckDB integer sum(), failed).
-            t = str(t)
-            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
-                return "int64"
-            if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
-                return "float"
-            return t
-
         got_types = dict(zip(got_rel.columns,
                              (norm_type(t) for t in got_rel.types)))
         exp_types = dict(zip(exp_rel.columns,

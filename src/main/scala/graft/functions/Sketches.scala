@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Per-group KMV distinct-count estimate of `valueCol`.
-    * Output: groupCols + (est_distinct double, n_kept int). Groups with
-    * fewer than k distinct values report their exact count (est = n). */
-  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+  /** The raw sketch: per group, the (sorted) k smallest hash fractions of
+    * the distinct values — the mergeable state. Output: groupCols +
+    * `kmv: array<double>`. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame = {
     val gs = groupCols.map(col)
     val frac = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
@@ -38,12 +38,35 @@ object Sketches {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(gs: _*)
-      .agg(count(lit(1)).cast("int").as("n_kept"),
-        max(col("__f")).as("__kth"))
-      .select(gs ++ Seq(
-        round(when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(lit(k - 1).cast("double") / col("__kth")), 3)
-          .as("est_distinct"),
-        col("n_kept")): _*)
+      .agg(array_sort(collect_list(col("__f"))).as("kmv"))
   }
+
+  /** Merge sketches of the same group (e.g. from different data slices):
+    * union the value sets, re-take the k minima — associative and
+    * commutative, so partial sketches combine like any semigroup. */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val gs = groupCols.map(col)
+    sketches.groupBy(gs: _*)
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("kmv"))))), 1, k).as("kmv"))
+  }
+
+  /** Estimate from a sketch: (k−1)/kth_min, or the exact kept count for
+    * below-k groups. Output: groupCols + (est_distinct, n_kept). */
+  def kmvEstimate(sketches: DataFrame, k: Int): DataFrame =
+    sketches
+      .withColumn("n_kept", size(col("kmv")))
+      .select(sketches.columns.filter(_ != "kmv").map(col).toIndexedSeq ++ Seq(
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(k - 1).cast("double") /
+            element_at(col("kmv"), k)), 3).as("est_distinct"),
+        col("n_kept").cast("int").as("n_kept")): _*)
+
+  /** Per-group KMV distinct-count estimate of `valueCol`.
+    * Output: groupCols + (est_distinct double, n_kept int). Groups with
+    * fewer than k distinct values report their exact count (est = n). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame =
+    kmvEstimate(kmvSketch(df, groupCols, valueCol, k), k)
 }

@@ -120,6 +120,24 @@ object AnalyticQueries {
           col("value")), 6).as("delta_prev"),
         first(col("event_type")).over(run).as("first_type"))
     }),
+    // Explicit GROUPING SETS (the general form behind q10's rollup and
+    // q13's cube): chosen aggregation lattice points in ONE pass, with
+    // grouping_id disambiguating the null-vs-total encoding.
+    "q33_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+                 AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+      """)
+    }),
+
     // Wide→long unpivot (melt) + re-aggregation per measure — the schema
     // normalization step feature pipelines run before per-feature stats.
     "q31_unpivot" -> ((s, d) => {
@@ -186,6 +204,14 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q33_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
     "q32_variant_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -19,6 +19,21 @@ class SketchesSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 2.0, 2), ("b", 1.0, 1)))
   }
 
+  test("merging slice sketches equals sketching the whole (semigroup law)") {
+    val whole = spark.range(20000).selectExpr("'g' AS g", "id AS v")
+    val sliceA = whole.filter($"v" % 2 === 0)
+    val sliceB = whole.filter($"v" % 2 === 1)
+    val k = 128
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(sliceA, Seq("g"), "v", k)
+        .unionByName(Sketches.kmvSketch(sliceB, Seq("g"), "v", k)),
+      Seq("g"), k)
+    val direct = Sketches.kmvSketch(whole, Seq("g"), "v", k)
+    val m = merged.select("kmv").as[Seq[Double]].head()
+    val d = direct.select("kmv").as[Seq[Double]].head()
+    assert(m === d) // exactly: same k minima, whichever slice they came from
+  }
+
   test("estimate is within 25% of exact on a 10k-distinct group at k=256") {
     val df = spark.range(10000).selectExpr("'g' AS g", "id AS v")
     val est = Sketches.kmvDistinct(df, Seq("g"), "v", k = 256)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Sketches
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, BloomPrune, RangeJoin}
 
 /** Temporal-join + statistical-aggregate coverage (beyond the reference's
   * surface — SURVEY §2 Table B "joins"/"aggregations" rows at pipeline
@@ -201,9 +201,32 @@ object AnalyticQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
     }),
+
+    // Bloom-pruned selective join: lineitem rows pass a bloom filter of the
+    // urgent orders' keys before the join shuffle. Oracle = the PLAIN join:
+    // the prune must be result-invariant (no false negatives; the join
+    // removes false positives), so a hash mismatch here means the
+    // optimization broke semantics.
+    "q34_bloom_prune_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      BloomPrune.prunedEquiJoin(li, dim, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q34_bloom_prune_join" ->
+      """SELECT o.o_orderstatus, count(*) AS n_items,
+        |  sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderstatus""".stripMargin,
     "q33_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,

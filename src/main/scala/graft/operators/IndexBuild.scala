@@ -171,6 +171,104 @@ object IndexBuild {
     (live.select(col("id"), col("vector"), col("level"), col("deleted")), edges)
   }
 
+  /** Incremental index maintenance: fold a delta of upserts/tombstones into
+    * an existing (nodes, edges) index WITHOUT rebuilding the untouched
+    * graph — the batch analog of the reference's per-point insert/update
+    * (`hnsw.ts:82-147`, `hnsw.ts:497-517`), which tombstones the old row,
+    * re-inserts, and re-wires only the touched neighborhoods. The reference
+    * leaves stale in-edges behind on update (SURVEY §7.5); this drops them.
+    *
+    * Dataflow, all proportional to |Δ| (the index-sized inputs are touched
+    * by exactly one narrow scan each):
+    *  1. latest-wins upsert of the node table ([[Mutations.upsert]]);
+    *     delta levels come from [[levelOf]] — pure in id, so a merged
+    *     node's level equals what a full rebuild would assign;
+    *  2. candidates: live-node bucket membership (one scan) equi-joined
+    *     with the BROADCAST delta membership on (layer, band-bucket) —
+    *     no index-side shuffle;
+    *  3. delta out-edges = top-M per (layer, delta id); reverse edges
+    *     appended to the touched neighbors, whose adjacency alone is
+    *     re-shrunk to M (`shrinkConnectionsIfNeeded`, `hnsw.ts:465-489`);
+    *  4. edges touching a replaced/deleted id are dropped; everything else
+    *     passes through untouched (an anti-join against the broadcast
+    *     delta id set — a filter, not a shuffle).
+    *
+    * At 100 TB this is the difference between an O(index) rebuild per
+    * ingest batch (the reference's full-snapshot-per-mutation cliff,
+    * `astrovault.ts:34-40`) and O(|Δ| × bucket occupancy) work.
+    * Hot-bucket note: a delta node scores against every member of its
+    * buckets (no ring-chunking on the merge path) — merge cost is bounded
+    * by |Δ| × hottest-bucket size; periodic full [[build]] (compaction)
+    * restores the chunk-capped layout.
+    *
+    * `delta`: (id, vector[, deleted]). Returns the merged (nodes, edges). */
+  def merge(nodes: DataFrame, edges: DataFrame, delta: DataFrame,
+      params: IndexParams): (DataFrame, DataFrame) = {
+    val scoreFn: (Column, Column) => Column = params.metric match {
+      case "euclidean" => VectorFunctions.euclideanSim
+      case _ => VectorFunctions.cosineSim
+    }
+    val deltaN = {
+      val d = if (delta.columns.contains("deleted")) delta
+              else delta.withColumn("deleted", lit(false))
+      d.withColumn("level", levelOf(col("id"), params.levelMax))
+        .select(col("id"), col("vector"), col("level"), col("deleted"))
+    }
+    val mergedNodes = Mutations.upsert(nodes, deltaN)
+    val deltaIds = deltaN.select(col("id")).distinct()
+    val live = mergedNodes.filter(!col("deleted"))
+
+    def membership(df: DataFrame): DataFrame = df
+      .withColumn("layer", explode(sequence(lit(0), col("level"))))
+      .withColumn("b", explode(bucketKeys(col("vector"), params)))
+      .select(col("layer"), col("b"), col("id"), col("vector"))
+
+    // candidate pairs: live members of the delta nodes' buckets. The delta
+    // side (small by contract) broadcasts, so the index side never shuffles.
+    val liveM = membership(live)
+    val deltaM = membership(live.join(broadcast(deltaIds), Seq("id")))
+      .select(col("layer"), col("b"), col("id").as("src"),
+        col("vector").as("src_vec"))
+    val scored = liveM
+      .select(col("layer"), col("b"), col("id").as("dst"),
+        col("vector").as("dst_vec"))
+      .join(broadcast(deltaM), Seq("layer", "b"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("score", scoreFn(col("src_vec"), col("dst_vec")))
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("score")).as("score"))
+    val w = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("score").desc, col("dst").asc)
+    val outE = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= params.m).drop("rn")
+    val inE = outE.select(col("layer"), col("dst").as("src"),
+      col("src").as("dst"), col("score"))
+    val touched = outE.select(col("dst").as("id")).distinct()
+
+    // stale edges out; adjacency of untouched nodes passes through verbatim
+    val aSrc = deltaIds.select(col("id").as("src"))
+    val aDst = deltaIds.select(col("id").as("dst"))
+    val cleanE = edges
+      .join(broadcast(aSrc), Seq("src"), "left_anti")
+      .join(broadcast(aDst), Seq("dst"), "left_anti")
+      .select(col("level").as("layer"), col("src"), col("dst"), col("score"))
+    val tSrc = touched.select(col("id").as("src"))
+    val touchedOld = cleanE.join(broadcast(tSrc), Seq("src"), "left_semi")
+    val untouched = cleanE.join(broadcast(tSrc), Seq("src"), "left_anti")
+    // one unified re-shrink for every rewired source (delta ids AND touched
+    // neighbors — the sets can overlap when two delta nodes pick each
+    // other): directed ∪ reversed ∪ surviving-old, dedup, top-M. Exactly
+    // the full build's bidirectional-union-then-shrink on the small set.
+    val reWired = outE.unionByName(inE).unionByName(touchedOld)
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("score")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= params.m).drop("rn")
+    val mergedEdges = untouched.unionByName(reWired)
+      .select(col("layer").as("level"), col("src"), col("dst"), col("score"))
+    (mergedNodes, mergedEdges)
+  }
+
   /** Persist nodes + edges as parquet plus a metadata sidecar (replaces the
     * single-JSON-blob snapshot, `hnsw.ts:781-810` / `astrovault.ts:34-40` —
     * self-describing, partitioned, and metric-preserving). */

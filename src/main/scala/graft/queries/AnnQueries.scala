@@ -93,6 +93,23 @@ object AnnQueries {
         .select(col("cell"), col("pos"), round(col("m"), 6).as("m_r"))
     }),
 
+    // Incremental merge: fold a deterministic delta (every 40th vector,
+    // negated — i.e. moved to the antipode) into the saved index WITHOUT
+    // rebuilding, then report the per-level graph shape. Rows-only like
+    // a02 (merge wiring depends on engine-internal hash order);
+    // IndexMergeSpec pins invariants + recall-vs-rebuild.
+    "a06_index_merge_stats" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val (nodes, edges) = indexFor(s, d)
+      val delta = VectorQueries.asVectorTable(Tables.embeddings(s, d))
+        .filter(col("id") % 40 === 1)
+        .withColumn("vector", transform(col("vector"), x => -x))
+      val (_, me) = IndexBuild.merge(nodes, edges, delta, params)
+      me.groupBy(col("level"))
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("src")).as("n_nodes"))
+    }),
+
     // Graph-traversal ANN search over the saved index, reporting per-query
     // recall vs the exact top-k.
     "a03_ann_graph_recall" -> ((s, d) => {

@@ -112,6 +112,59 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
   }
 
+  /** Deletion-neighborhood near-EXACT dup pairs — the linear-time
+    * high-threshold alternative to MinHash-LSH: instead of probabilistic
+    * banding, each document emits |set|+1 keys (the hash of its full sorted
+    * token-hash list, plus one variant per single deletion). Two documents
+    * share a key iff their token sets differ by at most one element each
+    * (symmetric difference ≤ 2), which IMPLIES Jaccard ≥ (m−1)/(m+1) for
+    * min set size m — so candidate generation is exact for that band, with
+    * zero false-negative risk and no tuning, at O(Σ|set|) emitted keys.
+    *
+    * Pipeline mirrors [[minhashNearDupPairs]]: (1) collapse identical sets
+    * to their min-id representative (removes the J=1 mass — without this,
+    * a g-clone group costs C(g,2) pairs); (2) deletion-key equi-join for
+    * candidates; (3) exact Jaccard verify. Returns (a_id, b_id, jacc),
+    * a_id < b_id, over representatives.
+    *
+    * Scale: keys are md5s (uniform shuffle, no skew); per-doc key
+    * construction is O(|set|²) characters — bounded by the token-set size,
+    * not corpus size. The candidate join is linear in true near-dup mass. */
+  def deletionNeighborhoodPairs(docs: DataFrame, minJaccard: Double = 0.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashes = docs
+      .select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("t"))
+      .select(col("id"), md5(col("t")).as("hh"))
+    val sk0 = hashes.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("hh"))).as("sketch"))
+    val reps = sk0
+      .groupBy(md5(concat_ws("|", col("sketch"))).as("fp"))
+      .agg(min(col("id")).as("id"), first(col("sketch")).as("sketch"))
+    val keys = reps.select(col("id"), explode(concat(
+        array(md5(concat_ws("|", col("sketch")))),
+        transform(sequence(lit(1), size(col("sketch"))), i =>
+          md5(concat_ws("|", concat(
+            slice(col("sketch"), lit(1), i - lit(1)),
+            slice(col("sketch"), i + lit(1),
+              size(col("sketch")) - i))))))).as("k"))
+    val cand = keys.select(col("k"), col("id").as("a_id"))
+      .join(keys.select(col("k"), col("id").as("b_id")), Seq("k"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sets = docs.select(col(idCol).as("id"),
+      transform(tokenSet(col(textCol)), t => xxhash64(t)).as("codes"))
+    cand
+      .join(sets.select(col("id").as("a_id"), col("codes").as("a_codes"),
+        size(col("codes")).as("a_n")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("codes").as("b_codes"),
+        size(col("codes")).as("b_n")), Seq("b_id"))
+      .withColumn("c", size(array_intersect(col("a_codes"), col("b_codes"))))
+      .withColumn("jacc", col("c").cast("double") /
+        (col("a_n") + col("b_n") - col("c")))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
+  }
+
   /** Word n-gram shingle set (n consecutive tokens joined by one space).
     * Docs shorter than n tokens yield an empty set (guarded: Spark's
     * `sequence(0, negative)` would count DOWN, not produce empty). */

@@ -68,6 +68,16 @@ object TextQueries {
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Deletion-neighborhood near-EXACT dup pairs: |set|+1 deterministic
+    // keys per representative (full sorted token-hash list + every
+    // single-deletion variant) — exact candidate generation for symmetric
+    // difference ≤ 2 (⇒ Jaccard ≥ (m−1)/(m+1)), linear in corpus size.
+    // The complement to d03's probabilistic LSH at the top of the
+    // similarity band.
+    "d07_deletion_neardup" -> ((s, d) => {
+      TextDedup.deletionNeighborhoodPairs(Tables.documents(s, d))
+    }),
+
     // Language id heuristic + accuracy vs the labeled lang column.
     "t01_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
@@ -175,6 +185,36 @@ object TextQueries {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4""".stripMargin,
+    "d07_deletion_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS hh FROM tok),
+        |sk0 AS (SELECT doc_id, list(hh ORDER BY hh) AS sketch
+        |        FROM h GROUP BY doc_id),
+        |sk AS (SELECT min(doc_id) AS id, sketch
+        |       FROM sk0 GROUP BY md5(array_to_string(sketch, '|')), sketch),
+        |ski AS (SELECT id, sketch,
+        |    unnest(generate_series(1, len(sketch))) AS i FROM sk),
+        |keys AS (
+        |  SELECT id, md5(array_to_string(sketch, '|')) AS k FROM sk
+        |  UNION ALL
+        |  SELECT id, md5(array_to_string(
+        |      list_concat(list_slice(sketch, 1, i-1),
+        |                  list_slice(sketch, i+1, len(sketch))), '|')) AS k
+        |  FROM ski),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id),
+        |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+        |         FROM documents)
+        |SELECT c.a_id, c.b_id,
+        |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+        |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6)
+        |    AS jacc
+        |FROM cand c
+        |JOIN sets sa ON sa.doc_id = c.a_id
+        |JOIN sets sb ON sb.doc_id = c.b_id""".stripMargin,
     "t01_lang_id" ->
       """WITH pred AS (
         |  SELECT lang,

@@ -89,4 +89,30 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out(1L) === "en" && out(2L) === "unknown")
   }
+
+  test("deletion neighborhood: catches sym-diff ≤ 2, collapses exact dups") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),      // base
+      (2L, "a b c d e f g i"),      // one substitution (sym diff 2) → pair
+      (3L, "a b c d e f g"),        // one deletion (sym diff 1) → pair
+      (4L, "h g f e d c b a"),      // same SET as 1 → collapsed, no pair
+      (5L, "a b c x y z w v")       // far → no pair with base
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.deletionNeighborhoodPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"substitution pair missing: $pairs")
+    assert(pairs.contains((1L, 3L)), s"deletion pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "exact-set duplicate must collapse into its representative")
+    assert(!pairs.contains((1L, 5L)), "distant pair must not match")
+  }
+
+  test("deletion neighborhood: jaccard bound (m−1)/(m+1) holds for all pairs") {
+    val pairs = TextDedup.deletionNeighborhoodPairs(
+      Tables.documents(spark, sf001).limit(200))
+      .select("jacc").as[Double].collect()
+    // smallest doc sets in the fixture are ~20 distinct tokens → bound ~0.9;
+    // assert the conservative floor that the scheme itself guarantees
+    assert(pairs.forall(_ >= 0.5), s"low-similarity candidate leaked")
+  }
 }

@@ -73,4 +73,37 @@ class StreamingDedupSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("dropDuplicatesWithinWatermark: built-in bounded-state dedup") {
+    // the built-in complement to the custom transformWithState path:
+    // duplicates suppressed while within the watermark horizon, state
+    // evicted beyond it (exactly-once only within the horizon — the
+    // documented trade for bounded state at scale)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[Evt]
+    val dd = stream.toDF()
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_type")
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("ddww_out").start()
+    try {
+      def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+      stream.addData(Evt(t(1), "click", 1.0), Evt(t(2), "click", 2.0),
+        Evt(t(3), "view", 3.0))
+      q.processAllAvailable()
+      val n1 = spark.table("ddww_out").count()
+      assert(n1 === 2, s"in-horizon duplicate not suppressed: $n1 rows")
+      // jump far past the horizon: the click key re-admits
+      stream.addData(Evt(t(100), "click", 4.0))
+      q.processAllAvailable()
+      stream.addData(Evt(t(130), "click", 5.0))
+      q.processAllAvailable()
+      val types = spark.table("ddww_out")
+        .groupBy(col("event_type")).count()
+        .as[(String, Long)].collect().toMap
+      assert(types("click") >= 2,
+        s"key must re-admit after watermark eviction: $types")
+    } finally q.stop()
+  }
 }

@@ -189,20 +189,16 @@ object TextQueries {
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
         |  FROM documents),
-        |h AS (SELECT doc_id, md5(t) AS hh FROM tok),
-        |sk0 AS (SELECT doc_id, list(hh ORDER BY hh) AS sketch
-        |        FROM h GROUP BY doc_id),
-        |sk AS (SELECT min(doc_id) AS id, sketch
-        |       FROM sk0 GROUP BY md5(array_to_string(sketch, '|')), sketch),
-        |ski AS (SELECT id, sketch,
-        |    unnest(generate_series(1, len(sketch))) AS i FROM sk),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        |sk0 AS (SELECT doc_id, bit_xor(hv) AS fx,
+        |    list(hv ORDER BY hv) AS hvs FROM h GROUP BY doc_id),
+        |sk AS (SELECT min(doc_id) AS id, any_value(fx) AS fx, hvs
+        |       FROM sk0 GROUP BY md5(array_to_string(hvs, '|')), hvs),
         |keys AS (
-        |  SELECT id, md5(array_to_string(sketch, '|')) AS k FROM sk
+        |  SELECT id, fx AS k FROM sk
         |  UNION ALL
-        |  SELECT id, md5(array_to_string(
-        |      list_concat(list_slice(sketch, 1, i-1),
-        |                  list_slice(sketch, i+1, len(sketch))), '|')) AS k
-        |  FROM ski),
+        |  SELECT id, xor(fx, unnest(hvs)) AS k FROM sk),
         |cand AS (
         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
         |  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id),

@@ -121,6 +121,29 @@ class VectorStore private (
     IndexBuild.save(n, e, params, s"$path/index")
   }
 
+  /** Incremental index maintenance ([[IndexBuild.merge]]): apply `delta`
+    * (id, vector[, deleted]) to the table snapshot AND fold it into the
+    * saved ANN index without a full rebuild — O(|Δ|) instead of O(table)
+    * per ingest batch. The merged generation writes to a sibling directory
+    * and renames over the live one, so the lazy read plan of the old index
+    * never sees its own files being overwritten. */
+  def mergeIndex(delta: DataFrame): Unit = {
+    if (!graft.util.Fs.exists(spark, s"$path/index/meta.json"))
+      throw new IllegalStateException(
+        s"no ANN index at $path/index — call rebuild() first")
+    val d = validate(delta)
+    val dd = if (d.columns.contains("deleted")) d
+             else d.withColumn("deleted", lit(false))
+    persist(Mutations.upsert(nodes, dd))
+    val (n0, e0, p) = IndexBuild.load(spark, s"$path/index")
+    val (n1, e1) = IndexBuild.merge(n0, e0, dd, p)
+    IndexBuild.save(n1, e1, p, s"$path/index.next")
+    graft.util.Fs.deleteRecursive(spark, s"$path/index.old")
+    graft.util.Fs.rename(spark, s"$path/index", s"$path/index.old")
+    graft.util.Fs.rename(spark, s"$path/index.next", s"$path/index")
+    graft.util.Fs.deleteRecursive(spark, s"$path/index.old")
+  }
+
   /** ANN search against the last rebuilt index (LSH path). */
   def searchAnn(queries: DataFrame, k: Int, strengthSetting: Double = 50): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

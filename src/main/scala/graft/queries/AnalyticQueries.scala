@@ -202,6 +202,24 @@ object AnalyticQueries {
             .as("revenue"))
     }),
 
+    // Date/time function battery over event timestamps: field extraction,
+    // week truncation, interval arithmetic, epoch round-trips, day
+    // difference vs a fixed anchor — the calendar surface a time-series
+    // pipeline leans on (all evaluated identically by DuckDB).
+    "q35_datetime_funcs" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("h"),
+        date_trunc("week", col("ts")).cast("date").as("week_start"),
+        (col("ts") + expr("INTERVAL 90 minutes")).cast("long").as("ts_plus90m"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .as("days_since"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+    }),
+
     // Bloom-pruned selective join: lineitem rows pass a bloom filter of the
     // urgent orders' keys before the join shuffle. Oracle = the PLAIN join:
     // the prune must be result-invariant (no false negatives; the join
@@ -221,6 +239,18 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q35_datetime_funcs" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS y,
+        |  CAST(month(ts) AS INT) AS mo,
+        |  CAST(day(ts) AS INT) AS dom,
+        |  CAST(hour(ts) AS INT) AS h,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        |  epoch_us(ts + INTERVAL 90 MINUTE) // 1000000 AS ts_plus90m,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS INT) AS days_since,
+        |  epoch_us(ts) // 1000000 AS epoch_s
+        |FROM events""".stripMargin,
     "q34_bloom_prune_join" ->
       """SELECT o.o_orderstatus, count(*) AS n_items,
         |  sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue

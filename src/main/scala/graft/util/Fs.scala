@@ -48,4 +48,10 @@ object Fs {
   def deleteRecursive(spark: SparkSession, path: String): Unit = {
     fs(spark, path).delete(new Path(path), true); ()
   }
+
+  /** Directory rename (atomic on HDFS/local) — used to swap a freshly
+    * written index generation over the live one. */
+  def rename(spark: SparkSession, src: String, dst: String): Unit = {
+    fs(spark, src).rename(new Path(src), new Path(dst)); ()
+  }
 }

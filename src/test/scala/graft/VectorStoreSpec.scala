@@ -69,6 +69,30 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("mergeIndex folds a delta into the saved index without rebuild") {
+    val store = freshStore()
+    store.addBatch(Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("id", "vector"))
+    store.rebuild()
+    // new vector near (1,0) arrives; merge, don't rebuild
+    store.mergeIndex(Seq((9L, Seq(0.95f, 0.05f))).toDF("id", "vector"))
+    val hits = store.searchAnn(
+        Seq((0L, Seq(1f, 0f))).toDF("query_id", "query_vec"),
+        k = 3, strengthSetting = 50)
+      .select("id").as[Long].collect().toSet
+    assert(hits.contains(9L), s"merged vector not searchable: $hits")
+    // tombstone through the same path: 1 disappears from ANN results
+    store.mergeIndex(Seq((1L, Seq(1f, 0f), true))
+      .toDF("id", "vector", "deleted"))
+    val after = store.searchAnn(
+        Seq((0L, Seq(1f, 0f))).toDF("query_id", "query_vec"),
+        k = 3, strengthSetting = 50)
+      .select("id").as[Long].collect().toSet
+    assert(!after.contains(1L), s"tombstoned id still served: $after")
+    assert(after.contains(9L))
+    store.delete()
+  }
+
   test("reopen sees persisted state (createAstroDB load path)") {
     val store = freshStore()
     store.add(7L, Seq(0.5f, 0.5f))

@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => EuclideanDistanceExpr(es(0), es(1))),
     ("topk_ids", "topk_ids(id, score, k) - top-k ids by score per group",
       es => TopKIds(es(0), es(1), es(2)).toAggregateExpression()),
+    ("bloom_might_contain",
+      "bloom_might_contain(filter, key) - membership test against a " +
+        "serialized bloom filter (no false negatives)",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))),
   )
 
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -220,6 +220,26 @@ object AnalyticQueries {
         unix_timestamp(col("ts")).as("epoch_s"))
     }),
 
+    // Edit-distance similarity join (fuzzy matching): part names compared
+    // within (brand, size) blocks — never all-pairs — keeping pairs within
+    // levenshtein ≤ 15, summarized per brand. The string-similarity
+    // complement to the token-set dedup family (d03/d04/d07).
+    "q36_fuzzy_name_join" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_size", "p_name")
+      val a = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 15)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("dist")).as("min_d"), max(col("dist")).as("max_d"))
+    }),
+
     // Bloom-pruned selective join: lineitem rows pass a bloom filter of the
     // urgent orders' keys before the join shuffle. Oracle = the PLAIN join:
     // the prune must be result-invariant (no false negatives; the join
@@ -239,6 +259,16 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q36_fuzzy_name_join" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
+        |SELECT a.p_brand, count(*) AS n_pairs,
+        |  CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_d,
+        |  CAST(max(levenshtein(a.p_name, b.p_name)) AS INT) AS max_d
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 15
+        |GROUP BY a.p_brand""".stripMargin,
     "q35_datetime_funcs" ->
       """SELECT event_id,
         |  CAST(year(ts) AS INT) AS y,

@@ -44,9 +44,8 @@ object MergeProbe {
       val n0 = r._1.localCheckpoint(); val e0 = r._2.localCheckpoint()
       e0.count(); (n0, e0)
     }
-    val (mergedEdges, tMerge) = timed {
-      val (_, me) = IndexBuild.merge(bn, be, delta, params)
-      me.count(); me
+    val (nMergedEdges, tMerge) = timed {
+      IndexBuild.merge(bn, be, delta, params)._2.count()
     }
     val (_, tRebuild) = timed {
       IndexBuild.build(all, params)._2.count()
@@ -55,7 +54,7 @@ object MergeProbe {
     println(s"""{"n":$n,"delta":$dDelta,"dim":$dim,""" +
       s""""base_build_sec":$tBase,"merge_sec":$tMerge,""" +
       s""""rebuild_sec":$tRebuild,""" +
-      s""""merged_edges":${mergedEdges.count()}}""")
+      s""""merged_edges":$nMergedEdges}""")
     spark.stop()
   }
 }

@@ -112,45 +112,66 @@ class VectorStore private (
       .as[(Long, Seq[Float], Boolean)].collect().headOption
   }
 
+  /** Index generations: each (re)build/merge writes a fresh
+    * `index_g{N}` directory, then atomically flips the `INDEX` pointer
+    * file (write-temp + rename-overwrite) — readers resolve the pointer
+    * and always see a complete generation; there is never a moment with
+    * no live index during a swap. */
+  private def currentIndexGen: Option[Long] =
+    if (graft.util.Fs.exists(spark, s"$path/INDEX"))
+      Some(graft.util.Fs.readString(spark, s"$path/INDEX").trim.toLong)
+    else None
+  private def indexDir(gen: Long): String = s"$path/index_g$gen"
+  private def flipIndexPointer(newGen: Long, oldGen: Option[Long]): Unit = {
+    graft.util.Fs.writeStringAtomic(spark, s"$path/INDEX", newGen.toString)
+    // old generation is unreferenced now; best-effort cleanup (a crash
+    // here leaks a directory, never correctness)
+    oldGen.foreach(g => graft.util.Fs.deleteRecursive(spark, indexDir(g)))
+  }
+
   /** Compaction (astrovault.ts:87-132): physically drop tombstones, then
     * rebuild + save the ANN index from the compacted table. */
   def rebuild(): Unit = {
+    graft.functions.VectorFunctions.register(spark)
     val compacted = Mutations.compact(nodes)
     persist(compacted)
     val (n, e) = IndexBuild.build(compacted, params)
-    IndexBuild.save(n, e, params, s"$path/index")
+    val old = currentIndexGen
+    val gen = old.getOrElse(-1L) + 1
+    IndexBuild.save(n, e, params, indexDir(gen))
+    flipIndexPointer(gen, old)
   }
 
   /** Incremental index maintenance ([[IndexBuild.merge]]): apply `delta`
     * (id, vector[, deleted]) to the table snapshot AND fold it into the
     * saved ANN index without a full rebuild — O(|Δ|) instead of O(table)
-    * per ingest batch. The merged generation writes to a sibling directory
-    * and renames over the live one, so the lazy read plan of the old index
-    * never sees its own files being overwritten. */
+    * per ingest batch.
+    *
+    * Failure ordering: the merged generation is fully written BEFORE the
+    * table snapshot advances, and the pointer flips last — a crash at any
+    * step leaves the store retryable (re-running mergeIndex with the same
+    * delta merges against the still-current generation; the table upsert
+    * is idempotent) and never serves a partial index. */
   def mergeIndex(delta: DataFrame): Unit = {
-    if (!graft.util.Fs.exists(spark, s"$path/index/meta.json"))
-      throw new IllegalStateException(
-        s"no ANN index at $path/index — call rebuild() first")
+    graft.functions.VectorFunctions.register(spark)
+    val old = currentIndexGen.getOrElse(throw new IllegalStateException(
+      s"no ANN index under $path — call rebuild() first"))
     val d = validate(delta)
     val dd = if (d.columns.contains("deleted")) d
              else d.withColumn("deleted", lit(false))
-    persist(Mutations.upsert(nodes, dd))
-    val (n0, e0, p) = IndexBuild.load(spark, s"$path/index")
+    val (n0, e0, p) = IndexBuild.load(spark, indexDir(old))
     val (n1, e1) = IndexBuild.merge(n0, e0, dd, p)
-    IndexBuild.save(n1, e1, p, s"$path/index.next")
-    graft.util.Fs.deleteRecursive(spark, s"$path/index.old")
-    graft.util.Fs.rename(spark, s"$path/index", s"$path/index.old")
-    graft.util.Fs.rename(spark, s"$path/index.next", s"$path/index")
-    graft.util.Fs.deleteRecursive(spark, s"$path/index.old")
+    IndexBuild.save(n1, e1, p, indexDir(old + 1))
+    persist(Mutations.upsert(nodes, dd))
+    flipIndexPointer(old + 1, Some(old))
   }
 
-  /** ANN search against the last rebuilt index (LSH path). */
+  /** ANN search against the last rebuilt/merged index (LSH path). */
   def searchAnn(queries: DataFrame, k: Int, strengthSetting: Double = 50): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    if (!graft.util.Fs.exists(spark, s"$path/index/meta.json"))
-      throw new IllegalStateException(
-        s"no ANN index at $path/index — call rebuild() first")
-    val (n, _, p) = IndexBuild.load(spark, s"$path/index")
+    val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
+      s"no ANN index under $path — call rebuild() first"))
+    val (n, _, p) = IndexBuild.load(spark, indexDir(gen))
     AnnSearch.searchLsh(n, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p)
   }

@@ -28,21 +28,34 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
-  /** Spark's sketch `putLong`/`mightContainLong` pair hashes the raw long,
-    * so build (`stat.bloomFilter`) and probe (`BloomFilterMightContain`)
-    * agree as long as the probe key is LongType. */
-  private def registerMightContain(df: DataFrame): Unit =
+  /** Register the probe function (idempotent). Exposed so tests and ad-hoc
+    * pruning can use [[mightContain]] without building a join first. */
+  def registerMightContain(df: DataFrame): Unit =
     df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
       es => BloomFilterMightContain(es(0), es(1)),
       "built-in")
 
+  /** Build a serialized membership sketch over `xxhash64(key)` of `df`.
+    * Hashing to a 64-bit value on BOTH build and probe sides makes the
+    * filter type-agnostic — a raw-value build with a cast-to-long probe
+    * would silently drop true matches for any non-integral key type. */
+  def buildFilter(df: DataFrame, key: String, expectedItems: Long,
+      fpp: Double): Array[Byte] = {
+    val bf = df.stat.bloomFilter(xxhash64(col(key)), expectedItems, fpp)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** `fact ⋈ dim` on `factKey = dimKey`, with the fact side pre-filtered by
-    * a bloom filter of `dim`'s keys. `fpp` trades sketch size against
-    * residual shuffle volume (1% ≈ 9.6 bits/key: 1 M dim keys ≈ 1.2 MB).
-    * `expectedItems` sizes the sketch; defaults to a count of the (already
-    * filtered, typically small) dim side — one cheap job that would be a
-    * cached statistic in a warehouse deployment. */
+    * a bloom filter of `dim`'s keys (any key type — both sides hash
+    * through xxhash64). `fpp` trades sketch size against residual shuffle
+    * volume (1% ≈ 9.6 bits/key: 1 M dim keys ≈ 1.2 MB). `expectedItems`
+    * sizes the sketch; when absent it comes from a count of the dim side —
+    * the dim plan is cached across the count + sketch jobs (the final
+    * join's re-scan at execution time is the one recompute we can't avoid
+    * without leaking a persisted plan to the caller). */
   def prunedEquiJoin(
       fact: DataFrame,
       dim: DataFrame,
@@ -51,20 +64,19 @@ object BloomPrune {
       expectedItems: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
     registerMightContain(fact)
-    val n = if (expectedItems > 0) expectedItems
-            else math.max(dim.count(), 1L)
-    val bf = dim.stat.bloomFilter(dimKey, n, fpp)
-    val bytes = {
-      val bos = new ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    val cached = dim.persist()
+    val bytes =
+      try {
+        val n = if (expectedItems > 0) expectedItems
+                else math.max(cached.count(), 1L)
+        buildFilter(cached, dimKey, n, fpp)
+      } finally { cached.unpersist(); () }
     val pruned = fact.filter(mightContain(bytes, col(factKey)))
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 
-  /** Membership-test column against a serialized sketch (exposed for plan
-    * tests and ad-hoc pruning of other operators' inputs). */
+  /** Membership-test column against a serialized sketch built by
+    * [[buildFilter]] (probe hashes with the same xxhash64 as the build). */
   def mightContain(serialized: Array[Byte], key: Column): Column =
-    call_function("bloom_might_contain", lit(serialized), key.cast("long"))
+    call_function("bloom_might_contain", lit(serialized), xxhash64(key))
 }

@@ -127,9 +127,9 @@ object TextDedup {
     * candidates; (3) exact Jaccard verify. Returns (a_id, b_id, jacc),
     * a_id < b_id, over representatives.
     *
-    * Scale: keys are md5s (uniform shuffle, no skew); per-doc key
-    * construction is O(|set|²) characters — bounded by the token-set size,
-    * not corpus size. The candidate join is linear in true near-dup mass. */
+    * Scale: keys are uniform 60-bit integers (no skew) built
+    * XOR-incrementally in O(|set|) per doc (see the inline comment for
+    * the scheme). The candidate join is linear in true near-dup mass. */
   def deletionNeighborhoodPairs(docs: DataFrame, minJaccard: Double = 0.0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // Keys are XOR-incremental: the full-set key is bit_xor over the

@@ -49,9 +49,11 @@ object Fs {
     fs(spark, path).delete(new Path(path), true); ()
   }
 
-  /** Directory rename (atomic on HDFS/local) — used to swap a freshly
-    * written index generation over the live one. */
+  /** Directory rename (atomic on HDFS/local). Hadoop signals failure by
+    * RETURNING false (dest exists, permissions, missing src) rather than
+    * throwing — swallowing it would let a caller's swap silently no-op. */
   def rename(spark: SparkSession, src: String, dst: String): Unit = {
-    fs(spark, src).rename(new Path(src), new Path(dst)); ()
+    if (!fs(spark, src).rename(new Path(src), new Path(dst)))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
   }
 }

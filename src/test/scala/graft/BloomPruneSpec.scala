@@ -35,14 +35,26 @@ class BloomPruneSpec extends SparkSpec {
       s"expected bloom membership filter in plan:\n$plan")
   }
 
+  test("string keys prune correctly (both sides hash through xxhash64)") {
+    val factS = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val dimS = Seq(("1-URGENT", 1), ("3-MEDIUM", 3))
+      .toDF("prio", "rank_no")
+    val got = BloomPrune.prunedEquiJoin(factS, dimS,
+        "o_orderpriority", "prio")
+      .select("o_orderkey", "rank_no").as[(Long, Int)].collect().sorted
+    val plain = factS.join(dimS, factS("o_orderpriority") === dimS("prio"))
+      .select("o_orderkey", "rank_no").as[(Long, Int)].collect().sorted
+    assert(got.length > 0)
+    assert(got.toSeq === plain.toSeq)
+  }
+
   test("prune keeps selectivity: surviving rows well below fact count") {
-    BloomPrune.prunedEquiJoin(li, dim, "l_orderkey", "o_orderkey") // registers fn
-    val n = dim.count()
-    val bf = dim.stat.bloomFilter("o_orderkey", math.max(n, 1), 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
+    BloomPrune.registerMightContain(li)
+    val bytes = BloomPrune.buildFilter(dim, "o_orderkey",
+      math.max(dim.count(), 1), 0.01)
     val kept = li.filter(
-      BloomPrune.mightContain(bos.toByteArray, col("l_orderkey"))).count()
+      BloomPrune.mightContain(bytes, col("l_orderkey"))).count()
     val total = li.count()
     val trueMatch = li.join(dim.select(col("o_orderkey").as("l_orderkey")),
       Seq("l_orderkey"), "left_semi").count()

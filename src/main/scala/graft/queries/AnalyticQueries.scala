@@ -220,6 +220,34 @@ object AnalyticQueries {
         unix_timestamp(col("ts")).as("epoch_s"))
     }),
 
+    // Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    // duplicate multiplicity (the q15 variants collapse it): customer
+    // nation keys vs supplier nation keys as bags.
+    "q37_multiset_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("key"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("key"))
+      val exAll = c.exceptAll(su).groupBy(col("key"))
+        .agg(count(lit(1)).as("n")).withColumn("which", lit("except_all"))
+      val inAll = c.intersectAll(su).groupBy(col("key"))
+        .agg(count(lit(1)).as("n")).withColumn("which", lit("intersect_all"))
+      exAll.unionByName(inAll).select(col("which"), col("key"), col("n"))
+    }),
+
+    // Ranking-function battery: rank / dense_rank / ntile / percent_rank /
+    // cume_dist over a fully-determined ordering (totalprice desc, key asc
+    // tiebreak) within order-priority partitions.
+    "q38_ranking_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).cast("int").as("rnk"),
+        dense_rank().over(w).cast("int").as("drnk"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    }),
+
     // Edit-distance similarity join (fuzzy matching): part names compared
     // within (brand, size) blocks — never all-pairs — keeping pairs within
     // levenshtein ≤ 15, summarized per brand. The string-similarity
@@ -259,6 +287,26 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q37_multiset_ops" ->
+      """WITH c AS (SELECT c_nationkey AS key FROM customer),
+        |su AS (SELECT s_nationkey AS key FROM supplier)
+        |SELECT 'except_all' AS which, key, count(*) AS n
+        |FROM (SELECT key FROM c EXCEPT ALL SELECT key FROM su)
+        |GROUP BY key
+        |UNION ALL
+        |SELECT 'intersect_all' AS which, key, count(*) AS n
+        |FROM (SELECT key FROM c INTERSECT ALL SELECT key FROM su)
+        |GROUP BY key""".stripMargin,
+    "q38_ranking_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "q36_fuzzy_name_join" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
         |SELECT a.p_brand, count(*) AS n_pairs,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment — the
+  * reproducibility-critical pipeline ops a training corpus needs: the same
+  * row lands in the same sample/split on every run, on every engine, at
+  * any parallelism (no RNG stream, no partition-order dependence —
+  * `df.sample`'s per-partition XORShift draws reproduce only for a fixed
+  * partitioning, and not outside Spark).
+  *
+  * Buckets derive from an md5 prefix of (salt, key): uniform, portable
+  * (DuckDB: `('0x' || substr(md5(v), 1, 15))::BIGINT`), and stable under
+  * repartitioning. 10 000 buckets give 0.01% split-fraction granularity.
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Uniform bucket in [0, 10000) from the salted key. */
+  def bucketOf(key: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame =
+    df.filter(bucketOf(col(keyCol), salt) <
+      lit(math.round(fraction * Buckets)))
+
+  /** Assign each row a named split by consecutive bucket ranges, e.g.
+    * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. Weights must
+    * sum to ≤ 1; any remainder falls into the LAST split (so a full
+    * partition never drops rows). Adding a row never moves another row's
+    * split — the stability property that keeps eval sets honest across
+    * corpus versions. */
+  def splitAssign(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], salt: String = "split",
+      outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 1.0 + 1e-9,
+      s"split weights must sum to <= 1: $weights")
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Buckets)
+    }.tail
+    val b = bucketOf(col(keyCol), salt)
+    val assigned = weights.init.zip(bounds.init).foldRight(
+      lit(weights.last._1)) { case (((name, _), hi), els) =>
+      when(b < lit(hi), lit(name)).otherwise(els)
+    }
+    df.withColumn(outCol, assigned)
+  }
+}

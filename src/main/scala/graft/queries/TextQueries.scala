@@ -78,6 +78,23 @@ object TextQueries {
       TextDedup.deletionNeighborhoodPairs(Tables.documents(s, d))
     }),
 
+    // Deterministic train/val/test split assignment (80/10/10 by salted
+    // md5 bucket of doc_id) + a 10% hash sample — the reproducible-split
+    // ops every training corpus needs: same row → same split on every
+    // run/engine/partitioning (no RNG stream).
+    "t05_hash_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val split = graft.operators.Sampling.splitAssign(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val sampled = graft.operators.Sampling
+        .hashSample(docs, "doc_id", fraction = 0.1)
+        .agg(count(lit(1)).as("n")).withColumn("split", lit("sample10"))
+        .withColumn("lang", lit("*"))
+      split.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .unionByName(sampled.select(col("split"), col("lang"), col("n")))
+    }),
+
     // Language id heuristic + accuracy vs the labeled lang column.
     "t01_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
@@ -211,6 +228,21 @@ object TextQueries {
         |FROM cand c
         |JOIN sets sa ON sa.doc_id = c.a_id
         |JOIN sets sb ON sb.doc_id = c.b_id""".stripMargin,
+    "t05_hash_split" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 10000 AS sb,
+        |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 10000 AS mb
+        |  FROM documents)
+        |SELECT CASE WHEN sb < 8000 THEN 'train'
+        |            WHEN sb < 9000 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n
+        |FROM b GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'sample10' AS split, '*' AS lang, count(*) AS n
+        |FROM b WHERE mb < 1000""".stripMargin,
     "t01_lang_id" ->
       """WITH pred AS (
         |  SELECT lang,

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf001)
+
+  test("split assignment is deterministic and partitioning-independent") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.splitAssign(docs, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.splitAssign(docs.repartition(13), "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("adding rows never moves an existing row's split (stability)") {
+    val w = Seq("train" -> 0.5, "test" -> 0.5)
+    val half = docs.filter(col("doc_id") < 250)
+    val before = Sampling.splitAssign(half, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val after = Sampling.splitAssign(docs, "doc_id", w)
+      .filter(col("doc_id") < 250)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(before === after)
+  }
+
+  test("split and sample fractions land near their targets") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = Sampling.splitAssign(docs, "doc_id", w)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.08,
+      s"train fraction off: $counts")
+    val sampled = Sampling.hashSample(docs, "doc_id", 0.1).count()
+    assert(math.abs(sampled / n - 0.1) < 0.05, s"sample fraction: $sampled/$n")
+    // sample is a strict, stable subset
+    val ids = Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.hashSample(docs.repartition(7), "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === ids2)
+  }
+
+  test("weights must sum to <= 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+}

@@ -71,4 +71,28 @@ class PropertySpec extends SparkSpec {
       assert(out === rows.map(_._1).filterNot(_ % mod == 0).toSet)
     }
   }
+
+  test("deletion neighborhood finds EVERY random sym-diff ≤ 2 pair") {
+    // random base token sets; each case derives one deletion variant and
+    // one substitution variant — both must pair with their base (the
+    // scheme's exactness guarantee, which MinHash banding can't give)
+    val wordGen = Gen.listOfN(12,
+      Gen.choose('a', 'z').map(_.toString)).map(_.distinct)
+    for ((words, i) <- cases(wordGen, n = 5).zipWithIndex
+         if words.size >= 4) {
+      val base = words.mkString(" ")
+      val delVariant = words.drop(1).mkString(" ")
+      val subVariant = (words.drop(1) :+ s"zz$i").mkString(" ")
+      val far = words.take(words.size / 2)
+        .map(w => s"q$w").mkString(" ") // disjoint vocab
+      val docs = Seq((1L, base), (2L, delVariant), (3L, subVariant),
+        (4L, far)).toDF("doc_id", "text")
+      val pairs = graft.operators.TextDedup.deletionNeighborhoodPairs(docs)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"deletion pair missed for: $base")
+      assert(pairs.contains((1L, 3L)), s"substitution pair missed for: $base")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+        s"disjoint doc paired: $pairs")
+    }
+  }
 }

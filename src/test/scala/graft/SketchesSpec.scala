@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.functions.Sketches
 
 /** KMV distinct-sketch semantics beyond the q28 oracle path. */
@@ -39,5 +40,15 @@ class SketchesSpec extends SparkSpec {
     val est = Sketches.kmvDistinct(df, Seq("g"), "v", k = 256)
       .select("est_distinct").as[Double].head()
     assert(math.abs(est - 10000) / 10000 < 0.25, s"est=$est")
+  }
+
+  test("built-in HLL++ hits its rsd bound too (the non-portable fast path)") {
+    // approx_count_distinct is the right call when no cross-engine
+    // verification is needed — register state is engine-internal (the
+    // reason q28 uses KMV), but the estimate itself is cheap and bounded
+    val df = spark.range(100000).selectExpr("id % 50000 AS v")
+    val est = df.agg(approx_count_distinct(col("v"), rsd = 0.02))
+      .as[Long].head()
+    assert(math.abs(est - 50000.0) / 50000 < 0.1, s"est=$est")
   }
 }

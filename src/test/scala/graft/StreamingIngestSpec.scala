@@ -51,4 +51,45 @@ class StreamingIngestSpec extends SparkSpec {
       assert(store.getNode(3L).exists(_._2 === Seq(0.2f, 0.2f)))
     } finally q.stop()
   }
+
+  test("continuous index maintenance: foreachBatch drives mergeIndex") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-cont").toString,
+      graft.operators.IndexParams(dim = 2, m = 4, levelMax = 1,
+        bucketBits = 2, nBands = 2))
+    store.addBatch(Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("id", "vector"))
+    store.rebuild() // seed generation; the stream maintains it from here
+
+    val stream = MemoryStream[MutEvent]
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch
+          .withColumn("deleted", col("op") === "delete")
+          .select(col("id"), col("vector"), col("deleted"))
+        if (!delta.isEmpty) store.mergeIndex(delta)
+      }
+      .start()
+    try {
+      stream.addData(MutEvent(7L, Seq(0.9f, 0.1f), "upsert", 1))
+      q.processAllAvailable()
+      val hits = store.searchAnn(
+          Seq((0L, Seq(1f, 0f))).toDF("query_id", "query_vec"),
+          k = 3, strengthSetting = 50)
+        .select("id").as[Long].collect().toSet
+      assert(hits.contains(7L), s"streamed vector not indexed: $hits")
+
+      stream.addData(MutEvent(1L, Seq(1f, 0f), "delete", 2))
+      q.processAllAvailable()
+      val after = store.searchAnn(
+          Seq((0L, Seq(1f, 0f))).toDF("query_id", "query_vec"),
+          k = 3, strengthSetting = 50)
+        .select("id").as[Long].collect().toSet
+      assert(!after.contains(1L), s"streamed tombstone ignored: $after")
+      assert(after.contains(7L))
+      assert(store.count() === 2) // 1 tombstoned; 2 and 7 live
+    } finally { q.stop(); store.delete() }
+  }
 }

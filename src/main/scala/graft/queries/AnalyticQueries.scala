@@ -220,6 +220,28 @@ object AnalyticQueries {
         unix_timestamp(col("ts")).as("epoch_s"))
     }),
 
+    // Map-typed columns: per-user event-type→count maps built with
+    // map_from_entries, then interrogated via element_at / map_keys /
+    // map_filter / transform_values + aggregate-HOF over values. Output
+    // flattens to scalars (map column ordering is engine-specific; the
+    // VALUES are what must match the oracle).
+    "q39_map_funcs" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      perType
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(
+          col("user_id"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_clicks"),
+          size(map_keys(col("m"))).as("n_types"),
+          size(map_filter(col("m"), (_, v) => v >= 3)).as("n_frequent"),
+          aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+            lit(0L), (acc, x) => acc + x).as("double_total"))
+    }),
+
     // Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
     // duplicate multiplicity (the q15 variants collapse it): customer
     // nation keys vs supplier nation keys as bags.
@@ -287,6 +309,18 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q39_map_funcs" ->
+      """WITH pt AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  coalesce(sum(CASE WHEN event_type = 'click' THEN cnt END),
+        |    0)::BIGINT AS n_clicks,
+        |  CAST(count(*) AS INT) AS n_types,
+        |  CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS INT)
+        |    AS n_frequent,
+        |  (sum(cnt) * 2)::BIGINT AS double_total
+        |FROM pt GROUP BY user_id""".stripMargin,
     "q37_multiset_ops" ->
       """WITH c AS (SELECT c_nationkey AS key FROM customer),
         |su AS (SELECT s_nationkey AS key FROM supplier)

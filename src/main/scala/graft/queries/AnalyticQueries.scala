@@ -220,6 +220,25 @@ object AnalyticQueries {
         unix_timestamp(col("ts")).as("epoch_s"))
     }),
 
+    // Recursive CTE (Spark 4): iterative transitive chain key → key/2
+    // walked to 0 from a sparse seed set — the linear-recursion shape
+    // (hierarchy walks, reachability) that needed driver-side loops before
+    // WITH RECURSIVE landed. Summarized per seed (chain length + terminal).
+    "q40_recursive_cte" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("graft_part_rec")
+      s.sql("""
+        WITH RECURSIVE chain(start_key, key, step) AS (
+          SELECT p_partkey, p_partkey, 0
+          FROM graft_part_rec WHERE p_partkey % 97 = 0
+          UNION ALL
+          SELECT start_key, key DIV 2, step + 1 FROM chain WHERE key > 0
+        )
+        SELECT start_key, CAST(max(step) AS INT) AS n_steps,
+               count(*) AS n_rows
+        FROM chain GROUP BY start_key
+      """)
+    }),
+
     // Map-typed columns: per-user event-type→count maps built with
     // map_from_entries, then interrogated via element_at / map_keys /
     // map_filter / transform_values + aggregate-HOF over values. Output
@@ -309,6 +328,15 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q40_recursive_cte" ->
+      """WITH RECURSIVE chain(start_key, key, step) AS (
+        |  SELECT p_partkey, p_partkey, 0
+        |  FROM part WHERE p_partkey % 97 = 0
+        |  UNION ALL
+        |  SELECT start_key, key // 2, step + 1 FROM chain WHERE key > 0)
+        |SELECT start_key, CAST(max(step) AS INT) AS n_steps,
+        |  count(*) AS n_rows
+        |FROM chain GROUP BY start_key""".stripMargin,
     "q39_map_funcs" ->
       """WITH pt AS (
         |  SELECT user_id, event_type, count(*) AS cnt

@@ -220,6 +220,30 @@ object AnalyticQueries {
         unix_timestamp(col("ts")).as("epoch_s"))
     }),
 
+    // Null-handling battery: nulls synthesized deterministically (the
+    // fixtures are fully non-null), then routed through coalesce / nullif
+    // / nvl2-style branches, null-safe equality, and null-aware counts —
+    // the semantics corner where engines silently diverge.
+    "q41_null_handling" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        // qty is NULL for every 7th row; disc NULL where discount = 0
+        when(col("l_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("l_quantity")).as("qty"),
+        nullif(col("l_discount"), lit(0.0)).as("disc"))
+      li.groupBy((col("l_orderkey") % 3).as("grp"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("qty")).as("n_qty"), // null-skipping count
+          sum(when(col("qty").isNull, 1).otherwise(0)).as("n_null_qty"),
+          sum(when(col("qty") <=> lit(null), 1).otherwise(0))
+            .as("n_nullsafe_eq"),
+          round(sum(coalesce(col("qty"), lit(0.0))
+            .cast("decimal(18,2)")).cast("double"), 6).as("qty_total"),
+          round(sum(coalesce(col("disc"), lit(0.05)).cast("decimal(9,2)"))
+            .cast("double") / count(lit(1)), 6).as("avg_disc_filled"))
+    }),
+
     // Recursive CTE (Spark 4): iterative transitive chain key → key/2
     // walked to 0 from a sparse seed set — the linear-recursion shape
     // (hierarchy walks, reachability) that needed driver-side loops before
@@ -328,6 +352,24 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q41_null_handling" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS qty,
+        |    nullif(l_discount, 0.0) AS disc
+        |  FROM lineitem)
+        |SELECT l_orderkey % 3 AS grp,
+        |  count(*) AS n_rows,
+        |  count(qty) AS n_qty,
+        |  CAST(sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_qty,
+        |  CAST(sum(CASE WHEN qty IS NOT DISTINCT FROM NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+        |  round(sum(coalesce(qty, 0.0)::DECIMAL(18,2))::DOUBLE, 6)
+        |    AS qty_total,
+        |  round(sum(coalesce(disc, 0.05)::DECIMAL(9,2))::DOUBLE / count(*), 6)
+        |    AS avg_disc_filled
+        |FROM li GROUP BY 1""".stripMargin,
     "q40_recursive_cte" ->
       """WITH RECURSIVE chain(start_key, key, step) AS (
         |  SELECT p_partkey, p_partkey, 0

@@ -65,13 +65,22 @@ object BloomPrune {
       fpp: Double = 0.01): DataFrame = {
     registerMightContain(fact)
     val cached = dim.persist()
-    val bytes =
+    val bytesOpt =
       try {
-        val n = if (expectedItems > 0) expectedItems
-                else math.max(cached.count(), 1L)
-        buildFilter(cached, dimKey, n, fpp)
+        // the dim count runs regardless of expectedItems: Spark's
+        // bloom_filter_agg yields NULL over zero rows (stat.bloomFilter
+        // NPEs), and an empty dim makes pruning pointless anyway
+        val actual = cached.count()
+        if (actual == 0) None
+        else {
+          val n = if (expectedItems > 0) expectedItems else actual
+          Some(buildFilter(cached, dimKey, n, fpp))
+        }
       } finally { cached.unpersist(); () }
-    val pruned = fact.filter(mightContain(bytes, col(factKey)))
+    val pruned = bytesOpt match {
+      case Some(bytes) => fact.filter(mightContain(bytes, col(factKey)))
+      case None => fact
+    }
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 

@@ -47,15 +47,29 @@ object IvfIndex {
         Window.orderBy(col("__h").asc, col("id").asc)) - 1)
       .select(col("cell"), col("vector").as("centroid"))
 
-  /** Nearest-centroid assignment (cosine): one broadcast join + rank. */
+  /** Nearest-centroid assignment (cosine): broadcast join + map-side
+    * argmax. The n×k scored candidates stay NARROW (the max_by key is
+    * (sim, −cell); node payloads ride the aggregation buffer once per id)
+    * and the partial aggregate collapses them to one row per id BEFORE
+    * the exchange — vs the previous window-over-wide-pairs formulation,
+    * which shuffled n×k rows carrying two vectors each through a sort
+    * (at 200 k nodes × 447 cells: ~46 GB of shuffle; IVF search measured
+    * SLOWER than exact brute force because of it).
+    *
+    * Ordering parity with the old rank: Spark's struct comparison uses
+    * the same double ordering as the window sort (NaN greatest), and
+    * −cell breaks exact-score ties toward the lowest cell — bit-identical
+    * assignments (a04/a05 oracles pin this). */
   def assign(nodes: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__sim").desc, col("cell").asc)
-    nodes.join(broadcast(centroids))
-      .withColumn("__sim", VectorFunctions.cosineSim(col("vector"), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__sim", "__rn", "centroid")
+    val payload = nodes.columns.filterNot(_ == "id")
+    val scored = nodes.join(broadcast(centroids))
+      .withColumn("__key", struct(
+        VectorFunctions.cosineSim(col("vector"), col("centroid")).as("sim"),
+        (lit(0) - col("cell")).as("negcell")))
+    scored.groupBy(col("id"))
+      .agg(expr("max_by(cell, __key)").as("cell"),
+        payload.map(c => first(col(c)).as(c)).toIndexedSeq: _*)
+      .select((Seq("id") ++ payload ++ Seq("cell")).map(col).toIndexedSeq: _*)
   }
 
   /** Lloyd's k-means on the vector column; returns (cell, centroid).

@@ -80,8 +80,15 @@ object ScaleProbe {
     val (centroids, tIvfTrain) = timed {
       val c = IvfIndex.train(nodes, kCells, iters = 3); c.count(); c
     }
+    // cell assignment is part of INDEX BUILD (one n×k pass, persisted with
+    // the index); search probes the prebuilt cells — timed separately
+    val (asg, tIvfAssign) = timed {
+      val a = IvfIndex.assign(nodes, centroids).localCheckpoint()
+      a.count(); a
+    }
     val (ivfRows, tIvf) = timed {
-      IvfIndex.search(nodes, centroids, queries, 10, minSim = -2.0, nProbe = 8)
+      IvfIndex.search(nodes, centroids, queries, 10, minSim = -2.0,
+          nProbe = 8, assignments = Some(asg))
         .select("query_id", "id").collect()
     }
     val ivfRecall = ivfRows.map(r => (r.getLong(0), r.getLong(1)))
@@ -91,6 +98,7 @@ object ScaleProbe {
       s""""exact_search_sec":$tExact,"index_build_sec":$tBuild,""" +
       s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges,""" +
       s""""ivf_cells":$kCells,"ivf_train_sec":$tIvfTrain,""" +
+      s""""ivf_assign_sec":$tIvfAssign,""" +
       s""""ivf_search_sec":$tIvf,"ivf_recall_at_10":$ivfRecall}""")
     spark.stop()
   }

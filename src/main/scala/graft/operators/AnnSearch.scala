@@ -119,10 +119,16 @@ object AnnSearch {
     val entryLevel = maxLevelRow.getInt(0)
     val entries = withDel.filter(col("level") === entryLevel)
       .select(col("id"), col("vector"))
+    // the frontier stays NARROW (query_id, id, score) through every window
+    // and checkpoint — query vectors re-attach per expansion from the
+    // broadcast query set, so no dim-width payload rides the per-query
+    // rank shuffles or the checkpointed blocks (same shape rule as the
+    // LSH path and IVF assignment; see those notes for the measurements)
+    val qvs = broadcast(queries.select(col("query_id"), col("query_vec")))
     var frontier = topEf(
       entries.crossJoin(broadcast(queries))
         .withColumn("score", sf(col("query_vec"), col("vector")))
-        .select(col("query_id"), col("query_vec"), col("id"), col("score")),
+        .select(col("query_id"), col("id"), col("score")),
       if (entryLevel > 0) math.max(efUpper, k) else ef).localCheckpoint()
 
     for (level <- entryLevel to 0 by -1) {
@@ -142,11 +148,12 @@ object AnnSearch {
         if (it > 1 && it % 2 == 1) cur = cur.localCheckpoint()
         val expanded = cur
           .join(e, cur("id") === e("src"))
-          .select(col("query_id"), col("query_vec"), col("dst").as("id"))
+          .select(col("query_id"), col("dst").as("id"))
           .dropDuplicates("query_id", "id")
           .join(withDel.select(col("id"), col("vector")), Seq("id"))
+          .join(qvs, Seq("query_id"))
           .withColumn("score", sf(col("query_vec"), col("vector")))
-          .select(col("query_id"), col("query_vec"), col("id"), col("score"))
+          .select(col("query_id"), col("id"), col("score"))
         cur = topEf(cur.unionByName(expanded)
           .dropDuplicates("query_id", "id"), levelEf)
       }

@@ -174,6 +174,110 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
   }
 
+  /** Connected components over an undirected pair graph (e.g. the near-dup
+    * pairs from [[minhashNearDupPairs]]): each node gets `cluster_id` = the
+    * minimum node id reachable from it. This is the transitive-closure step
+    * corpus dedup needs AFTER candidate pairs — near-dup is not transitive,
+    * so keeping "one doc per pair" both over- and under-deletes; the unit of
+    * retention is the component (keep its min-id representative).
+    *
+    * Algorithm: iterative min-label propagation — label(v) ← min(label(v),
+    * min over neighbors' labels) until fixpoint, detected by the (strictly
+    * decreasing) label sum. Near-dup components are dense and tiny, so the
+    * iteration count is the component diameter (1–3 in practice); each
+    * round is one shuffle on node id, and `localCheckpoint` cuts lineage so
+    * plan size stays O(1) across rounds. For adversarial long-chain graphs
+    * the large-star/small-star variant halves path lengths per round
+    * (O(log n) rounds); not needed for the near-dup workload.
+    *
+    * Returns (node, cluster_id) for every node in the pair graph. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+      .union(pairs.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("d")))
+      .distinct()
+      .persist()
+    def labelSum(lab: DataFrame): Long =
+      lab.agg(sum(col("cluster_id"))).head.getLong(0)
+    // init: min of self and direct neighbors (one propagation round folded in)
+    var cur = sym.groupBy(col("s").as("node"))
+      .agg(min(col("d")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("cluster_id"))
+      .localCheckpoint()
+    var curSum = labelSum(cur)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val nbrMin = sym
+        .join(cur.select(col("node").as("d"), col("cluster_id").as("nl")), Seq("d"))
+        .groupBy(col("s").as("node"))
+        .agg(min(col("nl")).as("nbr_min"))
+      val next = cur.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      done = nextSum == curSum // labels only decrease ⇒ equal sum = fixpoint
+      cur = next
+      curSum = nextSum
+      it += 1
+    }
+    sym.unpersist()
+    cur
+  }
+
+  /** Train/test contamination check: for every non-test document, the count
+    * of distinct word n-grams (and distinct test documents) it shares with
+    * the held-out test set (`idCol % testMod == 0`). Exact n-gram overlap is
+    * the standard decontamination test (GPT-3/Pile style).
+    *
+    * Scale: the corpus side is exploded once to (id, ngram-hash) and joined
+    * against the BROADCAST test-set n-grams — a benchmark suite is tiny and
+    * fixed relative to a 100 TB corpus, so the corpus never shuffles; the
+    * only wide op is the per-doc aggregation of matches. Hashes are 60-bit
+    * md5 prefixes (engine-portable, uniform). */
+  def contamination(docs: DataFrame, n: Int, testMod: Long = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("k"))
+      .distinct()
+    val test = sh.filter(col("id") % testMod === 0)
+      .select(col("k"), col("id").as("test_id"))
+    sh.filter(col("id") % testMod =!= 0)
+      .join(broadcast(test), Seq("k"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("k")).as("n_shared_ngrams"),
+        countDistinct(col("test_id")).as("n_test_docs"))
+  }
+
+  /** Repetition signals (Gopher-style quality gates): per document, the
+    * fraction of word-bigram occurrences taken by the single most frequent
+    * bigram, and the fraction lying in any repeated (count > 1) bigram.
+    * High values flag boilerplate / generated spam. One posexplode + two
+    * hash aggregations — map-side combinable, shuffle key is doc id. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("id"), concat_ws(" ", col("tok"), col("nxt")).as("g"))
+    grams.groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_mass"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("top_cnt").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round(col("dup_mass").cast("double") / col("n_bigrams"), 6).as("dup_bigram_frac"))
+  }
+
   /** Word n-gram shingle set (n consecutive tokens joined by one space).
     * Docs shorter than n tokens yield an empty set (guarded: Spark's
     * `sequence(0, negative)` would count DOWN, not produce empty). */

@@ -63,4 +63,31 @@ object TextFeaturizer {
     * replacement for the reference's embed-per-note client loop. */
   def embedCorpus(docs: DataFrame, dim: Int): DataFrame =
     featureHash(docs, dim).withColumn("deleted", lit(false))
+
+  /** Top-`topK` TF-IDF terms per document: tf = in-doc term count,
+    * idf = ln(N/df) with df = docs containing the term. The corpus-level
+    * statistic (df) comes from one extra aggregation over the exploded
+    * term table; N is a broadcast scalar, so the only wide ops are the two
+    * hash aggregations (term keys are uniform) and the per-doc top-k
+    * window — which Spark executes as WindowGroupLimit (bounded per-group
+    * state, no full sort of the corpus). Tie-break: term ascending. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("id")).orderBy(desc("tfidf"), asc("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("id"), col("term"), round(col("tfidf"), 6).as("tfidf_r"),
+        col("rk").cast("int").as("rk"))
+  }
 }

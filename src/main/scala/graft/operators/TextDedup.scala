@@ -197,8 +197,11 @@ object TextDedup {
       .union(pairs.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("d")))
       .distinct()
       .persist()
+    // sum over an empty frame is null — an empty pair set (clean corpus) is
+    // a legitimate input and must yield an empty result, not an NPE
     def labelSum(lab: DataFrame): Long =
-      lab.agg(sum(col("cluster_id"))).head.getLong(0)
+      Option(lab.agg(sum(col("cluster_id"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     // init: min of self and direct neighbors (one propagation round folded in)
     var cur = sym.groupBy(col("s").as("node"))
       .agg(min(col("d")).as("m"))
@@ -224,30 +227,34 @@ object TextDedup {
       it += 1
     }
     sym.unpersist()
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge within $maxIters rounds; " +
+          "cluster_ids may be partial (long chains need more iterations)")
     cur
   }
 
-  /** Train/test contamination check: for every non-test document, the count
+  /** Train/test contamination check: for every corpus document, the count
     * of distinct word n-grams (and distinct test documents) it shares with
-    * the held-out test set (`idCol % testMod == 0`). Exact n-gram overlap is
-    * the standard decontamination test (GPT-3/Pile style).
+    * the held-out benchmark set `testDocs`. Exact n-gram overlap is the
+    * standard decontamination test (GPT-3/Pile style).
     *
     * Scale: the corpus side is exploded once to (id, ngram-hash) and joined
-    * against the BROADCAST test-set n-grams — a benchmark suite is tiny and
-    * fixed relative to a 100 TB corpus, so the corpus never shuffles; the
-    * only wide op is the per-doc aggregation of matches. Hashes are 60-bit
-    * md5 prefixes (engine-portable, uniform). */
-  def contamination(docs: DataFrame, n: Int, testMod: Long = 50,
+    * against the BROADCAST test-set n-grams — a benchmark suite is a small
+    * FIXED input (it does not grow with the corpus), so the corpus never
+    * shuffles; the only wide op is the per-doc aggregation of matches.
+    * Callers with a large held-out set should pass it unhinted and let AQE
+    * pick the join. Hashes are 60-bit md5 prefixes (engine-portable,
+    * uniform). */
+  def contamination(docs: DataFrame, testDocs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .select(col("id"),
+    def grams(df: DataFrame, idAs: String): DataFrame = df
+      .select(col(idCol).as(idAs), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(idAs),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("k"))
       .distinct()
-    val test = sh.filter(col("id") % testMod === 0)
-      .select(col("k"), col("id").as("test_id"))
-    sh.filter(col("id") % testMod =!= 0)
-      .join(broadcast(test), Seq("k"))
+    grams(docs, "id")
+      .join(broadcast(grams(testDocs, "test_id")), Seq("k"))
       .groupBy(col("id"))
       .agg(countDistinct(col("k")).as("n_shared_ngrams"),
         countDistinct(col("test_id")).as("n_test_docs"))
@@ -263,6 +270,10 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      // split on repeated/leading spaces yields "" tokens; drop them so
+      // multi-space text doesn't produce phantom bigrams (same guard as
+      // featureHashSparse / tfidfTopTerms)
+      .filter(length(col("tok")) > 0)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val grams = toks
       .withColumn("nxt", lead(col("tok"), 1).over(w))

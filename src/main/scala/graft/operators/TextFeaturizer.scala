@@ -70,7 +70,13 @@ object TextFeaturizer {
     * term table; N is a broadcast scalar, so the only wide ops are the two
     * hash aggregations (term keys are uniform) and the per-doc top-k
     * window — which Spark executes as WindowGroupLimit (bounded per-group
-    * state, no full sort of the corpus). Tie-break: term ascending. */
+    * state, no full sort of the corpus).
+    *
+    * Ranking is on the score ROUNDED to 6 decimals (then term ascending):
+    * mathematically-coincident scores computed via different expressions
+    * (e.g. 2·ln(10) vs ln(100)) can differ by an ulp between libm
+    * implementations, so ranking on the raw double is not engine-portable;
+    * ranking on the displayed precision is, and makes ties explicit. */
   def tfidfTopTerms(docs: DataFrame, topK: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -80,14 +86,14 @@ object TextFeaturizer {
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-    val w = Window.partitionBy(col("id")).orderBy(desc("tfidf"), asc("term"))
+    val w = Window.partitionBy(col("id")).orderBy(desc("tfidf_r"), asc("term"))
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
-      .withColumn("tfidf",
-        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("tfidf_r",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
-      .select(col("id"), col("term"), round(col("tfidf"), 6).as("tfidf_r"),
+      .select(col("id"), col("term"), col("tfidf_r"),
         col("rk").cast("int").as("rk"))
   }
 }

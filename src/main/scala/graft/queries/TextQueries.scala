@@ -78,6 +78,36 @@ object TextQueries {
       TextDedup.deletionNeighborhoodPairs(Tables.documents(s, d))
     }),
 
+    // Connected components over the MinHash-LSH near-dup pair graph — the
+    // transitive-closure step dedup needs after pairs (near-dup is not
+    // transitive; the unit of retention is the component). cluster_id = min
+    // reachable doc id.
+    "d08_dedup_components" -> ((s, d) => {
+      val pairs = TextDedup.minhashNearDupPairs(Tables.documents(s, d),
+        nHashes = 6, minJaccard = 0.95)
+      TextDedup.connectedComponents(pairs)
+    }),
+
+    // Train/test contamination: distinct shared word-trigrams (and distinct
+    // test docs touched) between each corpus doc and a held-out benchmark
+    // slice (doc_id % 50 == 0).
+    "t06_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 3)
+    }),
+
+    // Repetition signals (Gopher-style quality gates): per-doc top-bigram
+    // and duplicate-bigram occupancy fractions.
+    "t07_repetition_signals" -> ((s, d) =>
+      TextDedup.repetitionSignals(Tables.documents(s, d))),
+
+    // Top-3 TF-IDF terms per document (rank on rounded score, term asc).
+    "t08_tfidf_top_terms" -> ((s, d) =>
+      graft.operators.TextFeaturizer.tfidfTopTerms(Tables.documents(s, d),
+        topK = 3)),
+
     // Deterministic train/val/test split assignment (80/10/10 by salted
     // md5 bucket of doc_id) + a 10% hash sample — the reproducible-split
     // ops every training corpus needs: same row → same split on every
@@ -148,6 +178,27 @@ object TextQueries {
   private def mhSql(seed: Int) =
     s"list_min(list_transform($tokSetSql, t -> md5('s$seed:' || t)))"
 
+  // d03's pipeline as reusable CTEs (identical-set collapse → AND-of-6 band
+  // → exact-Jaccard verify) so d08 can close over the same pair set.
+  private val d03PairsCtes: String = {
+    val mhTs = (s: Int) => s"list_min(list_transform(ts, t -> md5('s$s:' || t)))"
+    s"""reps AS (
+       |  SELECT min(doc_id) AS id, ts FROM (
+       |    SELECT doc_id, list_sort($tokSetSql) AS ts FROM documents)
+       |  GROUP BY ts),
+       |b AS (
+       |  SELECT id, ts,
+       |    md5(concat_ws('|', ${(0 until 6).map(mhTs).mkString(", ")})) AS band
+       |  FROM reps),
+       |pairs AS (
+       |  SELECT a_id, b_id, round(jacc, 6) AS jacc FROM (
+       |    SELECT a.id AS a_id, e.id AS b_id,
+       |      len(list_intersect(a.ts, e.ts))::DOUBLE /
+       |        (len(a.ts) + len(e.ts) - len(list_intersect(a.ts, e.ts))) AS jacc
+       |    FROM b a JOIN b e ON a.band = e.band AND a.id < e.id)
+       |  WHERE jacc >= 0.95)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """WITH all_docs AS (
@@ -160,23 +211,63 @@ object TextQueries {
       s"""SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
          |  ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
          |FROM documents""".stripMargin,
-    "d03_minhash_lsh_pairs" -> {
-      val mhTs = (s: Int) => s"list_min(list_transform(ts, t -> md5('s$s:' || t)))"
-      s"""WITH reps AS (
-         |  SELECT min(doc_id) AS id, ts FROM (
-         |    SELECT doc_id, list_sort($tokSetSql) AS ts FROM documents)
-         |  GROUP BY ts),
-         |b AS (
-         |  SELECT id, ts,
-         |    md5(concat_ws('|', ${(0 until 6).map(mhTs).mkString(", ")})) AS band
-         |  FROM reps)
-         |SELECT a_id, b_id, round(jacc, 6) AS jacc FROM (
-         |  SELECT a.id AS a_id, e.id AS b_id,
-         |    len(list_intersect(a.ts, e.ts))::DOUBLE /
-         |      (len(a.ts) + len(e.ts) - len(list_intersect(a.ts, e.ts))) AS jacc
-         |  FROM b a JOIN b e ON a.band = e.band AND a.id < e.id)
-         |WHERE jacc >= 0.95""".stripMargin
-    },
+    "d03_minhash_lsh_pairs" ->
+      s"WITH $d03PairsCtes\nSELECT a_id, b_id, jacc FROM pairs",
+    "d08_dedup_components" ->
+      s"""WITH RECURSIVE $d03PairsCtes,
+         |edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION
+         |  SELECT b_id AS s, a_id AS d FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT s AS node, s AS lab FROM edges
+         |  UNION
+         |  SELECT e.s AS node, r.lab FROM edges e JOIN reach r ON r.node = e.d)
+         |SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+    "t06_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+        |      for i in range(1, len(t) - 1)])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |k AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS k FROM g),
+        |corpus AS (SELECT doc_id AS id, k FROM k WHERE doc_id % 50 <> 0),
+        |test AS (SELECT doc_id AS test_id, k FROM k WHERE doc_id % 50 = 0)
+        |SELECT id, count(DISTINCT c.k) AS n_shared_ngrams,
+        |  count(DISTINCT test_id) AS n_test_docs
+        |FROM corpus c JOIN test USING (k) GROUP BY id""".stripMargin,
+    "t07_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+        |  FROM toks),
+        |c AS (SELECT id, g, count(*) AS cnt FROM g GROUP BY id, g)
+        |SELECT id, sum(cnt)::BIGINT AS n_bigrams,
+        |  round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_bigram_frac,
+        |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6)
+        |    AS dup_bigram_frac
+        |FROM c GROUP BY id""".stripMargin,
+    "t08_tfidf_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM terms
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT id, term, round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf_r
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |rk AS (
+        |  SELECT id, term, tfidf_r,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY tfidf_r DESC, term ASC)::INT AS rk
+        |  FROM sc)
+        |SELECT id, term, tfidf_r, rk FROM rk WHERE rk <= 3""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
         |prep AS (

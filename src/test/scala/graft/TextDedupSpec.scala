@@ -107,6 +107,66 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)), "distant pair must not match")
   }
 
+  test("connectedComponents: empty pair set yields empty result, no NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(TextDedup.connectedComponents(empty).count() === 0L)
+  }
+
+  test("connectedComponents: multi-hop chain collapses to one min-label cluster") {
+    // chain 1-2-3-4-5 (diameter 4, needs >1 propagation round) + island 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val out = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(out(_) == 1L), s"chain: $out")
+    assert(out(10L) === 10L && out(11L) === 10L)
+    assert(out.size === 7)
+  }
+
+  test("contamination: counts distinct shared n-grams and test docs") {
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shares bigrams {a b, b c, c d, d e} with test 100
+      (2L, "x y z w v"),   // no overlap
+      (3L, "a b c q r")    // shares {a b, b c} with test 100
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val out = TextDedup.contamination(corpus, test, n = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((4L, 1L)))
+    assert(out(3L) === ((2L, 1L)))
+    assert(!out.contains(2L), "zero-overlap doc must not appear")
+  }
+
+  test("repetitionSignals: known fractions; multi-space text has no phantom bigrams") {
+    val docs = Seq(
+      (1L, "a b a b a"),        // bigrams: ab,ba,ab,ba → top 2/4, dup 4/4
+      (2L, "u  v   w"),         // multi-space: tokens u,v,w → 2 distinct bigrams
+      (3L, "solo")              // <2 tokens → no bigrams → absent
+    ).toDF("doc_id", "text")
+    val out = TextDedup.repetitionSignals(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((4L, 0.5, 1.0)))
+    assert(out(2L) === ((2L, 0.5, 0.0)), "empty tokens must not form bigrams")
+    assert(!out.contains(3L))
+  }
+
+  test("tfidfTopTerms: ranks by score then term asc; rare term wins") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common other"),
+      (3L, "common other other")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextFeaturizer.tfidfTopTerms(docs, topK = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toList).toMap
+    // doc 1: 'rare' df=1 → tf·ln(3) beats 'common' df=3 → tfidf 0
+    assert(out(1L).head === "rare")
+    // doc 2: 'other' (df=2) positive beats 'common' (df=3, tfidf=0);
+    // ties at 0 broken by term asc
+    assert(out(2L) === List("other", "common"))
+  }
+
   test("deletion neighborhood: jaccard bound (m−1)/(m+1) holds for all pairs") {
     val pairs = TextDedup.deletionNeighborhoodPairs(
       Tables.documents(spark, sf001).limit(200))

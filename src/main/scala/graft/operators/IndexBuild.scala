@@ -104,7 +104,23 @@ object IndexBuild {
     *
     * Input: (id, vector[, deleted]). Returns
     * (nodes(id, vector, level, deleted), edges(level, src, dst, score)). */
-  def build(nodes: DataFrame, params: IndexParams): (DataFrame, DataFrame) = {
+  def build(nodes: DataFrame, params: IndexParams): (DataFrame, DataFrame) =
+    buildKeyed(nodes, params, v => bucketKeys(v, params), portableOrder = false)
+
+  /** [[build]] with data-derived anchor hyperplanes (the a01 trick,
+    * [[AnnSearch.anchorBucketKeys]]) and id-ordered bucket chunking: every
+    * structural choice — bucket keys, chunk membership, neighbor ranks — is
+    * re-derivable by an external engine from the same parquet, so the WHOLE
+    * graph build is DuckDB-oracle-checkable, not just rows-only. Same
+    * dataflow, same scale bounds; the seeded-random default stays the
+    * production path (anchor quality depends on the sampled rows). */
+  def buildAnchored(nodes: DataFrame, params: IndexParams,
+      anchors: Seq[Seq[Array[Float]]]): (DataFrame, DataFrame) =
+    buildKeyed(nodes, params, v => AnnSearch.anchorBucketKeys(v, anchors),
+      portableOrder = true)
+
+  private def buildKeyed(nodes: DataFrame, params: IndexParams,
+      keyFn: Column => Column, portableOrder: Boolean): (DataFrame, DataFrame) = {
     val scoreFn: (Column, Column) => Column = params.metric match {
       case "euclidean" => VectorFunctions.euclideanSim
       case _ => VectorFunctions.cosineSim
@@ -123,15 +139,18 @@ object IndexBuild {
     // clusters (the LSH worst case — all mutual near-neighbors) stay
     // linear, and the graph quality loss is minimal exactly because such
     // buckets are mutually similar.
+    // chunk rank order: hashed ids (uniform chunks) by default; plain id
+    // order when an external oracle must re-derive the chunking
     val bucketW = Window.partitionBy(col("layer"), col("b"))
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .orderBy(if (portableOrder) Seq(col("id").asc)
+               else Seq(xxhash64(col("id")).asc, col("id").asc): _*)
     // rank on NARROW rows (layer, bucket, id): a window buffers whole
     // partition frames in execution memory, and dim-width vectors in those
     // frames is what blows the budget on hot buckets — vectors re-attach
     // by an id equi-join after chunking
     val membership = live
       .withColumn("layer", explode(sequence(lit(0), col("level"))))
-      .withColumn("b", explode(bucketKeys(col("vector"), params)))
+      .withColumn("b", explode(keyFn(col("vector"))))
       .select(col("layer"), col("b"), col("id"))
       .withColumn("r", row_number().over(bucketW) - 1)
       .withColumn("chunk", explode(array(

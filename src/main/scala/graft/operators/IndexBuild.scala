@@ -141,9 +141,11 @@ object IndexBuild {
     // buckets are mutually similar.
     // chunk rank order: hashed ids (uniform chunks) by default; plain id
     // order when an external oracle must re-derive the chunking
+    val chunkOrder: Seq[Column] =
+      if (portableOrder) Seq(col("id").asc)
+      else Seq(xxhash64(col("id")).asc, col("id").asc)
     val bucketW = Window.partitionBy(col("layer"), col("b"))
-      .orderBy(if (portableOrder) Seq(col("id").asc)
-               else Seq(xxhash64(col("id")).asc, col("id").asc): _*)
+      .orderBy(chunkOrder: _*)
     // rank on NARROW rows (layer, bucket, id): a window buffers whole
     // partition frames in execution memory, and dim-width vectors in those
     // frames is what blows the budget on hot buckets — vectors re-attach

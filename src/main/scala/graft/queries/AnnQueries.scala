@@ -110,6 +110,23 @@ object AnnQueries {
           countDistinct(col("src")).as("n_nodes"))
     }),
 
+    // The anchored graph BUILD, fully hash-checked: every structural choice
+    // — geometric level (integer hash of id), bucket keys (a01's
+    // data-derived anchor planes), chunk membership (ranked by plain id
+    // order), top-M neighbor ranks — is re-derived by the DuckDB oracle.
+    // Closes a02's rows-only gap: a02 keeps the production build (seeded
+    // random planes, hashed chunk order); a07 proves the same dataflow
+    // end-to-end against an external engine.
+    "a07_anchored_build" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val (_, edges) = IndexBuild.buildAnchored(
+        VectorQueries.asVectorTable(emb), params,
+        anchorPlanes(emb, nBands = 4, bits = 3))
+      edges.select(col("level"), col("src"), col("dst"),
+        round(col("score"), 6).as("score_r"))
+    }),
+
     // Graph-traversal ANN search over the saved index, reporting per-query
     // recall vs the exact top-k.
     "a03_ann_graph_recall" -> ((s, d) => {
@@ -140,6 +157,64 @@ object AnnQueries {
     * build + walk) stay rows-only: their structure depends on
     * engine-internal hash ordering that no external SQL can re-derive. */
   val oracleSql: Map[String, String] = Map(
+    "a07_anchored_build" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+        |  FROM embeddings WHERE vec_id < 12),
+        |lvl AS (
+        |  SELECT id,
+        |    CASE WHEN (id * 2654435761 + 104729) % 4096 = 0 THEN 3
+        |         WHEN (id * 2654435761 + 104729) % 256 = 0 THEN 2
+        |         WHEN (id * 2654435761 + 104729) % 16 = 0 THEN 1
+        |         ELSE 0 END AS level
+        |  FROM nodes),
+        |keys AS (
+        |  SELECT n.id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bk
+        |  FROM nodes n CROSS JOIN anch a GROUP BY n.id, a.aid // 3),
+        |memb AS (
+        |  SELECT l.id, gl.layer, k.band, k.bk,
+        |    row_number() OVER (PARTITION BY gl.layer, k.band, k.bk
+        |                       ORDER BY l.id) - 1 AS r
+        |  FROM lvl l JOIN keys k ON k.id = l.id
+        |  CROSS JOIN range(0, 4) gl(layer)
+        |  WHERE gl.layer <= l.level),
+        |chunked AS (
+        |  SELECT id, layer, band, bk, CAST(r // 64 AS INT) AS chunk FROM memb
+        |  UNION ALL
+        |  SELECT id, layer, band, bk, CAST(r // 64 AS INT) + 1 AS chunk
+        |  FROM memb),
+        |pairs AS (
+        |  SELECT DISTINCT c1.layer, c1.id AS src, c2.id AS dst
+        |  FROM chunked c1
+        |  JOIN chunked c2 ON c1.layer = c2.layer AND c1.band = c2.band
+        |    AND c1.bk = c2.bk AND c1.chunk = c2.chunk AND c1.id <> c2.id),
+        |scored AS (
+        |  SELECT p.layer, p.src, p.dst,
+        |    list_cosine_similarity(ns.v, nd.v) AS score
+        |  FROM pairs p
+        |  JOIN nodes ns ON ns.id = p.src
+        |  JOIN nodes nd ON nd.id = p.dst),
+        |directed AS (
+        |  SELECT layer, src, dst, score FROM (
+        |    SELECT layer, src, dst, score,
+        |      row_number() OVER (PARTITION BY layer, src
+        |                         ORDER BY score DESC, dst) AS rn
+        |    FROM scored) WHERE rn <= 12),
+        |undirected AS (
+        |  SELECT layer, src, dst, max(score) AS score FROM (
+        |    SELECT layer, src, dst, score FROM directed
+        |    UNION ALL
+        |    SELECT layer, dst AS src, src AS dst, score FROM directed) u
+        |  GROUP BY layer, src, dst)
+        |SELECT layer AS level, src, dst, round(score, 6) AS score_r FROM (
+        |  SELECT layer, src, dst, score,
+        |    row_number() OVER (PARTITION BY layer, src
+        |                       ORDER BY score DESC, dst) AS rn
+        |  FROM undirected) WHERE rn <= 12""".stripMargin,
     "a01_ann_lsh_search" ->
       """WITH nodes AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

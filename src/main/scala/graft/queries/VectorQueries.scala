@@ -175,17 +175,34 @@ object VectorQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
-    // Per-level kNN-graph neighbor selection — the batch replacement for
-    // HNSW insert wiring (hnsw.ts:82-147): on a deterministic node subset,
-    // top-M=16 neighbors by cosine with bidirectional union + re-shrink
-    // (hnsw.ts:436-489 semantics).
+    // Single-level kNN-graph neighbor selection — the batch replacement for
+    // HNSW insert wiring (hnsw.ts:82-147): top-M=16 neighbors by cosine
+    // with bidirectional union + re-shrink (hnsw.ts:436-489 semantics).
+    // Candidates come from anchored-LSH bucket equi-joins (the a01/a07
+    // family), NOT an all-pairs theta join: the bucket join carries only
+    // (bucket, id), pairs dedup while still narrow, and vectors re-attach
+    // by id equi-joins — linear in shared bucket content, never O(n²).
+    // The oracle re-derives the same buckets, so candidate generation is
+    // itself hash-checked. PlanSpec pins the no-nested-loop shape.
     "v11_knn_graph" -> ((s, d) => {
       VectorFunctions.register(s)
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
-      val a = emb.select(col("vec_id").as("src"), col("embedding").as("src_vec"))
-      val b = emb.select(col("vec_id").as("dst"), col("embedding").as("dst_vec"))
-      val scored = a.join(b, col("src") =!= col("dst"))
+      val embAll = Tables.embeddings(s, d)
+      val nodes = embAll.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val anchors = AnnQueries.anchorPlanes(embAll, nBands = 4, bits = 3)
+      val keyed = nodes
+        .withColumn("b", explode(
+          graft.operators.AnnSearch.anchorBucketKeys(col("v"), anchors)))
+        .select(col("b"), col("id"))
+      val cand = keyed.select(col("b"), col("id").as("src"))
+        .join(keyed.select(col("b"), col("id").as("dst")), Seq("b"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val scored = cand
+        .join(nodes.select(col("id").as("src"), col("v").as("src_vec")), Seq("src"))
+        .join(nodes.select(col("id").as("dst"), col("v").as("dst_vec")), Seq("dst"))
         .withColumn("score", VectorFunctions.cosineSim(col("src_vec"), col("dst_vec")))
+        .select(col("src"), col("dst"), col("score"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("score").desc, col("dst").asc)
       val directed = scored.withColumn("rn", row_number().over(w))
@@ -305,14 +322,30 @@ object VectorQueries {
           |  FROM embeddings)
           |GROUP BY level""".stripMargin,
       "v11_knn_graph" ->
-        """WITH nodes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        """WITH nodes AS (
+          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+          |  WHERE vec_id % 10 = 0),
+          |anch AS (
+          |  SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+          |  FROM embeddings WHERE vec_id < 12),
+          |nk AS (
+          |  SELECT n.id, CAST(a.aid // 3 AS INT) AS band,
+          |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
+          |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bk
+          |  FROM nodes n CROSS JOIN anch a GROUP BY n.id, a.aid // 3),
+          |cand AS (
+          |  SELECT DISTINCT n1.id AS src, n2.id AS dst
+          |  FROM nk n1 JOIN nk n2
+          |    ON n1.band = n2.band AND n1.bk = n2.bk AND n1.id <> n2.id),
           |directed AS (
           |  SELECT src, dst, score FROM (
-          |    SELECT a.vec_id AS src, b.vec_id AS dst,
-          |      list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score,
-          |      row_number() OVER (PARTITION BY a.vec_id
-          |        ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rn
-          |    FROM nodes a CROSS JOIN nodes b WHERE a.vec_id <> b.vec_id)
+          |    SELECT c.src, c.dst,
+          |      list_cosine_similarity(ns.v, nd.v) AS score,
+          |      row_number() OVER (PARTITION BY c.src
+          |        ORDER BY list_cosine_similarity(ns.v, nd.v) DESC, c.dst) AS rn
+          |    FROM cand c
+          |    JOIN nodes ns ON ns.id = c.src
+          |    JOIN nodes nd ON nd.id = c.dst)
           |  WHERE rn <= 16),
           |undirected AS (
           |  SELECT src, dst, max(score) AS score FROM (

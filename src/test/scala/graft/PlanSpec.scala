@@ -46,6 +46,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("v11: candidate generation is bucketed equi-joins, never all-pairs") {
+    val p = plan("v11_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("v01: query side broadcasts; kernel stays in whole-stage codegen") {
     val p = plan("v01_knn_exact")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

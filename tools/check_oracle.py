@@ -10,6 +10,7 @@ tables, then compare (schema names, row count, sorted-row multiset) against
 the Spark result. Reports per-query PASS/FAIL with a diff sample.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -45,8 +46,13 @@ def main(out_dir, sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # partial dumps (SPARK_GRAFT_ONLY iteration) have no dir at all —
+        # distinct from a failed write, which Verify deletes after logging
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -85,7 +91,8 @@ def main(out_dir, sf_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    print(f"== {n_pass} pass, {n_fail} fail"
+          + (f" ({n_skip} not dumped)" if n_skip else ""))
     return 1 if n_fail else 0
 
 

@@ -55,14 +55,30 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
     }),
 
-    // Embedding-cosine near-dup pairs (brute-force a<b; the LSH-bucketed
-    // variant is the ANN index path).
+    // Embedding-cosine near-dup pairs, LSH-blocked (the scale path): pairs
+    // meet only inside anchored-LSH buckets (a01/a07/v11 family), carried
+    // as narrow (bucket, id) rows until dedup, vectors re-attached by id
+    // equi-joins, scored once per distinct pair. Cost ∝ shared bucket
+    // content, never the O(n²) cartesian of the old brute-force shape —
+    // the oracle re-derives the buckets, so the BLOCKING is hash-checked
+    // too. (OR-of-4-bands at 3 bits ⇒ a cos≈0.4 pair is found w.p. ~0.7,
+    // ≥0.95 above cos≈0.75 — recall is the LSH contract, same as d03's
+    // MinHash bands; PlanSpec pins the no-cartesian plan.)
     "d06_embedding_neardup" -> ((s, d) => {
       VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
-      a.join(b, col("a_id") < col("b_id"))
+      val nodes = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val anchors = AnnQueries.anchorPlanes(e, nBands = 4, bits = 3)
+      val keyed = nodes.withColumn("b", explode(
+          graft.operators.AnnSearch.anchorBucketKeys(col("v"), anchors)))
+        .select(col("b"), col("id"))
+      val cand = keyed.select(col("b"), col("id").as("a_id"))
+        .join(keyed.select(col("b"), col("id").as("b_id")), Seq("b"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      cand
+        .join(nodes.select(col("id").as("a_id"), col("v").as("a_vec")), Seq("a_id"))
+        .join(nodes.select(col("id").as("b_id"), col("v").as("b_vec")), Seq("b_id"))
         .withColumn("cos", VectorFunctions.cosineSim(col("a_vec"), col("b_vec")))
         .filter(col("cos") > 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
@@ -289,10 +305,26 @@ object TextQueries {
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM sigs GROUP BY simhash""".stripMargin,
     "d06_embedding_neardup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4""".stripMargin,
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+        |  FROM embeddings WHERE vec_id < 12),
+        |nk AS (
+        |  SELECT n.id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bk
+        |  FROM nodes n CROSS JOIN anch a GROUP BY n.id, a.aid // 3),
+        |cand AS (
+        |  SELECT DISTINCT n1.id AS a_id, n2.id AS b_id
+        |  FROM nk n1 JOIN nk n2
+        |    ON n1.band = n2.band AND n1.bk = n2.bk AND n1.id < n2.id)
+        |SELECT c.a_id, c.b_id,
+        |  round(list_cosine_similarity(na.v, nb.v), 6) AS cos_r
+        |FROM cand c
+        |JOIN nodes na ON na.id = c.a_id
+        |JOIN nodes nb ON nb.id = c.b_id
+        |WHERE list_cosine_similarity(na.v, nb.v) > 0.4""".stripMargin,
     "d07_deletion_neardup" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

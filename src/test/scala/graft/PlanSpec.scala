@@ -52,6 +52,12 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("d06: near-dup blocking is bucketed equi-joins, never all-pairs") {
+    val p = plan("d06_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("v01: query side broadcasts; kernel stays in whole-stage codegen") {
     val p = plan("v01_knn_exact")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

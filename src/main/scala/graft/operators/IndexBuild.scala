@@ -25,6 +25,11 @@ case class IndexParams(
       * size, bounding candidate pairs at O(members × chunk) instead of
       * O(bucket²). */
     bucketChunk: Int = 64,
+    /** Cell width `r` of the p-stable (L2) hash family used when
+      * `metric = "euclidean"` — in DATA units: two points closer than ~r/2
+      * usually share a cell per projection. Tune to the expected near-dup
+      * distance; irrelevant for cosine (sign-bit family has no width). */
+    bucketWidth: Double = 4.0,
     seed: Long = 42L)
 
 /** Distributed ANN index construction — the batch-native replacement for
@@ -77,15 +82,57 @@ object IndexBuild {
       }
     }
 
-  /** Sign-bit bucket key of `vec` under one band's hyperplanes — random
-    * hyperplane LSH for cosine: P(same bit) = 1 − angle/π. */
-  def bucketKey(vec: Column, params: IndexParams, band: Int): Column = {
+  /** Bucket key of `vec` under one band's projections, dispatched by
+    * metric: sign-bit random-hyperplane LSH for cosine (P(same bit) =
+    * 1 − angle/π); p-stable integer cells (Datar et al., E2LSH) for
+    * euclidean — the sign-bit family ignores vector NORMS, so on
+    * non-normalized data it has no recall guarantee for L2 neighbors. */
+  def bucketKey(vec: Column, params: IndexParams, band: Int): Column =
+    if (params.metric == "euclidean") euclideanBucketKey(vec, params, band)
+    else cosineBucketKey(vec, params, band)
+
+  /** Sign-bit bucket key (cosine family). */
+  def cosineBucketKey(vec: Column, params: IndexParams, band: Int): Column = {
     val planes = hyperplanes(params, band)
     val bits = planes.map { w =>
       when(VectorFunctions.dotProduct(vec, typedLit(w.toSeq)) >= 0, "1")
         .otherwise("0")
     }
     concat(lit(s"$band:") +: bits.toIndexedSeq: _*)
+  }
+
+  /** Gaussian projections + uniform cell offsets for one p-stable band —
+    * Box–Muller over the same seeded splitmix stream as [[hyperplanes]]
+    * (reproducible across JVMs). */
+  def pstableProjections(params: IndexParams, band: Int)
+      : (Array[Array[Float]], Array[Double]) = {
+    // uniform (0,1] from the mix stream (offset the seed so the Gaussian
+    // stream never aliases the sign-bit planes of the same band)
+    def u(a: Long, b: Long): Double =
+      math.max(1e-12, (mix(params.seed + band * 1000003L + 500009L, a, b) + 1.0) / 2.0)
+    val planes = Array.tabulate(params.bucketBits) { p =>
+      Array.tabulate(params.dim) { j =>
+        (math.sqrt(-2.0 * math.log(u(2L * p, j)))
+          * math.cos(2.0 * math.Pi * u(2L * p + 1, j))).toFloat
+      }
+    }
+    val offsets = Array.tabulate(params.bucketBits) { p =>
+      u(4L * params.bucketBits + p, 0L) * params.bucketWidth
+    }
+    (planes, offsets)
+  }
+
+  /** p-stable (L2) bucket key for one band: floor((v·w + off) / r) per
+    * projection, concatenated. v·w is N(0, ‖v‖²)-distributed per the
+    * 2-stability of the Gaussian, so P(two points share a cell) decays
+    * with their L2 distance — the guarantee the euclidean metric needs. */
+  def euclideanBucketKey(vec: Column, params: IndexParams, band: Int): Column = {
+    val (planes, offsets) = pstableProjections(params, band)
+    val cells = planes.zip(offsets).map { case (w, off) =>
+      floor((VectorFunctions.dotProduct(vec, typedLit(w.toSeq)) + off)
+        / params.bucketWidth).cast("long").cast("string")
+    }
+    concat_ws(",", lit(s"$band:") +: cells.toIndexedSeq: _*)
   }
 
   /** All bands' bucket keys in ONE projection (band-prefixed so keys from

@@ -33,6 +33,49 @@ class AnnSpec extends SparkSpec {
     assert(r > 0.6, s"recall@10 = $r")
   }
 
+  test("euclidean LSH: p-stable buckets beat sign-bit recall on non-normalized data") {
+    // scale each vector by 1 + id%5: norms now carry signal that the
+    // sign-bit (angle-only) family cannot see — exactly the case the
+    // p-stable family exists for
+    val scaled = nodesDf.withColumn("vector",
+      transform(col("vector"),
+        x => (x * (lit(1.0) + col("id") % 5)).cast("float")))
+    val scaledQ = queriesDf.withColumn("query_vec",
+      transform(col("query_vec"),
+        x => (x * (lit(1.0) + col("query_id") % 5)).cast("float")))
+    val exact = KnnSearch.knnExact(scaled, scaledQ, 10, minSim = -2.0,
+        metric = "euclidean")
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    def recallOf(got: DataFrame): Double = {
+      val g = got.select("query_id", "id").as[(Long, Long)].collect().toSet
+      exact.intersect(g).size.toDouble / exact.size
+    }
+    val eu = params.copy(metric = "euclidean", bucketBits = 3, bucketWidth = 4.0)
+    val pstable = recallOf(
+      AnnSearch.searchLsh(scaled, scaledQ, 10, minSim = -2.0, eu))
+    // the pre-dispatch behavior, hand-rolled to isolate the BUCKETS:
+    // sign-bit (angle-only) candidate generation, euclidean scoring
+    val cp = eu.copy(metric = "cosine")
+    val cand = scaled
+      .withColumn("b", explode(IndexBuild.bucketKeys(col("vector"), cp)))
+      .select(col("b"), col("id"))
+      .join(scaledQ.withColumn("b",
+          explode(IndexBuild.bucketKeys(col("query_vec"), cp)))
+        .select(col("b"), col("query_id")), Seq("b"))
+      .dropDuplicates("query_id", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("id").asc)
+    val signBit = recallOf(cand
+      .join(scaled.select(col("id"), col("vector")), Seq("id"))
+      .join(scaledQ.select(col("query_id"), col("query_vec")), Seq("query_id"))
+      .withColumn("score", graft.functions.VectorFunctions.euclideanSim(
+        col("query_vec"), col("vector")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10))
+    assert(pstable > 0.6, s"p-stable recall@10 = $pstable")
+    assert(pstable >= signBit,
+      s"p-stable $pstable < sign-bit $signBit on non-normalized data")
+  }
+
   test("anchored LSH search: sane recall, and ⊆ exact-candidate semantics") {
     // data-derived anchor planes (lowest-id vectors, 4 bands × 3 bits) —
     // the exact derivation a01 runs (shared helper, not a re-implementation)

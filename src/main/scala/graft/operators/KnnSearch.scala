@@ -27,11 +27,21 @@ object KnnSearch {
 
   /** Exact top-K per query vector with a similarity floor.
     *
+    * The query side broadcasts only while its Catalyst size estimate fits
+    * `broadcastBytes` (the cheap, no-job gate Spark itself uses for join
+    * planning). Beyond that — a query set too big to pin in every
+    * executor's memory — the score pass becomes a shuffle-replicated
+    * nested-loop: both sides stay partitioned, each task scores one
+    * (node-partition × query-partition) block, and the per-query top-K
+    * still collapses map-side via WindowGroupLimit before the one rank
+    * shuffle. Same results, no driver/executor broadcast ceiling.
+    *
     * @param nodes   vector table with columns (`idCol`, `vecCol`) and
     *                optionally `deleted` (tombstones excluded, `hnsw.ts:292`)
     * @param queries query table with columns (`queryIdCol`, `queryVecCol`)
     * @param k       max results per query (`hnsw.ts:294-296`)
     * @param minSim  similarity floor, already on the 0–1 scale
+    * @param broadcastBytes query-side size ceiling for the broadcast plan
     * @return columns: query_id, id, score, rn (rank, 1-based)
     */
   def knnExact(
@@ -43,7 +53,8 @@ object KnnSearch {
       idCol: String = "id",
       vecCol: String = "vector",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     val scoreFn: (Column, Column) => Column = metric match {
       case "cosine" => VectorFunctions.cosineSim
       case "euclidean" => VectorFunctions.euclideanSim
@@ -53,8 +64,12 @@ object KnnSearch {
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes
-    val scored = live
-      .join(broadcast(queries))
+    val queriesSmall =
+      queries.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
+    val joined =
+      if (queriesSmall) live.join(broadcast(queries))
+      else live.join(queries.hint("SHUFFLE_REPLICATE_NL"))
+    val scored = joined
       .withColumn("score", scoreFn(col(queryVecCol), col(vecCol)))
       // NaN guard: a zero-norm vector scores NaN; the reference's JS
       // `score > strength` is FALSE for NaN (dropped), but Spark orders

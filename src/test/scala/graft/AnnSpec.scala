@@ -76,6 +76,20 @@ class AnnSpec extends SparkSpec {
       s"p-stable $pstable < sign-bit $signBit on non-normalized data")
   }
 
+  test("large query set: non-broadcast kNN path, identical results") {
+    // force the gate shut: any query set is "too big" at 0 bytes
+    val big = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0,
+      broadcastBytes = 0L)
+    val small = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+    val plan = { big.collect(); big.queryExecution.executedPlan.toString }
+    assert(!plan.contains("BroadcastExchange"), plan)
+    val a = big.select("query_id", "id", "rn").as[(Long, Long, Int)]
+      .collect().toSet
+    val b = small.select("query_id", "id", "rn").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(a === b)
+  }
+
   test("anchored LSH search: sane recall, and ⊆ exact-candidate semantics") {
     // data-derived anchor planes (lowest-id vectors, 4 bands × 3 bits) —
     // the exact derivation a01 runs (shared helper, not a re-implementation)

@@ -252,9 +252,12 @@ object TextDedup {
       .select(col(idCol).as(idAs), explode(shingles(col(textCol), n)).as("sh"))
       .select(col(idAs),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("k"))
-      .distinct()
+    // corpus grams are NOT pre-deduped: that would shuffle every gram in
+    // the corpus, while the final countDistinct dedups anyway — only the
+    // (small) matched rows ever reach a shuffle. The broadcast test side
+    // IS deduped (shrinks the broadcast, nothing else does it).
     grams(docs, "id")
-      .join(broadcast(grams(testDocs, "test_id")), Seq("k"))
+      .join(broadcast(grams(testDocs, "test_id").distinct()), Seq("k"))
       .groupBy(col("id"))
       .agg(countDistinct(col("k")).as("n_shared_ngrams"),
         countDistinct(col("test_id")).as("n_test_docs"))

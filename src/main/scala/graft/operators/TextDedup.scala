@@ -292,6 +292,44 @@ object TextDedup {
         round(col("dup_mass").cast("double") / col("n_bigrams"), 6).as("dup_bigram_frac"))
   }
 
+  /** Cross-document duplicated-span signal — the batch form of span-level
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"; C4's repeated-span removal): per document, how many
+    * of its word n-gram POSITIONS carry a span that also occurs in at
+    * least one OTHER document. Positional (a span repeated in-doc counts
+    * each occurrence) and cross-doc only — within-doc repetition is
+    * [[repetitionSignals]]' job. High fractions mark boilerplate shared
+    * across pages.
+    *
+    * Scale: positional spans come from posexplode + `lead` (O(L), the
+    * d04/t07 shape — never HOF-over-array retokenization); they shuffle
+    * ONCE on their uniform 60-bit hash into per-(span, doc) counts; the
+    * corpus-wide distinct-doc count is a window over those already-deduped
+    * rows; the final per-doc rollup shuffles only doc ids. Nothing is
+    * pairwise, no span list ever sits in one row. */
+  def duplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j"))
+    val spans = toks.select((col("id") +: col("tok").as("t0") +: leads): _*)
+      // lead(n-1) null ⇔ the span runs off the document end (positions are
+      // consecutive, so the last lead being present implies all are)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("id"), conv(substring(md5(
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*)), 1, 15), 16, 10)
+        .cast("long").as("k"))
+    val perDoc = spans.groupBy(col("k"), col("id")).agg(count(lit(1)).as("c"))
+    val nd = Window.partitionBy(col("k"))
+    perDoc.withColumn("n_docs", count(lit(1)).over(nd))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("n_docs") > 1, col("c")).otherwise(0L)).as("n_dup_spans"))
+  }
+
   /** Word n-gram shingle set (n consecutive tokens joined by one space).
     * Docs shorter than n tokens yield an empty set (guarded: Spark's
     * `sequence(0, negative)` would count DOWN, not produce empty). */

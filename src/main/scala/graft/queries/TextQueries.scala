@@ -104,6 +104,14 @@ object TextQueries {
       TextDedup.connectedComponents(pairs)
     }),
 
+    // Cross-document duplicated-span counts (Lee et al. 2022-style span
+    // dedup signal): per doc, positional 4-gram spans that also occur in
+    // another document. Complements t07 (within-doc repetition) and
+    // d01–d07 (whole/near-doc dedup) at the sub-document granularity.
+    "d09_duplicated_spans" -> ((s, d) => {
+      TextDedup.duplicatedSpans(Tables.documents(s, d), n = 4)
+    }),
+
     // Train/test contamination: distinct shared word-trigrams (and distinct
     // test docs touched) between each corpus doc and a held-out benchmark
     // slice (doc_id % 50 == 0).
@@ -304,6 +312,22 @@ object TextQueries {
          |  FROM documents)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM sigs GROUP BY simhash""".stripMargin,
+    "d09_duplicated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT id, unnest(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |     for i in range(1, len(t) - 2)]) AS s
+        |  FROM toks),
+        |pd AS (SELECT id, s, count(*) AS c FROM spans GROUP BY 1, 2),
+        |tag AS (
+        |  SELECT id, c, count(*) OVER (PARTITION BY s) AS n_docs FROM pd)
+        |SELECT id, sum(c)::BIGINT AS n_spans,
+        |  sum(CASE WHEN n_docs > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_spans
+        |FROM tag GROUP BY id""".stripMargin,
     "d06_embedding_neardup" ->
       """WITH nodes AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -107,6 +107,23 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)), "distant pair must not match")
   }
 
+  test("duplicatedSpans: positional counts, cross-doc only, short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // spans: "a b c", "b c d", "c d e"
+      (2L, "x y a b c d"),      // "x y a", "y a b", "a b c", "b c d"
+      (3L, "a b c a b c"),      // in-doc repeat of "a b c" ×2 + bridges
+      (4L, "too short")         // < n tokens → no spans, no row
+    ).toDF("doc_id", "text")
+    val out = TextDedup.duplicatedSpans(docs, n = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) === ((3L, 2L)))  // "a b c","b c d" shared; "c d e" unique
+    assert(out(2L) === ((4L, 2L)))
+    // doc 3: spans = "a b c","b c a","c a b","a b c" — the two "a b c"
+    // positions are dup (cross-doc), the bridge spans are unique to doc 3
+    assert(out(3L) === ((4L, 2L)))
+  }
+
   test("connectedComponents: empty pair set yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(TextDedup.connectedComponents(empty).count() === 0L)

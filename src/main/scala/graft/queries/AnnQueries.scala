@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions
@@ -14,6 +14,27 @@ import graft.operators.{AnnSearch, IndexBuild, IndexParams, KnnSearch}
 object AnnQueries {
 
   private def params = IndexParams(m = 12, levelMax = 3, bucketBits = 4, nBands = 4)
+
+  /** a08's p-stable search params — bucketWidth in the scaled fixture's
+    * distance units. */
+  private def euclidParams = IndexParams(metric = "euclidean",
+    bucketBits = 3, nBands = 4, bucketWidth = 4.0)
+
+  /** DuckDB band-key expressions mirroring [[IndexBuild.euclideanBucketKey]]
+    * over `vecExpr` (a DOUBLE[] column): the Gaussian planes and offsets
+    * are deterministic from the seed, inlined as exact double literals
+    * (Float→Double widening is value-preserving, Double.toString
+    * round-trips), so floor((v·w + off)/r) lands in the same integer cell
+    * in both engines — the kernels accumulate identically. */
+  private def pstableKeySql(vecExpr: String, p: IndexParams): Seq[String] =
+    (0 until p.nBands).map { b =>
+      val (planes, offs) = IndexBuild.pstableProjections(p, b)
+      val cells = planes.zip(offs).map { case (w, off) =>
+        val arr = w.map(_.toDouble.toString).mkString("[", ", ", "]")
+        s"(floor((list_dot_product($vecExpr, $arr::DOUBLE[]) + $off) / ${p.bucketWidth}))::BIGINT::VARCHAR"
+      }
+      s"concat_ws(',', '$b:', ${cells.mkString(", ")})"
+    }
 
   /** Build-once-per-process index per data dir, persisted to a temp path and
     * reloaded — searches run against the saved index (the real usage
@@ -110,6 +131,26 @@ object AnnQueries {
           countDistinct(col("src")).as("n_nodes"))
     }),
 
+    // Euclidean-metric LSH search over NON-normalized vectors (each scaled
+    // by 1 + id%5 so norms carry signal): exercises the p-stable bucket
+    // family end-to-end in the driver gate. Fully hash-checked — the
+    // Gaussian projections and cell offsets are deterministic from the
+    // seed, so the oracle SQL inlines them as double literals and
+    // re-derives every bucket cell, candidate and rank.
+    "a08_ann_euclidean" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      def scale(v: Column, id: Column): Column =
+        transform(v, x => (x * (lit(1.0) + id % 5)).cast("float"))
+      val nodes = emb.select(col("vec_id").as("id"),
+        scale(col("embedding"), col("vec_id")).as("vector"))
+      val queriesDf = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          scale(col("embedding"), col("vec_id")).as("query_vec"))
+      AnnSearch.searchLsh(nodes, queriesDf, k = 10, minSim = 0.0, euclidParams)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // The anchored graph BUILD, fully hash-checked: every structural choice
     // — geometric level (integer hash of id), bucket keys (a01's
     // data-derived anchor planes), chunk membership (ranked by plain id
@@ -164,6 +205,39 @@ object AnnQueries {
     * build + walk) stay rows-only: their structure depends on
     * engine-internal hash ordering that no external SQL can re-derive. */
   val oracleSql: Map[String, String] = Map(
+    "a08_ann_euclidean" -> {
+      val scaled = "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * (1 + vec_id % 5) AS FLOAT))::DOUBLE[]"
+      val nKeys = pstableKeySql("n.v", euclidParams).zipWithIndex
+        .map { case (k, b) => s"SELECT id, $b AS band, $k AS bk FROM nodes n" }
+        .mkString("\n  UNION ALL ")
+      val qKeys = pstableKeySql("q.qv", euclidParams).zipWithIndex
+        .map { case (k, b) => s"SELECT query_id, $b AS band, $k AS bk FROM q" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH nodes AS (
+         |  SELECT vec_id AS id, $scaled AS v FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, $scaled AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |nk AS (
+         |  $nKeys),
+         |qk AS (
+         |  $qKeys),
+         |cand AS (
+         |  SELECT DISTINCT qk.query_id, nk.id
+         |  FROM nk JOIN qk ON nk.band = qk.band AND nk.bk = qk.bk),
+         |scored AS (
+         |  SELECT c.query_id, c.id,
+         |    1.0 / (1.0 + list_distance(n.v, q.qv)) AS score
+         |  FROM cand c
+         |  JOIN nodes n ON n.id = c.id
+         |  JOIN q ON q.query_id = c.query_id)
+         |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+         |  SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, id) AS rn
+         |  FROM scored WHERE score > 0.0)
+         |WHERE rn <= 10""".stripMargin
+    },
     // The floor CONTRACT, not the walk: every query must clear 0.9
     // recall@10. DuckDB can't re-derive the walk, but it can enumerate the
     // query set and assert the expected flag — a recall regression then

@@ -151,6 +151,21 @@ object AnnQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // Cost-based strategy selection wired into the gate: on this fixture
+    // the measured stats (n=500 ≤ exactCutoff) deterministically pick the
+    // EXACT path, so the oracle pins BOTH the dispatch (strategy column)
+    // and the result rows. A decision-rule regression (wrong cutoff, wrong
+    // stats) flips the strategy literal and fails the hash.
+    "a09_adaptive_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val (strategy, res) = graft.operators.AdaptiveSearch.search(
+        VectorQueries.asVectorTable(emb), VectorQueries.querySet(emb),
+        k = 10, minSim = 0.5, params)
+      res.select(col("query_id"), col("id"), col("rn"))
+        .withColumn("strategy", lit(strategy.toString))
+    }),
+
     // The anchored graph BUILD, fully hash-checked: every structural choice
     // — geometric level (integer hash of id), bucket keys (a01's
     // data-derived anchor planes), chunk membership (ranked by plain id
@@ -238,6 +253,21 @@ object AnnQueries {
          |  FROM scored WHERE score > 0.0)
          |WHERE rn <= 10""".stripMargin
     },
+    "a09_adaptive_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+        |  FROM q CROSS JOIN embeddings e)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn,
+        |  'UseExact' AS strategy FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM scored WHERE score > 0.5)
+        |WHERE rn <= 10""".stripMargin,
     // The floor CONTRACT, not the walk: every query must clear 0.9
     // recall@10. DuckDB can't re-derive the walk, but it can enumerate the
     // query set and assert the expected flag — a recall regression then

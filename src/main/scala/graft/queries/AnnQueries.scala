@@ -166,6 +166,41 @@ object AnnQueries {
         .withColumn("strategy", lit(strategy.toString))
     }),
 
+    // Product-quantization ADC search (the memory-compression scale path:
+    // codes are 8 B/vector vs 256 B of floats). Fully hash-checked — the
+    // sub-codebooks are data-derived (slices of the 16 lowest-id vectors),
+    // encode is argmin euclidean per subspace, and ADC totals are
+    // DECIMAL(18,8) sums of 8-dp-rounded distances, so DuckDB re-derives
+    // every code and every rank exactly.
+    "a10_pq_adc_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val cb = graft.operators.PqIndex.sampleCodebooks(nodesDf,
+        m = 8, subLen = 8, ksub = 16)
+      val codes = graft.operators.PqIndex.encode(nodesDf, cb,
+        m = 8, subLen = 8)
+      graft.operators.PqIndex.searchAdc(codes, cb,
+        VectorQueries.querySet(emb), k = 10, m = 8, subLen = 8)
+    }),
+
+    // PQ's production-quality tail: ADC shortlist (top-80 on compressed
+    // codes) + exact euclidean re-rank of just the survivors. Same decimal
+    // determinism for the shortlist; the re-rank doubles bit-match DuckDB's
+    // list_distance (the a08 kernel-parity property).
+    "a11_pq_rerank" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val cb = graft.operators.PqIndex.sampleCodebooks(nodesDf,
+        m = 8, subLen = 8, ksub = 16)
+      val codes = graft.operators.PqIndex.encode(nodesDf, cb,
+        m = 8, subLen = 8)
+      graft.operators.PqIndex.searchAdcRerank(nodesDf, codes, cb,
+        VectorQueries.querySet(emb), k = 10, shortlist = 80,
+        m = 8, subLen = 8)
+    }),
+
     // The anchored graph BUILD, fully hash-checked: every structural choice
     // — geometric level (integer hash of id), bucket keys (a01's
     // data-derived anchor planes), chunk membership (ranked by plain id
@@ -220,6 +255,88 @@ object AnnQueries {
     * build + walk) stay rows-only: their structure depends on
     * engine-internal hash ordering that no external SQL can re-derive. */
   val oracleSql: Map[String, String] = Map(
+    "a10_pq_adc_search" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (
+        |  SELECT CAST(s.sub AS INT) AS sub, c.code,
+        |    list_slice(c.cv, s.sub * 8 + 1, s.sub * 8 + 8) AS cen
+        |  FROM cb0 c CROSS JOIN range(0, 8) s(sub)),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT n.id, cb.sub, cb.code,
+        |      row_number() OVER (PARTITION BY n.id, cb.sub
+        |        ORDER BY list_distance(
+        |          list_slice(n.v, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen)
+        |          ASC, cb.code) AS rn
+        |    FROM nodes n CROSS JOIN cb) WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |lut AS (
+        |  SELECT q.query_id, cb.sub, cb.code,
+        |    CAST(round(list_distance(
+        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen), 8)
+        |      AS DECIMAL(18,8)) AS d
+        |  FROM q CROSS JOIN cb),
+        |scored AS (
+        |  SELECT l.query_id, e.id, sum(l.d) AS adc
+        |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        |  GROUP BY l.query_id, e.id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adc ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "a11_pq_rerank" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (
+        |  SELECT CAST(s.sub AS INT) AS sub, c.code,
+        |    list_slice(c.cv, s.sub * 8 + 1, s.sub * 8 + 8) AS cen
+        |  FROM cb0 c CROSS JOIN range(0, 8) s(sub)),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT n.id, cb.sub, cb.code,
+        |      row_number() OVER (PARTITION BY n.id, cb.sub
+        |        ORDER BY list_distance(
+        |          list_slice(n.v, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen)
+        |          ASC, cb.code) AS rn
+        |    FROM nodes n CROSS JOIN cb) WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |lut AS (
+        |  SELECT q.query_id, cb.sub, cb.code,
+        |    CAST(round(list_distance(
+        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen), 8)
+        |      AS DECIMAL(18,8)) AS d
+        |  FROM q CROSS JOIN cb),
+        |shortlist AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT l.query_id, e.id,
+        |      row_number() OVER (PARTITION BY l.query_id
+        |                         ORDER BY sum(l.d) ASC, e.id) AS srn
+        |    FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        |    GROUP BY l.query_id, e.id)
+        |  WHERE srn <= 80)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT s.query_id, s.id,
+        |    row_number() OVER (PARTITION BY s.query_id
+        |      ORDER BY list_distance(n.v, q.qv) ASC, s.id) AS rn
+        |  FROM shortlist s
+        |  JOIN nodes n ON n.id = s.id
+        |  JOIN q ON q.query_id = s.query_id)
+        |WHERE rn <= 10""".stripMargin,
     "a08_ann_euclidean" -> {
       val scaled = "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * (1 + vec_id % 5) AS FLOAT))::DOUBLE[]"
       val nKeys = pstableKeySql("n.v", euclidParams).zipWithIndex

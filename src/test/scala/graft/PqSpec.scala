@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KnnSearch, PqIndex}
+import graft.queries.VectorQueries
+
+/** Product quantization: code-table invariants, ADC reconstruction
+  * properties, and recall against the exact oracle. ADC is lossy by
+  * construction, so recall floors are calibrated to the fixture (m=8,
+  * subLen=8, ksub=16 sample codebook over 500 64-dim vectors). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 8
+  private val subLen = 8
+  private val ksub = 16
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val nodesDf = VectorQueries.asVectorTable(emb)
+  private lazy val queriesDf = VectorQueries.querySet(emb)
+  private lazy val cb = PqIndex.sampleCodebooks(nodesDf, m, subLen, ksub)
+  private lazy val codes = PqIndex.encode(nodesDf, cb, m, subLen)
+
+  test("codebooks: m×ksub sub-centroids of subLen each") {
+    val rows = cb.collect()
+    assert(rows.length == m * ksub)
+    assert(rows.forall(_.getSeq[Float](2).length == subLen))
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until m).toSet)
+    assert(bySub.values.forall(_.map(_.getInt(1)).sorted.toSeq == (0 until ksub)))
+  }
+
+  test("encode: every live vector gets exactly m codes in [0, ksub)") {
+    val n = nodesDf.count()
+    assert(codes.count() == n * m)
+    assert(codes.filter(col("code") < 0 || col("code") >= ksub).isEmpty)
+    assert(codes.groupBy("id").count().filter(col("count") =!= m).isEmpty)
+  }
+
+  test("encode of a codebook-source vector is the identity code row") {
+    // vector j < ksub IS code j's centroid in every subspace: distance 0
+    // to itself, so argmin (ties toward low code) must pick code j or an
+    // exactly-duplicate earlier centroid; on this fixture vectors are
+    // distinct, so the code is exactly j
+    val own = codes.filter(col("id") < ksub)
+      .filter(col("code") =!= col("id"))
+    assert(own.isEmpty, s"self-encode mismatches: ${own.count()}")
+  }
+
+  test("tombstoned vectors are not encoded") {
+    val withDead = nodesDf.withColumn("deleted", col("id") % 7 === 0)
+    val enc = PqIndex.encode(withDead, cb, m, subLen)
+    assert(enc.filter(col("id") % 7 === 0).isEmpty)
+  }
+
+  test("ADC search: recall@10 vs exact clears the fixture floor") {
+    val approx = PqIndex.searchAdc(codes, cb, queriesDf, 10, m, subLen)
+    // ADC approximates EUCLIDEAN distance — compare against the euclidean
+    // exact ranking (cosine order differs on non-normalized vectors)
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0,
+        metric = "euclidean")
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val got = approx.select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    // 16-entry sample codebooks are coarse — the honest raw-ADC floor is
+    // low; the production-quality path is the reranked one below
+    assert(recall >= 0.15, s"ADC recall@10 = $recall")
+    val reranked = PqIndex.searchAdcRerank(nodesDf, codes, cb, queriesDf,
+        10, 80, m, subLen)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val rr = exact.intersect(reranked).size.toDouble / exact.size
+    assert(rr >= 0.6, s"reranked recall@10 = $rr")
+    assert(rr > recall, s"rerank must improve recall: $rr vs $recall")
+    // and the quantized self-match property: a query that IS a corpus
+    // vector has ADC distance 0 to its own codes, so it must appear in
+    // its own top-k (ties broken by id cannot push 10 zero-distance
+    // duplicates ahead on this fixture)
+    val self = approx.filter(col("query_id") === col("id")).count()
+    assert(self == queriesDf.count(), s"self-hits $self")
+  }
+
+  test("ADC ranks are partition-order independent (decimal sums)") {
+    val a = PqIndex.searchAdc(codes, cb, queriesDf, 10, m, subLen)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val b = PqIndex.searchAdc(codes.repartition(7, col("id")), cb,
+        queriesDf.repartition(3), 10, m, subLen)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(a == b)
+  }
+}

@@ -14,7 +14,39 @@ import graft.operators.TextDedup
   */
 object TextQueries {
 
+  /** Shared query set for the retrieval queries: every 100th document as a
+    * bag-of-words query (its own id as query_id). */
+  private def retrievalQueryDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 lexical retrieval as a distributed inverted-index join: every
+    // 100th doc is a bag-of-words query against the whole corpus. Per-term
+    // contributions round to 6 dp and sum as DECIMAL(18,6), so scores and
+    // ranks are engine-exact (ln ulp skew absorbed by the rounding).
+    "t09_bm25_search" -> ((s, d) =>
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+        retrievalQueryDocs(s, d), topK = 10)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 run with the
+    // exact-cosine vector run over the aligned embeddings (vec_id ==
+    // doc_id). RRF reads only the two top-20 rank lists — corpus size
+    // never enters the fusion stage.
+    "t10_hybrid_rrf" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val lex = graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+        retrievalQueryDocs(s, d), topK = 20)
+      val emb = Tables.embeddings(s, d)
+      val vec = graft.operators.KnnSearch.knnExact(
+        VectorQueries.asVectorTable(emb),
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec")),
+        k = 20, minSim = -2.0)
+      graft.operators.Retrieval.rrfFuse(lex, vec, topK = 10)
+    }),
+
     // Exact dedup on a corpus with injected duplicates (each doc twice under
     // different ids): one representative + member count per content hash.
     "d01_exact_dedup" -> ((s, d) => {
@@ -223,7 +255,79 @@ object TextQueries {
        |  WHERE jacc >= 0.95)""".stripMargin
   }
 
+  /** BM25 CTE block shared by the t09/t10 oracles: mirrors
+    * [[graft.operators.Retrieval.bm25TopK]] term-for-term (same
+    * parenthesization, so every double op rounds identically; ln ulp skew
+    * is absorbed by round(…, 6) before the DECIMAL(18,6) sum). Yields a
+    * `lex(query_id, id, score, rn)` relation with rn ≤ `topK`. */
+  private def bm25OracleCte(topK: Int): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM terms
+       |       WHERE length(term) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT id, count(*) AS dl FROM terms
+       |       WHERE length(term) > 0 GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |stats AS (
+       |  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+       |         (SELECT avg(dl) FROM dl) AS avgdl),
+       |qt AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents WHERE doc_id % 100 = 0)
+       |  WHERE length(term) > 0),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.id,
+       |    CAST(round(
+       |      ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      tf.tf * (1.2 + 1) /
+       |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS c
+       |  FROM qt
+       |  JOIN tf ON tf.term = qt.term
+       |  JOIN df ON df.term = qt.term
+       |  JOIN dl ON dl.id = tf.id
+       |  CROSS JOIN stats s),
+       |lex AS (
+       |  SELECT query_id, id, score, rn FROM (
+       |    SELECT query_id, id, sum(c) AS score,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sum(c) DESC, id) AS rn
+       |    FROM contrib GROUP BY query_id, id)
+       |  WHERE rn <= $topK)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "t09_bm25_search" ->
+      s"""${bm25OracleCte(10)}
+         |SELECT query_id, id, score, CAST(rn AS INT) AS rn FROM lex""".stripMargin,
+    "t10_hybrid_rrf" ->
+      s"""${bm25OracleCte(20)},
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |vec AS (
+         |  SELECT query_id, id, rn FROM (
+         |    SELECT q.query_id, e.vec_id AS id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+         |          DESC, e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e
+         |    WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) > -2.0)
+         |  WHERE rn <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.id, v.id) AS id,
+         |    coalesce(1.0 / (60 + l.rn), 0) + coalesce(1.0 / (60 + v.rn), 0)
+         |      AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.id = v.id)
+         |SELECT query_id, id, round(rrf, 8) AS rrf_r, CAST(rn AS INT) AS rn
+         |FROM (
+         |  SELECT query_id, id, rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY rrf DESC, id) AS rn
+         |  FROM fused) WHERE rn <= 10""".stripMargin,
     "d01_exact_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

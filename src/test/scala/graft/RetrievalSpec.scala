@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** BM25 + RRF hybrid retrieval: self-retrieval sanity, rank determinism,
+  * and fusion properties on synthetic runs. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf001)
+  private lazy val queryDocs = docs.filter(col("doc_id") % 100 === 0)
+    .select(col("doc_id").as("query_id"), col("text"))
+
+  test("BM25: a document used as its own query stays in its top-20") {
+    // rank-1 self-retrieval is NOT guaranteed: the query side keeps only
+    // DISTINCT terms (standard BM25) and length normalization can promote
+    // shorter docs sharing the high-idf terms — on this near-uniform
+    // synthetic vocabulary that genuinely happens. Presence in the top-20
+    // is the stable property (the hybrid test below shows RRF + the
+    // vector tower restores rank 1).
+    val top = Retrieval.bm25TopK(docs, queryDocs, topK = 20)
+    val nq = queryDocs.count()
+    val selfHits = top.filter(col("query_id") === col("id")).count()
+    assert(selfHits == nq, s"self in top-20 for $selfHits of $nq queries")
+  }
+
+  test("BM25 ranks are partition-order independent (decimal sums)") {
+    val a = Retrieval.bm25TopK(docs, queryDocs, topK = 10)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val b = Retrieval.bm25TopK(docs.repartition(13), queryDocs.repartition(5),
+        topK = 10)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(a == b)
+  }
+
+  test("BM25: a query with no shared terms returns nothing; empty query drops out") {
+    val weird = Seq((9001L, "zzzqx9 qqqpw7"), (9002L, ""))
+      .toDF("query_id", "text")
+    val top = Retrieval.bm25TopK(docs, weird, topK = 10)
+    assert(top.isEmpty)
+  }
+
+  test("RRF: doc in both runs outranks same-rank docs in one run") {
+    val runA = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "id", "rn")
+    val runB = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "id", "rn")
+    val fused = Retrieval.rrfFuse(runA, runB, topK = 10)
+      .select("id", "rn").as[(Long, Int)].collect().toMap
+    // 10 scores 1/61+1/62; 12 scores 1/61 alone; 11 scores 1/62 alone
+    assert(fused(10L) == 1)
+    assert(fused(12L) == 2)
+    assert(fused(11L) == 3)
+  }
+
+  test("RRF: disjoint runs fuse to the union with list-local ordering") {
+    val runA = Seq((1L, 10L, 1)).toDF("query_id", "id", "rn")
+    val runB = Seq((2L, 20L, 1)).toDF("query_id", "id", "rn")
+    val fused = Retrieval.rrfFuse(runA, runB, topK = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(fused == Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("hybrid t10 query runs and keeps self-hit in the top ranks") {
+    val res = graft.queries.TextQueries.queries("t10_hybrid_rrf")(spark, sf001)
+    // the query doc is identical on both towers (lex self-match + cosine
+    // self-sim 1.0) — fusion must keep it at rank 1
+    val firsts = res.filter(col("rn") === 1)
+      .select("query_id", "id").as[(Long, Long)].collect()
+    assert(firsts.nonEmpty && firsts.forall { case (q, id) => q == id })
+  }
+}

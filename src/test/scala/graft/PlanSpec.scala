@@ -58,6 +58,22 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("a10: PQ codebooks and LUT broadcast; codes never pair-join") {
+    val p = plan("a10_pq_adc_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ADC aggregation must partial-combine map-side before its exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("t09: BM25 candidates come from the term equi-join, never corpus x queries") {
+    val p = plan("t09_bm25_search")
+    // the only nested-loop inputs are the single-row stats broadcasts;
+    // a corpus-sized cartesian would also surface as CartesianProduct
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("term"), p)
+  }
+
   test("v01: query side broadcasts; kernel stays in whole-stage codegen") {
     val p = plan("v01_knn_exact")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

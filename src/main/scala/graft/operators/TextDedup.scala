@@ -186,13 +186,19 @@ object TextDedup {
     * decreasing) label sum. Near-dup components are dense and tiny, so the
     * iteration count is the component diameter (1–3 in practice); each
     * round is one shuffle on node id, and `localCheckpoint` cuts lineage so
-    * plan size stays O(1) across rounds. For adversarial long-chain graphs
-    * the large-star/small-star variant halves path lengths per round
-    * (O(log n) rounds); not needed for the near-dup workload.
+    * plan size stays O(1) across rounds.
+    *
+    * `pathHalving` adds a label-of-label join per round (pointer doubling),
+    * turning O(diameter) rounds into O(log diameter) — enable it for
+    * adversarial chain-shaped graphs. It is OFF by default because the
+    * extra join is pure overhead on the shallow components near-dup
+    * produces: measured 5.5 s → 10.5 s on the sf0.1 gate fixture
+    * (SCALING.md). The fixpoint (component min) is identical either way.
     *
     * Returns (node, cluster_id) for every node in the pair graph. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+      bCol: String = "b_id", maxIters: Int = 25,
+      pathHalving: Boolean = false): DataFrame = {
     val sym = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
       .union(pairs.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("d")))
       .distinct()
@@ -215,11 +221,20 @@ object TextDedup {
         .join(cur.select(col("node").as("d"), col("cluster_id").as("nl")), Seq("d"))
         .groupBy(col("s").as("node"))
         .agg(min(col("nl")).as("nbr_min"))
-      val next = cur.join(nbrMin, Seq("node"), "left")
+      val prop = cur.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+      val halved =
+        if (!pathHalving) prop
+        else prop.join(
+            prop.select(col("node").as("cluster_id"),
+              col("cluster_id").as("ll")),
+            Seq("cluster_id"), "left")
+          .select(col("node"),
+            least(col("cluster_id"), coalesce(col("ll"), col("cluster_id")))
+              .as("cluster_id"))
+      val next = halved.localCheckpoint()
       val nextSum = labelSum(next)
       done = nextSum == curSum // labels only decrease ⇒ equal sum = fixpoint
       cur = next

@@ -140,6 +140,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out.size === 7)
   }
 
+  test("connectedComponents: pathHalving reaches the same fixpoint on a long chain") {
+    // 40-node chain — the shape pathHalving exists for: plain propagation
+    // needs ~diameter rounds (39 here, past the default maxIters=25 — it
+    // warns and returns partial labels), halving converges well inside it
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val plain = TextDedup.connectedComponents(pairs, maxIters = 50)
+      .as[(Long, Long)].collect().toMap
+    val halved = TextDedup.connectedComponents(pairs, pathHalving = true)
+      .as[(Long, Long)].collect().toMap
+    assert(plain == halved)
+    assert((1L to 40L).forall(halved(_) == 1L))
+  }
+
   test("contamination: counts distinct shared n-grams and test docs") {
     val corpus = Seq(
       (1L, "a b c d e"),   // shares bigrams {a b, b c, c d, d e} with test 100

@@ -29,6 +29,20 @@ object TextQueries {
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
         retrievalQueryDocs(s, d), topK = 10)),
 
+    // PII scrub + whitespace normalization over the corpus plus injected
+    // PII-bearing rows (the synthetic corpus is clean, so the injected rows
+    // carry the signal; the same rows are VALUES literals in the oracle).
+    // Patterns stay in the Java∩RE2-identical regex subset.
+    "t11_pii_scrub" -> ((s, d) => {
+      val extra = s.createDataFrame(Seq(
+        (900001L, "contact alice.smith+spam@example.co.uk or +14155550123 now"),
+        (900002L, "server 192.168.0.1   logged  weird   whitespace runs"),
+        (900003L, "no pii here just words"))).toDF("doc_id", "text")
+      graft.operators.TextClean.scrub(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(extra))
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 run with the
     // exact-cosine vector run over the aligned embeddings (vec_id ==
     // doc_id). RRF reads only the two top-20 rank lists — corpus size
@@ -298,6 +312,31 @@ object TextQueries {
        |  WHERE rn <= $topK)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t11_pii_scrub" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (900001, 'contact alice.smith+spam@example.co.uk or +14155550123 now'),
+        |    (900002, 'server 192.168.0.1   logged  weird   whitespace runs'),
+        |    (900003, 'no pii here just words')) v(doc_id, text))
+        |SELECT doc_id AS id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g') AS clean_text,
+        |  length(regexp_replace(regexp_replace(regexp_replace(
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g')) AS clean_len
+        |FROM corpus""".stripMargin,
     "t09_bm25_search" ->
       s"""${bm25OracleCte(10)}
          |SELECT query_id, id, score, CAST(rn AS INT) AS rn FROM lex""".stripMargin,

@@ -94,12 +94,47 @@ object ScaleProbe {
     val ivfRecall = ivfRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exact.contains).toDouble / exact.size
 
+    // PQ: encode is part of index build (one n×m map-side argmin pass,
+    // persisted like the IVF assignment); ADC search reads codes only.
+    // Recall is judged against the EUCLIDEAN exact ranking (ADC
+    // approximates euclidean distance; cosine order differs on these
+    // non-normalized vectors).
+    val mSub = 8
+    val subLen = dim / mSub
+    val ksub = 256
+    val cbPq = PqIndex.sampleCodebooks(nodes, mSub, subLen, ksub)
+      .localCheckpoint()
+    val (codes, tPqEncode) = timed {
+      val c = PqIndex.encode(nodes, cbPq, mSub, subLen).localCheckpoint()
+      c.count(); c
+    }
+    val exactEuc = KnnSearch.knnExact(nodes, queries, 10, minSim = -2.0,
+        metric = "euclidean")
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (adcRows, tPqAdc) = timed {
+      PqIndex.searchAdc(codes, cbPq, queries, 10, mSub, subLen)
+        .select("query_id", "id").collect()
+    }
+    val pqRecall = adcRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+    val (rrRows, tPqRerank) = timed {
+      PqIndex.searchAdcRerank(nodes, codes, cbPq, queries, 10,
+          shortlist = 100, mSub, subLen)
+        .select("query_id", "id").collect()
+    }
+    val pqRerankRecall = rrRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+
     println(s"""{"n":$n,"dim":$dim,"bucketBits":${params.bucketBits},""" +
       s""""exact_search_sec":$tExact,"index_build_sec":$tBuild,""" +
       s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges,""" +
       s""""ivf_cells":$kCells,"ivf_train_sec":$tIvfTrain,""" +
       s""""ivf_assign_sec":$tIvfAssign,""" +
-      s""""ivf_search_sec":$tIvf,"ivf_recall_at_10":$ivfRecall}""")
+      s""""ivf_search_sec":$tIvf,"ivf_recall_at_10":$ivfRecall,""" +
+      s""""pq_encode_sec":$tPqEncode,"pq_adc_sec":$tPqAdc,""" +
+      s""""pq_adc_recall_at_10":$pqRecall,"pq_rerank_sec":$tPqRerank,""" +
+      s""""pq_rerank_recall_at_10":$pqRerankRecall}""")
     spark.stop()
   }
 }

@@ -29,6 +29,25 @@ object TextQueries {
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
         retrievalQueryDocs(s, d), topK = 10)),
 
+    // Composed corpus pipeline — the operators chained the way a real
+    // training-data job runs them: normalize+mask (TextClean) → token-count
+    // quality gate → exact dedup on the CLEANED text (min-id
+    // representative). Duplicates are injected with differing whitespace,
+    // so dedup only collapses them BECAUSE normalization ran first — the
+    // composition is load-bearing, not decoration.
+    "d10_corpus_pipeline" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // every 10th doc re-enters with doubled spaces under a high id
+      val dup = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          regexp_replace(col("text"), lit(" "), lit("  ")).as("text"))
+      val cleaned = graft.operators.TextClean
+        .scrub(base.unionByName(dup))
+        .select(col("id").as("doc_id"), col("clean_text").as("text"))
+      val gated = cleaned.filter(size(split(col("text"), " ")) >= 5)
+      graft.operators.TextDedup.exactDedup(gated)
+    }),
+
     // PII scrub + whitespace normalization over the corpus plus injected
     // PII-bearing rows (the synthetic corpus is clean, so the injected rows
     // carry the signal; the same rows are VALUES literals in the oracle).
@@ -312,6 +331,26 @@ object TextQueries {
        |  WHERE rn <= $topK)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d10_corpus_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, replace(text, ' ', '  ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+\d{7,15}', '<PHONE>', 'g') AS text
+        |  FROM corpus),
+        |gated AS (
+        |  SELECT doc_id, text FROM cleaned
+        |  WHERE len(string_split(text, ' ')) >= 5)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM gated GROUP BY md5(text)""".stripMargin,
     "t11_pii_scrub" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -102,8 +102,10 @@ object ScaleProbe {
     val mSub = 8
     val subLen = dim / mSub
     val ksub = 256
-    val cbPq = PqIndex.sampleCodebooks(nodes, mSub, subLen, ksub)
-      .localCheckpoint()
+    val (cbPq, tPqTrain) = timed {
+      val c = PqIndex.trainCodebooks(nodes, mSub, subLen, ksub, iters = 2)
+      c.count(); c
+    }
     val (codes, tPqEncode) = timed {
       val c = PqIndex.encode(nodes, cbPq, mSub, subLen).localCheckpoint()
       c.count(); c
@@ -120,7 +122,7 @@ object ScaleProbe {
       .count(exactEuc.contains).toDouble / exactEuc.size
     val (rrRows, tPqRerank) = timed {
       PqIndex.searchAdcRerank(nodes, codes, cbPq, queries, 10,
-          shortlist = 100, mSub, subLen)
+          shortlist = 1000, mSub, subLen)
         .select("query_id", "id").collect()
     }
     val pqRerankRecall = rrRows.map(r => (r.getLong(0), r.getLong(1)))
@@ -132,6 +134,7 @@ object ScaleProbe {
       s""""ivf_cells":$kCells,"ivf_train_sec":$tIvfTrain,""" +
       s""""ivf_assign_sec":$tIvfAssign,""" +
       s""""ivf_search_sec":$tIvf,"ivf_recall_at_10":$ivfRecall,""" +
+      s""""pq_train_sec":$tPqTrain,""" +
       s""""pq_encode_sec":$tPqEncode,"pq_adc_sec":$tPqAdc,""" +
       s""""pq_adc_recall_at_10":$pqRecall,"pq_rerank_sec":$tPqRerank,""" +
       s""""pq_rerank_recall_at_10":$pqRerankRecall}""")

@@ -143,6 +143,72 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** PQ asymmetric-distance kernel: `left` = the m sub-codes of one vector
+  * (ARRAY<INT>), `right` = one query's flattened distance LUT
+  * (ARRAY<DOUBLE>, laid out [sub*ksub + code]; ksub derived per row as
+  * lutLen / m). Result = Σ_s lut[s*ksub + code_s], accumulated in sub
+  * order 0..m−1 — a FIXED per-row summation order, so the value is
+  * independent of partitioning and reproducible by any engine that sums
+  * the per-sub distances in sub order (the oracle's ordered list_reduce).
+  * Out-of-range codes contribute +∞, surfacing corrupt inputs as
+  * never-top-ranked rather than wrong-but-plausible. */
+case class PqAdcExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (ARRAY<INT>, ARRAY<DOUBLE>), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m == 0) 0.0
+    else {
+      val ksub = lut.numElements() / m
+      var s = 0.0; var i = 0
+      while (i < m) {
+        val idx = i * ksub + codes.getInt(i)
+        s += (if (idx >= 0 && idx < lut.numElements()) lut.getDouble(idx)
+              else Double.PositiveInfinity)
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val res = ctx.freshName("res"); val m = ctx.freshName("m")
+      val ksub = ctx.freshName("ksub"); val i = ctx.freshName("i")
+      val idx = ctx.freshName("idx")
+      s"""
+         |double $res = 0.0;
+         |int $m = $c.numElements();
+         |if ($m > 0) {
+         |  int $ksub = $l.numElements() / $m;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    int $idx = $i * $ksub + $c.getInt($i);
+         |    $res += ($idx >= 0 && $idx < $l.numElements())
+         |      ? $l.getDouble($idx) : Double.POSITIVE_INFINITY;
+         |  }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration. Queries call [[VectorFunctions.register]]
   * once per session (idempotent) and then use either the `Column` API here or
   * `expr("cosine_sim(a,b)")` in SQL text.
@@ -152,6 +218,7 @@ object VectorFunctions {
     "dot_product" -> (es => DotProductExpr(es(0), es(1))),
     "cosine_sim" -> (es => CosineSimilarityExpr(es(0), es(1))),
     "euclidean_dist" -> (es => EuclideanDistanceExpr(es(0), es(1))),
+    "pq_adc" -> (es => PqAdcExpr(es(0), es(1))),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -174,4 +241,8 @@ object VectorFunctions {
   /** 1/(1+dist) distance→similarity transform — `similarity.ts:36-41`. */
   def euclideanSim(a: Column, b: Column): Column =
     lit(1.0) / (lit(1.0) + euclideanDist(a, b))
+
+  /** PQ ADC lookup-sum over (codes ARRAY<INT>, flat LUT ARRAY<DOUBLE>). */
+  def pqAdc(codes: Column, lut: Column): Column =
+    call_function("pq_adc", codes, lut)
 }

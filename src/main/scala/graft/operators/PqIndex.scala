@@ -19,34 +19,51 @@ import graft.functions.VectorFunctions
   * Spark shape, sized for 100 TB:
   *  - codebooks are tiny (m × ksub rows) and BROADCAST everywhere; the
   *    corpus never shuffles during encode (explode to n×m narrow slices,
-  *    map-side argmin, partial-agg collapse back to n×m codes).
-  *  - ADC: the per-query LUT (Q × m × ksub distances) broadcasts; the codes
-  *    table map-side joins it, and the Σ-over-subspaces aggregation is
-  *    map-side combinable, so the only exchange carries Q × n NARROW
-  *    (query, id, partial-sum) rows — the same shuffle class as
-  *    [[KnnSearch.knnExact]]'s score pass but over 32× smaller rows, and
-  *    composable with [[IvfIndex]] cell probing (IVF-PQ) to cut `n` to
-  *    `n × nProbe / k` first.
-  *  - ADC partial sums are DECIMAL, not DOUBLE: addition order then cannot
-  *    change the total, so ranks are reproducible across partitionings AND
-  *    engines (the d06/q26 order-independence trick applied to distances).
+  *    map-side argmin, partial-agg collapse back to one codes-array row
+  *    per vector).
+  *  - ADC: per-query LUTs (m × ksub distances each, flattened to one
+  *    array) BROADCAST against the packed codes table — n × Q rows, the
+  *    same row count as exact kNN, but each row is a codegen'd m-lookup
+  *    sum ([[graft.functions.PqAdcExpr]]) instead of a dim-length float
+  *    kernel, and the scanned side carries 8-byte codes instead of
+  *    256-byte vectors (32× less I/O — the advantage that compounds at
+  *    scale). Composable with [[IvfIndex]] cell probing (IVF-PQ) to cut
+  *    `n` before the scan.
+  *  - Determinism without decimals: each ADC value sums exactly m
+  *    distances in FIXED sub order inside one row, so results are
+  *    partition-order-free and reproducible by any engine that sums the
+  *    per-sub distances in sub order (the oracle's ordered list_reduce).
+  *    LUT entries round to 8 dp so both engines feed identical doubles in.
   *
-  * Like [[IvfIndex.sampleCodebook]], the codebook here is plain data
-  * selection (sub-slices of the `ksub` lowest-id live vectors) so an
-  * external engine can re-derive every code and every ADC total from the
-  * same parquet — the trained variant would drop in the same dataflow.
+  * Codebooks: [[sampleCodebooks]] is plain data selection (sub-slices of
+  * the `ksub` lowest-id live vectors) so an external engine re-derives
+  * every code and ADC total from the same parquet — the oracle-checkable
+  * bootstrap, like [[IvfIndex.sampleCodebook]]. [[trainCodebooks]] is the
+  * quality path: per-subspace euclidean Lloyd iterations (same broadcast
+  * argmin shape per round); its float means are engine-internal, so recall
+  * is pinned by PqSpec rather than the DuckDB gate.
   */
 object PqIndex {
+
+  private def live(nodes: DataFrame): DataFrame =
+    if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+    else nodes
+
+  /** (id, sub, subvec) slices — one narrow row per vector per subspace. */
+  private def subSlices(nodes: DataFrame, m: Int, subLen: Int): DataFrame =
+    live(nodes)
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("vector"))
+      .select(col("id"), col("sub"),
+        slice(col("vector"), col("sub") * subLen + 1, lit(subLen))
+          .as("subvec"))
 
   /** Sub-codebooks as a (sub, code, centroid) table: subspace `sub`'s
     * centroids are the `[sub*subLen, (sub+1)*subLen)` slices of the `ksub`
     * lowest-id live vectors, codes numbered in id order. */
   def sampleCodebooks(nodes: DataFrame, m: Int, subLen: Int, ksub: Int)
-      : DataFrame = {
-    val live =
-      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
-      else nodes
-    live.orderBy(col("id").asc).limit(ksub)
+      : DataFrame =
+    live(nodes).orderBy(col("id").asc).limit(ksub)
       .withColumn("code",
         row_number().over(Window.orderBy(col("id").asc)) - 1)
       .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
@@ -54,6 +71,42 @@ object PqIndex {
       .select(col("sub"), col("code"),
         slice(col("vector"), col("sub") * subLen + 1, lit(subLen))
           .as("centroid"))
+
+  /** Per-subspace euclidean k-means refinement of [[sampleCodebooks]]:
+    * assign = broadcast argmin per (id, sub); update = per-(sub, code, pos)
+    * mean (map-side combinable). Cells that lose all members keep their
+    * previous centroid. The measured quality path — on clustered 200k×64
+    * probe data it roughly doubles ADC recall vs the raw sample codebook
+    * (SCALING.md). */
+  def trainCodebooks(nodes: DataFrame, m: Int, subLen: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    val slices = subSlices(nodes, m, subLen).localCheckpoint()
+    var cb = sampleCodebooks(nodes, m, subLen, ksub).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = slices.join(broadcast(cb), Seq("sub"))
+        .withColumn("__key", struct(
+          (lit(0.0) - VectorFunctions.euclideanDist(col("subvec"),
+            col("centroid"))).as("negd"),
+          (lit(0) - col("code")).as("negcode")))
+        .groupBy(col("id"), col("sub"))
+        .agg(expr("max_by(code, __key)").as("code"),
+          first(col("subvec")).as("subvec"))
+      val means = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("subvec")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("mval"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mval")))),
+          e => e.getField("mval").cast("float")).as("centroid"))
+      cb = cb.select(col("sub"), col("code"), col("centroid").as("old"))
+        .join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("centroid"), col("old")).as("centroid"))
+        .localCheckpoint()
+    }
+    cb
   }
 
   /** Encode: per (id, subspace) the euclidean-nearest sub-centroid, ties
@@ -61,16 +114,8 @@ object PqIndex {
     * corpus. Codebooks broadcast; the n×m×ksub scored candidates stay
     * narrow and collapse map-side (the [[IvfIndex.assign]] argmax shape). */
   def encode(nodes: DataFrame, codebooks: DataFrame, m: Int, subLen: Int)
-      : DataFrame = {
-    val live =
-      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
-      else nodes
-    live
-      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("vector"))
-      .select(col("id"), col("sub"),
-        slice(col("vector"), col("sub") * subLen + 1, lit(subLen))
-          .as("subvec"))
+      : DataFrame =
+    subSlices(nodes, m, subLen)
       .join(broadcast(codebooks), Seq("sub"))
       .withColumn("__key", struct(
         (lit(0.0) - VectorFunctions.euclideanDist(col("subvec"),
@@ -78,17 +123,22 @@ object PqIndex {
         (lit(0) - col("code")).as("negcode")))
       .groupBy(col("id"), col("sub"))
       .agg(expr("max_by(code, __key)").as("code"))
-  }
 
-  /** ADC top-k: build the per-query LUT (distance from each query subvector
-    * to each sub-centroid), join the codes against it, sum over subspaces,
-    * rank ascending (ties id asc). Distances round to 8 decimals and sum
-    * as DECIMAL(18,8) — exact, order-free addition, so the same ranks come
-    * out of any partitioning or engine. Output (query_id, id, rn) matches
-    * the other search paths. */
+  /** (id, codes ARRAY<INT> ordered by sub) — the packed 8-byte-per-vector
+    * representation the ADC scan reads. */
+  def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+  /** ADC top-k: per-query flattened LUT ([sub*ksub + code] → 8-dp-rounded
+    * distance) broadcasts onto the packed codes; each (query, vector) row
+    * is one codegen'd lookup-sum; rank ascending (ties id asc). Output
+    * (query_id, id, rn) matches the other search paths. */
   def searchAdc(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       k: Int, m: Int, subLen: Int): DataFrame = {
-    val lut = queries
+    val lutLong = queries
       .select(col("query_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("query_vec"))
       .select(col("query_id"), col("sub"),
@@ -97,12 +147,15 @@ object PqIndex {
       .join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         round(VectorFunctions.euclideanDist(col("qsub"), col("centroid")), 8)
-          .cast("decimal(18,8)").as("d"))
+          .as("d"))
+    val lut = lutLong.groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
+        e => e.getField("d")).as("lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("id").asc)
-    codes.join(broadcast(lut), Seq("sub", "code"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("d")).as("adc"))
+    packCodes(codes).crossJoin(broadcast(lut))
+      .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("id"), col("rn"))
@@ -118,14 +171,11 @@ object PqIndex {
   def searchAdcRerank(nodes: DataFrame, codes: DataFrame,
       codebooks: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
       m: Int, subLen: Int): DataFrame = {
-    val live =
-      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
-      else nodes
     val cand = searchAdc(codes, codebooks, queries, shortlist, m, subLen)
       .select(col("query_id"), col("id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("id").asc)
-    live.select(col("id"), col("vector"))
+    live(nodes).select(col("id"), col("vector"))
       .join(broadcast(cand), Seq("id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("dist",

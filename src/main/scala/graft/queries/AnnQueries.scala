@@ -169,9 +169,10 @@ object AnnQueries {
     // Product-quantization ADC search (the memory-compression scale path:
     // codes are 8 B/vector vs 256 B of floats). Fully hash-checked — the
     // sub-codebooks are data-derived (slices of the 16 lowest-id vectors),
-    // encode is argmin euclidean per subspace, and ADC totals are
-    // DECIMAL(18,8) sums of 8-dp-rounded distances, so DuckDB re-derives
-    // every code and every rank exactly.
+    // encode is argmin euclidean per subspace, and each ADC value sums its
+    // m 8-dp-rounded distances in fixed sub order inside one codegen'd
+    // row, so DuckDB re-derives every code and rank via an ordered
+    // list_reduce.
     "a10_pq_adc_search" -> ((s, d) => {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -185,9 +186,9 @@ object AnnQueries {
     }),
 
     // PQ's production-quality tail: ADC shortlist (top-80 on compressed
-    // codes) + exact euclidean re-rank of just the survivors. Same decimal
-    // determinism for the shortlist; the re-rank doubles bit-match DuckDB's
-    // list_distance (the a08 kernel-parity property).
+    // codes) + exact euclidean re-rank of just the survivors. Same
+    // fixed-order ADC determinism for the shortlist; the re-rank doubles
+    // bit-match DuckDB's list_distance (the a08 kernel-parity property).
     "a11_pq_rerank" -> ((s, d) => {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -279,12 +280,13 @@ object AnnQueries {
         |  FROM embeddings WHERE vec_id % 50 = 0),
         |lut AS (
         |  SELECT q.query_id, cb.sub, cb.code,
-        |    CAST(round(list_distance(
+        |    round(list_distance(
         |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen), 8)
-        |      AS DECIMAL(18,8)) AS d
+        |      AS d
         |  FROM q CROSS JOIN cb),
         |scored AS (
-        |  SELECT l.query_id, e.id, sum(l.d) AS adc
+        |  SELECT l.query_id, e.id,
+        |    list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b) AS adc
         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
         |  GROUP BY l.query_id, e.id)
         |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
@@ -317,17 +319,20 @@ object AnnQueries {
         |  FROM embeddings WHERE vec_id % 50 = 0),
         |lut AS (
         |  SELECT q.query_id, cb.sub, cb.code,
-        |    CAST(round(list_distance(
+        |    round(list_distance(
         |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen), 8)
-        |      AS DECIMAL(18,8)) AS d
+        |      AS d
         |  FROM q CROSS JOIN cb),
         |shortlist AS (
         |  SELECT query_id, id FROM (
-        |    SELECT l.query_id, e.id,
-        |      row_number() OVER (PARTITION BY l.query_id
-        |                         ORDER BY sum(l.d) ASC, e.id) AS srn
-        |    FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
-        |    GROUP BY l.query_id, e.id)
+        |    SELECT query_id, id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adc ASC, id) AS srn
+        |    FROM (
+        |      SELECT l.query_id, e.id,
+        |        list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b) AS adc
+        |      FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        |      GROUP BY l.query_id, e.id))
         |  WHERE srn <= 80)
         |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
         |  SELECT s.query_id, s.id,

@@ -58,12 +58,15 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
-  test("a10: PQ codebooks and LUT broadcast; codes never pair-join") {
+  test("a10: PQ LUT broadcasts onto packed codes; ADC kernel stays in codegen") {
     val p = plan("a10_pq_adc_search")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the scan side meets the per-query LUTs through a broadcast, and the
+    // lookup-sum runs inside a whole-stage-codegen project
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the ADC aggregation must partial-combine map-side before its exchange
-    assert(p.contains("partial_sum"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("pq_adc") && l.contains("*(")), p)
   }
 
   test("t09: BM25 candidates come from the term equi-join, never corpus x queries") {

@@ -79,7 +79,26 @@ class PqSpec extends SparkSpec {
     assert(self == queriesDf.count(), s"self-hits $self")
   }
 
-  test("ADC ranks are partition-order independent (decimal sums)") {
+  test("trained codebooks: same shape, and rerank recall not worse than sample") {
+    val trained = PqIndex.trainCodebooks(nodesDf, m, subLen, ksub, iters = 2)
+    val rows = trained.collect()
+    assert(rows.length == m * ksub)
+    assert(rows.forall(_.getSeq[Float](2).length == subLen))
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0,
+        metric = "euclidean")
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    def rr(cbk: org.apache.spark.sql.DataFrame): Double = {
+      val enc = PqIndex.encode(nodesDf, cbk, m, subLen)
+      val got = PqIndex.searchAdcRerank(nodesDf, enc, cbk, queriesDf,
+          10, 80, m, subLen)
+        .select("query_id", "id").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val (rs, rt) = (rr(cb), rr(trained))
+    assert(rt >= rs - 0.05, s"trained $rt vs sample $rs")
+  }
+
+  test("ADC ranks are partition-order independent (fixed-order row sums)") {
     val a = PqIndex.searchAdc(codes, cb, queriesDf, 10, m, subLen)
       .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
     val b = PqIndex.searchAdc(codes.repartition(7, col("id")), cb,

@@ -75,9 +75,10 @@ object PqIndex {
   /** Per-subspace euclidean k-means refinement of [[sampleCodebooks]]:
     * assign = broadcast argmin per (id, sub); update = per-(sub, code, pos)
     * mean (map-side combinable). Cells that lose all members keep their
-    * previous centroid. The measured quality path — on clustered 200k×64
-    * probe data it roughly doubles ADC recall vs the raw sample codebook
-    * (SCALING.md). */
+    * previous centroid. On the heavily-noised 200k×64 probe data training
+    * moves raw ADC recall only marginally (0.16 → 0.17 — subspace
+    * distortion there is noise-dominated); the measured quality lever is
+    * the [[searchAdcRerank]] shortlist depth (SCALING.md). */
   def trainCodebooks(nodes: DataFrame, m: Int, subLen: Int, ksub: Int,
       iters: Int): DataFrame = {
     val slices = subSlices(nodes, m, subLen).localCheckpoint()

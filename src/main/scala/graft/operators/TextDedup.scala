@@ -206,7 +206,7 @@ object TextDedup {
     // sum over an empty frame is null — an empty pair set (clean corpus) is
     // a legitimate input and must yield an empty result, not an NPE
     def labelSum(lab: DataFrame): Long =
-      Option(lab.agg(sum(col("cluster_id"))).head.get(0))
+      Option(lab.agg(sum(col("cluster_id"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     // init: min of self and direct neighbors (one propagation round folded in)
     var cur = sym.groupBy(col("s").as("node"))

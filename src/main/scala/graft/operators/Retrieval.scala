@@ -52,15 +52,24 @@ object Retrieval {
     val contrib = round(idf * col("tf") * (lit(k1) + 1) /
       (col("tf") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("id").asc)
-    qterms
-      .join(tf, Seq("term"))
+    // Impact-ordered posting list: the full BM25 weight of (doc, term) is
+    // a function of (tf, df, dl, corpus stats) alone, so compute it ONCE
+    // on the corpus-sized tf table — per-doc stats join the postings
+    // (|tf| rows), never the query-candidate explosion; the query side is
+    // then a single term equi-join + sum, and at 100 TB the postings
+    // build amortizes across query batches. (On the gate fixture this is
+    // time-neutral: its 31-term vocabulary makes every term match ~every
+    // doc, so the candidate join itself IS the cost — the degenerate
+    // all-stopwords case no term pruning can fix.)
+    val postings = tf
       .join(broadcast(df), Seq("term"))
       .join(dl, Seq("id"))
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("id"),
-        contrib.cast("decimal(18,6)").as("c"))
+      .select(col("term"), col("id"), contrib.cast("decimal(18,6)").as("c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    qterms
+      .join(postings, Seq("term"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("c")).as("score"))
       .withColumn("rn", row_number().over(w))

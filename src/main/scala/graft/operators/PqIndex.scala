@@ -162,6 +162,52 @@ object PqIndex {
       .select(col("query_id"), col("id"), col("rn"))
   }
 
+  /** IVF-PQ: probe the `nProbe` nearest coarse cells per query
+    * ([[IvfIndex]]-style), then ADC-score only their members' codes — the
+    * composed architecture that cuts BOTH the scanned fraction
+    * (nProbe/cells) and the bytes per scanned row (32×). `assignments` is
+    * the persisted (id, cell) table from index build; candidates stay
+    * narrow (query_id, id) end-to-end. Cosine cell ranking mirrors
+    * [[IvfIndex.search]]; ADC stays euclidean over the same codes as
+    * [[searchAdc]]. */
+  def searchIvfPq(codes: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, m: Int, subLen: Int): DataFrame = {
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("__csim",
+        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
+      .withColumn("__crn", row_number().over(cw))
+      .filter(col("__crn") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = assignments.select(col("cell"), col("id"))
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("query_id"), col("id"))
+    val lutLong = queries
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("query_vec"))
+      .select(col("query_id"), col("sub"),
+        slice(col("query_vec"), col("sub") * subLen + 1, lit(subLen))
+          .as("qsub"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(VectorFunctions.euclideanDist(col("qsub"), col("centroid")), 8)
+          .as("d"))
+    val lut = lutLong.groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
+        e => e.getField("d")).as("lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("id").asc)
+    packCodes(codes).join(broadcast(cand), Seq("id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("rn"))
+  }
+
   /** ADC shortlist + exact re-rank — the standard PQ quality tail: the
     * compressed scan keeps only `shortlist` candidates per query cheap,
     * then the TRUE euclidean distance re-ranks just those (Q × shortlist

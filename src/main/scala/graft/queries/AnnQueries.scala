@@ -185,6 +185,26 @@ object AnnQueries {
         VectorQueries.querySet(emb), k = 10, m = 8, subLen = 8)
     }),
 
+    // IVF-PQ composed: a04's coarse cells cut the scan to nProbe/cells,
+    // a10's codes cut bytes per scanned row 32x — the production ANN
+    // architecture at 100 TB. Fully hash-checked: cell probing, codes and
+    // ordered ADC sums are all re-derived by the oracle.
+    "a12_ivf_pq_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+        .select(col("id"), col("cell"))
+      val cb = graft.operators.PqIndex.sampleCodebooks(nodesDf,
+        m = 8, subLen = 8, ksub = 16)
+      val codes = graft.operators.PqIndex.encode(nodesDf, cb,
+        m = 8, subLen = 8)
+      graft.operators.PqIndex.searchIvfPq(codes, asg, coarse, cb,
+        VectorQueries.querySet(emb), k = 10, nProbe = 3,
+        m = 8, subLen = 8)
+    }),
+
     // PQ's production-quality tail: ADC shortlist (top-80 on compressed
     // codes) + exact euclidean re-rank of just the survivors. Same
     // fixed-order ADC determinism for the shortlist; the re-rank doubles
@@ -289,6 +309,68 @@ object AnnQueries {
         |    list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b) AS adc
         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
         |  GROUP BY l.query_id, e.id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adc ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "a12_ivf_pq_search" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ccb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN ccb c)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN ccb c)
+        |  WHERE rn <= 3),
+        |cb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (
+        |  SELECT CAST(s.sub AS INT) AS sub, c.code,
+        |    list_slice(c.cv, s.sub * 8 + 1, s.sub * 8 + 8) AS cen
+        |  FROM cb0 c CROSS JOIN range(0, 8) s(sub)),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT n.id, cb.sub, cb.code,
+        |      row_number() OVER (PARTITION BY n.id, cb.sub
+        |        ORDER BY list_distance(
+        |          list_slice(n.v, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen)
+        |          ASC, cb.code) AS rn
+        |    FROM nodes n CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.query_id, cb.sub, cb.code,
+        |    round(list_distance(
+        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen), 8)
+        |      AS d
+        |  FROM q CROSS JOIN cb),
+        |cand AS (
+        |  SELECT p.query_id, a.id FROM probed p JOIN asg a ON a.cell = p.cell),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b) AS adc
+        |  FROM cand c
+        |  JOIN enc e ON e.id = c.id
+        |  JOIN lut l ON l.query_id = c.query_id
+        |    AND l.sub = e.sub AND l.code = e.code
+        |  GROUP BY c.query_id, c.id)
         |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
         |  SELECT query_id, id,
         |    row_number() OVER (PARTITION BY query_id

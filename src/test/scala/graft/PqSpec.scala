@@ -98,6 +98,30 @@ class PqSpec extends SparkSpec {
     assert(rt >= rs - 0.05, s"trained $rt vs sample $rs")
   }
 
+  test("IVF-PQ: results equal plain ADC restricted to probed cells") {
+    val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+      .select(col("id"), col("cell"))
+    val ivfpq = PqIndex.searchIvfPq(codes, asg, coarse, cb, queriesDf,
+        k = 10, nProbe = 10, m, subLen)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    // nProbe = all cells ⇒ candidate set = whole corpus ⇒ must equal ADC
+    val adc = PqIndex.searchAdc(codes, cb, queriesDf, 10, m, subLen)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(ivfpq == adc)
+    // and with nProbe = 1 every result id must live in the query's own
+    // nearest cell (assign uses the same (sim desc, cell asc) ordering as
+    // the probe ranking)
+    val one = PqIndex.searchIvfPq(codes, asg, coarse, cb, queriesDf,
+        k = 10, nProbe = 1, m, subLen)
+    val qcell = graft.operators.IvfIndex.assign(
+        queriesDf.select(col("query_id").as("id"),
+          col("query_vec").as("vector")), coarse)
+      .select(col("id").as("query_id"), col("cell").as("qcell"))
+    val joined = one.join(asg, Seq("id")).join(qcell, Seq("query_id"))
+    assert(joined.filter(col("cell") =!= col("qcell")).isEmpty)
+  }
+
   test("ADC ranks are partition-order independent (fixed-order row sums)") {
     val a = PqIndex.searchAdc(codes, cb, queriesDf, 10, m, subLen)
       .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet

@@ -34,6 +34,40 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("BM25 over an empty corpus returns no rows") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val qd = Seq((1L, "some words")).toDF("query_id", "text")
+    assert(Retrieval.bm25TopK(corpus, qd, topK = 10).count() === 0)
+  }
+
+  test("PQ encode/search on an empty vector table yields no codes, no hits") {
+    val empty = Seq.empty[(Long, Seq[Float], Boolean)]
+      .toDF("id", "vector", "deleted")
+    val some = Seq((1L, (0 until 8).map(_.toFloat), false))
+      .toDF("id", "vector", "deleted")
+    val cb = PqIndex.sampleCodebooks(some, m = 2, subLen = 4, ksub = 1)
+    val codes = PqIndex.encode(empty, cb, m = 2, subLen = 4)
+    assert(codes.count() === 0)
+    val q = Seq((9L, (0 until 8).map(_.toFloat)))
+      .toDF("query_id", "query_vec")
+    assert(PqIndex.searchAdc(codes, cb, q, 10, 2, 4).count() === 0)
+  }
+
+  test("PII scrub passes null text through as null counts and text") {
+    val docs = Seq((1L, Option("a@b.co x")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextClean.scrub(docs).orderBy("id")
+      .select("n_emails", "clean_text")
+      .as[(Option[Int], Option[String])].collect()
+    assert(out(0) == (Some(1), Some("<EMAIL> x")))
+    assert(out(1) == (None, None))
+  }
+
+  test("RRF of two empty runs is empty") {
+    val e = Seq.empty[(Long, Long, Int)].toDF("query_id", "id", "rn")
+    assert(Retrieval.rrfFuse(e, e, topK = 5).count() === 0)
+  }
+
   test("deletion-neighborhood pairs on empty and single-doc corpora") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextDedup.deletionNeighborhoodPairs(empty).count() === 0)

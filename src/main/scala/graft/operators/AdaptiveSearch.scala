@@ -24,12 +24,19 @@ object AdaptiveSearch {
   case object UseExact extends Strategy
   case object UseLsh extends Strategy
   case object UseIvf extends Strategy
+  case object UsePq extends Strategy
 
   /** Decide from corpus stats. `maxBucketShare` is the largest fraction of
-    * the (sampled) corpus landing in one band-0 LSH bucket. */
+    * the (sampled) corpus landing in one band-0 LSH bucket. Past
+    * `pqCutoff` rows, full-vector candidate scoring stops fitting executor
+    * memory/IO budgets and the compressed IVF-PQ path wins on bytes alone
+    * (32× smaller scanned rows — SCALING.md PQ section); `pqEligible`
+    * gates on dim divisibility by the subspace count. */
   def decide(n: Long, maxBucketShare: Double,
-      exactCutoff: Long = 50000, skewCutoff: Double = 0.05): Strategy =
+      exactCutoff: Long = 50000, skewCutoff: Double = 0.05,
+      pqCutoff: Long = 5000000L, pqEligible: Boolean = true): Strategy =
     if (n <= exactCutoff) UseExact
+    else if (n >= pqCutoff && pqEligible) UsePq
     else if (maxBucketShare >= skewCutoff) UseIvf
     else UseLsh
 
@@ -54,10 +61,13 @@ object AdaptiveSearch {
   /** One-call adaptive search: measure, decide, dispatch. Returns the
     * chosen strategy alongside the result for observability. */
   def search(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
-      params: IndexParams, nProbe: Int = 8,
-      ivfCells: Int = 256): (Strategy, DataFrame) = {
+      params: IndexParams, nProbe: Int = 8, ivfCells: Int = 256,
+      exactCutoff: Long = 50000, pqCutoff: Long = 5000000L)
+      : (Strategy, DataFrame) = {
+    val mSub = 8
     val (n, share) = stats(nodes, params)
-    decide(n, share) match {
+    decide(n, share, exactCutoff = exactCutoff, pqCutoff = pqCutoff,
+        pqEligible = params.dim % mSub == 0) match {
       case UseExact =>
         (UseExact, KnnSearch.knnExact(nodes, queries, k, minSim, params.metric))
       case UseLsh =>
@@ -66,6 +76,16 @@ object AdaptiveSearch {
         val cells = math.min(ivfCells, math.max(16, math.sqrt(n.toDouble).toInt))
         val centroids = IvfIndex.train(nodes, cells, iters = 3)
         (UseIvf, IvfIndex.search(nodes, centroids, queries, k, minSim, nProbe))
+      case UsePq =>
+        // compressed scan + exact re-rank: the one path whose scanned
+        // bytes do not grow with dim × n (codes only); shortlist sized
+        // as a fixed multiple of k keeps the re-rank O(Q × shortlist)
+        val subLen = params.dim / mSub
+        val cb = PqIndex.trainCodebooks(nodes, mSub, subLen, ksub = 256,
+          iters = 1)
+        val codes = PqIndex.encode(nodes, cb, mSub, subLen)
+        (UsePq, PqIndex.searchAdcRerank(nodes, codes, cb, queries, k,
+          shortlist = math.max(100, 50 * k), mSub, subLen))
     }
   }
 }

@@ -1,16 +1,41 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.{AdaptiveSearch, IndexParams, KnnSearch}
 import graft.queries.VectorQueries
 
 class AdaptiveSearchSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decision rules: size gate, then skew gate") {
+  test("decision rules: size gate, then memory gate, then skew gate") {
     import AdaptiveSearch._
     assert(decide(1000, 0.5) === UseExact)   // tiny → exact regardless of skew
     assert(decide(1000000, 0.2) === UseIvf)  // big + hot bucket → IVF
     assert(decide(1000000, 0.001) === UseLsh) // big + uniform → LSH
+    // past the memory cutoff the compressed path wins on bytes alone —
+    // unless the dim doesn't factor into subspaces
+    assert(decide(10000000, 0.2) === UsePq)
+    assert(decide(10000000, 0.2, pqEligible = false) === UseIvf)
+  }
+
+  test("forced PQ dispatch runs the compressed path end to end") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nodesDf = VectorQueries.asVectorTable(emb)
+    val queriesDf = VectorQueries.querySet(emb)
+    // size gate fires before the memory gate — pqCutoff=1 alone still
+    // yields EXACT for 500 rows
+    val (sPrec, _) = AdaptiveSearch.search(
+      nodesDf, queriesDf, k = 5, minSim = 0.2, IndexParams(bucketBits = 4),
+      pqCutoff = 1L)
+    assert(sPrec === AdaptiveSearch.UseExact)
+    // dropping both cutoffs reaches the PQ arm; a corpus-vector query
+    // must re-find itself through the compressed scan + exact re-rank
+    val (sPq, res) = AdaptiveSearch.search(
+      nodesDf, queriesDf, k = 5, minSim = 0.2, IndexParams(bucketBits = 4),
+      exactCutoff = 0L, pqCutoff = 1L)
+    assert(sPq === AdaptiveSearch.UsePq)
+    val selfHits = res.filter(col("query_id") === col("id")).count()
+    assert(selfHits === queriesDf.count())
   }
 
   test("stats: share in [0,1]; adaptive result equals exact on the fixture") {

@@ -10,18 +10,37 @@ import org.apache.spark.sql.functions._
   * to combine a lexical and a vector run into one hybrid ranking (the
   * standard two-tower retrieval shape).
   *
-  * Scale: BM25's candidate generation is the tf⋈query-terms equi-join —
-  * an inverted index expressed as dataflow. Cost is Σ_t df(t) over query
-  * terms, never corpus × queries; term keys are the shuffle keys (stopword
-  * skew is the known hot spot — cap or drop ubiquitous terms via a df
-  * ceiling when query sets grow). All corpus statistics (df, avgdl, N) are
-  * one aggregation pass each, reusable across query batches.
+  * Scale: BM25's candidate generation is the postings⋈query-terms
+  * equi-join — an inverted index expressed as dataflow. Cost is Σ_t df(t)
+  * over query terms, never corpus × queries. The postings (tf, dl, df per
+  * (doc, term)) build in ONE tokenize pass: tf by aggregation, dl and df
+  * as window sums over the narrow postings rows — no re-explode, no
+  * per-stat join. Stopword skew — the hot shuffle key hazard — is closed
+  * by `dfCeilingFrac`: terms present in more than that fraction of the
+  * corpus are pruned from the postings BEFORE the candidate join (their
+  * idf ≈ ln(1 + (1−f)/f) is near zero for f→1, so they burn the hottest
+  * shuffle keys to move near-zero score mass). Document length and corpus
+  * stats still count every token, so surviving terms score identically.
   *
-  * Determinism: per-(query, doc, term) contributions round to 6 decimals
-  * and sum as DECIMAL(18,6) — exact, order-free addition (the [[PqIndex]]
-  * ADC trick), so scores and ranks reproduce across partitionings and
-  * engines; `ln` ulp skew between libms is absorbed by the rounding
-  * (the t08 TF-IDF rationale).
+  * Determinism (the cross-engine contract): `round(double, n)` is NOT
+  * portable — the JVM rounds the shortest decimal representation
+  * (`BigDecimal.valueOf`) while C++ engines round the binary value, and
+  * the two disagree on boundary values even for bit-identical doubles. So
+  * no decimal rounding appears anywhere in the score path. Instead:
+  *   - idf quantizes to integer micros via `floor(idf·1e6 + 0.5)` — pure
+  *     IEEE ops both engines evaluate identically; the only residual
+  *     hazard is libm `ln` 1-ulp skew landing within an ulp of a
+  *     half-micro boundary, and that exposure is per DISTINCT TERM (vocab
+  *     = thousands), not per (query, doc, term) triple (billions);
+  *   - the tf/length factor is +,−,×,÷ over integers and two shared
+  *     doubles (avgdl = ΣΣtf / |docs with terms|, one exact-integer sum
+  *     and one division) — IEEE arithmetic is bit-deterministic across
+  *     engines given identical parenthesization, which the oracle mirrors
+  *     token for token;
+  *   - per-(query, doc, term) contributions are integer micros
+  *     (`floor(idf6·factor + 0.5)`), so the final score is an exact
+  *     BIGINT sum — order-free across partitionings — surfaced as
+  *     micros/1e6 (one deterministic division).
   */
 object Retrieval {
 
@@ -34,47 +53,63 @@ object Retrieval {
   /** BM25 top-`topK` docs per query. `queryDocs` is a (query_id, text)
     * relation — queries are bags of words from the same tokenizer as the
     * corpus. idf = ln(1 + (N − df + ½)/(df + ½)) (the Lucene/BM25+ form,
-    * always positive); N counts ALL corpus docs. Output
-    * (query_id, id, score, rn). */
+    * always positive); N counts ALL corpus docs. Terms with
+    * df > floor(`dfCeilingFrac`·N) are pruned from the postings (stopword
+    * ceiling; ≥ 1.0 disables). The query side broadcasts only while its
+    * size estimate fits `broadcastBytes` (the [[KnnSearch.knnExact]]
+    * gate); past that both sides shuffle on the term key. Output
+    * (query_id, id, score DOUBLE, rn). */
   def bm25TopK(docs: DataFrame, queryDocs: DataFrame, topK: Int,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", dfCeilingFrac: Double = 0.9,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     val corpusTerms = terms(docs, idCol, textCol, "id")
     val tf = corpusTerms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = corpusTerms.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // One corpus-stats pass: N over ALL docs (empty docs count toward idf,
+    // matching the reference's corpus-size semantics), token total and
+    // tokenized-doc count for avgdl. avgdl is ONE exact-integer division —
+    // not an engine-internal avg() accumulation — so both engines hold the
+    // bit-identical double.
     val stats = docs.agg(countDistinct(col(idCol)).as("n"))
-      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+      .crossJoin(corpusTerms.agg(count(lit(1)).as("s"),
+        countDistinct(col("id")).as("ndl")))
+      .withColumn("avgdl",
+        col("s").cast("double") / col("ndl").cast("double"))
     val qterms = terms(queryDocs, "query_id", textCol, "query_id").distinct()
-    val idf = log(lit(1.0) +
-      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val contrib = round(idf * col("tf") * (lit(k1) + 1) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6)
     // Impact-ordered posting list: the full BM25 weight of (doc, term) is
     // a function of (tf, df, dl, corpus stats) alone, so compute it ONCE
-    // on the corpus-sized tf table — per-doc stats join the postings
-    // (|tf| rows), never the query-candidate explosion; the query side is
-    // then a single term equi-join + sum, and at 100 TB the postings
-    // build amortizes across query batches. (On the gate fixture this is
-    // time-neutral: its 31-term vocabulary makes every term match ~every
-    // doc, so the candidate join itself IS the cost — the degenerate
-    // all-stopwords case no term pruning can fix.)
+    // on the corpus-sized tf table — dl and df attach as window sums over
+    // the SAME narrow rows (two shuffles of |postings|, zero re-tokenize);
+    // the query side is then a single term equi-join + integer sum, and at
+    // 100 TB the postings build amortizes across query batches.
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val idf6 = floor(idf * lit(1000000.0) + lit(0.5))
+    val factor = col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     val postings = tf
-      .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("id"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
-      .select(col("term"), col("id"), contrib.cast("decimal(18,6)").as("c"))
+      .filter(col("df") <= floor(lit(dfCeilingFrac) * col("n")))
+      .select(col("term"), col("id"),
+        floor(idf6 * factor + lit(0.5)).as("c"))
+    val queriesSmall =
+      qterms.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
+    val cand =
+      if (queriesSmall) postings.join(broadcast(qterms), Seq("term"))
+      else postings.join(qterms, Seq("term"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("id").asc)
-    qterms
-      .join(postings, Seq("term"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    cand
       .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("c")).as("score"))
+      .agg(sum(col("c")).as("score_micro"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
-      .select(col("query_id"), col("id"), col("score"),
+      .select(col("query_id"), col("id"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"),
         col("rn").cast("int").as("rn"))
   }
 
@@ -82,7 +117,9 @@ object Retrieval {
     * rrf = Σ 1/(c + rank) over the lists a doc appears in (absent list
     * contributes 0), re-ranked desc with id tiebreak. One full-outer join
     * on narrow rank rows + one window — both runs are already top-k-sized,
-    * so this stage is tiny at any corpus scale. */
+    * so this stage is tiny at any corpus scale. The surfaced score
+    * quantizes via `floor(rrf·1e8 + 0.5)` (same portability rationale as
+    * [[bm25TopK]] — no `round(double)` in any cross-engine-checked path). */
   def rrfFuse(runA: DataFrame, runB: DataFrame, topK: Int, c: Int = 60)
       : DataFrame = {
     val a = runA.select(col("query_id"), col("id"), col("rn").as("rn_a"))
@@ -95,7 +132,9 @@ object Retrieval {
         coalesce(lit(1.0) / (lit(c) + col("rn_b")), lit(0.0)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
-      .select(col("query_id"), col("id"), round(col("rrf"), 8).as("rrf_r"),
+      .select(col("query_id"), col("id"),
+        (floor(col("rrf") * lit(100000000.0) + lit(0.5)).cast("double") /
+          lit(100000000.0)).as("rrf_r"),
         col("rn").cast("int").as("rn"))
   }
 }

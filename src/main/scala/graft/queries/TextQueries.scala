@@ -22,9 +22,11 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 lexical retrieval as a distributed inverted-index join: every
-    // 100th doc is a bag-of-words query against the whole corpus. Per-term
-    // contributions round to 6 dp and sum as DECIMAL(18,6), so scores and
-    // ranks are engine-exact (ln ulp skew absorbed by the rounding).
+    // 100th doc is a bag-of-words query against the whole corpus. Scores
+    // are exact BIGINT sums of floor-quantized integer-micro contributions
+    // (no round(double) anywhere — see Retrieval's determinism contract),
+    // so scores and ranks are engine-exact; the only residual hazard is
+    // ln 1-ulp skew at a half-micro boundary, per distinct TERM.
     "t09_bm25_search" -> ((s, d) =>
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
         retrievalQueryDocs(s, d), topK = 10)),
@@ -289,10 +291,17 @@ object TextQueries {
   }
 
   /** BM25 CTE block shared by the t09/t10 oracles: mirrors
-    * [[graft.operators.Retrieval.bm25TopK]] term-for-term (same
-    * parenthesization, so every double op rounds identically; ln ulp skew
-    * is absorbed by round(…, 6) before the DECIMAL(18,6) sum). Yields a
-    * `lex(query_id, id, score, rn)` relation with rn ≤ `topK`. */
+    * [[graft.operators.Retrieval.bm25TopK]] term-for-term — identical
+    * parenthesization everywhere, so every +,−,×,÷ is IEEE-bit-identical
+    * across engines; no `round(double)` anywhere (the JVM rounds the
+    * shortest decimal repr, C++ engines the binary value — they disagree
+    * on boundaries). idf quantizes per TERM via floor(idf·1e6 + 0.5);
+    * per-(query, doc, term) contributions are integer micros summed as
+    * BIGINT (order-free); avgdl is one exact-integer division, not an
+    * avg() accumulation. Yields `lex(query_id, id, score, rn)`, rn ≤
+    * `topK`, score DOUBLE = micros/1e6. Terms with df > floor(0.9·N) are
+    * pruned from the postings (the operator's stopword df ceiling) —
+    * corpus stats still count every token. */
   private def bm25OracleCte(topK: Int): String =
     s"""WITH terms AS (
        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
@@ -304,7 +313,14 @@ object TextQueries {
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |stats AS (
        |  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
-       |         (SELECT avg(dl) FROM dl) AS avgdl),
+       |         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |          FROM dl) AS avgdl),
+       |idf6 AS (
+       |  SELECT df.term,
+       |    CAST(floor(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS idf6,
+       |    df.df
+       |  FROM df CROSS JOIN stats s),
        |qt AS (
        |  SELECT DISTINCT query_id, term FROM (
        |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
@@ -312,19 +328,19 @@ object TextQueries {
        |  WHERE length(term) > 0),
        |contrib AS (
        |  SELECT qt.query_id, tf.id,
-       |    CAST(round(
-       |      ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
-       |      tf.tf * (1.2 + 1) /
-       |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
-       |      AS DECIMAL(18,6)) AS c
+       |    CAST(floor(i.idf6 * (tf.tf * (1.2 + 1) /
+       |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+       |      + 0.5) AS BIGINT) AS c
        |  FROM qt
        |  JOIN tf ON tf.term = qt.term
-       |  JOIN df ON df.term = qt.term
+       |  JOIN idf6 i ON i.term = qt.term
        |  JOIN dl ON dl.id = tf.id
-       |  CROSS JOIN stats s),
+       |  CROSS JOIN stats s
+       |  WHERE i.df <= floor(0.9 * s.n)),
        |lex AS (
        |  SELECT query_id, id, score, rn FROM (
-       |    SELECT query_id, id, sum(c) AS score,
+       |    SELECT query_id, id,
+       |      CAST(sum(c) AS DOUBLE) / 1000000.0 AS score,
        |      row_number() OVER (PARTITION BY query_id
        |                         ORDER BY sum(c) DESC, id) AS rn
        |    FROM contrib GROUP BY query_id, id)
@@ -400,7 +416,10 @@ object TextQueries {
          |      AS rrf
          |  FROM lex l FULL OUTER JOIN vec v
          |    ON l.query_id = v.query_id AND l.id = v.id)
-         |SELECT query_id, id, round(rrf, 8) AS rrf_r, CAST(rn AS INT) AS rn
+         |SELECT query_id, id,
+         |  CAST(floor(rrf * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0
+         |    AS rrf_r,
+         |  CAST(rn AS INT) AS rn
          |FROM (
          |  SELECT query_id, id, rrf,
          |    row_number() OVER (PARTITION BY query_id

@@ -25,13 +25,52 @@ class RetrievalSpec extends SparkSpec {
     assert(selfHits == nq, s"self in top-20 for $selfHits of $nq queries")
   }
 
-  test("BM25 ranks are partition-order independent (decimal sums)") {
+  test("BM25 ranks are partition-order independent (integer-micro sums)") {
     val a = Retrieval.bm25TopK(docs, queryDocs, topK = 10)
       .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
     val b = Retrieval.bm25TopK(docs.repartition(13), queryDocs.repartition(5),
         topK = 10)
       .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
     assert(a == b)
+  }
+
+  test("BM25 df ceiling prunes ubiquitous terms; rare terms still score") {
+    // sf0.01 fixture: 30 terms at ~0.8 df-fraction, one ('dup') at ~0.05.
+    // A 0.5 ceiling prunes the 30 stopword-like terms from the postings,
+    // so every surviving contribution comes from 'dup' — results shrink to
+    // docs containing it, and only for queries that contain it themselves.
+    val capped = Retrieval.bm25TopK(docs, queryDocs, topK = 10,
+      dfCeilingFrac = 0.5)
+    val hitDocs = capped.select("id").distinct().as[Long].collect().toSet
+    assert(hitDocs.nonEmpty)
+    val dupDocs = docs.filter(col("text").contains("dup"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hitDocs.subsetOf(dupDocs),
+      s"${(hitDocs -- dupDocs).size} hits lack the only surviving term")
+    val hitQueries = capped.select("query_id").distinct().as[Long].collect().toSet
+    val dupQueries = queryDocs.filter(col("text").contains("dup"))
+      .select("query_id").as[Long].collect().toSet
+    assert(hitQueries == dupQueries)
+  }
+
+  test("BM25 ranks unchanged when the df ceiling does not bind") {
+    // fixture max df-fraction ~0.8 < 0.9 default — the default ceiling
+    // prunes nothing, so results match an uncapped run exactly
+    val dflt = Retrieval.bm25TopK(docs, queryDocs, topK = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val uncapped = Retrieval.bm25TopK(docs, queryDocs, topK = 10,
+      dfCeilingFrac = 1.0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(dflt == uncapped)
+  }
+
+  test("BM25 query-side broadcast fallback (gate=0) matches the broadcast plan") {
+    val dflt = Retrieval.bm25TopK(docs, queryDocs, topK = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val shuffled = Retrieval.bm25TopK(docs, queryDocs, topK = 10,
+      broadcastBytes = 0L)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(dflt == shuffled)
   }
 
   test("BM25: a query with no shared terms returns nothing; empty query drops out") {

@@ -176,8 +176,12 @@ case class PqAdcExpr(left: Expression, right: Expression)
       val ksub = lut.numElements() / m
       var s = 0.0; var i = 0
       while (i < m) {
-        val idx = i * ksub + codes.getInt(i)
-        s += (if (idx >= 0 && idx < lut.numElements()) lut.getDouble(idx)
+        // validate the CODE, not the flattened index: a negative or
+        // >= ksub code at an inner sub can still land inside [0, lutLen)
+        // and silently read an adjacent sub's LUT block — corruption must
+        // surface as +Inf, never as a plausible distance
+        val code = codes.getInt(i)
+        s += (if (code >= 0 && code < ksub) lut.getDouble(i * ksub + code)
               else Double.PositiveInfinity)
         i += 1
       }
@@ -189,16 +193,16 @@ case class PqAdcExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (c, l) => {
       val res = ctx.freshName("res"); val m = ctx.freshName("m")
       val ksub = ctx.freshName("ksub"); val i = ctx.freshName("i")
-      val idx = ctx.freshName("idx")
+      val code = ctx.freshName("code")
       s"""
          |double $res = 0.0;
          |int $m = $c.numElements();
          |if ($m > 0) {
          |  int $ksub = $l.numElements() / $m;
          |  for (int $i = 0; $i < $m; $i++) {
-         |    int $idx = $i * $ksub + $c.getInt($i);
-         |    $res += ($idx >= 0 && $idx < $l.numElements())
-         |      ? $l.getDouble($idx) : Double.POSITIVE_INFINITY;
+         |    int $code = $c.getInt($i);
+         |    $res += ($code >= 0 && $code < $ksub)
+         |      ? $l.getDouble($i * $ksub + $code) : Double.POSITIVE_INFINITY;
          |  }
          |}
          |${ev.value} = $res;

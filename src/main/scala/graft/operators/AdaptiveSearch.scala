@@ -59,10 +59,19 @@ object AdaptiveSearch {
   }
 
   /** One-call adaptive search: measure, decide, dispatch. Returns the
-    * chosen strategy alongside the result for observability. */
+    * chosen strategy alongside the result for observability. Every arm
+    * honors the same contract — (query_id, id, score, rn) with the
+    * `minSim` floor applied — so callers never branch on the strategy.
+    *
+    * `prebuiltPq` carries persisted (codebooks, (id, sub, code) codes)
+    * from an index build, the way [[IvfIndex.search]] accepts persisted
+    * assignments; without it the PQ arm trains and encodes in-line, which
+    * is a per-corpus (not per-query-batch!) cost — production callers
+    * past `pqCutoff` should build once and pass it in. */
   def search(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       params: IndexParams, nProbe: Int = 8, ivfCells: Int = 256,
-      exactCutoff: Long = 50000, pqCutoff: Long = 5000000L)
+      exactCutoff: Long = 50000, pqCutoff: Long = 5000000L,
+      prebuiltPq: Option[(DataFrame, DataFrame)] = None)
       : (Strategy, DataFrame) = {
     val mSub = 8
     val (n, share) = stats(nodes, params)
@@ -79,13 +88,18 @@ object AdaptiveSearch {
       case UsePq =>
         // compressed scan + exact re-rank: the one path whose scanned
         // bytes do not grow with dim × n (codes only); shortlist sized
-        // as a fixed multiple of k keeps the re-rank O(Q × shortlist)
+        // as a fixed multiple of k keeps the re-rank O(Q × shortlist).
+        // The scored re-rank applies the true-metric similarity + minSim
+        // floor, so this arm's output schema matches the other three.
         val subLen = params.dim / mSub
-        val cb = PqIndex.trainCodebooks(nodes, mSub, subLen, ksub = 256,
-          iters = 1)
-        val codes = PqIndex.encode(nodes, cb, mSub, subLen)
-        (UsePq, PqIndex.searchAdcRerank(nodes, codes, cb, queries, k,
-          shortlist = math.max(100, 50 * k), mSub, subLen))
+        val (cb, codes) = prebuiltPq.getOrElse {
+          val trained = PqIndex.trainCodebooks(nodes, mSub, subLen,
+            ksub = 256, iters = 1)
+          (trained, PqIndex.encode(nodes, trained, mSub, subLen))
+        }
+        (UsePq, PqIndex.searchAdcRerankScored(nodes, codes, cb, queries, k,
+          shortlist = math.max(100, 50 * k), mSub, subLen, minSim,
+          params.metric))
     }
   }
 }

@@ -49,6 +49,16 @@ object PqIndex {
     if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
     else nodes
 
+  /** Query-proportional side tables (LUTs, candidate shortlists) broadcast
+    * only while their Catalyst size estimate fits `bytes` — the
+    * [[KnnSearch.knnExact]] gate. Past that the join runs unhinted and
+    * AQE picks a shuffle strategy: a large query batch must not pin
+    * Q-proportional state in every executor. */
+  private def maybeBroadcast(df: DataFrame, bytes: Long): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= bytes)
+      broadcast(df)
+    else df
+
   /** (id, sub, subvec) slices — one narrow row per vector per subspace. */
   private def subSlices(nodes: DataFrame, m: Int, subLen: Int): DataFrame =
     live(nodes)
@@ -134,11 +144,15 @@ object PqIndex {
         e => e.getField("code")).as("codes"))
 
   /** ADC top-k: per-query flattened LUT ([sub*ksub + code] → 8-dp-rounded
-    * distance) broadcasts onto the packed codes; each (query, vector) row
-    * is one codegen'd lookup-sum; rank ascending (ties id asc). Output
+    * distance) broadcasts onto the packed codes while the LUT set fits
+    * `broadcastBytes`; a larger query batch falls back to a
+    * shuffle-replicated nested loop (both sides stay partitioned — the
+    * [[KnnSearch.knnExact]] fallback shape). Each (query, vector) row is
+    * one codegen'd lookup-sum; rank ascending (ties id asc). Output
     * (query_id, id, rn) matches the other search paths. */
   def searchAdc(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
-      k: Int, m: Int, subLen: Int): DataFrame = {
+      k: Int, m: Int, subLen: Int,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     val lutLong = queries
       .select(col("query_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("query_vec"))
@@ -155,7 +169,12 @@ object PqIndex {
         e => e.getField("d")).as("lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("id").asc)
-    packCodes(codes).crossJoin(broadcast(lut))
+    val lutSmall =
+      lut.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
+    val paired =
+      if (lutSmall) packCodes(codes).crossJoin(broadcast(lut))
+      else packCodes(codes).crossJoin(lut.hint("SHUFFLE_REPLICATE_NL"))
+    paired
       .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -169,10 +188,15 @@ object PqIndex {
     * the persisted (id, cell) table from index build; candidates stay
     * narrow (query_id, id) end-to-end. Cosine cell ranking mirrors
     * [[IvfIndex.search]]; ADC stays euclidean over the same codes as
-    * [[searchAdc]]. */
+    * [[searchAdc]]. The probed-candidate and LUT tables grow with
+    * Q × nProbe·(n/cells) and Q × m·ksub respectively, so both pass the
+    * `broadcastBytes` gate — beyond it the id/query_id equi-joins run
+    * unhinted and AQE shuffles them instead of pinning query-batch state
+    * in every executor. */
   def searchIvfPq(codes: DataFrame, assignments: DataFrame,
       centroids: DataFrame, codebooks: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int, m: Int, subLen: Int): DataFrame = {
+      k: Int, nProbe: Int, m: Int, subLen: Int,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("cell").asc)
     val probed = queries.join(broadcast(centroids))
@@ -182,7 +206,7 @@ object PqIndex {
       .filter(col("__crn") <= nProbe)
       .select(col("query_id"), col("cell"))
     val cand = assignments.select(col("cell"), col("id"))
-      .join(broadcast(probed), Seq("cell"))
+      .join(maybeBroadcast(probed, broadcastBytes), Seq("cell"))
       .select(col("query_id"), col("id"))
     val lutLong = queries
       .select(col("query_id"),
@@ -200,8 +224,8 @@ object PqIndex {
         e => e.getField("d")).as("lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("id").asc)
-    packCodes(codes).join(broadcast(cand), Seq("id"))
-      .join(broadcast(lut), Seq("query_id"))
+    packCodes(codes).join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
+      .join(maybeBroadcast(lut, broadcastBytes), Seq("query_id"))
       .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -214,21 +238,58 @@ object PqIndex {
     * full-vector reads instead of Q × n). The shortlist stays narrow
     * (query_id, id) and broadcasts back onto the vector table, so the
     * full corpus is touched once, map-side, and only for scoring the
-    * survivors. Output (query_id, id, rn) by true distance. */
+    * survivors. Output (query_id, id, rn) by true distance. The shortlist
+    * (Q × `shortlist` rows) and query-vector tables pass the
+    * `broadcastBytes` gate — large query batches shuffle instead. */
   def searchAdcRerank(nodes: DataFrame, codes: DataFrame,
       codebooks: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
-      m: Int, subLen: Int): DataFrame = {
-    val cand = searchAdc(codes, codebooks, queries, shortlist, m, subLen)
+      m: Int, subLen: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+    val cand = searchAdc(codes, codebooks, queries, shortlist, m, subLen,
+        broadcastBytes)
       .select(col("query_id"), col("id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("id").asc)
     live(nodes).select(col("id"), col("vector"))
-      .join(broadcast(cand), Seq("id"))
-      .join(broadcast(queries), Seq("query_id"))
+      .join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
+      .join(maybeBroadcast(queries, broadcastBytes), Seq("query_id"))
       .withColumn("dist",
         VectorFunctions.euclideanDist(col("query_vec"), col("vector")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("id"), col("rn"))
+  }
+
+  /** [[searchAdcRerank]] with the [[KnnSearch.knnExact]] result contract:
+    * the re-rank scores the shortlist with the TRUE metric similarity
+    * (cosine, or euclidean via 1/(1+d)), applies the `minSim` floor and
+    * NaN guard, and emits (query_id, id, score, rn) — so a dispatcher
+    * ([[AdaptiveSearch]]) can swap this in for the exact/LSH/IVF arms
+    * without changing downstream consumers. The ADC shortlist itself
+    * stays euclidean over the codes (the PQ codebooks quantize L2 space);
+    * for cosine workloads the shortlist is the usual PQ approximation and
+    * the metric only governs the final scoring/floor. */
+  def searchAdcRerankScored(nodes: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      m: Int, subLen: Int, minSim: Double, metric: String = "cosine",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val scoreFn = metric match {
+      case "cosine" => VectorFunctions.cosineSim _
+      case "euclidean" => VectorFunctions.euclideanSim _
+      case other => throw new IllegalArgumentException(
+        s"unknown metric $other") // hnsw.ts:39-49 throws likewise
+    }
+    val cand = searchAdc(codes, codebooks, queries, shortlist, m, subLen,
+        broadcastBytes)
+      .select(col("query_id"), col("id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    live(nodes).select(col("id"), col("vector"))
+      .join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
+      .join(maybeBroadcast(queries, broadcastBytes), Seq("query_id"))
+      .withColumn("score", scoreFn(col("query_vec"), col("vector")))
+      .filter(col("score") > lit(minSim) && !isnan(col("score")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("score"), col("rn"))
   }
 }

@@ -23,9 +23,14 @@ object TextClean {
   val phonePat = "\\+\\d{7,15}"
 
   /** Collapse whitespace runs to single spaces and trim — the tokenizer
-    * upstream of every text operator assumes single-space separation. */
+    * upstream of every text operator assumes single-space separation.
+    * The run class is spelled out rather than `\s` because the shorthand
+    * is NOT engine-identical: Java's `\s` includes vertical tab U+000B,
+    * RE2's does not — an explicit class means both engines normalize the
+    * same byte sequences. */
+  val wsRunPat = "[ \\t\\n\\x0B\\f\\r]+"
   def normalizeWs(text: Column): Column =
-    trim(regexp_replace(text, "\\s+", " "))
+    trim(regexp_replace(text, wsRunPat, " "))
 
   /** Mask PII with typed placeholders; emails first so the ip/phone
     * patterns never fire inside an already-masked span. */

@@ -356,7 +356,7 @@ object TextQueries {
         |cleaned AS (
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(
-        |      trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |      trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |      '\+\d{7,15}', '<PHONE>', 'g') AS text
@@ -382,12 +382,12 @@ object TextQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
         |  len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phones,
         |  regexp_replace(regexp_replace(regexp_replace(
-        |    trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g') AS clean_text,
         |  length(regexp_replace(regexp_replace(regexp_replace(
-        |    trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g')) AS clean_len

@@ -36,6 +36,35 @@ class AdaptiveSearchSpec extends SparkSpec {
     assert(sPq === AdaptiveSearch.UsePq)
     val selfHits = res.filter(col("query_id") === col("id")).count()
     assert(selfHits === queriesDf.count())
+    // contract parity with the other arms: same schema, minSim honored
+    assert(res.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    assert(res.filter(col("score") <= 0.2).isEmpty)
+  }
+
+  test("PQ arm accepts a prebuilt index and matches the in-line build") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nodesDf = VectorQueries.asVectorTable(emb)
+    val queriesDf = VectorQueries.querySet(emb)
+    val params = IndexParams(bucketBits = 4)
+    val mSub = 8
+    val subLen = params.dim / mSub
+    val cb = graft.operators.PqIndex.trainCodebooks(nodesDf, mSub, subLen,
+      ksub = 256, iters = 1)
+    val codes = graft.operators.PqIndex.encode(nodesDf, cb, mSub, subLen)
+    val (sPre, resPre) = AdaptiveSearch.search(
+      nodesDf, queriesDf, k = 5, minSim = 0.2, params,
+      exactCutoff = 0L, pqCutoff = 1L, prebuiltPq = Some((cb, codes)))
+    assert(sPre === AdaptiveSearch.UsePq)
+    val (_, resInline) = AdaptiveSearch.search(
+      nodesDf, queriesDf, k = 5, minSim = 0.2, params,
+      exactCutoff = 0L, pqCutoff = 1L)
+    // trainCodebooks is deterministic (sample init + fixed Lloyd rounds),
+    // so prebuilt vs in-line must agree exactly
+    val a = resPre.select("query_id", "id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = resInline.select("query_id", "id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
   }
 
   test("stats: share in [0,1]; adaptive result equals exact on the fixture") {

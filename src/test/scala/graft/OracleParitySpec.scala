@@ -84,4 +84,22 @@ class OracleParitySpec extends SparkSpec {
         "pq_adc reordered its lookup sum — oracle bit-parity broken")
     }
   }
+
+  test("pq_adc surfaces out-of-range CODES as +Inf, even when the flat index lands in bounds") {
+    // code -1 at sub 1 flattens to ksub-1 (in bounds → would silently
+    // read sub 0's LUT block); code == ksub at sub 0 flattens to ksub
+    // (sub 1's first entry). Both must poison the sum, not mis-read.
+    val ksub = 4
+    val lut = (0 until 2 * ksub).map(_.toDouble)
+    val rows = Seq(
+      (Seq(0, -1), lut),       // -1 at inner sub: flat idx = ksub - 1
+      (Seq(ksub, 0), lut),     // ksub at sub 0: flat idx = ksub
+      (Seq(0, 1), lut))        // control: valid codes
+    val got = rows.toDF("codes", "lut")
+      .select(VectorFunctions.pqAdc(col("codes"), col("lut")).as("adc"))
+      .as[Double].collect()
+    assert(got(0).isPosInfinity, s"negative code not poisoned: ${got(0)}")
+    assert(got(1).isPosInfinity, s"code==ksub not poisoned: ${got(1)}")
+    assert(got(2) == lut(0) + lut(ksub + 1))
+  }
 }

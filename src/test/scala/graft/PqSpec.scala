@@ -122,6 +122,79 @@ class PqSpec extends SparkSpec {
     assert(joined.filter(col("cell") =!= col("qcell")).isEmpty)
   }
 
+  test("broadcast gate=0 forces shuffle plans with identical results") {
+    // Q-proportional side tables (LUT, candidate shortlist, query vectors)
+    // must have a non-broadcast path: force the gate shut AND disable
+    // Spark's own auto-broadcast so the executed plans contain no
+    // BroadcastExchange at all, then check result parity on all three
+    // PQ search paths.
+    val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+      .select(col("id"), col("cell"))
+    val adcB = PqIndex.searchAdc(codes, cb, queriesDf, 10, m, subLen)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val ivfpqB = PqIndex.searchIvfPq(codes, asg, coarse, cb, queriesDf,
+        k = 10, nProbe = 10, m, subLen)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val rerankB = PqIndex.searchAdcRerank(nodesDf, codes, cb, queriesDf,
+        k = 10, shortlist = 50, m, subLen)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val autoBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBc = spark.conf
+      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", autoBc)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // The PQ-codebook (sub/code/centroid, m×ksub rows) and coarse-
+      // centroid (cell/centroid, `cells` rows) broadcasts are by-design
+      // and query-count-independent; what must NOT broadcast under gate=0
+      // is anything Q-proportional (LUT, probed cells, candidates, query
+      // vectors). Collect THIS frame (not a derived one) so executedPlan
+      // is the AQE-final plan of what actually ran, then walk it —
+      // descending into adaptive/stage wrappers — and check every
+      // broadcast's output columns.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+      val allowed = Seq(Set("sub", "code", "centroid"),
+        Set("cell", "centroid"))
+      def bcastOutputs(p: SparkPlan): Seq[Set[String]] = {
+        val self = p match {
+          case b: BroadcastExchangeExec => Seq(b.output.map(_.name).toSet)
+          case r: ReusedExchangeExec => Seq(r.output.map(_.name).toSet)
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(bcastOutputs)
+      }
+      def assertNoBroadcast(df: org.apache.spark.sql.DataFrame)
+          : Set[(Long, Long, Int)] = {
+        val res = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val offenders = bcastOutputs(df.queryExecution.executedPlan)
+          .filterNot(o => allowed.exists(o.subsetOf))
+        assert(offenders.isEmpty,
+          s"Q-proportional side still broadcasts: $offenders")
+        res
+      }
+      assert(assertNoBroadcast(PqIndex.searchAdc(codes, cb, queriesDf, 10,
+        m, subLen, broadcastBytes = 0L)) == adcB)
+      assert(assertNoBroadcast(PqIndex.searchIvfPq(codes, asg, coarse, cb,
+        queriesDf, k = 10, nProbe = 10, m, subLen,
+        broadcastBytes = 0L)) == ivfpqB)
+      assert(assertNoBroadcast(PqIndex.searchAdcRerank(nodesDf, codes, cb,
+        queriesDf, k = 10, shortlist = 50, m, subLen,
+        broadcastBytes = 0L)) == rerankB)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeBc)
+    }
+  }
+
   test("ADC ranks are partition-order independent (fixed-order row sums)") {
     val a = PqIndex.searchAdc(codes, cb, queriesDf, 10, m, subLen)
       .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet

@@ -34,6 +34,13 @@ class TextCleanSpec extends SparkSpec {
     assert(t == "a b c")
   }
 
+  test("vertical tab normalizes like the other whitespace (explicit class, not \\s)") {
+    // Java's \s includes U+000B but RE2's does not — the explicit run
+    // class keeps both engines byte-identical on \x0B-bearing corpora
+    val (_, _, _, t) = scrubOne("a\u000B b\t c\n d")
+    assert(t == "a b c d", t)
+  }
+
   test("clean text passes through unchanged") {
     val (e, i, p, t) = scrubOne("plain words only")
     assert((e, i, p) == (0, 0, 0))

@@ -271,7 +271,27 @@ object IndexBuild {
     *
     * `delta`: (id, vector[, deleted]). Returns the merged (nodes, edges). */
   def merge(nodes: DataFrame, edges: DataFrame, delta: DataFrame,
-      params: IndexParams): (DataFrame, DataFrame) = {
+      params: IndexParams): (DataFrame, DataFrame) =
+    mergeKeyed(nodes, edges, delta, params,
+      v => bucketKeys(v, params), portableOrder = false)
+
+  /** [[merge]] with data-derived anchor hyperplanes and plain-id capping
+    * order — the incremental counterpart of [[buildAnchored]]: every
+    * structural choice on the merge path (delta bucket membership, the
+    * per-bucket efConstruction cap, neighbor ranks, the touched-set
+    * re-shrink) is re-derivable by an external engine from the same
+    * parquet, so the MERGED adjacency is DuckDB-oracle-checkable
+    * end-to-end, not just invariant-checked. Production merges keep the
+    * seeded-random default. */
+  def mergeAnchored(nodes: DataFrame, edges: DataFrame, delta: DataFrame,
+      params: IndexParams, anchors: Seq[Seq[Array[Float]]])
+      : (DataFrame, DataFrame) =
+    mergeKeyed(nodes, edges, delta, params,
+      v => AnnSearch.anchorBucketKeys(v, anchors), portableOrder = true)
+
+  private def mergeKeyed(nodes: DataFrame, edges: DataFrame, delta: DataFrame,
+      params: IndexParams, keyFn: Column => Column, portableOrder: Boolean)
+      : (DataFrame, DataFrame) = {
     val scoreFn: (Column, Column) => Column = params.metric match {
       case "euclidean" => VectorFunctions.euclideanSim
       case _ => VectorFunctions.cosineSim
@@ -301,7 +321,7 @@ object IndexBuild {
 
     def membership(df: DataFrame): DataFrame = df
       .withColumn("layer", explode(sequence(lit(0), col("level"))))
-      .withColumn("b", explode(bucketKeys(col("vector"), params)))
+      .withColumn("b", explode(keyFn(col("vector"))))
       .select(col("layer"), col("b"), col("id"), col("vector"))
 
     // candidate pairs: live members of the delta nodes' buckets, with each
@@ -320,8 +340,14 @@ object IndexBuild {
       .select(col("layer"), col("b"), col("id").as("src"),
         col("vector").as("src_vec"))
     val deltaBuckets = deltaM.select(col("layer"), col("b")).distinct()
+    // cap rank order: hashed ids (uniform subsets) in production; plain id
+    // order when an external oracle must re-derive the cap (buildKeyed's
+    // portableOrder rule)
+    val capOrder: Seq[Column] =
+      if (portableOrder) Seq(col("id").asc)
+      else Seq(xxhash64(col("id")).asc, col("id").asc)
     val bucketW = Window.partitionBy(col("layer"), col("b"))
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .orderBy(capOrder: _*)
     val cappedCand = liveNarrow
       .join(broadcast(deltaBuckets), Seq("layer", "b"))
       .withColumn("r", row_number().over(bucketW))

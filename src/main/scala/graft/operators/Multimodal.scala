@@ -14,12 +14,17 @@ case class AssetFeatures(
   * pipeline: media as opaque `binary` columns with a typed metadata struct,
   * processed executor-side in batches.
   *
-  * The actual media decode is STUBBED — no codec libraries exist in this
-  * environment — behind [[decodeStub]], a deterministic fake that derives
-  * "features" from payload bytes. Everything around it is the real
-  * engineering surface: schema, binary column plumbing, per-partition batch
-  * processing (`mapPartitions` — the Scala analog of arrow-batched python
-  * UDFs), and the feature-vector handoff into the kNN/dedup operators.
+  * IMAGE decode is real — [[decodeImage]] uses the JDK's bundled
+  * `javax.imageio` codecs (PNG/JPEG/GIF/BMP) with luminance-grid feature
+  * extraction. AUDIO/VIDEO decode remains STUBBED behind [[decodeStub]]
+  * (no media codecs beyond imageio exist in this environment) — a
+  * deterministic fake that derives "features" from payload bytes, and the
+  * default for the oracle-checked queries (the driver fixtures are
+  * synthetic bytes, not real images). Everything around the decoders is
+  * the real engineering surface: schema, binary column plumbing,
+  * per-partition batch processing (`mapPartitions` — the Scala analog of
+  * arrow-batched python UDFs), and the feature-vector handoff into the
+  * kNN/dedup operators.
   */
 object Multimodal {
 
@@ -42,6 +47,38 @@ object Multimodal {
     out
   }
 
+  /** Real image decode via the JDK's bundled codecs (PNG/JPEG/GIF/BMP ship
+    * with `javax.imageio` — no external library): decode the payload, then
+    * extract `dim` luminance features on a fixed ceil(√dim)² sample grid
+    * (nearest-pixel, BT.601 luma, normalized to [0, 1]) — a deterministic
+    * downsample-to-features step, the decode+resize stage of an image
+    * training pipeline. Payloads ImageIO cannot parse (synthetic fixtures,
+    * truncated files, non-image modalities) fall back to [[decodeStub]], so
+    * mixed corpora flow instead of failing the task. */
+  def decodeImage(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1)
+      decodeStub(payload, dim)
+    else {
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        val x = math.min(img.getWidth - 1, (j % g) * img.getWidth / g)
+        val y = math.min(img.getHeight - 1, (j / g) * img.getHeight / g)
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val gn = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        out(j) = (0.299f * r + 0.587f * gn + 0.114f * b) / 255.0f
+        j += 1
+      }
+      out
+    }
+  }
+
   /** Build the canonical asset table from any (id, payload) source:
     * binary column + typed metadata struct (modality, declared dims,
     * format). Metadata travels with the bytes so downstream stages never
@@ -59,8 +96,12 @@ object Multimodal {
   /** Executor-side batched decode + feature extraction over the binary
     * column. Partition-parallel; each task iterates its partition's rows
     * once (the batch shape a real decoder needs — open codec once per
-    * partition, stream rows through it). */
-  def extractFeatures(assets: DataFrame, dim: Int): Dataset[AssetFeatures] = {
+    * partition, stream rows through it). `decoder` defaults to
+    * [[decodeStub]] (the deterministic, oracle-checkable path); pass
+    * [[decodeImage]] for real PNG/JPEG payloads. */
+  def extractFeatures(assets: DataFrame, dim: Int,
+      decoder: (Array[Byte], Int) => Array[Float] = decodeStub)
+      : Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("meta.modality").as("modality"),
@@ -70,7 +111,7 @@ object Multimodal {
         // per-partition setup (real impl: initialize the codec here, once)
         rows.map { case (id, modality, payload) =>
           AssetFeatures(id, modality, payload.length,
-            decodeStub(payload, dim))
+            decoder(payload, dim))
         }
       }
   }

@@ -194,11 +194,17 @@ object TextDedup {
     * extra join is pure overhead on the shallow components near-dup
     * produces: measured 5.5 s → 10.5 s on the sf0.1 gate fixture
     * (SCALING.md). The fixpoint (component min) is identical either way.
+    * Halving also AUTO-ENABLES after `autoHalveAfter` non-converged rounds:
+    * a graph still moving labels past that point is chain-shaped (shallow
+    * components converge in 1–3), and O(diameter) plain rounds would blow
+    * the iteration budget that pointer doubling meets in O(log diameter) —
+    * so adversarial inputs degrade to the halving cost instead of silently
+    * truncating at `maxIters`.
     *
     * Returns (node, cluster_id) for every node in the pair graph. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIters: Int = 25,
-      pathHalving: Boolean = false): DataFrame = {
+      pathHalving: Boolean = false, autoHalveAfter: Int = 5): DataFrame = {
     val sym = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
       .union(pairs.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("d")))
       .distinct()
@@ -216,7 +222,14 @@ object TextDedup {
     var curSum = labelSum(cur)
     var it = 0
     var done = false
+    var halve = pathHalving
     while (!done && it < maxIters) {
+      if (!halve && it >= autoHalveAfter) {
+        halve = true
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"connectedComponents still moving after $it rounds — " +
+            "chain-shaped graph; enabling path halving")
+      }
       val nbrMin = sym
         .join(cur.select(col("node").as("d"), col("cluster_id").as("nl")), Seq("d"))
         .groupBy(col("s").as("node"))
@@ -226,7 +239,7 @@ object TextDedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
       val halved =
-        if (!pathHalving) prop
+        if (!halve) prop
         else prop.join(
             prop.select(col("node").as("cluster_id"),
               col("cluster_id").as("ll")),
@@ -255,14 +268,17 @@ object TextDedup {
     * standard decontamination test (GPT-3/Pile style).
     *
     * Scale: the corpus side is exploded once to (id, ngram-hash) and joined
-    * against the BROADCAST test-set n-grams — a benchmark suite is a small
-    * FIXED input (it does not grow with the corpus), so the corpus never
-    * shuffles; the only wide op is the per-doc aggregation of matches.
-    * Callers with a large held-out set should pass it unhinted and let AQE
-    * pick the join. Hashes are 60-bit md5 prefixes (engine-portable,
-    * uniform). */
+    * against the test-set n-grams, which BROADCAST only while their size
+    * estimate fits `broadcastBytes` (the [[KnnSearch.knnExact]] gate) — a
+    * benchmark suite is normally a small FIXED input, so the corpus never
+    * shuffles; a large held-out set falls past the gate and the join runs
+    * unhinted (AQE picks the strategy), instead of pinning an oversized
+    * gram table in every executor. The only wide op is the per-doc
+    * aggregation of matches. Hashes are 60-bit md5 prefixes
+    * (engine-portable, uniform). */
   def contamination(docs: DataFrame, testDocs: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     def grams(df: DataFrame, idAs: String): DataFrame = df
       .select(col(idCol).as(idAs), explode(shingles(col(textCol), n)).as("sh"))
       .select(col(idAs),
@@ -271,8 +287,11 @@ object TextDedup {
     // the corpus, while the final countDistinct dedups anyway — only the
     // (small) matched rows ever reach a shuffle. The broadcast test side
     // IS deduped (shrinks the broadcast, nothing else does it).
+    val testGrams = grams(testDocs, "test_id").distinct()
+    val testSmall =
+      testGrams.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
     grams(docs, "id")
-      .join(broadcast(grams(testDocs, "test_id").distinct()), Seq("k"))
+      .join(if (testSmall) broadcast(testGrams) else testGrams, Seq("k"))
       .groupBy(col("id"))
       .agg(countDistinct(col("k")).as("n_shared_ngrams"),
         countDistinct(col("test_id")).as("n_test_docs"))

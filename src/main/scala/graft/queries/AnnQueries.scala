@@ -239,6 +239,32 @@ object AnnQueries {
         round(col("score"), 6).as("score_r"))
     }),
 
+    // The anchored incremental MERGE, fully hash-checked — a06's structural
+    // twin the way a07 twins a02: same delta (every 40th vector negated),
+    // but anchored bucket keys + plain-id cap order make every merge
+    // decision (delta buckets, the efConstruction=32 per-bucket candidate
+    // cap, top-M out-edges, reversals, the touched-neighbor re-shrink,
+    // stale-edge drops) re-derivable by the DuckDB oracle from the same
+    // parquet. efConstruction=32 is deliberately BELOW the fixture's
+    // layer-0 bucket occupancy so the cap path is exercised, not vacuous.
+    "a13_anchored_merge" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val anchors = anchorPlanes(emb, nBands = 4, bits = 3)
+      val mp = params.copy(efConstruction = 32)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      // materialize the base index before merging — merge's contract is an
+      // already-persisted index (it scans nodes/edges more than once), and
+      // without this the whole build lineage recomputes per reference
+      val (bn, be) = IndexBuild.buildAnchored(nodesDf, mp, anchors)
+      val (nodes, edges) = (bn.localCheckpoint(), be.localCheckpoint())
+      val delta = nodesDf.filter(col("id") % 40 === 1)
+        .withColumn("vector", transform(col("vector"), x => -x))
+      val (_, me) = IndexBuild.mergeAnchored(nodes, edges, delta, mp, anchors)
+      me.select(col("level"), col("src"), col("dst"),
+        round(col("score"), 6).as("score_r"))
+    }),
+
     // Graph-traversal ANN search, emitting a PER-QUERY recall floor flag
     // the driver hash-checks against an all-true oracle: recall@10 vs the
     // exact top-k must clear 0.9 for every query, so a walk regression
@@ -266,6 +292,69 @@ object AnnQueries {
           .as("meets_floor"))
     }),
   )
+
+  /** The anchored graph build as a DuckDB CTE chain ending in `base` — the
+    * full-precision top-M adjacency (a07 rounds it for output; a13 merges
+    * against it). Shared so the build and merge oracles can never drift. */
+  private val anchoredBuildCtes: String =
+    """nodes AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |anch AS (
+      |  SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+      |  FROM embeddings WHERE vec_id < 12),
+      |lvl AS (
+      |  SELECT id,
+      |    CASE WHEN (id * 2654435761 + 104729) % 4096 = 0 THEN 3
+      |         WHEN (id * 2654435761 + 104729) % 256 = 0 THEN 2
+      |         WHEN (id * 2654435761 + 104729) % 16 = 0 THEN 1
+      |         ELSE 0 END AS level
+      |  FROM nodes),
+      |keys AS (
+      |  SELECT n.id, CAST(a.aid // 3 AS INT) AS band,
+      |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
+      |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bk
+      |  FROM nodes n CROSS JOIN anch a GROUP BY n.id, a.aid // 3),
+      |memb AS (
+      |  SELECT l.id, gl.layer, k.band, k.bk,
+      |    row_number() OVER (PARTITION BY gl.layer, k.band, k.bk
+      |                       ORDER BY l.id) - 1 AS r
+      |  FROM lvl l JOIN keys k ON k.id = l.id
+      |  CROSS JOIN range(0, 4) gl(layer)
+      |  WHERE gl.layer <= l.level),
+      |chunked AS (
+      |  SELECT id, layer, band, bk, CAST(r // 64 AS INT) AS chunk FROM memb
+      |  UNION ALL
+      |  SELECT id, layer, band, bk, CAST(r // 64 AS INT) + 1 AS chunk
+      |  FROM memb),
+      |pairs AS (
+      |  SELECT DISTINCT c1.layer, c1.id AS src, c2.id AS dst
+      |  FROM chunked c1
+      |  JOIN chunked c2 ON c1.layer = c2.layer AND c1.band = c2.band
+      |    AND c1.bk = c2.bk AND c1.chunk = c2.chunk AND c1.id <> c2.id),
+      |scored AS (
+      |  SELECT p.layer, p.src, p.dst,
+      |    list_cosine_similarity(ns.v, nd.v) AS score
+      |  FROM pairs p
+      |  JOIN nodes ns ON ns.id = p.src
+      |  JOIN nodes nd ON nd.id = p.dst),
+      |directed AS (
+      |  SELECT layer, src, dst, score FROM (
+      |    SELECT layer, src, dst, score,
+      |      row_number() OVER (PARTITION BY layer, src
+      |                         ORDER BY score DESC, dst) AS rn
+      |    FROM scored) WHERE rn <= 12),
+      |undirected AS (
+      |  SELECT layer, src, dst, max(score) AS score FROM (
+      |    SELECT layer, src, dst, score FROM directed
+      |    UNION ALL
+      |    SELECT layer, dst AS src, src AS dst, score FROM directed) u
+      |  GROUP BY layer, src, dst),
+      |base AS (
+      |  SELECT layer, src, dst, score FROM (
+      |    SELECT layer, src, dst, score,
+      |      row_number() OVER (PARTITION BY layer, src
+      |                         ORDER BY score DESC, dst) AS rn
+      |    FROM undirected) WHERE rn <= 12)""".stripMargin
 
   /** a01/a04 are oracle-checkable because their "random" structure is
     * data-derived (anchor planes / sample codebook are plain rows of the
@@ -480,63 +569,85 @@ object AnnQueries {
       """SELECT vec_id AS query_id, true AS meets_floor
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "a07_anchored_build" ->
-      """WITH nodes AS (
-        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |anch AS (
-        |  SELECT vec_id AS aid, embedding::DOUBLE[] AS av
-        |  FROM embeddings WHERE vec_id < 12),
-        |lvl AS (
-        |  SELECT id,
-        |    CASE WHEN (id * 2654435761 + 104729) % 4096 = 0 THEN 3
-        |         WHEN (id * 2654435761 + 104729) % 256 = 0 THEN 2
-        |         WHEN (id * 2654435761 + 104729) % 16 = 0 THEN 1
-        |         ELSE 0 END AS level
+      s"""WITH $anchoredBuildCtes
+        |SELECT layer AS level, src, dst, round(score, 6) AS score_r
+        |FROM base""".stripMargin,
+    // a13 re-derives the FULL merge: base graph (a07's chain), delta
+    // (every 40th vector negated), anchored re-bucketing of the merged
+    // vectors, the id-ordered efConstruction=32 per-bucket cap, top-M
+    // delta out-edges + reversals, stale-edge drops and the
+    // touched-neighbor re-shrink — every row of the merged adjacency.
+    "a13_anchored_merge" ->
+      s"""WITH $anchoredBuildCtes,
+        |dids AS (SELECT id FROM nodes WHERE id % 40 = 1),
+        |newv AS (
+        |  SELECT id, CASE WHEN id % 40 = 1
+        |    THEN list_transform(v, x -> -x) ELSE v END AS v
         |  FROM nodes),
-        |keys AS (
+        |nkeys AS (
         |  SELECT n.id, CAST(a.aid // 3 AS INT) AS band,
         |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
         |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bk
-        |  FROM nodes n CROSS JOIN anch a GROUP BY n.id, a.aid // 3),
-        |memb AS (
-        |  SELECT l.id, gl.layer, k.band, k.bk,
-        |    row_number() OVER (PARTITION BY gl.layer, k.band, k.bk
-        |                       ORDER BY l.id) - 1 AS r
-        |  FROM lvl l JOIN keys k ON k.id = l.id
+        |  FROM newv n CROSS JOIN anch a GROUP BY n.id, a.aid // 3),
+        |lmemb AS (
+        |  SELECT l.id, gl.layer, k.band, k.bk
+        |  FROM lvl l JOIN nkeys k ON k.id = l.id
         |  CROSS JOIN range(0, 4) gl(layer)
         |  WHERE gl.layer <= l.level),
-        |chunked AS (
-        |  SELECT id, layer, band, bk, CAST(r // 64 AS INT) AS chunk FROM memb
-        |  UNION ALL
-        |  SELECT id, layer, band, bk, CAST(r // 64 AS INT) + 1 AS chunk
-        |  FROM memb),
-        |pairs AS (
-        |  SELECT DISTINCT c1.layer, c1.id AS src, c2.id AS dst
-        |  FROM chunked c1
-        |  JOIN chunked c2 ON c1.layer = c2.layer AND c1.band = c2.band
-        |    AND c1.bk = c2.bk AND c1.chunk = c2.chunk AND c1.id <> c2.id),
-        |scored AS (
+        |dmemb AS (
+        |  SELECT m.* FROM lmemb m JOIN dids d ON d.id = m.id),
+        |dbuckets AS (SELECT DISTINCT layer, band, bk FROM dmemb),
+        |capped AS (
+        |  SELECT id, layer, band, bk FROM (
+        |    SELECT m.id, m.layer, m.band, m.bk,
+        |      row_number() OVER (PARTITION BY m.layer, m.band, m.bk
+        |                         ORDER BY m.id) AS r
+        |    FROM lmemb m JOIN dbuckets b ON b.layer = m.layer
+        |      AND b.band = m.band AND b.bk = m.bk)
+        |  WHERE r <= 32),
+        |mpairs AS (
+        |  SELECT DISTINCT c.layer, dm.id AS src, c.id AS dst
+        |  FROM capped c
+        |  JOIN dmemb dm ON dm.layer = c.layer AND dm.band = c.band
+        |    AND dm.bk = c.bk
+        |  WHERE dm.id <> c.id),
+        |mscored AS (
         |  SELECT p.layer, p.src, p.dst,
-        |    list_cosine_similarity(ns.v, nd.v) AS score
-        |  FROM pairs p
-        |  JOIN nodes ns ON ns.id = p.src
-        |  JOIN nodes nd ON nd.id = p.dst),
-        |directed AS (
+        |    list_cosine_similarity(sv.v, dv.v) AS score
+        |  FROM mpairs p
+        |  JOIN newv sv ON sv.id = p.src
+        |  JOIN newv dv ON dv.id = p.dst),
+        |oute AS (
         |  SELECT layer, src, dst, score FROM (
         |    SELECT layer, src, dst, score,
         |      row_number() OVER (PARTITION BY layer, src
         |                         ORDER BY score DESC, dst) AS rn
-        |    FROM scored) WHERE rn <= 12),
-        |undirected AS (
-        |  SELECT layer, src, dst, max(score) AS score FROM (
-        |    SELECT layer, src, dst, score FROM directed
-        |    UNION ALL
-        |    SELECT layer, dst AS src, src AS dst, score FROM directed) u
-        |  GROUP BY layer, src, dst)
+        |    FROM mscored) WHERE rn <= 12),
+        |ine AS (SELECT layer, dst AS src, src AS dst, score FROM oute),
+        |touched AS (SELECT DISTINCT dst AS id FROM oute),
+        |cleane AS (
+        |  SELECT b.* FROM base b
+        |  WHERE b.src NOT IN (SELECT id FROM dids)
+        |    AND b.dst NOT IN (SELECT id FROM dids)),
+        |touchedold AS (
+        |  SELECT c.* FROM cleane c JOIN touched t ON t.id = c.src),
+        |untouched AS (
+        |  SELECT c.* FROM cleane c
+        |  WHERE c.src NOT IN (SELECT id FROM touched)),
+        |rewired AS (
+        |  SELECT layer, src, dst, score FROM (
+        |    SELECT layer, src, dst, score,
+        |      row_number() OVER (PARTITION BY layer, src
+        |                         ORDER BY score DESC, dst) AS rn
+        |    FROM (
+        |      SELECT layer, src, dst, max(score) AS score FROM (
+        |        SELECT * FROM oute
+        |        UNION ALL SELECT * FROM ine
+        |        UNION ALL SELECT * FROM touchedold) u
+        |      GROUP BY layer, src, dst))
+        |  WHERE rn <= 12)
         |SELECT layer AS level, src, dst, round(score, 6) AS score_r FROM (
-        |  SELECT layer, src, dst, score,
-        |    row_number() OVER (PARTITION BY layer, src
-        |                       ORDER BY score DESC, dst) AS rn
-        |  FROM undirected) WHERE rn <= 12""".stripMargin,
+        |  SELECT * FROM untouched UNION ALL SELECT * FROM rewired)""".stripMargin,
     "a01_ann_lsh_search" ->
       """WITH nodes AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

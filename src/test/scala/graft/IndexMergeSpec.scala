@@ -90,6 +90,30 @@ class IndexMergeSpec extends SparkSpec {
     assert(hit === 1L, "moved node not linked to its new twin")
   }
 
+  test("anchored merge: run-to-run deterministic, invariants hold, stale edges rewired") {
+    // the oracle-checkable merge path (a13): anchored keys + plain-id cap
+    // order. The DuckDB gate hash-checks every row at sf0.01; here we pin
+    // determinism across runs and the merge semantics the gate relies on.
+    val anchors = graft.queries.AnnQueries.anchorPlanes(emb, nBands = 4, bits = 3)
+    val (bn0, be0) = IndexBuild.buildAnchored(all, params, anchors)
+    val (bn, be) = (bn0.localCheckpoint(), be0.localCheckpoint())
+    val delta = all.filter(col("id") % 40 === 1)
+      .withColumn("vector", transform(col("vector"), x => -x))
+    def run() = {
+      val (mn, me) = IndexBuild.mergeAnchored(bn, be, delta, params, anchors)
+      (mn, me.select("level", "src", "dst", "score")
+        .as[(Int, Long, Long, Double)].collect().toSet)
+    }
+    val (mn, e1) = run()
+    val (_, e2) = run()
+    assert(e1 === e2, "anchored merge must be bit-deterministic")
+    invariants(mn, IndexBuild.mergeAnchored(bn, be, delta, params, anchors)._2)
+    // every delta id got rewired out-edges on layer 0 (negated vectors moved)
+    val deltaIds = delta.select("id").as[Long].collect().toSet
+    val srcs = e1.filter(_._1 == 0).map(_._2)
+    assert(deltaIds.subsetOf(srcs), "delta nodes must be wired in at layer 0")
+  }
+
   test("tombstone delta removes the node from the graph but keeps the row") {
     val (bn, be) = IndexBuild.build(all, params)
     val vec = all.filter(col("id") === 42L)

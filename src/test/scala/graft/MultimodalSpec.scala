@@ -39,6 +39,35 @@ class MultimodalSpec extends SparkSpec {
     assert(hits.count() === 1) // self-match survives the full search path
   }
 
+  test("decodeImage: real PNG bytes through the JDK codec, luminance features") {
+    import java.awt.image.BufferedImage
+    // left half pure white, right half pure black — luma 1.0 / 0.0
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0xFFFFFF else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val feats = Multimodal.decodeImage(png, dim = 4) // 2×2 grid
+    assert(feats.length === 4)
+    // grid cols 0,1 of 2 → pixels x=0 (white) and x=8 (black)
+    assert(feats(0) > 0.99f && feats(2) > 0.99f, feats.toSeq.toString)
+    assert(feats(1) < 0.01f && feats(3) < 0.01f, feats.toSeq.toString)
+    // full pipeline: PNG payloads through the asset table + mapPartitions
+    val df = Seq((1L, png)).toDF("id", "payload")
+    val out = Multimodal.extractFeatures(
+        Multimodal.asAssetTable(df, "id", "payload", "image"),
+        dim = 4, decoder = Multimodal.decodeImage)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.features.toSeq === feats.toSeq)
+    assert(out.head.n_bytes === png.length)
+    // non-image payloads fall back to the deterministic stub, not a crash
+    val junk = "not an image".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(junk, 4).toSeq ===
+      Multimodal.decodeStub(junk, 4).toSeq)
+  }
+
   test("frame sampling: every stride-th fixed-size frame") {
     val frames = Multimodal.sampleFrames(
       assets.filter(col("asset_id") === 2L), frameBytes = 8, stride = 2)

@@ -142,15 +142,30 @@ class TextDedupSpec extends SparkSpec {
 
   test("connectedComponents: pathHalving reaches the same fixpoint on a long chain") {
     // 40-node chain — the shape pathHalving exists for: plain propagation
-    // needs ~diameter rounds (39 here, past the default maxIters=25 — it
-    // warns and returns partial labels), halving converges well inside it
+    // needs ~diameter rounds (39 here), halving converges well inside it.
+    // autoHalveAfter is pushed past maxIters on the "plain" run so it
+    // exercises pure propagation.
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val plain = TextDedup.connectedComponents(pairs, maxIters = 50)
+    val plain = TextDedup.connectedComponents(pairs, maxIters = 50,
+        autoHalveAfter = 100)
       .as[(Long, Long)].collect().toMap
     val halved = TextDedup.connectedComponents(pairs, pathHalving = true)
       .as[(Long, Long)].collect().toMap
     assert(plain == halved)
     assert((1L to 40L).forall(halved(_) == 1L))
+  }
+
+  test("connectedComponents: adversarial chain auto-enables halving within default budget") {
+    // 300-node chain: plain propagation needs ~299 rounds — hopeless inside
+    // the default maxIters=25. The auto-halving guard flips to pointer
+    // doubling after 5 non-converged rounds, so the default call converges
+    // (≈ 5 + log2(300) rounds) instead of warning and truncating.
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size === 300)
+    assert((1L to 300L).forall(out(_) == 1L),
+      "auto-halving must reach the fixpoint inside the default iteration budget")
   }
 
   test("contamination: counts distinct shared n-grams and test docs") {
@@ -165,6 +180,26 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) === ((4L, 1L)))
     assert(out(3L) === ((2L, 1L)))
     assert(!out.contains(2L), "zero-overlap doc must not appear")
+  }
+
+  test("contamination: large test set falls past the broadcast gate with identical results") {
+    // a held-out set big enough that pinning its grams in every executor
+    // would be wrong: force the gate shut (bytes=0) and check the hint is
+    // gone (AQE then picks the strategy) while results stay identical
+    val corpus = (1L to 50L).map(i => (i, s"w${i % 7} w${i % 11} w${i % 13} w${i % 17} common tail"))
+      .toDF("doc_id", "text")
+    val test = (1L to 2000L).map(i => (i, s"w${i % 7} w${i % 11} x$i y$i common tail"))
+      .toDF("doc_id", "text")
+    val hinted = TextDedup.contamination(corpus, test, n = 2)
+    val gated = TextDedup.contamination(corpus, test, n = 2, broadcastBytes = 0L)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "small-side default must keep the broadcast hint")
+    assert(!gated.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "gate=0 must drop the broadcast hint and leave the join to AQE")
+    val a = hinted.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = gated.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
   }
 
   test("repetitionSignals: known fractions; multi-space text has no phantom bigrams") {

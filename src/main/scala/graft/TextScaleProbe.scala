@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextDedup
+
+/** Manual scale probe for the text-pipeline operators (not part of the
+  * driver harness) — evidence for the SCALING.md claims about the
+  * contamination broadcast gate and connected-components auto path-halving
+  * at sizes far beyond the committed fixtures.
+  *
+  * Usage:
+  *   sbt "runMain graft.TextScaleProbe contam <corpusDocs> <testDocs>"
+  *   sbt "runMain graft.TextScaleProbe cc <chainLength>"
+  *
+  * Documents are synthetic: ~40 tokens drawn from a 50k-word vocabulary by
+  * hash, generated distributed (nothing collected), with a shared phrase
+  * every few docs so the contamination join has real matches.
+  */
+object TextScaleProbe {
+
+  def syntheticDocs(spark: SparkSession, n: Long, salt: Int): DataFrame = {
+    val toks = transform(sequence(lit(0), lit(39)),
+      j => concat(lit("w"), pmod(hash(col("id") * 7 + salt, j), lit(50000))))
+    // every 5th doc carries a fixed phrase → guaranteed cross-set n-gram hits
+    val text = when(col("id") % 5 === 0,
+        concat_ws(" ", concat_ws(" ", toks), lit("shared phrase marker tokens here")))
+      .otherwise(concat_ws(" ", toks))
+    spark.range(n).select(col("id").as("doc_id"), text.as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "contam"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    mode match {
+      case "contam" =>
+        val nCorpus = if (args.length > 1) args(1).toLong else 200000L
+        val nTest = if (args.length > 2) args(2).toLong else 50000L
+        val corpus = syntheticDocs(spark, nCorpus, salt = 1).localCheckpoint()
+        val test = syntheticDocs(spark, nTest, salt = 1).localCheckpoint()
+        corpus.count(); test.count()
+        // hinted: force the broadcast (the default small-benchmark path);
+        // gated: gate shut, join unhinted — AQE picks the strategy
+        val (nHinted, tHinted) = timed {
+          TextDedup.contamination(corpus, test, n = 3,
+            broadcastBytes = Long.MaxValue).count()
+        }
+        val (nGated, tGated) = timed {
+          TextDedup.contamination(corpus, test, n = 3,
+            broadcastBytes = 0L).count()
+        }
+        require(nHinted == nGated, s"gate changed results: $nHinted vs $nGated")
+        println(s"""{"mode":"contam","corpus_docs":$nCorpus,""" +
+          s""""test_docs":$nTest,"matched_docs":$nHinted,""" +
+          s""""hinted_broadcast_sec":$tHinted,"gated_unhinted_sec":$tGated}""")
+
+      case "cc" =>
+        val len = if (args.length > 1) args(1).toLong else 100000L
+        // worst-case shape: one chain of `len` nodes (diameter len−1).
+        // Plain propagation needs ~len rounds; the auto-halving guard must
+        // converge in ~5 + log2(len) inside the default 25-round budget.
+        val pairs = spark.range(1, len)
+          .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+          .localCheckpoint()
+        pairs.count()
+        val (ok, tCc) = timed {
+          val lab = TextDedup.connectedComponents(pairs)
+          lab.agg(max(col("cluster_id")), count(lit(1))).head() match {
+            case r => r.getLong(0) == 1L && r.getLong(1) == len
+          }
+        }
+        require(ok, "chain did not collapse to the min label")
+        println(s"""{"mode":"cc","chain_len":$len,"converged":true,""" +
+          s""""auto_halving_sec":$tCc}""")
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

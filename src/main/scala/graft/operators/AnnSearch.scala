@@ -28,11 +28,22 @@ object AnnSearch {
 
   /** LSH-bucketed ANN: same output shape as [[KnnSearch.knnExact]]
     * (query_id, id, score, rn). Recall depends on nBands × bucketBits;
-    * measured against the exact oracle in AnnSpec. */
+    * measured against the exact oracle in AnnSpec.
+    *
+    * `broadcastBytes` gates the query-side broadcasts (the
+    * [[KnnSearch.knnExact]] rule) — past it the joins run unhinted and
+    * AQE picks the strategy, so a large query batch cannot pin
+    * Q-proportional state in every executor. NOTE there is deliberately
+    * no search-time bucket cap: a hash-rank cap was prototyped and
+    * REFUTED by measurement (SCALING.md — a query's true top-k are
+    * specific rows a query-agnostic subset drops, and the rank shuffle
+    * cost more than the scoring it saved); clustered hot buckets at
+    * search time are [[IvfIndex]]'s job ([[AdaptiveSearch]] dispatches
+    * there from bucket-skew stats). */
   def searchLsh(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
-      params: IndexParams): DataFrame =
+      params: IndexParams, broadcastBytes: Long = 64L << 20): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, params.metric,
-      v => IndexBuild.bucketKeys(v, params))
+      v => IndexBuild.bucketKeys(v, params), broadcastBytes)
 
   /** [[searchLsh]] with data-derived anchor hyperplanes instead of the
     * seeded-random ones: bit p of band b = sign(vec · anchors(b)(p)).
@@ -44,9 +55,10 @@ object AnnSearch {
     * literals, so bucketing stays a single narrow scan per side. */
   def searchLshAnchored(nodes: DataFrame, queries: DataFrame, k: Int,
       minSim: Double, anchors: Seq[Seq[Array[Float]]],
-      metric: String = "cosine"): DataFrame =
+      metric: String = "cosine",
+      broadcastBytes: Long = 64L << 20): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, metric,
-      v => anchorBucketKeys(v, anchors))
+      v => anchorBucketKeys(v, anchors), broadcastBytes)
 
   /** All band keys for anchor-hyperplane LSH in one projection (same
     * band-prefixed shape as [[IndexBuild.bucketKeys]]). */
@@ -59,7 +71,12 @@ object AnnSearch {
     }: _*)
 
   private def searchLshKeyed(nodes: DataFrame, queries: DataFrame, k: Int,
-      minSim: Double, metric: String, keyFn: Column => Column): DataFrame = {
+      minSim: Double, metric: String, keyFn: Column => Column,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes)
+        broadcast(df)
+      else df
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes
@@ -74,13 +91,13 @@ object AnnSearch {
     val q = queries
       .withColumn("b", explode(keyFn(col("query_vec"))))
       .select(col("b"), col("query_id"))
-    val candidates = n.join(broadcast(q), Seq("b")).drop("b")
+    val candidates = n.join(maybeBroadcast(q), Seq("b")).drop("b")
       .dropDuplicates("query_id", "id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
     candidates
       .join(live.select(col("id"), col("vector")), Seq("id"))
-      .join(broadcast(queries.select(col("query_id"), col("query_vec"))),
+      .join(maybeBroadcast(queries.select(col("query_id"), col("query_vec"))),
         Seq("query_id"))
       .withColumn("score", scoreFn(metric)(col("query_vec"), col("vector")))
       .filter(col("score") > lit(minSim) && !isnan(col("score"))) // see KnnSearch NaN note

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition controls a web-scale training pipeline applies after
+  * cleaning/dedup and before mixing: per-source quotas (a handful of
+  * domains dominate any crawl — C4/RefinedWeb-style caps stop them from
+  * dominating the trained model too), source blocklists, and the
+  * lang × source token-mixture table that training-mix decisions read.
+  *
+  * Scale notes: the cap is a per-source top-k — `row_number` + filter
+  * compiles to WindowGroupLimit with a PARTIAL map-side pass, so every
+  * task prunes to ≤ cap rows per source before the shuffle and a
+  * billion-doc domain moves cap rows, not a billion. Rank order is a
+  * salted md5 of the doc id (the [[Sampling]] portability rule):
+  * deterministic on any engine at any parallelism, uncorrelated with id
+  * order, and stable under corpus growth — adding docs never swaps
+  * another source's survivors, the property that keeps trained-on sets
+  * auditable. The mixture table aggregates to lang × source cardinality
+  * (map-side combine) before the one tiny global-total window.
+  */
+object CorpusOps {
+
+  /** Full-width portable hash of (salt, key) — the [[Sampling.bucketOf]]
+    * construction without the bucket modulo, for rank ordering. */
+  def hashKey(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))),
+      1, 15), 16, 10).cast("long")
+
+  /** Drop blocklisted sources, then keep at most `maxPerSource` docs per
+    * source — survivors chosen by salted-hash rank (ties by id). Output =
+    * input columns + `src_rank` (1-based rank of the kept doc within its
+    * source). `blocklist` empty ⇒ quota only. */
+  def sourceCap(docs: DataFrame, maxPerSource: Int,
+      blocklist: Seq[String] = Nil, idCol: String = "doc_id",
+      srcCol: String = "source", salt: String = "cap"): DataFrame = {
+    require(maxPerSource > 0, s"maxPerSource $maxPerSource")
+    val allowed =
+      if (blocklist.isEmpty) docs
+      else docs.filter(!col(srcCol).isin(blocklist: _*))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(hashKey(col(idCol), salt).asc, col(idCol).asc)
+    allowed
+      .withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= maxPerSource)
+  }
+
+  /** Training-mixture table: per (lang, source) doc and whitespace-token
+    * counts plus `share_micro` — the source's integer-micro share of all
+    * corpus tokens (floor(n·1e6 / total); BIGINT arithmetic end-to-end, so
+    * the shares are exact and engine-portable, no float division). The
+    * corpus aggregates ONCE (map-side combinable sums keyed by the tiny
+    * lang × source space); the global total attaches via a window over the
+    * aggregated rows — cardinality = distinct pairs, never corpus-sized. */
+  def mixtureStats(docs: DataFrame, langCol: String = "lang",
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val nToks = size(split(col(textCol), " ")).cast("long")
+    docs
+      .groupBy(col(langCol), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), sum(nToks).as("n_tokens"))
+      .withColumn("__total",
+        sum(col("n_tokens")).over(Window.partitionBy()))
+      .select(col(langCol), col(srcCol), col("n_docs"), col("n_tokens"),
+        // `div` = exact BIGINT division (DuckDB `//`) — a float quotient
+        // could land an ulp under an exact integer and floor() off by one
+        expr("n_tokens * 1000000 div __total").as("share_micro"))
+  }
+}

@@ -262,6 +262,33 @@ object TextDedup {
     cur
   }
 
+  /** The ACTION step after [[connectedComponents]]: turn component labels
+    * into a per-document keep/drop decision over the WHOLE corpus. Every
+    * doc gets (cluster_id, cluster_size, keep): docs in no near-dup pair
+    * are singleton clusters of themselves; in each cluster exactly the
+    * min-id member is kept (the deterministic representative rule —
+    * reproducible across runs/engines, no "first seen" order dependence).
+    *
+    * Scale: the label table is pair-graph-sized (only docs that matched
+    * SOME near-dup candidate), orders of magnitude smaller than the
+    * corpus; cluster sizes aggregate over labels alone, and the corpus is
+    * touched by exactly one left join against that small table (AQE
+    * broadcasts it when it fits). The corpus never shuffles. */
+  def dedupSelect(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__sz"))
+    val labeled = labels.join(sizes, Seq("cluster_id"))
+      .select(col("node").as(idCol), col("cluster_id"), col("__sz"))
+    docs.select(col(idCol))
+      .join(labeled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"),
+        (col(idCol) === coalesce(col("cluster_id"), col(idCol))).as("keep"))
+  }
+
   /** Train/test contamination check: for every corpus document, the count
     * of distinct word n-grams (and distinct test documents) it shares with
     * the held-out benchmark set `testDocs`. Exact n-gram overlap is the

@@ -171,6 +171,33 @@ object TextQueries {
       TextDedup.connectedComponents(pairs)
     }),
 
+    // The dedup ACTION over the whole corpus: near-dup components → one
+    // deterministic keep/drop decision per document (min-id representative
+    // per cluster; unpaired docs are kept singletons). Completes the
+    // d03→d08 chain into what a pipeline actually applies.
+    "d11_dedup_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDupPairs(docs,
+        nHashes = 6, minJaccard = 0.95)
+      TextDedup.dedupSelect(docs, pairs)
+    }),
+
+    // Per-source quota + blocklist (C4/RefinedWeb-style anti-dominance
+    // caps): drop src13, keep ≤ 15 docs per source by salted-hash rank.
+    // The rank order is engine-portable md5, so the oracle re-derives
+    // every survivor, and row_number+filter compiles to a partial
+    // WindowGroupLimit — a billion-doc domain moves ≤ cap rows per task.
+    "t12_source_caps" -> ((s, d) =>
+      graft.operators.CorpusOps.sourceCap(Tables.documents(s, d),
+          maxPerSource = 15, blocklist = Seq("src13"))
+        .select(col("doc_id"), col("source"), col("src_rank"))),
+
+    // Training-mixture table: lang × source doc/token counts and each
+    // cell's exact integer-micro share of all corpus tokens (BIGINT
+    // arithmetic end-to-end — no float division in a checked column).
+    "t13_mixture_stats" -> ((s, d) =>
+      graft.operators.CorpusOps.mixtureStats(Tables.documents(s, d))),
+
     // Cross-document duplicated-span counts (Lee et al. 2022-style span
     // dedup signal): per doc, positional 4-gram spans that also occur in
     // another document. Complements t07 (within-doc repetition) and
@@ -449,6 +476,44 @@ object TextQueries {
          |  UNION
          |  SELECT e.s AS node, r.lab FROM edges e JOIN reach r ON r.node = e.d)
          |SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+    "d11_dedup_select" ->
+      s"""WITH RECURSIVE $d03PairsCtes,
+         |edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION
+         |  SELECT b_id AS s, a_id AS d FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT s AS node, s AS lab FROM edges
+         |  UNION
+         |  SELECT e.s AS node, r.lab FROM edges e JOIN reach r ON r.node = e.d),
+         |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (
+         |  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |  FROM lab GROUP BY cluster_id)
+         |SELECT d.doc_id,
+         |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+         |  (d.doc_id = coalesce(l.cluster_id, d.doc_id)) AS keep
+         |FROM documents d
+         |LEFT JOIN lab l ON l.node = d.doc_id
+         |LEFT JOIN sz s ON s.cluster_id = l.cluster_id""".stripMargin,
+    "t12_source_caps" ->
+      """SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+        |                 1, 15))::BIGINT ASC, doc_id ASC) AS src_rank
+        |  FROM documents WHERE source <> 'src13')
+        |WHERE src_rank <= 15""".stripMargin,
+    "t13_mixture_stats" ->
+      """WITH m AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  (n_tokens * 1000000 // (SELECT sum(n_tokens) FROM m))::BIGINT
+        |    AS share_micro
+        |FROM m""".stripMargin,
     "t06_contamination" ->
       """WITH g AS (
         |  SELECT doc_id,

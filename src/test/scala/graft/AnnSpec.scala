@@ -90,6 +90,33 @@ class AnnSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("LSH search: query broadcast gate=0 forces shuffle with identical results") {
+    val coarse = params.copy(bucketBits = 3)
+    val base = AnnSearch.searchLsh(nodesDf, queriesDf, 10, minSim = -2.0,
+        coarse)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    // gate shut + Spark's own auto-broadcast off, so the executed plan
+    // contains no BroadcastExchange at all (the PqSpec gate pattern)
+    val autoBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBc = spark.conf
+      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", autoBc)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val gated = AnnSearch.searchLsh(nodesDf, queriesDf, 10, minSim = -2.0,
+        coarse, broadcastBytes = 0L)
+      // collect THIS frame so executedPlan is the AQE-final plan of what ran
+      val rows = gated.collect()
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan)
+      val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(got === base)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeBc)
+    }
+  }
+
   test("anchored LSH search: sane recall, and ⊆ exact-candidate semantics") {
     // data-derived anchor planes (lowest-id vectors, 4 bands × 3 bits) —
     // the exact derivation a01 runs (shared helper, not a re-implementation)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+/** Per-source quotas/blocklists and the training-mixture table
+  * ([[CorpusOps]]). */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq.tabulate(30) { i =>
+    (i.toLong, s"tok$i word common text", s"src${i % 3}", if (i % 2 == 0) "en" else "de")
+  }.toDF("doc_id", "text", "source", "lang")
+
+  test("sourceCap: quota binds per source, blocklist drops, ranks contiguous") {
+    val out = CorpusOps.sourceCap(docs, maxPerSource = 4,
+        blocklist = Seq("src2"))
+      .select("doc_id", "source", "src_rank")
+      .as[(Long, String, Int)].collect()
+    assert(!out.exists(_._2 == "src2"), "blocklisted source must vanish")
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc.keySet === Set("src0", "src1"))
+    for ((_, rows) <- bySrc) {
+      assert(rows.length === 4) // 10 docs per source, capped at 4
+      assert(rows.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4))
+    }
+  }
+
+  test("sourceCap: survivors are growth-stable (adding docs never swaps another's fate)") {
+    val kept = CorpusOps.sourceCap(docs, maxPerSource = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val grown = docs.unionByName(
+      Seq((100L, "new doc", "src0", "en")).toDF("doc_id", "text", "source", "lang"))
+    val keptGrown = CorpusOps.sourceCap(grown, maxPerSource = 4)
+      .select("doc_id").as[Long].collect().toSet
+    // hash rank is salted-md5 of the id: an added doc either displaces the
+    // last-ranked survivor of ITS source or changes nothing — survivors of
+    // untouched sources are identical
+    val src0 = docs.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet + 100L
+    assert((kept -- src0) === (keptGrown -- src0))
+  }
+
+  test("sourceCap: cap larger than any source passes everything through") {
+    val out = CorpusOps.sourceCap(docs, maxPerSource = 1000)
+    assert(out.count() === 30L)
+  }
+
+  test("mixtureStats: exact counts and integer-micro shares") {
+    val tiny = Seq(
+      (1L, "a b c d", "s1", "en"),   // 4 tokens
+      (2L, "a b", "s1", "en"),       // 2 tokens
+      (3L, "x y z w", "s2", "de")    // 4 tokens
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = CorpusOps.mixtureStats(tiny)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("en", "s1")) === ((2L, 6L, 600000L)))
+    assert(out(("de", "s2")) === ((1L, 4L, 400000L)))
+  }
+
+  test("mixtureStats: shares are exact integer division (no float off-by-one)") {
+    // 3 sources × 1 token each: 1e6/3 = 333333 with div, where a float
+    // quotient could floor to 333332 or round to 333334
+    val tiny = Seq(
+      (1L, "a", "s1", "en"), (2L, "b", "s2", "en"), (3L, "c", "s3", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val shares = CorpusOps.mixtureStats(tiny)
+      .select("share_micro").as[Long].collect().toSeq
+    assert(shares === Seq(333333L, 333333L, 333333L))
+  }
+}

@@ -36,6 +36,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("t12: per-source cap runs as partial WindowGroupLimit (hot domains prune map-side)") {
+    val p = plan("t12_source_caps")
+    // Partial mode is the scale property: each task keeps ≤ cap rows per
+    // source BEFORE the rank shuffle, so a billion-doc domain moves cap
+    // rows per task, not its full membership
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("q09: global sort+limit is TakeOrderedAndProject, not a total sort") {
     val p = plan("q09_top20_orders")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -168,6 +168,25 @@ class TextDedupSpec extends SparkSpec {
       "auto-halving must reach the fixpoint inside the default iteration budget")
   }
 
+  test("dedupSelect: min-id representative kept per cluster, singletons kept") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("doc_id")
+    // components {1..5} and {10,11}; 20 unpaired
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val out = TextDedup.dedupSelect(docs, pairs)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size === 8)
+    for (i <- Seq(1L, 2L, 3L, 4L, 5L))
+      assert(out(i) === ((1L, 5L, i == 1L)), s"doc $i: ${out(i)}")
+    assert(out(10L) === ((10L, 2L, true)))
+    assert(out(11L) === ((10L, 2L, false)))
+    assert(out(20L) === ((20L, 1L, true)), "unpaired doc is a kept singleton")
+    // exactly one keeper per cluster
+    val keepers = out.collect { case (id, (c, _, true)) => c -> id }
+    assert(keepers.toMap.size === keepers.size)
+  }
+
   test("contamination: counts distinct shared n-grams and test docs") {
     val corpus = Seq(
       (1L, "a b c d e"),   // shares bigrams {a b, b c, c d, d e} with test 100

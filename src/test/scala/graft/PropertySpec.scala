@@ -95,4 +95,41 @@ class PropertySpec extends SparkSpec {
         s"disjoint doc paired: $pairs")
     }
   }
+
+  test("dedupSelect invariants hold on random pair graphs") {
+    // union-find ground truth for the expected partition
+    def components(n: Int, edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) parent(find(a.toInt)) = find(b.toInt)
+      // canonical label = min member id of the set
+      (0 until n).groupBy(find).flatMap { case (_, members) =>
+        val m = members.min.toLong; members.map(_.toLong -> m)
+      }
+    }
+    val graphGen = for {
+      n <- Gen.choose(4, 25)
+      nEdges <- Gen.choose(0, 2 * n)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, edges.collect { case (a, b) if a != b => (a.toLong, b.toLong) })
+    for ((n, edges) <- cases(graphGen)) {
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("a_id", "b_id")
+      val out = graft.operators.TextDedup.dedupSelect(docs, pairs)
+        .as[(Long, Long, Long, Boolean)].collect()
+      val truth = components(n, edges)
+      assert(out.length === n, "every doc gets a row")
+      for ((id, cid, sz, keep) <- out) {
+        assert(cid === truth(id), s"doc $id cluster: got $cid want ${truth(id)}")
+        assert(sz === truth.count(_._2 == truth(id)).toLong, s"doc $id size")
+        assert(keep === (id == truth(id)), s"doc $id keep flag")
+      }
+      // exactly one keeper per cluster, and keepers cover every cluster
+      val keepers = out.filter(_._4).map(_._2)
+      assert(keepers.toSet.size === keepers.length)
+      assert(keepers.toSet === truth.values.toSet)
+    }
+  }
 }

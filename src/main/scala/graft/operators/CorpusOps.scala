@@ -39,7 +39,11 @@ object CorpusOps {
     require(maxPerSource > 0, s"maxPerSource $maxPerSource")
     val allowed =
       if (blocklist.isEmpty) docs
-      else docs.filter(!col(srcCol).isin(blocklist: _*))
+      // NULL-source rows are their own quota group, not blocklisted:
+      // bare `!isin` evaluates NULL for them and the filter would
+      // silently drop every unattributed doc the moment ANY blocklist
+      // is set
+      else docs.filter(col(srcCol).isNull || !col(srcCol).isin(blocklist: _*))
     val w = Window.partitionBy(col(srcCol))
       .orderBy(hashKey(col(idCol), salt).asc, col(idCol).asc)
     allowed

@@ -46,6 +46,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.count() === 30L)
   }
 
+  test("sourceCap: null-source docs survive a blocklist as their own group") {
+    val withNull = docs.unionByName(
+      Seq((200L, "unattributed", null.asInstanceOf[String], "en"))
+        .toDF("doc_id", "text", "source", "lang"))
+    val out = CorpusOps.sourceCap(withNull, maxPerSource = 4,
+        blocklist = Seq("src2"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(200L),
+      "a NULL source is not blocklisted — bare !isin would drop it")
+  }
+
   test("mixtureStats: exact counts and integer-micro shares") {
     val tiny = Seq(
       (1L, "a b c d", "s1", "en"),   // 4 tokens

@@ -48,8 +48,11 @@ object TextScaleProbe {
       case "contam" =>
         val nCorpus = if (args.length > 1) args(1).toLong else 200000L
         val nTest = if (args.length > 2) args(2).toLong else 50000L
+        // DIFFERENT salts: the sets must overlap only via the every-5th-doc
+        // shared phrase, not be byte-identical prefixes of each other (same
+        // salt would measure a degenerate near-total-overlap join)
         val corpus = syntheticDocs(spark, nCorpus, salt = 1).localCheckpoint()
-        val test = syntheticDocs(spark, nTest, salt = 1).localCheckpoint()
+        val test = syntheticDocs(spark, nTest, salt = 2).localCheckpoint()
         corpus.count(); test.count()
         // hinted: force the broadcast (the default small-benchmark path);
         // gated: gate shut, join unhinted — AQE picks the strategy

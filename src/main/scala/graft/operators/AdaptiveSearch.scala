@@ -92,6 +92,16 @@ object AdaptiveSearch {
         // The scored re-rank applies the true-metric similarity + minSim
         // floor, so this arm's output schema matches the other three.
         val subLen = params.dim / mSub
+        // a prebuilt index with a different PQ geometry would not error —
+        // the LUT/code shapes still line up arithmetically and ADC would
+        // return plausible-but-wrong rankings — so pin it here
+        prebuiltPq.foreach { case (cb, _) =>
+          val r = cb.agg(max(col("sub")), max(size(col("centroid")))).head()
+          require(r.getInt(0) + 1 == mSub && r.getInt(1) == subLen,
+            s"prebuilt PQ geometry (m=${r.getInt(0) + 1}, " +
+              s"subLen=${r.getInt(1)}) does not match the dispatcher's " +
+              s"(m=$mSub, subLen=$subLen)")
+        }
         val (cb, codes) = prebuiltPq.getOrElse {
           val trained = PqIndex.trainCodebooks(nodes, mSub, subLen,
             ksub = 256, iters = 1)

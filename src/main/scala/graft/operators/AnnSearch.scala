@@ -74,9 +74,7 @@ object AnnSearch {
       minSim: Double, metric: String, keyFn: Column => Column,
       broadcastBytes: Long = 64L << 20): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes)
-        broadcast(df)
-      else df
+      KnnSearch.maybeBroadcast(df, broadcastBytes)
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes

@@ -23,12 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** Full-width portable hash of (salt, key) — the [[Sampling.bucketOf]]
-    * construction without the bucket modulo, for rank ordering. */
-  def hashKey(key: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))),
-      1, 15), 16, 10).cast("long")
-
   /** Drop blocklisted sources, then keep at most `maxPerSource` docs per
     * source — survivors chosen by salted-hash rank (ties by id). Output =
     * input columns + `src_rank` (1-based rank of the kept doc within its
@@ -45,16 +39,32 @@ object CorpusOps {
       // is set
       else docs.filter(col(srcCol).isNull || !col(srcCol).isin(blocklist: _*))
     val w = Window.partitionBy(col(srcCol))
-      .orderBy(hashKey(col(idCol), salt).asc, col(idCol).asc)
+      .orderBy(Sampling.hashKey(col(idCol), salt).asc, col(idCol).asc)
     allowed
       .withColumn("src_rank", row_number().over(w))
       .filter(col("src_rank") <= maxPerSource)
   }
 
+  /** floor(n·1e6 / total) in overflow-safe BIGINT: the naive n·1e6 wraps
+    * past ~9.2e12 tokens in one cell — ordinary at web scale — so split
+    * the division (n = q·total + r):
+    *   floor(n·1e6/total) = q·1e6 + q₂·1e3 + q₃
+    * with q₂ = r·1e3 div total and q₃ = (r·1e3 mod total)·1e3 div total.
+    * Every intermediate is < total·1e3, so the math is exact for corpus
+    * totals up to ~9.2e15 tokens (≈ 370× a 100 TB corpus); n ≤ total
+    * bounds the result at 1e6. Identical to the oracle's exact HUGEINT
+    * `//` — the decomposition changes representation, not the value.
+    * Takes column NAMES (`div` has no Column-API form). */
+  def microShare(nCol: String, totalCol: String): Column =
+    expr(s"""($nCol div $totalCol) * 1000000
+      | + ((($nCol % $totalCol) * 1000) div $totalCol) * 1000
+      | + (((($nCol % $totalCol) * 1000) % $totalCol) * 1000)
+      |   div $totalCol""".stripMargin.replaceAll("\n", " "))
+
   /** Training-mixture table: per (lang, source) doc and whitespace-token
     * counts plus `share_micro` — the source's integer-micro share of all
-    * corpus tokens (floor(n·1e6 / total); BIGINT arithmetic end-to-end, so
-    * the shares are exact and engine-portable, no float division). The
+    * corpus tokens ([[microShare]]: exact overflow-safe BIGINT floor
+    * division, no float anywhere in a checked column). The
     * corpus aggregates ONCE (map-side combinable sums keyed by the tiny
     * lang × source space); the global total attaches via a window over the
     * aggregated rows — cardinality = distinct pairs, never corpus-sized. */
@@ -67,8 +77,6 @@ object CorpusOps {
       .withColumn("__total",
         sum(col("n_tokens")).over(Window.partitionBy()))
       .select(col(langCol), col(srcCol), col("n_docs"), col("n_tokens"),
-        // `div` = exact BIGINT division (DuckDB `//`) — a float quotient
-        // could land an ulp under an exact integer and floor() off by one
-        expr("n_tokens * 1000000 div __total").as("share_micro"))
+        microShare("n_tokens", "__total").as("share_micro"))
   }
 }

@@ -25,6 +25,19 @@ object KnnSearch {
   def scaleThreshold(strengthSetting: Double): Double =
     math.min(strengthSetting / 100.0, 0.95)
 
+  /** THE broadcast gate, defined once: hint `df` for broadcast only while
+    * its Catalyst size estimate fits `bytes` (the cheap, no-job estimate
+    * Spark's own join planning reads); past that return it unhinted so
+    * AQE picks the strategy and a query-proportional table is never
+    * pinned in every executor. Every operator with a query-/delta-sized
+    * side table ([[AnnSearch]], [[PqIndex]], [[Retrieval]],
+    * [[TextDedup.contamination]]) routes through this helper — one place
+    * to fix if the gate rule ever changes. */
+  def maybeBroadcast(df: DataFrame, bytes: Long): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= bytes)
+      broadcast(df)
+    else df
+
   /** Exact top-K per query vector with a similarity floor.
     *
     * The query side broadcasts only while its Catalyst size estimate fits

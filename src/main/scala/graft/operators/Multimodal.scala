@@ -57,8 +57,11 @@ object Multimodal {
     * mixed corpora flow instead of failing the task. */
   def decodeImage(payload: Array[Byte], dim: Int): Array[Float] = {
     val img =
+      // NonFatal, not just IOException: imageio codecs throw
+      // IllegalArgumentException / AIOOBE / CMMException on corrupt or
+      // fuzzed payloads, and one bad crawl image must not fail the stage
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth < 1 || img.getHeight < 1)
       decodeStub(payload, dim)
     else {

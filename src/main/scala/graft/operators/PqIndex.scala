@@ -49,15 +49,10 @@ object PqIndex {
     if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
     else nodes
 
-  /** Query-proportional side tables (LUTs, candidate shortlists) broadcast
-    * only while their Catalyst size estimate fits `bytes` — the
-    * [[KnnSearch.knnExact]] gate. Past that the join runs unhinted and
-    * AQE picks a shuffle strategy: a large query batch must not pin
-    * Q-proportional state in every executor. */
+  /** Query-proportional side tables (LUTs, candidate shortlists) route
+    * through [[KnnSearch.maybeBroadcast]] — the single gate definition. */
   private def maybeBroadcast(df: DataFrame, bytes: Long): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= bytes)
-      broadcast(df)
-    else df
+    KnnSearch.maybeBroadcast(df, bytes)
 
   /** (id, sub, subvec) slices — one narrow row per vector per subspace. */
   private def subSlices(nodes: DataFrame, m: Int, subLen: Int): DataFrame =

@@ -96,11 +96,8 @@ object Retrieval {
       .filter(col("df") <= floor(lit(dfCeilingFrac) * col("n")))
       .select(col("term"), col("id"),
         floor(idf6 * factor + lit(0.5)).as("c"))
-    val queriesSmall =
-      qterms.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
-    val cand =
-      if (queriesSmall) postings.join(broadcast(qterms), Seq("term"))
-      else postings.join(qterms, Seq("term"))
+    val cand = postings.join(
+      KnnSearch.maybeBroadcast(qterms, broadcastBytes), Seq("term"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("id").asc)
     cand

@@ -18,10 +18,18 @@ object Sampling {
 
   val Buckets = 10000
 
+  /** Full-width (60-bit) portable hash of (salt, key) — the single place
+    * the md5-prefix construction lives, so the DuckDB mirror
+    * (`('0x' || substr(md5(...), 1, 15))::BIGINT`) is pinned once.
+    * [[bucketOf]] and rank-order consumers ([[CorpusOps.sourceCap]])
+    * both derive from it. */
+  def hashKey(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))),
+      1, 15), 16, 10).cast("long")
+
   /** Uniform bucket in [0, 10000) from the salted key. */
   def bucketOf(key: Column, salt: String): Column =
-    pmod(conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))),
-      1, 15), 16, 10).cast("long"), lit(Buckets))
+    pmod(hashKey(key, salt), lit(Buckets))
 
   /** Keep ~`fraction` of rows, deterministically by key. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,

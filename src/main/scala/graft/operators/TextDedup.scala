@@ -315,10 +315,8 @@ object TextDedup {
     // (small) matched rows ever reach a shuffle. The broadcast test side
     // IS deduped (shrinks the broadcast, nothing else does it).
     val testGrams = grams(testDocs, "test_id").distinct()
-    val testSmall =
-      testGrams.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
     grams(docs, "id")
-      .join(if (testSmall) broadcast(testGrams) else testGrams, Seq("k"))
+      .join(KnnSearch.maybeBroadcast(testGrams, broadcastBytes), Seq("k"))
       .groupBy(col("id"))
       .agg(countDistinct(col("k")).as("n_shared_ngrams"),
         countDistinct(col("test_id")).as("n_test_docs"))

@@ -36,6 +36,15 @@ object AnnQueries {
       s"concat_ws(',', '$b:', ${cells.mkString(", ")})"
     }
 
+  /** 6-dp score quantization for the hash-checked a07/a13 edge scores via
+    * `floor(x·1e6 + 0.5)/1e6` — pure IEEE ops both engines evaluate
+    * identically. `round(double, n)` is NOT cross-engine portable at
+    * boundary values (the Retrieval.scala determinism note), so it appears
+    * nowhere in a hash-checked float column of these queries. */
+  private def q6(score: org.apache.spark.sql.Column) =
+    (floor(score * lit(1000000.0) + lit(0.5)).cast("double") /
+      lit(1000000.0)).as("score_r")
+
   /** Build-once-per-process index per data dir, persisted to a temp path and
     * reloaded — searches run against the saved index (the real usage
     * pattern: build is a batch job, search consumes its parquet output). */
@@ -235,8 +244,7 @@ object AnnQueries {
       val (_, edges) = IndexBuild.buildAnchored(
         VectorQueries.asVectorTable(emb), params,
         anchorPlanes(emb, nBands = 4, bits = 3))
-      edges.select(col("level"), col("src"), col("dst"),
-        round(col("score"), 6).as("score_r"))
+      edges.select(col("level"), col("src"), col("dst"), q6(col("score")))
     }),
 
     // The anchored incremental MERGE, fully hash-checked — a06's structural
@@ -261,8 +269,7 @@ object AnnQueries {
       val delta = nodesDf.filter(col("id") % 40 === 1)
         .withColumn("vector", transform(col("vector"), x => -x))
       val (_, me) = IndexBuild.mergeAnchored(nodes, edges, delta, mp, anchors)
-      me.select(col("level"), col("src"), col("dst"),
-        round(col("score"), 6).as("score_r"))
+      me.select(col("level"), col("src"), col("dst"), q6(col("score")))
     }),
 
     // Graph-traversal ANN search, emitting a PER-QUERY recall floor flag
@@ -570,7 +577,8 @@ object AnnQueries {
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "a07_anchored_build" ->
       s"""WITH $anchoredBuildCtes
-        |SELECT layer AS level, src, dst, round(score, 6) AS score_r
+        |SELECT layer AS level, src, dst,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score_r
         |FROM base""".stripMargin,
     // a13 re-derives the FULL merge: base graph (a07's chain), delta
     // (every 40th vector negated), anchored re-bucketing of the merged
@@ -646,7 +654,8 @@ object AnnQueries {
         |        UNION ALL SELECT * FROM touchedold) u
         |      GROUP BY layer, src, dst))
         |  WHERE rn <= 12)
-        |SELECT layer AS level, src, dst, round(score, 6) AS score_r FROM (
+        |SELECT layer AS level, src, dst,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score_r FROM (
         |  SELECT * FROM untouched UNION ALL SELECT * FROM rewired)""".stripMargin,
     "a01_ann_lsh_search" ->
       """WITH nodes AS (

@@ -503,7 +503,8 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
         |                 1, 15))::BIGINT ASC, doc_id ASC) AS src_rank
-        |  FROM documents WHERE source <> 'src13')
+        |  FROM documents
+        |  WHERE source IS NULL OR source <> 'src13')
         |WHERE src_rank <= 15""".stripMargin,
     "t13_mixture_stats" ->
       """WITH m AS (
@@ -511,8 +512,8 @@ object TextQueries {
         |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
         |  FROM documents GROUP BY lang, source)
         |SELECT lang, source, n_docs, n_tokens,
-        |  (n_tokens * 1000000 // (SELECT sum(n_tokens) FROM m))::BIGINT
-        |    AS share_micro
+        |  (n_tokens::HUGEINT * 1000000 // (SELECT sum(n_tokens) FROM m))
+        |    ::BIGINT AS share_micro
         |FROM m""".stripMargin,
     "t06_contamination" ->
       """WITH g AS (

@@ -70,6 +70,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(("de", "s2")) === ((1L, 4L, 400000L)))
   }
 
+  test("microShare: exact at web-scale magnitudes where naive n*1e6 overflows") {
+    // (n, total) pairs around 100TB-corpus scale: naive n*1000000 wraps
+    // Long for n > ~9.2e12; the decomposition must match BigInt math
+    val cases = Seq(
+      (9300000000000L, 25000000000000L),   // 9.3e12 of 2.5e13 (overflow zone)
+      (24999999999999L, 25000000000000L),  // ~the whole share
+      (1L, 25000000000000L),               // tiny share → 0
+      (7L, 9L),                            // small sanity
+      (9200000000000000L, 9200000000000000L)) // at the documented bound
+    val df = cases.toDF("n", "t")
+      .select(CorpusOps.microShare("n", "t").as("got"),
+        col("n"), col("t"))
+    for (r <- df.collect()) {
+      val want = (BigInt(r.getLong(1)) * 1000000 / BigInt(r.getLong(2))).toLong
+      assert(r.getLong(0) === want, s"n=${r.getLong(1)} t=${r.getLong(2)}")
+    }
+  }
+
   test("mixtureStats: shares are exact integer division (no float off-by-one)") {
     // 3 sources × 1 token each: 1e6/3 = 333333 with div, where a float
     // quotient could floor to 333332 or round to 333334

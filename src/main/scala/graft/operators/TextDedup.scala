@@ -389,6 +389,69 @@ object TextDedup {
         sum(when(col("n_docs") > 1, col("c")).otherwise(0L)).as("n_dup_spans"))
   }
 
+  /** The ACTION step after [[duplicatedSpans]] — Lee et al.-style span
+    * scrubbing: drop every token covered by a word n-gram span that also
+    * occurs in ANOTHER document, and reassemble the surviving tokens (in
+    * order, single-space joined) into the cleaned text. This is the
+    * conservative all-copies policy — every occurrence of a cross-doc
+    * duplicated span goes, which needs no global document order (the
+    * keep-first-occurrence variant requires one, and any such order is
+    * arbitrary in a distributed corpus).
+    *
+    * Output per input doc: (idCol, n_kept, n_dropped, clean_hash) with
+    * clean_hash = md5 of the reassembled text (docs losing everything —
+    * or empty to begin with — hash the empty string).
+    *
+    * Scale: span keys are 60-bit md5 prefixes grouped map-side (uniform
+    * shuffle keys); the duplicated-key set is far smaller than the span
+    * table and joins back on the key; coverage positions stay narrow
+    * (id, index) rows; reassembly is one groupBy(doc) whose collected
+    * list is bounded by document length — the same per-doc bound every
+    * tokenize pass already carries. No driver-side loops, no cross-doc
+    * ordering dependence anywhere. */
+  def spanScrub(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks0 = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // re-index over the FILTERED tokens (0-based) so multi-space gaps in
+    // the raw split positions don't shift span coverage
+    val toks = toks0.withColumn("i", row_number().over(w) - 1)
+      .select(col("id"), col("i"), col("tok"))
+    val wi = Window.partitionBy(col("id")).orderBy(col("i"))
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(wi).as(s"t$j"))
+    val spans = toks
+      .select((col("id") +: col("i") +: col("tok").as("t0") +: leads): _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("id"), col("i"), conv(substring(md5(
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*)), 1, 15), 16, 10)
+        .cast("long").as("k"))
+    val dupKeys = spans.groupBy(col("k"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") > 1).select(col("k"))
+    val covered = spans.join(dupKeys, Seq("k"))
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("i"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "i"), "left_anti")
+    val agg = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          e => e.getField("tok")), " ")).as("clean_hash"))
+    val tot = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
+    docs.select(col(idCol).as("id"))
+      .join(tot, Seq("id"), "left")
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_tok"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
   /** Word n-gram shingle set (n consecutive tokens joined by one space).
     * Docs shorter than n tokens yield an empty set (guarded: Spark's
     * `sequence(0, negative)` would count DOWN, not produce empty). */

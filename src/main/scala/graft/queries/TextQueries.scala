@@ -198,6 +198,15 @@ object TextQueries {
     "t13_mixture_stats" -> ((s, d) =>
       graft.operators.CorpusOps.mixtureStats(Tables.documents(s, d))),
 
+    // The span-dedup ACTION (Lee et al.): remove every token covered by a
+    // cross-doc duplicated 4-gram span and reassemble the cleaned text —
+    // d09's counts turned into the transform a pipeline applies. The
+    // cleaned text itself is hash-checked (md5), so the scrub positions
+    // AND the reassembly order both have to match the oracle exactly.
+    "d12_span_scrub" -> ((s, d) => {
+      TextDedup.spanScrub(Tables.documents(s, d), n = 4)
+    }),
+
     // Cross-document duplicated-span counts (Lee et al. 2022-style span
     // dedup signal): per doc, positional 4-gram spans that also occur in
     // another document. Complements t07 (within-doc repetition) and
@@ -579,6 +588,46 @@ object TextQueries {
          |  FROM documents)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM sigs GROUP BY simhash""".stripMargin,
+    "d12_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |spans0 AS (
+        |  SELECT id, unnest(
+        |    [{'i': i, 's': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}
+        |     for i in range(1, len(t) - 2)]) AS u
+        |  FROM toks),
+        |spans AS (SELECT id, u.i AS i, u.s AS s FROM spans0),
+        |dupk AS (
+        |  SELECT s FROM (
+        |    SELECT s, count(DISTINCT id) AS nd FROM spans GROUP BY s)
+        |  WHERE nd > 1),
+        |cover AS (
+        |  SELECT DISTINCT id, ci FROM (
+        |    SELECT sp.id, unnest([sp.i, sp.i+1, sp.i+2, sp.i+3]) AS ci
+        |    FROM spans sp JOIN dupk USING (s))),
+        |toki0 AS (
+        |  SELECT id, unnest(
+        |    [{'i': i, 'tok': t[i]} for i in range(1, len(t) + 1)]) AS u
+        |  FROM toks),
+        |toki AS (SELECT id, u.i AS i, u.tok AS tok FROM toki0),
+        |kept AS (
+        |  SELECT k.id, k.i, k.tok FROM toki k
+        |  LEFT JOIN cover c ON c.id = k.id AND c.ci = k.i
+        |  WHERE c.id IS NULL),
+        |agg AS (
+        |  SELECT id, count(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+        |  FROM kept GROUP BY id),
+        |tot AS (SELECT id, len(t) AS n_tok FROM toks)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  (coalesce(t.n_tok, 0) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped,
+        |  coalesce(a.clean_hash, md5('')) AS clean_hash
+        |FROM documents d
+        |LEFT JOIN tot t ON t.id = d.doc_id
+        |LEFT JOIN agg a ON a.id = d.doc_id""".stripMargin,
     "d09_duplicated_spans" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

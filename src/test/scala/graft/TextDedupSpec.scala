@@ -124,6 +124,40 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) === ((4L, 2L)))
   }
 
+  test("spanScrub: cross-doc duplicated spans removed, within-doc repeats kept") {
+    val docs = Seq(
+      (1L, "a b c d x y"),      // "a b c d" duplicated in doc 2 → drop 4, keep "x y"
+      (2L, "p a b c d q"),      // same span → drop 4, keep "p q"
+      (3L, "u v w u v w u v"),  // repeats only WITHIN the doc → nothing dropped
+      (4L, "s t")               // shorter than n → no spans → untouched
+    ).toDF("doc_id", "text")
+    val out = TextDedup.spanScrub(docs, n = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((2L, 4L, h("x y"))))
+    assert(out(2L) === ((2L, 4L, h("p q"))))
+    assert(out(3L) === ((8L, 0L, h("u v w u v w u v"))))
+    assert(out(4L) === ((2L, 0L, h("s t"))))
+  }
+
+  test("spanScrub: overlapping dup spans scrub their union; total loss hashes empty") {
+    val docs = Seq(
+      (1L, "a b c d e"),  // spans "a b c d" and "b c d e" both dup → all 5 covered
+      (2L, "a b c d e"),  // identical doc
+      (3L, "k l m n o p") // unrelated
+    ).toDF("doc_id", "text")
+    val out = TextDedup.spanScrub(docs, n = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((0L, 5L, h(""))))
+    assert(out(2L) === ((0L, 5L, h(""))))
+    assert(out(3L) === ((6L, 0L, h("k l m n o p"))))
+  }
+
   test("connectedComponents: empty pair set yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(TextDedup.connectedComponents(empty).count() === 0L)

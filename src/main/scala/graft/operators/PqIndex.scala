@@ -227,6 +227,76 @@ object PqIndex {
       .select(col("query_id"), col("id"), col("rn"))
   }
 
+  /** Residual table for IVF-PQ: v − coarse_centroid[cell], per live
+    * vector. Subtraction stays in FLOAT — Spark float-minus-float and
+    * DuckDB FLOAT−FLOAT produce the identical float (verified: both
+    * round to float then widen), so an external engine re-derives every
+    * residual bit-for-bit. Centroids broadcast (small by contract); the
+    * corpus is touched map-side only. */
+  def residuals(nodes: DataFrame, assignments: DataFrame,
+      centroids: DataFrame): DataFrame =
+    live(nodes).join(assignments, Seq("id"))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("vector"), col("centroid"), (x, y) => x - y)
+          .as("vector"))
+
+  /** Residual IVF-PQ — the canonical composition (Jégou et al. §IV):
+    * codes quantize the RESIDUAL from the coarse centroid instead of the
+    * raw vector, so the codebook only has to cover the within-cell
+    * displacement distribution (much tighter than the global one — the
+    * accuracy win that makes IVF-PQ the production architecture). The
+    * price is per-(query, probed-cell) LUTs — the query's residual
+    * differs per cell — so the LUT table grows Q × nProbe × m·ksub
+    * instead of Q × m·ksub; every query-proportional table passes the
+    * `broadcastBytes` gate. `codes` must come from [[encode]] over
+    * [[residuals]] with `codebooks` sampled/trained on the same residual
+    * space; cell ranking mirrors [[IvfIndex.search]] (cosine on raw
+    * vectors). Output (query_id, id, rn) by ADC ascending, ties id. */
+  def searchIvfPqResidual(codes: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, m: Int, subLen: Int,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("__csim",
+        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
+      .withColumn("__crn", row_number().over(cw))
+      .filter(col("__crn") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val qres = probed
+      .join(broadcast(centroids), Seq("cell"))
+      .join(maybeBroadcast(queries, broadcastBytes), Seq("query_id"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("query_vec"), col("centroid"), (x, y) => x - y)
+          .as("qr"))
+    val lutLong = qres
+      .select(col("query_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qr"))
+      .select(col("query_id"), col("cell"), col("sub"),
+        slice(col("qr"), col("sub") * subLen + 1, lit(subLen)).as("qsub"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        round(VectorFunctions.euclideanDist(col("qsub"), col("centroid")), 8)
+          .as("d"))
+    val lut = lutLong.groupBy(col("query_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
+        e => e.getField("d")).as("lut"))
+    val cand = assignments.select(col("cell"), col("id"))
+      .join(maybeBroadcast(probed, broadcastBytes), Seq("cell"))
+      .select(col("query_id"), col("cell"), col("id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("id").asc)
+    packCodes(codes).join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
+      .join(maybeBroadcast(lut, broadcastBytes), Seq("query_id", "cell"))
+      .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("rn"))
+  }
+
   /** ADC shortlist + exact re-rank — the standard PQ quality tail: the
     * compressed scan keeps only `shortlist` candidates per query cheap,
     * then the TRUE euclidean distance re-ranks just those (Q × shortlist

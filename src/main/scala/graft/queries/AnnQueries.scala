@@ -214,6 +214,30 @@ object AnnQueries {
         m = 8, subLen = 8)
     }),
 
+    // Residual IVF-PQ (Jégou et al. §IV — the canonical composition):
+    // codes quantize v − centroid[cell] instead of raw vectors, so the
+    // codebook covers only within-cell displacements; LUTs are per
+    // (query, probed cell). Fully hash-checked: residual subtraction
+    // stays in FLOAT (bit-identical in both engines — verified), and the
+    // oracle re-derives assignments, residuals, residual codebooks,
+    // codes, per-cell LUTs and every ADC rank from the same parquet.
+    "a14_ivfpq_residual" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+        .select(col("id"), col("cell"))
+      val res = graft.operators.PqIndex.residuals(nodesDf, asg, coarse)
+        .select(col("id"), col("vector"))
+      val rcb = graft.operators.PqIndex.sampleCodebooks(res,
+        m = 8, subLen = 8, ksub = 16)
+      val codes = graft.operators.PqIndex.encode(res, rcb,
+        m = 8, subLen = 8)
+      graft.operators.PqIndex.searchIvfPqResidual(codes, asg, coarse, rcb,
+        VectorQueries.querySet(emb), k = 10, nProbe = 3, m = 8, subLen = 8)
+    }),
+
     // PQ's production-quality tail: ADC shortlist (top-80 on compressed
     // codes) + exact euclidean re-rank of just the survivors. Same
     // fixed-order ADC determinism for the shortlist; the re-rank doubles
@@ -465,6 +489,79 @@ object AnnQueries {
         |  FROM cand c
         |  JOIN enc e ON e.id = c.id
         |  JOIN lut l ON l.query_id = c.query_id
+        |    AND l.sub = e.sub AND l.code = e.code
+        |  GROUP BY c.query_id, c.id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adc ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "a14_ivfpq_residual" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding AS vf, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |ccb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding AS cvf, embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN ccb c)
+        |  WHERE rn = 1),
+        |res AS (
+        |  SELECT n.id,
+        |    list_transform(list_zip(n.vf, c.cvf), x -> x[1] - x[2]) AS rf
+        |  FROM nodes n JOIN asg a ON a.id = n.id JOIN ccb c ON c.cell = a.cell),
+        |rcb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS code, rf
+        |  FROM (SELECT * FROM res ORDER BY id LIMIT 16)),
+        |rcb AS (
+        |  SELECT CAST(s.sub AS INT) AS sub, r.code,
+        |    list_slice(r.rf, s.sub * 8 + 1, s.sub * 8 + 8)::DOUBLE[] AS cen
+        |  FROM rcb0 r CROSS JOIN range(0, 8) s(sub)),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT r.id, rcb.sub, rcb.code,
+        |      row_number() OVER (PARTITION BY r.id, rcb.sub
+        |        ORDER BY list_distance(
+        |          list_slice(r.rf, rcb.sub * 8 + 1, rcb.sub * 8 + 8)::DOUBLE[],
+        |          rcb.cen) ASC, rcb.code) AS rn
+        |    FROM res r CROSS JOIN rcb) WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvf, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN ccb c)
+        |  WHERE rn <= 3),
+        |qres AS (
+        |  SELECT p.query_id, p.cell,
+        |    list_transform(list_zip(q.qvf, c.cvf), x -> x[1] - x[2]) AS qrf
+        |  FROM probed p
+        |  JOIN ccb c ON c.cell = p.cell
+        |  JOIN q ON q.query_id = p.query_id),
+        |lut AS (
+        |  SELECT qr.query_id, qr.cell, rcb.sub, rcb.code,
+        |    round(list_distance(
+        |      list_slice(qr.qrf, rcb.sub * 8 + 1, rcb.sub * 8 + 8)::DOUBLE[],
+        |      rcb.cen), 8) AS d
+        |  FROM qres qr CROSS JOIN rcb),
+        |cand AS (
+        |  SELECT p.query_id, p.cell, a.id
+        |  FROM probed p JOIN asg a ON a.cell = p.cell),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b) AS adc
+        |  FROM cand c
+        |  JOIN enc e ON e.id = c.id
+        |  JOIN lut l ON l.query_id = c.query_id AND l.cell = c.cell
         |    AND l.sub = e.sub AND l.code = e.code
         |  GROUP BY c.query_id, c.id)
         |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (

@@ -195,6 +195,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: self-hit at rank 1 for codebook-source queries, deterministic") {
+    val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+      .select(col("id"), col("cell"))
+    val res = PqIndex.residuals(nodesDf, asg, coarse)
+      .select(col("id"), col("vector"))
+    val rcb = PqIndex.sampleCodebooks(res, m, subLen, ksub)
+    val rcodes = PqIndex.encode(res, rcb, m, subLen)
+    def run() = PqIndex.searchIvfPqResidual(rcodes, asg, coarse, rcb,
+        queriesDf, k = 10, nProbe = 10, m, subLen)
+      .as[(Long, Long, Int)].collect().toSet
+    val out = run()
+    assert(out === run(), "residual IVF-PQ must be run-to-run deterministic")
+    // query 0 is a residual-codebook source: its residual encodes exactly,
+    // so under full probe its own cell's LUT scores it ADC=0 → rank 1
+    assert(out.contains((0L, 0L, 1)),
+      s"self-hit missing: ${out.filter(_._1 == 0L).toSeq.sortBy(_._3)}")
+    // every query returns k ranked rows with contiguous ranks
+    val byQ = out.groupBy(_._1)
+    assert(byQ.values.forall(_.map(_._3).toSeq.sorted == (1 to 10)))
+  }
+
   test("ADC ranks are partition-order independent (fixed-order row sums)") {
     val a = PqIndex.searchAdc(codes, cb, queriesDf, 10, m, subLen)
       .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet

@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => CosineSimilarityExpr(es(0), es(1))),
     ("euclidean_dist", "euclidean_dist(a, b) - euclidean distance",
       es => EuclideanDistanceExpr(es(0), es(1))),
+    ("pq_adc", "pq_adc(codes, lut) - PQ asymmetric-distance lookup sum",
+      es => PqAdcExpr(es(0), es(1))),
     ("topk_ids", "topk_ids(id, score, k) - top-k ids by score per group",
       es => TopKIds(es(0), es(1), es(2)).toAggregateExpression()),
     ("bloom_might_contain",

@@ -128,6 +128,35 @@ object ScaleProbe {
     val pqRerankRecall = rrRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exactEuc.contains).toDouble / exactEuc.size
 
+    // IVF-PQ raw vs RESIDUAL coding at the same probe budget: the residual
+    // codebook covers only within-cell displacements, so its ADC ranks
+    // should track the true euclidean order more closely — a14's claimed
+    // accuracy win, measured here instead of asserted
+    val (ivfpqRows, tIvfPq) = timed {
+      PqIndex.searchIvfPq(codes, asg, centroids, cbPq, queries, 10,
+          nProbe = 8, mSub, subLen)
+        .select("query_id", "id").collect()
+    }
+    val ivfpqRecall = ivfpqRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+    val res = PqIndex.residuals(nodes, asg, centroids)
+      .select(col("id"), col("vector"))
+    val (rcb, tResTrain) = timed {
+      val c = PqIndex.trainCodebooks(res, mSub, subLen, ksub, iters = 2)
+      c.count(); c
+    }
+    val (rcodes, tResEncode) = timed {
+      val c = PqIndex.encode(res, rcb, mSub, subLen).localCheckpoint()
+      c.count(); c
+    }
+    val (resRows, tResSearch) = timed {
+      PqIndex.searchIvfPqResidual(rcodes, asg, centroids, rcb, queries, 10,
+          nProbe = 8, mSub, subLen)
+        .select("query_id", "id").collect()
+    }
+    val resRecall = resRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+
     println(s"""{"n":$n,"dim":$dim,"bucketBits":${params.bucketBits},""" +
       s""""exact_search_sec":$tExact,"index_build_sec":$tBuild,""" +
       s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges,""" +
@@ -137,7 +166,12 @@ object ScaleProbe {
       s""""pq_train_sec":$tPqTrain,""" +
       s""""pq_encode_sec":$tPqEncode,"pq_adc_sec":$tPqAdc,""" +
       s""""pq_adc_recall_at_10":$pqRecall,"pq_rerank_sec":$tPqRerank,""" +
-      s""""pq_rerank_recall_at_10":$pqRerankRecall}""")
+      s""""pq_rerank_recall_at_10":$pqRerankRecall,""" +
+      s""""ivfpq_sec":$tIvfPq,"ivfpq_recall_at_10":$ivfpqRecall,""" +
+      s""""residual_train_sec":$tResTrain,""" +
+      s""""residual_encode_sec":$tResEncode,""" +
+      s""""residual_search_sec":$tResSearch,""" +
+      s""""residual_recall_at_10":$resRecall}""")
     spark.stop()
   }
 }

@@ -235,7 +235,9 @@ object PqIndex {
     * corpus is touched map-side only. */
   def residuals(nodes: DataFrame, assignments: DataFrame,
       centroids: DataFrame): DataFrame =
-    live(nodes).join(assignments, Seq("id"))
+    // project the assignment contract (id, cell) — IvfIndex.assign keeps
+    // payload columns (incl. `vector`) that would otherwise collide
+    live(nodes).join(assignments.select(col("id"), col("cell")), Seq("id"))
       .join(broadcast(centroids), Seq("cell"))
       .select(col("id"), col("cell"),
         zip_with(col("vector"), col("centroid"), (x, y) => x - y)

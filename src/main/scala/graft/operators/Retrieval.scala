@@ -110,6 +110,90 @@ object Retrieval {
         col("rn").cast("int").as("rn"))
   }
 
+  /** ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):
+    * score(q, d) = Σ over query vectors of max over doc vectors of
+    * cosine — the multi-vector retrieval scoring that keeps per-token
+    * granularity where single-vector search collapses a document to one
+    * point. `docVecs` = (doc_id, vector) with MANY rows per doc;
+    * `queryVecs` = (query_id, qvec_id, query_vec) likewise.
+    *
+    * Determinism: the outer Σ quantizes each per-query-vector max to
+    * integer micros first (`floor(max·1e6 + 0.5)`) and sums BIGINT —
+    * max is order-free, so the whole score is partition-order-free and
+    * engine-exact (the [[bm25TopK]] rule). Output (query_id, doc_id,
+    * score DOUBLE = micros/1e6, rn).
+    *
+    * Scale: THIS is the exact variant — cost |docVecs| × |queryVecs|
+    * kernel evaluations, the late-interaction analog of
+    * [[KnnSearch.knnExact]], with the query side gated by
+    * `broadcastBytes`. The production shape at corpus scale is
+    * [[maxSimRerank]]: single-vector ANN over token vectors proposes
+    * candidate docs, exact MaxSim re-ranks only those. */
+  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame, topK: Int,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val sims = docVecs.select(col("doc_id"), col("vector"))
+      .join(KnnSearch.maybeBroadcast(
+        queryVecs.select(col("query_id"), col("qvec_id"), col("query_vec")),
+        broadcastBytes))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineSim(
+          col("query_vec"), col("vector")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    sims.groupBy(col("query_id"), col("qvec_id"), col("doc_id"))
+      .agg(max(col("sim")).as("mx"))
+      .select(col("query_id"), col("doc_id"),
+        floor(col("mx") * lit(1000000.0) + lit(0.5)).cast("long").as("mx6"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("mx6")).as("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  /** The scale path for late interaction: single-vector ANN over the
+    * token vectors proposes candidate DOCUMENTS (any token hit nominates
+    * its whole doc), then exact [[maxSimTopK]] scoring runs restricted
+    * to the shortlist — so the quadratic token-pair cost applies to
+    * Q × shortlist docs instead of Q × corpus (the standard ColBERT
+    * serving architecture). `tokenId`/`anchors` follow
+    * [[AnnSearch.searchLshAnchored]]; recall is governed by the ANN
+    * stage and pinned by RetrievalSpec against the exact variant. */
+  def maxSimRerank(docVecs: DataFrame, queryVecs: DataFrame, topK: Int,
+      tokenHitsPerQvec: Int, anchors: Seq[Seq[Array[Float]]],
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val tokenNodes = docVecs
+      .select(col("vec_id").as("id"), col("vector"), col("doc_id"))
+    val tokenQueries = queryVecs
+      .select(concat_ws(":", col("query_id"), col("qvec_id"))
+        .as("query_id"), col("query_vec"))
+    val hits = AnnSearch.searchLshAnchored(
+      tokenNodes.select(col("id"), col("vector")), tokenQueries,
+      k = tokenHitsPerQvec, minSim = -2.0, anchors,
+      broadcastBytes = broadcastBytes)
+    val candDocs = hits
+      .select(split(col("query_id"), ":").getItem(0).cast("long")
+        .as("query_id"), col("id"))
+      .join(KnnSearch.maybeBroadcast(
+        tokenNodes.select(col("id"), col("doc_id")), broadcastBytes),
+        Seq("id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val shortDocVecs = docVecs
+      .join(candDocs.select(col("doc_id")).distinct(), Seq("doc_id"))
+    // score the union of candidate docs UNRANKED (k = MaxValue), restrict
+    // to each query's own candidates, THEN rank once — ranking the union
+    // first could evict a query's candidate behind another query's doc
+    maxSimTopK(shortDocVecs, queryVecs, Int.MaxValue, broadcastBytes)
+      .drop("rn")
+      .join(candDocs, Seq("query_id", "doc_id"), "left_semi")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc))
+        .cast("int"))
+      .filter(col("rn") <= topK)
+  }
+
   /** Reciprocal-rank fusion of two (query_id, id, rn) runs:
     * rrf = Σ 1/(c + rank) over the lists a doc appears in (absent list
     * contributes 0), re-ranked desc with id tiebreak. One full-outer join

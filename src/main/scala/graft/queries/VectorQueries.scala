@@ -175,6 +175,23 @@ object VectorQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // ColBERT-style late interaction (MaxSim): multi-vector docs (10 token
+    // vectors per synthetic doc = vec_id div 10), score = Σ over query
+    // vectors of max over doc vectors of cosine. Per-query-vector maxes
+    // quantize to integer micros before the BIGINT sum (max is order-free,
+    // so the whole score is partition-order-free) — fully hash-checked
+    // including the score column.
+    "v14_maxsim" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val docVecs = emb.select(expr("vec_id div 10").as("doc_id"),
+        col("vec_id"), col("embedding").as("vector"))
+      val queryVecs = docVecs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("query_id"), col("vec_id").as("qvec_id"),
+          col("vector").as("query_vec"))
+      graft.operators.Retrieval.maxSimTopK(docVecs, queryVecs, topK = 10)
+    }),
+
     // Single-level kNN-graph neighbor selection — the batch replacement for
     // HNSW insert wiring (hnsw.ts:82-147): top-M=16 neighbors by cosine
     // with bidirectional union + re-shrink (hnsw.ts:436-489 semantics).
@@ -321,6 +338,31 @@ object VectorQueries {
           |    ELSE 7 END AS INT) AS level
           |  FROM embeddings)
           |GROUP BY level""".stripMargin,
+      "v14_maxsim" ->
+        """WITH dv AS (
+          |  SELECT vec_id // 10 AS doc_id, vec_id,
+          |    embedding::DOUBLE[] AS v
+          |  FROM embeddings),
+          |qv AS (
+          |  SELECT doc_id AS query_id, vec_id AS qvec_id, v AS qvec
+          |  FROM dv WHERE doc_id % 10 = 0),
+          |mx AS (
+          |  SELECT q.query_id, q.qvec_id, d.doc_id,
+          |    max(list_cosine_similarity(q.qvec, d.v)) AS mx
+          |  FROM qv q CROSS JOIN dv d
+          |  GROUP BY q.query_id, q.qvec_id, d.doc_id),
+          |sc AS (
+          |  SELECT query_id, doc_id,
+          |    sum(CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)) AS micro
+          |  FROM mx GROUP BY query_id, doc_id)
+          |SELECT query_id, doc_id,
+          |  CAST(micro AS DOUBLE) / 1000000.0 AS score, CAST(rn AS INT) AS rn
+          |FROM (
+          |  SELECT query_id, doc_id, micro,
+          |    row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY micro DESC, doc_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 10""".stripMargin,
       "v11_knn_graph" ->
         """WITH nodes AS (
           |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings

@@ -80,6 +80,48 @@ class RetrievalSpec extends SparkSpec {
     assert(top.isEmpty)
   }
 
+  test("MaxSim: hand-computed late-interaction scores; identical doc ranks first") {
+    // doc 1 = two orthogonal unit vectors; doc 2 = copies of e1 only.
+    // query = doc 1's vectors: maxsim(q, d1) = 1 + 1 = 2 (each query
+    // vector finds its twin); maxsim(q, d2) = 1 + 0 (e2 finds nothing)
+    val e1 = Seq(1.0f, 0.0f); val e2 = Seq(0.0f, 1.0f)
+    val docVecs = Seq(
+      (1L, 10L, e1), (1L, 11L, e2),
+      (2L, 20L, e1), (2L, 21L, e1)
+    ).toDF("doc_id", "vec_id", "vector")
+    val queryVecs = Seq((1L, 10L, e1), (1L, 11L, e2))
+      .toDF("query_id", "qvec_id", "query_vec")
+    val out = graft.operators.Retrieval.maxSimTopK(docVecs, queryVecs, 10)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(out(1L) === ((2.0, 1)))
+    assert(out(2L) === ((1.0, 2)))
+  }
+
+  test("MaxSim rerank: ANN-proposed shortlist reproduces the exact top ranks") {
+    val emb = Tables.embeddings(spark, sf001)
+    val docVecs = emb.select(expr("vec_id div 10").as("doc_id"),
+      col("vec_id"), col("embedding").as("vector"))
+    val queryVecs = docVecs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("query_id"), col("vec_id").as("qvec_id"),
+        col("vector").as("query_vec"))
+    val exact = graft.operators.Retrieval.maxSimTopK(docVecs, queryVecs, 5)
+      .select("query_id", "doc_id", "rn").as[(Long, Long, Int)]
+      .collect().toSet
+    val anchors = graft.queries.AnnQueries.anchorPlanes(emb,
+      nBands = 4, bits = 3)
+    // generous token-hit budget → candidate sets cover the true top docs
+    val rr = graft.operators.Retrieval.maxSimRerank(docVecs, queryVecs,
+        topK = 5, tokenHitsPerQvec = 200, anchors)
+      .select("query_id", "doc_id", "rn").as[(Long, Long, Int)]
+      .collect().toSet
+    // rank-1 parity is the serving property that matters; deeper ranks may
+    // differ where ANN recall truncates the tail
+    val exact1 = exact.filter(_._3 == 1)
+    val rr1 = rr.filter(_._3 == 1)
+    assert(rr1 === exact1, s"rank-1 mismatch: $rr1 vs $exact1")
+  }
+
   test("RRF: doc in both runs outranks same-rank docs in one run") {
     val runA = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "id", "rn")
     val runB = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "id", "rn")

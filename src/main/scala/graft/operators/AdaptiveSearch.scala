@@ -94,13 +94,21 @@ object AdaptiveSearch {
         val subLen = params.dim / mSub
         // a prebuilt index with a different PQ geometry would not error —
         // the LUT/code shapes still line up arithmetically and ADC would
-        // return plausible-but-wrong rankings — so pin it here
-        prebuiltPq.foreach { case (cb, _) =>
+        // return plausible-but-wrong rankings — so pin BOTH tables: a
+        // codebook-only check misses codes encoded at a different m (the
+        // LUT still divides evenly and mis-scores silently)
+        prebuiltPq.foreach { case (cb, pcodes) =>
           val r = cb.agg(max(col("sub")), max(size(col("centroid")))).head()
+          require(!r.isNullAt(0),
+            "prebuilt PQ codebook is empty")
           require(r.getInt(0) + 1 == mSub && r.getInt(1) == subLen,
-            s"prebuilt PQ geometry (m=${r.getInt(0) + 1}, " +
+            s"prebuilt PQ codebook geometry (m=${r.getInt(0) + 1}, " +
               s"subLen=${r.getInt(1)}) does not match the dispatcher's " +
               s"(m=$mSub, subLen=$subLen)")
+          val c = pcodes.agg(max(col("sub"))).head()
+          require(!c.isNullAt(0) && c.getInt(0) + 1 == mSub,
+            s"prebuilt PQ codes have m=${if (c.isNullAt(0)) 0
+              else c.getInt(0) + 1}, dispatcher expects m=$mSub")
         }
         val (cb, codes) = prebuiltPq.getOrElse {
           val trained = PqIndex.trainCodebooks(nodes, mSub, subLen,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -53,6 +53,14 @@ object PqIndex {
     * through [[KnnSearch.maybeBroadcast]] — the single gate definition. */
   private def maybeBroadcast(df: DataFrame, bytes: Long): DataFrame =
     KnnSearch.maybeBroadcast(df, bytes)
+
+  /** 8-dp LUT quantization via `floor(x·1e8 + 0.5)/1e8` — pure IEEE ops
+    * both engines evaluate identically. `round(double, n)` is NOT
+    * cross-engine portable at boundary values (the Retrieval.scala
+    * determinism note), so it appears nowhere in a hash-checked path. */
+  private def q8(c: Column): Column =
+    floor(c * lit(100000000.0) + lit(0.5)).cast("double") /
+      lit(100000000.0)
 
   /** (id, sub, subvec) slices — one narrow row per vector per subspace. */
   private def subSlices(nodes: DataFrame, m: Int, subLen: Int): DataFrame =
@@ -156,7 +164,7 @@ object PqIndex {
           .as("qsub"))
       .join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
-        round(VectorFunctions.euclideanDist(col("qsub"), col("centroid")), 8)
+        q8(VectorFunctions.euclideanDist(col("qsub"), col("centroid")))
           .as("d"))
     val lut = lutLong.groupBy(col("query_id"))
       .agg(transform(
@@ -211,7 +219,7 @@ object PqIndex {
           .as("qsub"))
       .join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
-        round(VectorFunctions.euclideanDist(col("qsub"), col("centroid")), 8)
+        q8(VectorFunctions.euclideanDist(col("qsub"), col("centroid")))
           .as("d"))
     val lut = lutLong.groupBy(col("query_id"))
       .agg(transform(
@@ -280,7 +288,7 @@ object PqIndex {
         slice(col("qr"), col("sub") * subLen + 1, lit(subLen)).as("qsub"))
       .join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
-        round(VectorFunctions.euclideanDist(col("qsub"), col("centroid")), 8)
+        q8(VectorFunctions.euclideanDist(col("qsub"), col("centroid")))
           .as("d"))
     val lut = lutLong.groupBy(col("query_id"), col("cell"))
       .agg(transform(

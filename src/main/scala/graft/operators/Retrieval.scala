@@ -129,8 +129,15 @@ object Retrieval {
     * `broadcastBytes`. The production shape at corpus scale is
     * [[maxSimRerank]]: single-vector ANN over token vectors proposes
     * candidate docs, exact MaxSim re-ranks only those. */
-  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame, topK: Int,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+  /** Unranked MaxSim scores (query_id, doc_id, score_micro BIGINT) — the
+    * shared scoring stage of [[maxSimTopK]] and [[maxSimRerank]] (the
+    * rerank path must restrict to per-query candidates BEFORE ranking, so
+    * it cannot reuse a ranked output). NaN guard per the [[KnnSearch]]
+    * rule: a zero-norm token vector scores NaN, which Spark's max would
+    * rank above every real similarity — drop those pairs so a padding
+    * token never poisons a document's per-query-vector max. */
+  private def maxSimScores(docVecs: DataFrame, queryVecs: DataFrame,
+      broadcastBytes: Long): DataFrame = {
     val sims = docVecs.select(col("doc_id"), col("vector"))
       .join(KnnSearch.maybeBroadcast(
         queryVecs.select(col("query_id"), col("qvec_id"), col("query_vec")),
@@ -138,14 +145,20 @@ object Retrieval {
       .withColumn("sim",
         graft.functions.VectorFunctions.cosineSim(
           col("query_vec"), col("vector")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .filter(!isnan(col("sim")))
     sims.groupBy(col("query_id"), col("qvec_id"), col("doc_id"))
       .agg(max(col("sim")).as("mx"))
       .select(col("query_id"), col("doc_id"),
         floor(col("mx") * lit(1000000.0) + lit(0.5)).cast("long").as("mx6"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("mx6")).as("score_micro"))
+  }
+
+  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame, topK: Int,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    maxSimScores(docVecs, queryVecs, broadcastBytes)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("doc_id"),
@@ -166,32 +179,36 @@ object Retrieval {
       broadcastBytes: Long = 64L << 20): DataFrame = {
     val tokenNodes = docVecs
       .select(col("vec_id").as("id"), col("vector"), col("doc_id"))
+    // the ANN stage keys on a composite (query doc, query token) — a
+    // STRUCT, not a string concat, so ids of any type (and containing
+    // any separator) round-trip exactly
     val tokenQueries = queryVecs
-      .select(concat_ws(":", col("query_id"), col("qvec_id"))
+      .select(struct(col("query_id").as("q"), col("qvec_id").as("t"))
         .as("query_id"), col("query_vec"))
     val hits = AnnSearch.searchLshAnchored(
       tokenNodes.select(col("id"), col("vector")), tokenQueries,
       k = tokenHitsPerQvec, minSim = -2.0, anchors,
       broadcastBytes = broadcastBytes)
     val candDocs = hits
-      .select(split(col("query_id"), ":").getItem(0).cast("long")
-        .as("query_id"), col("id"))
+      .select(col("query_id").getField("q").as("query_id"), col("id"))
       .join(KnnSearch.maybeBroadcast(
         tokenNodes.select(col("id"), col("doc_id")), broadcastBytes),
         Seq("id"))
       .select(col("query_id"), col("doc_id")).distinct()
     val shortDocVecs = docVecs
       .join(candDocs.select(col("doc_id")).distinct(), Seq("doc_id"))
-    // score the union of candidate docs UNRANKED (k = MaxValue), restrict
-    // to each query's own candidates, THEN rank once — ranking the union
-    // first could evict a query's candidate behind another query's doc
-    maxSimTopK(shortDocVecs, queryVecs, Int.MaxValue, broadcastBytes)
-      .drop("rn")
+    // score the union of candidate docs UNRANKED, restrict to each
+    // query's own candidates, THEN rank once — ranking the union first
+    // could evict a query's candidate behind another query's doc
+    maxSimScores(shortDocVecs, queryVecs, broadcastBytes)
       .join(candDocs, Seq("query_id", "doc_id"), "left_semi")
       .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id").asc))
+        .orderBy(col("score_micro").desc, col("doc_id").asc))
         .cast("int"))
       .filter(col("rn") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"),
+        col("rn"))
   }
 
   /** Reciprocal-rank fusion of two (query_id, id, rn) runs:

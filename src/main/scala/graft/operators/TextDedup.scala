@@ -360,27 +360,44 @@ object TextDedup {
     * [[repetitionSignals]]' job. High fractions mark boilerplate shared
     * across pages.
     *
-    * Scale: positional spans come from posexplode + `lead` (O(L), the
-    * d04/t07 shape — never HOF-over-array retokenization); they shuffle
-    * ONCE on their uniform 60-bit hash into per-(span, doc) counts; the
+    * Scale: positional spans come from [[positionalSpans]] (posexplode +
+    * `lead`, O(L) — never HOF-over-array retokenization); they shuffle
+    * ONCE on their uniform full-md5 key into per-(span, doc) counts; the
     * corpus-wide distinct-doc count is a window over those already-deduped
     * rows; the final per-doc rollup shuffles only doc ids. Nothing is
     * pairwise, no span list ever sits in one row. */
-  def duplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+  /** Positional word n-gram spans: one (id, i, k) row per 0-based span
+    * start over the FILTERED tokens (multi-space gaps don't shift
+    * positions), k = FULL md5 of the space-joined span. The full 128-bit
+    * digest, not a truncated prefix: [[spanScrub]] MUTATES text on key
+    * equality, where a prefix collision is silent data corruption of an
+    * unrelated document (and an engine-parity break — the oracle groups
+    * raw strings), not just a miscount. Shared by [[duplicatedSpans]] and
+    * [[spanScrub]] so the two can never disagree about what a span is.
+    * Built with posexplode + `lead` (O(L), the d04/t07 shape — never
+    * HOF-over-array retokenization). */
+  private def positionalSpans(docs: DataFrame, n: Int, idCol: String,
+      textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("id"),
+    val toks0 = docs.select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j"))
-    val spans = toks.select((col("id") +: col("tok").as("t0") +: leads): _*)
-      // lead(n-1) null ⇔ the span runs off the document end (positions are
+    val toks = toks0.withColumn("i", row_number().over(w) - 1)
+    val wi = Window.partitionBy(col("id")).orderBy(col("i"))
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(wi).as(s"t$j"))
+    toks.select((col("id") +: col("i") +: col("tok").as("t0") +: leads): _*)
+      // lead(n-1) null ⇔ the span runs off the document end (indices are
       // consecutive, so the last lead being present implies all are)
       .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("id"), conv(substring(md5(
-        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*)), 1, 15), 16, 10)
-        .cast("long").as("k"))
+      .select(col("id"), col("i"),
+        md5(concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*)).as("k"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = positionalSpans(docs, n, idCol, textCol).drop("i")
     val perDoc = spans.groupBy(col("k"), col("id")).agg(count(lit(1)).as("c"))
     val nd = Window.partitionBy(col("k"))
     perDoc.withColumn("n_docs", count(lit(1)).over(nd))
@@ -402,8 +419,10 @@ object TextDedup {
     * clean_hash = md5 of the reassembled text (docs losing everything —
     * or empty to begin with — hash the empty string).
     *
-    * Scale: span keys are 60-bit md5 prefixes grouped map-side (uniform
-    * shuffle keys); the duplicated-key set is far smaller than the span
+    * Scale: span keys are FULL md5 digests ([[positionalSpans]] — a
+    * truncated key here would let a hash collision scrub unrelated text)
+    * grouped map-side (uniform shuffle keys); the duplicated-key set is
+    * far smaller than the span
     * table and joins back on the key; coverage positions stay narrow
     * (id, index) rows; reassembly is one groupBy(doc) whose collected
     * list is bounded by document length — the same per-doc bound every
@@ -420,14 +439,7 @@ object TextDedup {
     // the raw split positions don't shift span coverage
     val toks = toks0.withColumn("i", row_number().over(w) - 1)
       .select(col("id"), col("i"), col("tok"))
-    val wi = Window.partitionBy(col("id")).orderBy(col("i"))
-    val leads = (1 until n).map(j => lead(col("tok"), j).over(wi).as(s"t$j"))
-    val spans = toks
-      .select((col("id") +: col("i") +: col("tok").as("t0") +: leads): _*)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("id"), col("i"), conv(substring(md5(
-        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*)), 1, 15), 16, 10)
-        .cast("long").as("k"))
+    val spans = positionalSpans(docs, n, idCol, textCol)
     val dupKeys = spans.groupBy(col("k"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") > 1).select(col("k"))

@@ -120,7 +120,7 @@ object AnnQueries {
       val nodesDf = VectorQueries.asVectorTable(Tables.embeddings(s, d))
       val cb = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
       graft.operators.IvfIndex.lloydIterOrdered(nodesDf, cb)
-        .select(col("cell"), col("pos"), round(col("m"), 6).as("m_r"))
+        .select(col("cell"), col("pos"), q6(col("m")).as("m_r"))
     }),
 
     // Incremental merge: fold a deterministic delta (every 40th vector,
@@ -420,9 +420,9 @@ object AnnQueries {
         |  FROM embeddings WHERE vec_id % 50 = 0),
         |lut AS (
         |  SELECT q.query_id, cb.sub, cb.code,
-        |    round(list_distance(
-        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen), 8)
-        |      AS d
+        |    floor(list_distance(
+        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen)
+        |      * 100000000.0 + 0.5) / 100000000.0 AS d
         |  FROM q CROSS JOIN cb),
         |scored AS (
         |  SELECT l.query_id, e.id,
@@ -477,9 +477,9 @@ object AnnQueries {
         |    FROM nodes n CROSS JOIN cb) WHERE rn = 1),
         |lut AS (
         |  SELECT q.query_id, cb.sub, cb.code,
-        |    round(list_distance(
-        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen), 8)
-        |      AS d
+        |    floor(list_distance(
+        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen)
+        |      * 100000000.0 + 0.5) / 100000000.0 AS d
         |  FROM q CROSS JOIN cb),
         |cand AS (
         |  SELECT p.query_id, a.id FROM probed p JOIN asg a ON a.cell = p.cell),
@@ -549,9 +549,9 @@ object AnnQueries {
         |  JOIN q ON q.query_id = p.query_id),
         |lut AS (
         |  SELECT qr.query_id, qr.cell, rcb.sub, rcb.code,
-        |    round(list_distance(
+        |    floor(list_distance(
         |      list_slice(qr.qrf, rcb.sub * 8 + 1, rcb.sub * 8 + 8)::DOUBLE[],
-        |      rcb.cen), 8) AS d
+        |      rcb.cen) * 100000000.0 + 0.5) / 100000000.0 AS d
         |  FROM qres qr CROSS JOIN rcb),
         |cand AS (
         |  SELECT p.query_id, p.cell, a.id
@@ -594,9 +594,9 @@ object AnnQueries {
         |  FROM embeddings WHERE vec_id % 50 = 0),
         |lut AS (
         |  SELECT q.query_id, cb.sub, cb.code,
-        |    round(list_distance(
-        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen), 8)
-        |      AS d
+        |    floor(list_distance(
+        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen)
+        |      * 100000000.0 + 0.5) / 100000000.0 AS d
         |  FROM q CROSS JOIN cb),
         |shortlist AS (
         |  SELECT query_id, id FROM (
@@ -808,8 +808,8 @@ object AnnQueries {
         |  FROM asg a JOIN nodes n ON n.id = a.id
         |  CROSS JOIN range(1, 65) p(pos))
         |SELECT cell, pos,
-        |  round(list_reduce(list(x ORDER BY id), (acc, e) -> acc + e)
-        |        / count(*), 6) AS m_r
+        |  floor(list_reduce(list(x ORDER BY id), (acc, e) -> acc + e)
+        |        / count(*) * 1000000.0 + 0.5) / 1000000.0 AS m_r
         |FROM ex GROUP BY cell, pos""".stripMargin,
     "a04_ivf_search" ->
       """WITH nodes AS (

@@ -347,10 +347,12 @@ object VectorQueries {
           |  SELECT doc_id AS query_id, vec_id AS qvec_id, v AS qvec
           |  FROM dv WHERE doc_id % 10 = 0),
           |mx AS (
-          |  SELECT q.query_id, q.qvec_id, d.doc_id,
-          |    max(list_cosine_similarity(q.qvec, d.v)) AS mx
-          |  FROM qv q CROSS JOIN dv d
-          |  GROUP BY q.query_id, q.qvec_id, d.doc_id),
+          |  SELECT query_id, qvec_id, doc_id, max(s) AS mx FROM (
+          |    SELECT q.query_id, q.qvec_id, d.doc_id,
+          |      list_cosine_similarity(q.qvec, d.v) AS s
+          |    FROM qv q CROSS JOIN dv d)
+          |  WHERE NOT isnan(s)
+          |  GROUP BY query_id, qvec_id, doc_id),
           |sc AS (
           |  SELECT query_id, doc_id,
           |    sum(CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)) AS micro

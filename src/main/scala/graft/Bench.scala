@@ -31,6 +31,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line above can exceed a tail-capture window (the
+    // driver keeps the END of stdout), so repeat the headline LAST as a
+    // short self-contained record — whatever window survives contains it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

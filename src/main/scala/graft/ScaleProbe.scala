@@ -157,6 +157,21 @@ object ScaleProbe {
     val resRecall = resRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exactEuc.contains).toDouble / exactEuc.size
 
+    // the dispatcher's >pqCutoff arm end-to-end: prebuilt residual index,
+    // cutoffs forced so UsePq fires — it must ride the residual shortlist
+    // (+ exact cosine re-rank), so its recall is judged against the
+    // COSINE exact set the arm's contract scores with
+    val pre = AdaptiveSearch.PqPrebuilt(centroids, asg, rcb, rcodes)
+    val (dispatchRows, tDispatch) = timed {
+      val (st, r) = AdaptiveSearch.search(nodes, queries, 10,
+        minSim = -2.0, params, nProbe = 8, exactCutoff = 0L, pqCutoff = 1L,
+        prebuiltPq = Some(pre))
+      require(st == AdaptiveSearch.UsePq, s"expected UsePq, got $st")
+      r.select("query_id", "id").collect()
+    }
+    val dispatchRecall = dispatchRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+
     println(s"""{"n":$n,"dim":$dim,"bucketBits":${params.bucketBits},""" +
       s""""exact_search_sec":$tExact,"index_build_sec":$tBuild,""" +
       s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges,""" +
@@ -171,7 +186,9 @@ object ScaleProbe {
       s""""residual_train_sec":$tResTrain,""" +
       s""""residual_encode_sec":$tResEncode,""" +
       s""""residual_search_sec":$tResSearch,""" +
-      s""""residual_recall_at_10":$resRecall}""")
+      s""""residual_recall_at_10":$resRecall,""" +
+      s""""adaptive_pq_sec":$tDispatch,""" +
+      s""""adaptive_pq_recall_at_10":$dispatchRecall}""")
     spark.stop()
   }
 }

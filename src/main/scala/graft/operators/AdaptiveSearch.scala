@@ -26,6 +26,49 @@ object AdaptiveSearch {
   case object UseIvf extends Strategy
   case object UsePq extends Strategy
 
+  /** A persisted residual IVF-PQ index, the build-once artifact the
+    * production PQ arm consumes: coarse `centroids` (cell, centroid),
+    * `assignments` (id, cell), and RESIDUAL-space `codebooks`
+    * (sub, code, centroid) / `codes` (id, sub, code) — i.e.
+    * [[PqIndex.encode]] over [[PqIndex.residuals]]. */
+  final case class PqPrebuilt(centroids: DataFrame, assignments: DataFrame,
+      codebooks: DataFrame, codes: DataFrame)
+
+  /** Geometry validation memo: a prebuilt index with a different PQ
+    * geometry would not error — the LUT/code shapes still line up
+    * arithmetically and ADC returns plausible-but-wrong rankings — so
+    * BOTH tables are pinned (a codebook-only check misses codes encoded
+    * at a different m). The check aggregates over the corpus-sized codes
+    * table, so it runs ONCE per index identity (keyed by the DataFrame
+    * references a production caller naturally reuses across query
+    * batches), not once per dispatch. */
+  private val validatedPq = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+
+  private def validateGeometry(pre: PqPrebuilt, mSub: Int, subLen: Int)
+      : Unit = {
+    if (!validatedPq.containsKey(pre.codebooks)) {
+      // min(size) too: a ragged codebook (some centroids shorter than
+      // subLen) passes a max-only check and still mis-scores silently
+      val r = pre.codebooks.agg(max(col("sub")),
+        max(size(col("centroid"))), min(size(col("centroid")))).head()
+      require(!r.isNullAt(0), "prebuilt PQ codebook is empty")
+      require(r.getInt(0) + 1 == mSub && r.getInt(1) == subLen &&
+          r.getInt(2) == subLen,
+        s"prebuilt PQ codebook geometry (m=${r.getInt(0) + 1}, " +
+          s"subLen=[${r.getInt(2)},${r.getInt(1)}]) does not match the " +
+          s"dispatcher's (m=$mSub, subLen=$subLen)")
+      validatedPq.put(pre.codebooks, java.lang.Boolean.TRUE)
+    }
+    if (!validatedPq.containsKey(pre.codes)) {
+      val c = pre.codes.agg(max(col("sub"))).head()
+      require(!c.isNullAt(0) && c.getInt(0) + 1 == mSub,
+        s"prebuilt PQ codes have m=${if (c.isNullAt(0)) 0
+          else c.getInt(0) + 1}, dispatcher expects m=$mSub")
+      validatedPq.put(pre.codes, java.lang.Boolean.TRUE)
+    }
+  }
+
   /** Decide from corpus stats. `maxBucketShare` is the largest fraction of
     * the (sampled) corpus landing in one band-0 LSH bucket. Past
     * `pqCutoff` rows, full-vector candidate scoring stops fitting executor
@@ -63,15 +106,16 @@ object AdaptiveSearch {
     * honors the same contract — (query_id, id, score, rn) with the
     * `minSim` floor applied — so callers never branch on the strategy.
     *
-    * `prebuiltPq` carries persisted (codebooks, (id, sub, code) codes)
-    * from an index build, the way [[IvfIndex.search]] accepts persisted
-    * assignments; without it the PQ arm trains and encodes in-line, which
-    * is a per-corpus (not per-query-batch!) cost — production callers
-    * past `pqCutoff` should build once and pass it in. */
+    * `prebuiltPq` carries a persisted residual IVF-PQ index
+    * ([[PqPrebuilt]]) from an index build, the way [[IvfIndex.search]]
+    * accepts persisted assignments; without it the PQ arm trains coarse
+    * centroids and residual codebooks and encodes in-line, which is a
+    * per-corpus (not per-query-batch!) cost — production callers past
+    * `pqCutoff` should build once and pass it in. */
   def search(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       params: IndexParams, nProbe: Int = 8, ivfCells: Int = 256,
       exactCutoff: Long = 50000, pqCutoff: Long = 5000000L,
-      prebuiltPq: Option[(DataFrame, DataFrame)] = None)
+      prebuiltPq: Option[PqPrebuilt] = None)
       : (Strategy, DataFrame) = {
     val mSub = 8
     val (n, share) = stats(nodes, params)
@@ -86,37 +130,33 @@ object AdaptiveSearch {
         val centroids = IvfIndex.train(nodes, cells, iters = 3)
         (UseIvf, IvfIndex.search(nodes, centroids, queries, k, minSim, nProbe))
       case UsePq =>
-        // compressed scan + exact re-rank: the one path whose scanned
-        // bytes do not grow with dim × n (codes only); shortlist sized
-        // as a fixed multiple of k keeps the re-rank O(Q × shortlist).
+        // residual IVF-PQ shortlist + exact re-rank: the one path whose
+        // scanned bytes do not grow with dim × n (coarse cells cut the
+        // scanned fraction, residual codes cut bytes per row 32×), and
+        // the measurably best shortlist the repo has at equal probe
+        // budget (residual vs raw codes: 1.6× recall@10 — SCALING.md).
         // The scored re-rank applies the true-metric similarity + minSim
         // floor, so this arm's output schema matches the other three.
         val subLen = params.dim / mSub
-        // a prebuilt index with a different PQ geometry would not error —
-        // the LUT/code shapes still line up arithmetically and ADC would
-        // return plausible-but-wrong rankings — so pin BOTH tables: a
-        // codebook-only check misses codes encoded at a different m (the
-        // LUT still divides evenly and mis-scores silently)
-        prebuiltPq.foreach { case (cb, pcodes) =>
-          val r = cb.agg(max(col("sub")), max(size(col("centroid")))).head()
-          require(!r.isNullAt(0),
-            "prebuilt PQ codebook is empty")
-          require(r.getInt(0) + 1 == mSub && r.getInt(1) == subLen,
-            s"prebuilt PQ codebook geometry (m=${r.getInt(0) + 1}, " +
-              s"subLen=${r.getInt(1)}) does not match the dispatcher's " +
-              s"(m=$mSub, subLen=$subLen)")
-          val c = pcodes.agg(max(col("sub"))).head()
-          require(!c.isNullAt(0) && c.getInt(0) + 1 == mSub,
-            s"prebuilt PQ codes have m=${if (c.isNullAt(0)) 0
-              else c.getInt(0) + 1}, dispatcher expects m=$mSub")
-        }
-        val (cb, codes) = prebuiltPq.getOrElse {
-          val trained = PqIndex.trainCodebooks(nodes, mSub, subLen,
+        val pre = prebuiltPq.getOrElse {
+          val cells = math.min(ivfCells,
+            math.max(16, math.sqrt(n.toDouble).toInt))
+          val centroids = IvfIndex.train(nodes, cells, iters = 3)
+          val asg = IvfIndex.assign(nodes, centroids)
+            .select(col("id"), col("cell")).localCheckpoint()
+          val res = PqIndex.residuals(nodes, asg, centroids)
+            .select(col("id"), col("vector"))
+          val rcb = PqIndex.trainCodebooks(res, mSub, subLen,
             ksub = 256, iters = 1)
-          (trained, PqIndex.encode(nodes, trained, mSub, subLen))
+          PqPrebuilt(centroids, asg, rcb,
+            PqIndex.encode(res, rcb, mSub, subLen))
         }
-        (UsePq, PqIndex.searchAdcRerankScored(nodes, codes, cb, queries, k,
-          shortlist = math.max(100, 50 * k), mSub, subLen, minSim,
+        // only caller-provided indexes need the geometry gate — the
+        // in-line build is correct by construction
+        if (prebuiltPq.isDefined) validateGeometry(pre, mSub, subLen)
+        (UsePq, PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
+          pre.assignments, pre.centroids, pre.codebooks, queries, k,
+          shortlist = math.max(100, 50 * k), nProbe, mSub, subLen, minSim,
           params.metric))
     }
   }

@@ -347,15 +347,46 @@ object PqIndex {
       codebooks: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
       m: Int, subLen: Int, minSim: Double, metric: String = "cosine",
       broadcastBytes: Long = 64L << 20): DataFrame = {
+    val cand = searchAdc(codes, codebooks, queries, shortlist, m, subLen,
+        broadcastBytes)
+      .select(col("query_id"), col("id"))
+    rerankScored(nodes, cand, queries, k, minSim, metric, broadcastBytes)
+  }
+
+  /** Residual IVF-PQ shortlist + exact re-rank with the
+    * [[KnnSearch.knnExact]] result contract — the production serving
+    * composition past the memory cutoff: coarse cells cut the scanned
+    * fraction to nProbe/cells, residual codes track within-cell geometry
+    * (measurably higher shortlist recall than raw-vector codes at equal
+    * probe budget — SCALING.md), and the exact tail scores only
+    * Q × `shortlist` full vectors with the TRUE metric similarity +
+    * `minSim` floor. `codes`/`codebooks` must live in residual space
+    * ([[encode]] over [[residuals]]); `assignments`/`centroids` are the
+    * coarse index. Output (query_id, id, score, rn). */
+  def searchIvfPqResidualScored(nodes: DataFrame, codes: DataFrame,
+      assignments: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int, nProbe: Int,
+      m: Int, subLen: Int, minSim: Double, metric: String = "cosine",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val cand = searchIvfPqResidual(codes, assignments, centroids, codebooks,
+        queries, shortlist, nProbe, m, subLen, broadcastBytes)
+      .select(col("query_id"), col("id"))
+    rerankScored(nodes, cand, queries, k, minSim, metric, broadcastBytes)
+  }
+
+  /** Shared exact-rerank tail: TRUE-metric scoring of a narrow
+    * (query_id, id) shortlist against the full vectors, `minSim` floor,
+    * NaN guard, (query_id, id, score, rn) output. The corpus is touched
+    * once, map-side; both side tables pass the broadcast gate. */
+  private def rerankScored(nodes: DataFrame, cand: DataFrame,
+      queries: DataFrame, k: Int, minSim: Double, metric: String,
+      broadcastBytes: Long): DataFrame = {
     val scoreFn = metric match {
       case "cosine" => VectorFunctions.cosineSim _
       case "euclidean" => VectorFunctions.euclideanSim _
       case other => throw new IllegalArgumentException(
         s"unknown metric $other") // hnsw.ts:39-49 throws likewise
     }
-    val cand = searchAdc(codes, codebooks, queries, shortlist, m, subLen,
-        broadcastBytes)
-      .select(col("query_id"), col("id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
     live(nodes).select(col("id"), col("vector"))

@@ -41,30 +41,64 @@ class AdaptiveSearchSpec extends SparkSpec {
     assert(res.filter(col("score") <= 0.2).isEmpty)
   }
 
-  test("PQ arm accepts a prebuilt index and matches the in-line build") {
+  test("PQ arm accepts a prebuilt residual index and matches the in-line " +
+      "build") {
     val emb = Tables.embeddings(spark, sf001)
     val nodesDf = VectorQueries.asVectorTable(emb)
     val queriesDf = VectorQueries.querySet(emb)
     val params = IndexParams(bucketBits = 4)
     val mSub = 8
     val subLen = params.dim / mSub
-    val cb = graft.operators.PqIndex.trainCodebooks(nodesDf, mSub, subLen,
+    // the same residual IVF-PQ pipeline the dispatcher builds in-line:
+    // coarse train → assign → residuals → residual codebooks → codes
+    val cells = math.min(256, math.max(16, math.sqrt(500.0).toInt))
+    val centroids = graft.operators.IvfIndex.train(nodesDf, cells, iters = 3)
+    val asg = graft.operators.IvfIndex.assign(nodesDf, centroids)
+      .select(col("id"), col("cell"))
+    val res = graft.operators.PqIndex.residuals(nodesDf, asg, centroids)
+      .select(col("id"), col("vector"))
+    val rcb = graft.operators.PqIndex.trainCodebooks(res, mSub, subLen,
       ksub = 256, iters = 1)
-    val codes = graft.operators.PqIndex.encode(nodesDf, cb, mSub, subLen)
+    val codes = graft.operators.PqIndex.encode(res, rcb, mSub, subLen)
+    val pre = AdaptiveSearch.PqPrebuilt(centroids, asg, rcb, codes)
     val (sPre, resPre) = AdaptiveSearch.search(
       nodesDf, queriesDf, k = 5, minSim = 0.2, params,
-      exactCutoff = 0L, pqCutoff = 1L, prebuiltPq = Some((cb, codes)))
+      exactCutoff = 0L, pqCutoff = 1L, prebuiltPq = Some(pre))
     assert(sPre === AdaptiveSearch.UsePq)
     val (_, resInline) = AdaptiveSearch.search(
       nodesDf, queriesDf, k = 5, minSim = 0.2, params,
       exactCutoff = 0L, pqCutoff = 1L)
-    // trainCodebooks is deterministic (sample init + fixed Lloyd rounds),
-    // so prebuilt vs in-line must agree exactly
+    // the whole build chain is deterministic (sample init + fixed Lloyd
+    // rounds), so prebuilt vs in-line must agree exactly
     val a = resPre.select("query_id", "id", "rn")
       .as[(Long, Long, Int)].collect().toSet
     val b = resInline.select("query_id", "id", "rn")
       .as[(Long, Long, Int)].collect().toSet
     assert(a === b)
+  }
+
+  test("PQ arm rejects a prebuilt index with mismatched geometry") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nodesDf = VectorQueries.asVectorTable(emb)
+    val queriesDf = VectorQueries.querySet(emb)
+    val params = IndexParams(bucketBits = 4)
+    // m=4 codebooks/codes against the dispatcher's m=8: shapes still line
+    // up arithmetically, so without the gate this would mis-score silently
+    val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = graft.operators.IvfIndex.assign(nodesDf, centroids)
+      .select(col("id"), col("cell"))
+    val res = graft.operators.PqIndex.residuals(nodesDf, asg, centroids)
+      .select(col("id"), col("vector"))
+    val cbBad = graft.operators.PqIndex.sampleCodebooks(res,
+      m = 4, subLen = 16, ksub = 16)
+    val codesBad = graft.operators.PqIndex.encode(res, cbBad,
+      m = 4, subLen = 16)
+    val preBad = AdaptiveSearch.PqPrebuilt(centroids, asg, cbBad, codesBad)
+    val e = intercept[IllegalArgumentException] {
+      AdaptiveSearch.search(nodesDf, queriesDf, k = 5, minSim = 0.2, params,
+        exactCutoff = 0L, pqCutoff = 1L, prebuiltPq = Some(preBad))
+    }
+    assert(e.getMessage.contains("geometry"))
   }
 
   test("stats: share in [0,1]; adaptive result equals exact on the fixture") {

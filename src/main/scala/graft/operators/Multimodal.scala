@@ -16,11 +16,13 @@ case class AssetFeatures(
   *
   * IMAGE decode is real — [[decodeImage]] uses the JDK's bundled
   * `javax.imageio` codecs (PNG/JPEG/GIF/BMP) with luminance-grid feature
-  * extraction. AUDIO/VIDEO decode remains STUBBED behind [[decodeStub]]
-  * (no media codecs beyond imageio exist in this environment) — a
+  * extraction. AUDIO decode is real for WAV/PCM — [[decodeAudio]] uses the
+  * JDK's bundled `javax.sound.sampled` RIFF parser with per-window RMS
+  * feature extraction. VIDEO decode remains STUBBED behind [[decodeStub]]
+  * (no container/codec demuxers exist in this environment) — a
   * deterministic fake that derives "features" from payload bytes, and the
   * default for the oracle-checked queries (the driver fixtures are
-  * synthetic bytes, not real images). Everything around the decoders is
+  * synthetic bytes, not real media). Everything around the decoders is
   * the real engineering surface: schema, binary column plumbing,
   * per-partition batch processing (`mapPartitions` — the Scala analog of
   * arrow-batched python UDFs), and the feature-vector handoff into the
@@ -80,6 +82,80 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** Real audio decode for WAV (RIFF/PCM) via the JDK's bundled
+    * `javax.sound.sampled` — the same no-external-codec move as
+    * [[decodeImage]]: parse the container header, stream PCM frames,
+    * mono-mix the channels, and emit `dim` per-window RMS amplitudes over
+    * equal time windows (each in [0, 1]) — the decode + featurize stage
+    * of an audio training pipeline (an RMS energy grid is the standard
+    * first-pass loudness contour). Handles 8/16-bit signed and unsigned
+    * PCM, both endiannesses. Payloads the JDK cannot parse (synthetic
+    * fixtures, compressed codecs) fall back to [[decodeStub]], so mixed
+    * corpora flow instead of failing the task. */
+  def decodeAudio(payload: Array[Byte], dim: Int): Array[Float] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val stream =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (stream == null) decodeStub(payload, dim)
+    else try {
+      val fmt = stream.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val pcmOk = (enc == AudioFormat.Encoding.PCM_SIGNED ||
+        enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
+        (bits == 8 || bits == 16) && ch >= 1
+      val bytes = if (pcmOk) stream.readAllBytes() else null
+      val frameBytes = ch * (bits / 8)
+      val nFrames = if (bytes == null) 0 else bytes.length / frameBytes
+      if (nFrames == 0) decodeStub(payload, dim)
+      else {
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val big = fmt.isBigEndian
+        val sumSq = new Array[Double](dim)
+        val cnt = new Array[Long](dim)
+        var f = 0
+        while (f < nFrames) {
+          val w = (f.toLong * dim / nFrames).toInt
+          var c = 0
+          var acc = 0.0
+          while (c < ch) {
+            val off = f * frameBytes + c * (bits / 8)
+            val s =
+              if (bits == 16) {
+                val lo = bytes(off + (if (big) 1 else 0)) & 0xFF
+                val hi = bytes(off + (if (big) 0 else 1))
+                val raw =
+                  if (signed) (hi << 8) | lo
+                  else (((hi & 0xFF) << 8) | lo) - 32768
+                raw / 32768.0
+              } else {
+                if (signed) bytes(off) / 128.0
+                else ((bytes(off) & 0xFF) - 128) / 128.0
+              }
+            acc += s
+            c += 1
+          }
+          val mono = acc / ch
+          sumSq(w) += mono * mono
+          cnt(w) += 1
+          f += 1
+        }
+        val out = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          out(j) =
+            if (cnt(j) == 0) 0.0f
+            else math.sqrt(sumSq(j) / cnt(j)).toFloat
+          j += 1
+        }
+        out
+      }
+    } finally stream.close()
   }
 
   /** Build the canonical asset table from any (id, payload) source:

@@ -68,6 +68,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeStub(junk, 4).toSeq)
   }
 
+  test("decodeAudio: real WAV bytes through the JDK parser, RMS features") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit mono little-endian PCM, 800 frames: first half silence,
+    // second half a full-rate ±8192 square wave → window RMS 0 and 0.25
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v: Int = if (i < n / 2) 0 else if (i % 2 == 0) 8192 else -8192
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val feats = Multimodal.decodeAudio(wav, dim = 2)
+    assert(feats.length === 2)
+    assert(feats(0) < 0.001f, feats.toSeq.toString)
+    assert(math.abs(feats(1) - 0.25f) < 0.001f, feats.toSeq.toString)
+    // full pipeline: WAV payloads through the asset table + mapPartitions
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val out = Multimodal.extractFeatures(
+        Multimodal.asAssetTable(df, "id", "payload", "audio"),
+        dim = 2, decoder = Multimodal.decodeAudio)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.features.toSeq === feats.toSeq)
+    assert(out.head.n_bytes === wav.length)
+    // non-audio payloads fall back to the deterministic stub, not a crash
+    val junk = "not a wav".getBytes("UTF-8")
+    assert(Multimodal.decodeAudio(junk, 4).toSeq ===
+      Multimodal.decodeStub(junk, 4).toSeq)
+  }
+
   test("frame sampling: every stride-th fixed-size frame") {
     val frames = Multimodal.sampleFrames(
       assets.filter(col("asset_id") === 2L), frameBytes = 8, stride = 2)

@@ -176,6 +176,161 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), p)
   }
 
+  // ---- auxiliary snapshot chains (documents / token vectors) ----------
+  // Same versioned-parquet + atomic-pointer layout as the node table, one
+  // chain per table kind — readers always see a complete snapshot.
+
+  private def currentAux(pointer: String): Option[Long] =
+    if (graft.util.Fs.exists(spark, s"$path/$pointer"))
+      Some(graft.util.Fs.readString(spark, s"$path/$pointer").trim.toLong)
+    else None
+  private def persistAux(prefix: String, pointer: String, df: DataFrame)
+      : Unit = {
+    val v = currentAux(pointer).getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(s"$path/${prefix}_v$v")
+    graft.util.Fs.writeStringAtomic(spark, s"$path/$pointer", v.toString)
+  }
+  private def loadAux(prefix: String, pointer: String, what: String)
+      : DataFrame =
+    currentAux(pointer) match {
+      case Some(v) => spark.read.parquet(s"$path/${prefix}_v$v")
+      case None => throw new IllegalStateException(
+        s"no $what under $path — load them first")
+    }
+
+  /** Replace the store's document corpus snapshot — (doc_id, text) plus
+    * any payload columns. The lexical side of the retrieval tower. */
+  def putDocuments(docs: DataFrame): Unit = {
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"documents need (doc_id, text); got ${docs.columns.mkString(",")}")
+    persistAux("docs", "DOCS", docs)
+  }
+  def documents: DataFrame = loadAux("docs", "DOCS", "documents")
+
+  /** Replace the store's per-token vector snapshot —
+    * (doc_id, vec_id, vector), MANY rows per doc. The late-interaction
+    * side of the retrieval tower. */
+  def putTokenVectors(tv: DataFrame): Unit = {
+    require(Seq("doc_id", "vec_id", "vector").forall(tv.columns.contains),
+      s"token vectors need (doc_id, vec_id, vector); got " +
+        tv.columns.mkString(","))
+    persistAux("tokvecs", "TOKVECS", tv)
+  }
+  def tokenVectors: DataFrame = loadAux("tokvecs", "TOKVECS", "token vectors")
+
+  // ---- the retrieval tower -------------------------------------------
+
+  /** BM25 lexical top-k over the stored documents. `queryDocs` is a
+    * (query_id, text) bag-of-words relation; output
+    * (query_id, id, score, rn) — [[operators.Retrieval.bm25TopK]]. */
+  def searchBm25(queryDocs: DataFrame, topK: Int): DataFrame =
+    Retrieval.bm25TopK(documents, queryDocs, topK)
+
+  /** Hybrid retrieval: BM25 over the stored documents fused with exact
+    * vector kNN over the store's vector table by reciprocal-rank fusion —
+    * the standard two-tower serving shape. `queryDocs` (query_id, text)
+    * and `queryVecs` (query_id, query_vec) must share query_ids; doc ids
+    * and vector ids must share the id space for fusion to be meaningful.
+    * Output (query_id, id, rrf_r, rn). */
+  def searchHybrid(queryDocs: DataFrame, queryVecs: DataFrame, topK: Int,
+      strengthSetting: Double = 0): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val lexical = Retrieval.bm25TopK(documents, queryDocs, topK)
+    val dense = search(queryVecs, topK, strengthSetting)
+    Retrieval.rrfFuse(lexical, dense, topK)
+  }
+
+  /** ColBERT-style late interaction over the stored token vectors —
+    * exact MaxSim ([[operators.Retrieval.maxSimTopK]]). `queryVecs` =
+    * (query_id, qvec_id, query_vec). Output (query_id, doc_id, score, rn). */
+  def searchMaxSim(queryVecs: DataFrame, topK: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Retrieval.maxSimTopK(tokenVectors, queryVecs, topK)
+  }
+
+  /** The serving-scale MaxSim: token-ANN shortlist then exact re-rank
+    * ([[operators.Retrieval.maxSimRerank]]), with anchor hyperplanes
+    * derived from the stored token vectors (lowest-vec_id rows — the
+    * [[graft.queries.AnnQueries.anchorPlanes]] scheme). */
+  def searchMaxSimAnn(queryVecs: DataFrame, topK: Int,
+      tokenHitsPerQvec: Int = 8, nBands: Int = 4, bits: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val tv = tokenVectors
+    val anchors = graft.queries.AnnQueries.anchorPlanes(
+      tv.select(col("vec_id"), col("vector").as("embedding")), nBands, bits)
+    Retrieval.maxSimRerank(tv, queryVecs, topK, tokenHitsPerQvec, anchors)
+  }
+
+  // ---- residual IVF-PQ index lifecycle -------------------------------
+
+  private def currentPqGen: Option[Long] =
+    currentAux("PQINDEX")
+  private def pqDir(gen: Long): String = s"$path/pq_g$gen"
+
+  /** Build + persist the residual IVF-PQ index from the current table
+    * (coarse centroids, cell assignments, residual codebooks, codes —
+    * the [[operators.AdaptiveSearch.PqPrebuilt]] artifact), then
+    * atomically flip the PQINDEX pointer. Build-once: [[searchPq]] serves
+    * from the persisted generation without re-training. */
+  def buildPqIndex(cells: Int = 256, iters: Int = 3): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val mSub = 8
+    require(params.dim % mSub == 0,
+      s"dim ${params.dim} not divisible by $mSub subspaces")
+    val subLen = params.dim / mSub
+    val live = Mutations.compact(nodes)
+    val nLive = live.count()
+    val k = math.min(cells, math.max(16, math.sqrt(nLive.toDouble).toInt))
+    val centroids = IvfIndex.train(live, k, iters)
+    val asg = IvfIndex.assign(live, centroids)
+      .select(col("id"), col("cell")).localCheckpoint()
+    val res = PqIndex.residuals(live, asg, centroids)
+      .select(col("id"), col("vector"))
+    val rcb = PqIndex.trainCodebooks(res, mSub, subLen, ksub = 256,
+      iters = 1)
+    val codes = PqIndex.encode(res, rcb, mSub, subLen)
+    val old = currentPqGen
+    val gen = old.getOrElse(-1L) + 1
+    val dir = pqDir(gen)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    asg.write.mode("overwrite").parquet(s"$dir/assignments")
+    rcb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    graft.util.Fs.writeStringAtomic(spark, s"$path/PQINDEX", gen.toString)
+    old.foreach(g => graft.util.Fs.deleteRecursive(spark, pqDir(g)))
+  }
+
+  /** Load the persisted residual IVF-PQ index as the dispatcher's
+    * prebuilt artifact. */
+  def loadPqIndex(): AdaptiveSearch.PqPrebuilt = {
+    val gen = currentPqGen.getOrElse(throw new IllegalStateException(
+      s"no PQ index under $path — call buildPqIndex() first"))
+    val dir = pqDir(gen)
+    AdaptiveSearch.PqPrebuilt(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** Compressed-index search against the persisted residual IVF-PQ
+    * generation: residual ADC shortlist + exact true-metric re-rank,
+    * threshold on the reference's 0–100 strength scale — the
+    * memory-bounded serving path for corpora whose full vectors no
+    * longer fit the scan budget. Output (query_id, id, score, rn) —
+    * the same contract as [[search]]/[[searchAnn]]. */
+  def searchPq(queries: DataFrame, k: Int, strengthSetting: Double = 50,
+      nProbe: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    val pre = loadPqIndex()
+    val mSub = 8
+    PqIndex.searchIvfPqResidualScored(nodes, pre.codes, pre.assignments,
+      pre.centroids, pre.codebooks, queries, k,
+      shortlist = math.max(100, 50 * k), nProbe, mSub, params.dim / mSub,
+      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
   /** Drop the store (astrovault.ts:134-146). */
   def delete(): Unit = graft.util.Fs.deleteRecursive(spark, path)
 }

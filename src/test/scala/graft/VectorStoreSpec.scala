@@ -101,4 +101,86 @@ class VectorStoreSpec extends SparkSpec {
     assert(reopened.getNode(7L).exists(_._2 === Seq(0.5f, 0.5f)))
     store.delete()
   }
+
+  test("retrieval tower: documents → bm25 → hybrid through the facade") {
+    val store = freshStore()
+    store.addBatch(Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("id", "vector"))
+    store.putDocuments(Seq(
+      (1L, "apple banana fruit"), (2L, "banana cherry salad"),
+      (3L, "cherry date compote")).toDF("doc_id", "text"))
+    val qd = Seq((0L, "banana")).toDF("query_id", "text")
+    val bm = store.searchBm25(qd, topK = 5)
+    assert(bm.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    assert(bm.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // hybrid: lexical {1,2} fused with dense {1,3} — doc 1 is in both
+    // lists, so RRF must rank it first
+    val qv = Seq((0L, Seq(1f, 0f))).toDF("query_id", "query_vec")
+    val hy = store.searchHybrid(qd, qv, topK = 3)
+    assert(hy.columns.toSeq === Seq("query_id", "id", "rrf_r", "rn"))
+    val ranked = hy.orderBy(col("rn")).select("id").as[Long].collect().toList
+    assert(ranked.head === 1L, s"two-list doc should fuse first: $ranked")
+    assert(ranked.toSet === Set(1L, 2L, 3L))
+    // documents snapshot survives reopen
+    val reopened = VectorStore.openOrCreate(spark, store.path, store.params)
+    assert(reopened.documents.count() === 3)
+    store.delete()
+  }
+
+  test("maxsim over stored token vectors: exact and ANN-shortlist paths") {
+    val store = freshStore()
+    // 3 docs × 4+ token vectors (vec_ids 0..11 so the anchor scheme has
+    // its nBands×bits lowest-id planes); doc 2's tokens point at y, the
+    // rest at x
+    val tv = (0L to 11L).map { v =>
+      val doc = v / 4 + 1
+      val vec = if (doc == 2L) Seq(0f, 1f) else Seq(1f, 0.05f * v)
+      (doc, v, vec)
+    }
+    store.putTokenVectors(tv.toDF("doc_id", "vec_id", "vector"))
+    val qv = Seq((0L, 0L, Seq(0f, 1f)), (0L, 1L, Seq(0f, 0.9f)))
+      .toDF("query_id", "qvec_id", "query_vec")
+    val exact = store.searchMaxSim(qv, topK = 3)
+    assert(exact.columns.toSeq === Seq("query_id", "doc_id", "score", "rn"))
+    assert(exact.filter(col("rn") === 1).select("doc_id")
+      .as[Long].head() === 2L)
+    // with a shortlist deep enough to nominate every doc, the ANN path
+    // must agree with the exact ranking
+    val ann = store.searchMaxSimAnn(qv, topK = 3, tokenHitsPerQvec = 12)
+    val a = ann.select("query_id", "doc_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val e = exact.select("query_id", "doc_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a === e)
+    store.delete()
+  }
+
+  test("pq index lifecycle: build → load → search → rebuild generation") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-pq").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    val rows = (0L until 40L).map { i =>
+      (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11).toFloat / 11f + 0.1f))
+    }
+    store.addBatch(rows.toDF("id", "vector"))
+    store.buildPqIndex(cells = 4)
+    val pre = store.loadPqIndex()
+    assert(pre.centroids.count() > 0)
+    assert(pre.codes.select("id").distinct().count() === 40L)
+    // every corpus vector re-finds itself through the compressed
+    // shortlist + exact re-rank (shortlist covers the whole fixture)
+    val qv = rows.take(5).map { case (i, v) => (i, v) }
+      .toDF("query_id", "query_vec")
+    val res = store.searchPq(qv, k = 3, strengthSetting = 0)
+    assert(res.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    val self = res.filter(col("query_id") === col("id"))
+    assert(self.count() === 5)
+    assert(self.filter(col("rn") === 1).count() === 5)
+    // rebuilding flips the generation atomically; search still serves
+    store.buildPqIndex(cells = 4)
+    assert(store.searchPq(qv, k = 3, strengthSetting = 0)
+      .filter(col("query_id") === col("id")).count() === 5)
+    store.delete()
+  }
 }

@@ -157,6 +157,41 @@ object ScaleProbe {
     val resRecall = resRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exactEuc.contains).toDouble / exactEuc.size
 
+    // k-means++-seeded COARSE quantizer at the same probe budget: D²
+    // seeding spreads the coarse cells, so true neighbors land in probed
+    // cells more often — the full residual pipeline re-derived over the
+    // PP-seeded cells, measured against the id-hash-seeded run above.
+    // (Residual-CODEBOOK init was also measured and moved nothing on this
+    // noise-dominated residual space — the coarse quantizer is the lever.)
+    val (centroidsPP, tPpTrain) = timed {
+      val c = IvfIndex.trainPP(nodes, kCells, iters = 3); c.count(); c
+    }
+    val (asgPP, tPpAssign) = timed {
+      val a = IvfIndex.assign(nodes, centroidsPP).localCheckpoint()
+      a.count(); a
+    }
+    val resPP = PqIndex.residuals(nodes, asgPP, centroidsPP)
+      .select(col("id"), col("vector"))
+    val (rcodesPP, tPpEncode) = timed {
+      val rcbPP = PqIndex.trainCodebooks(resPP, mSub, subLen, ksub,
+        iters = 2)
+      val c = PqIndex.encode(resPP, rcbPP, mSub, subLen).localCheckpoint()
+      c.count(); (rcbPP, c)
+    }
+    val (ppRows, tPpSearch) = timed {
+      PqIndex.searchIvfPqResidual(rcodesPP._2, asgPP, centroidsPP,
+          rcodesPP._1, queries, 10, nProbe = 8, mSub, subLen)
+        .select("query_id", "id").collect()
+    }
+    val ppRecall = ppRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+    // and the coarse-IVF recall itself at the same probe budget
+    val ivfPpRows = IvfIndex.search(nodes, centroidsPP, queries, 10,
+        minSim = -2.0, nProbe = 8, assignments = Some(asgPP))
+      .select("query_id", "id").collect()
+    val ivfPpRecall = ivfPpRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+
     // the dispatcher's >pqCutoff arm end-to-end: prebuilt residual index,
     // cutoffs forced so UsePq fires — it must ride the residual shortlist
     // (+ exact cosine re-rank), so its recall is judged against the
@@ -187,6 +222,12 @@ object ScaleProbe {
       s""""residual_encode_sec":$tResEncode,""" +
       s""""residual_search_sec":$tResSearch,""" +
       s""""residual_recall_at_10":$resRecall,""" +
+      s""""coarsepp_train_sec":$tPpTrain,""" +
+      s""""coarsepp_assign_sec":$tPpAssign,""" +
+      s""""coarsepp_encode_sec":$tPpEncode,""" +
+      s""""coarsepp_search_sec":$tPpSearch,""" +
+      s""""coarsepp_residual_recall_at_10":$ppRecall,""" +
+      s""""coarsepp_ivf_recall_at_10":$ivfPpRecall,""" +
       s""""adaptive_pq_sec":$tDispatch,""" +
       s""""adaptive_pq_recall_at_10":$dispatchRecall}""")
     spark.stop()

@@ -47,6 +47,69 @@ object IvfIndex {
         Window.orderBy(col("__h").asc, col("id").asc)) - 1)
       .select(col("cell"), col("vector").as("centroid"))
 
+  /** Deterministic k-means++-style seed centroids (Arthur & Vassilvitskii
+    * 2007), batched for the distributed setting the way k-means|| batches
+    * the sequential D² pass (Bahmani et al., VLDB 2012): start from the
+    * lowest-id vector, then over `rounds` rounds sample a batch WITHOUT
+    * replacement with probability ∝ D², where D = (1 − cos) angular
+    * distance to the nearest already-chosen seed (the same metric
+    * [[assign]] clusters with). The weighted sample uses
+    * Efraimidis–Spirakis A-Res keys — rank by u^(1/D²) with u a
+    * hash-derived uniform in (0,1) — so seeding is a pure function of the
+    * data and the round number: deterministic across runs, partitionings
+    * and cluster sizes. Each round is one broadcast join over the corpus
+    * (seeds ≤ k rows — tiny): `rounds` map-side scans, scale-safe at any
+    * corpus size. */
+  def seedCentroidsPP(nodes: DataFrame, k: Int, rounds: Int = 8)
+      : DataFrame = {
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    var cb = live.orderBy(col("id").asc).limit(1)
+      .select(lit(0).as("cell"), col("vector").as("centroid"))
+      .localCheckpoint()
+    var total = 1
+    val batch = math.max(1, math.ceil((k - 1).toDouble / rounds).toInt)
+    for (r <- 1 to rounds if total < k) {
+      val take = math.min(batch, k - total)
+      val d2 = live.select(col("id"), col("vector"))
+        .join(broadcast(cb))
+        .withColumn("dd",
+          lit(1.0) - VectorFunctions.cosineSim(col("vector"),
+            col("centroid")))
+        .groupBy(col("id"))
+        .agg(min(col("dd")).as("d"), first(col("vector")).as("vector"))
+        // zero-distance points are existing seeds (or colinear with one):
+        // weight 0 under D² sampling, so drop instead of pow(u, 1/0)
+        .filter(col("d") > 0)
+      val u = (pmod(xxhash64(col("id"), lit(r)), lit(1000000000L)) +
+        lit(1)).cast("double") / lit(1000000001.0)
+      val w = Window.orderBy(col("skey").desc, col("id").asc)
+      val picked = d2
+        .withColumn("skey", pow(u, lit(1.0) / (col("d") * col("d"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= take)
+        .select((col("rn") + lit(total - 1)).as("cell"),
+          col("vector").as("centroid"))
+      cb = cb.unionByName(picked).localCheckpoint()
+      total += take
+    }
+    cb
+  }
+
+  /** [[train]] with k-means++-style initialization instead of the id-hash
+    * sample — the cheapest coarse-quantizer quality lever: D² seeding
+    * spreads initial centroids across the occupied space, so Lloyd starts
+    * near a good partition and probe-budgeted recall rises (better cell
+    * balance ⇒ true neighbors land in probed cells more often). */
+  def trainPP(nodes: DataFrame, k: Int, iters: Int, rounds: Int = 8)
+      : DataFrame = {
+    val liveNodes =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    lloydLoop(liveNodes, seedCentroidsPP(liveNodes, k, rounds), iters)
+  }
+
   /** Nearest-centroid assignment (cosine): broadcast join + map-side
     * argmax. The n×k scored candidates stay NARROW (the max_by key is
     * (sim, −cell); node payloads ride the aggregation buffer once per id)
@@ -78,7 +141,14 @@ object IvfIndex {
     val liveNodes =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes
-    var centroids = seedCentroids(liveNodes, k).localCheckpoint()
+    lloydLoop(liveNodes, seedCentroids(liveNodes, k), iters)
+  }
+
+  /** Shared Lloyd loop: assign (broadcast argmax) + per-(cell, pos) mean;
+    * cells that lose all members keep their previous centroid. */
+  private def lloydLoop(liveNodes: DataFrame, init: DataFrame, iters: Int)
+      : DataFrame = {
+    var centroids = init.localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = assign(liveNodes, centroids)
       val newCentroids = assigned

@@ -93,9 +93,17 @@ object PqIndex {
     * distortion there is noise-dominated); the measured quality lever is
     * the [[searchAdcRerank]] shortlist depth (SCALING.md). */
   def trainCodebooks(nodes: DataFrame, m: Int, subLen: Int, ksub: Int,
-      iters: Int): DataFrame = {
-    val slices = subSlices(nodes, m, subLen).localCheckpoint()
-    var cb = sampleCodebooks(nodes, m, subLen, ksub).localCheckpoint()
+      iters: Int): DataFrame =
+    lloydRefine(subSlices(nodes, m, subLen).localCheckpoint(),
+      sampleCodebooks(nodes, m, subLen, ksub), iters)
+
+  /** Per-subspace Lloyd refinement of `init`: assign = broadcast argmin
+    * per (id, sub); update = per-(sub, code, pos) mean (map-side
+    * combinable). Cells that lose all members keep their previous
+    * centroid. */
+  private def lloydRefine(slices: DataFrame, init: DataFrame, iters: Int)
+      : DataFrame = {
+    var cb = init.localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = slices.join(broadcast(cb), Seq("sub"))
         .withColumn("__key", struct(
@@ -122,6 +130,62 @@ object PqIndex {
     }
     cb
   }
+
+  /** Deterministic k-means++-style seeds (Arthur & Vassilvitskii 2007),
+    * batched for the distributed setting the way k-means|| batches the
+    * sequential D² pass (Bahmani et al., VLDB 2012): start from the
+    * lowest-id vector's slices, then over `rounds` rounds sample a batch
+    * per subspace WITHOUT replacement with probability ∝ D² (distance²
+    * to the nearest already-chosen seed). The weighted sample uses
+    * Efraimidis–Spirakis A-Res keys — rank by u^(1/D²) with u a
+    * hash-derived uniform in (0,1) — so seeding is a pure function of
+    * the data and the round number: deterministic across runs,
+    * partitionings and cluster sizes, like every other index-build
+    * derivation here. Each round is one broadcast join over the slices
+    * (seeds ≤ m × ksub rows — tiny), so the full pass is `rounds`
+    * map-side scans: scale-safe at any corpus size. */
+  def seedCodebooksPP(nodes: DataFrame, m: Int, subLen: Int, ksub: Int,
+      rounds: Int = 8): DataFrame = {
+    val slices = subSlices(nodes, m, subLen).localCheckpoint()
+    var cb = sampleCodebooks(nodes, m, subLen, 1).localCheckpoint()
+    var total = 1
+    val batch = math.max(1, math.ceil((ksub - 1).toDouble / rounds).toInt)
+    for (r <- 1 to rounds if total < ksub) {
+      val take = math.min(batch, ksub - total)
+      val d2 = slices.join(broadcast(cb), Seq("sub"))
+        .withColumn("dd", VectorFunctions.euclideanDist(col("subvec"),
+          col("centroid")))
+        .groupBy(col("id"), col("sub"))
+        .agg(min(col("dd")).as("d"), first(col("subvec")).as("subvec"))
+        // zero-distance points are existing seeds (or duplicates of one):
+        // weight 0 under D² sampling, so drop instead of pow(u, 1/0)
+        .filter(col("d") > 0)
+      val u = (pmod(xxhash64(col("id"), col("sub"), lit(r)),
+        lit(1000000000L)) + lit(1)).cast("double") / lit(1000000001.0)
+      val w = Window.partitionBy(col("sub"))
+        .orderBy(col("skey").desc, col("id").asc)
+      val picked = d2
+        .withColumn("skey", pow(u, lit(1.0) / (col("d") * col("d"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= take)
+        .select(col("sub"), (col("rn") + lit(total - 1)).as("code"),
+          col("subvec").as("centroid"))
+      cb = cb.unionByName(picked).localCheckpoint()
+      total += take
+    }
+    cb
+  }
+
+  /** [[trainCodebooks]] with k-means++-style initialization instead of
+    * lowest-id sample slices — the cheapest codebook-quality lever: D²
+    * seeding spreads initial centroids across the occupied subspace
+    * volume, so Lloyd starts near a good partition instead of wherever
+    * the first `ksub` ids happened to land. Same per-round dataflow
+    * (broadcast argmin + map-side means); deterministic end to end. */
+  def trainCodebooksPP(nodes: DataFrame, m: Int, subLen: Int, ksub: Int,
+      iters: Int, rounds: Int = 8): DataFrame =
+    lloydRefine(subSlices(nodes, m, subLen).localCheckpoint(),
+      seedCodebooksPP(nodes, m, subLen, ksub, rounds), iters)
 
   /** Encode: per (id, subspace) the euclidean-nearest sub-centroid, ties
     * toward the lowest code. Returns (id, sub, code) — the compressed

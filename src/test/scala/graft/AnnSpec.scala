@@ -146,6 +146,26 @@ class AnnSpec extends SparkSpec {
     assert(ivfAll === exact)
   }
 
+  test("IVF k-means++ seeding: k cells, deterministic across " +
+      "partitionings, full-probe search still exact") {
+    import graft.operators.IvfIndex
+    val s1 = IvfIndex.seedCentroidsPP(nodesDf.coalesce(1), 10)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    val s2 = IvfIndex.seedCentroidsPP(nodesDf.repartition(7), 10)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    assert(s1 === s2)
+    assert(s1.map(_._1) === (0 until 10).toSet)
+    // probing every cell degrades IVF to exact search regardless of the
+    // seeding scheme — the PP-trained codebook must preserve that
+    val cbPP = IvfIndex.trainPP(nodesDf, 10, iters = 2)
+    val ivfAll = IvfIndex.search(nodesDf, cbPP, queriesDf,
+      k = 10, minSim = -2.0, nProbe = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(ivfAll === exact)
+  }
+
   test("built graph: degree ≤ M per level, edges bidirectional-deduped, no self loops") {
     val (nodes, edges) = IndexBuild.build(nodesDf, params)
     val maxDeg = edges.groupBy("level", "src").count()

@@ -98,6 +98,38 @@ class PqSpec extends SparkSpec {
     assert(rt >= rs - 0.05, s"trained $rt vs sample $rs")
   }
 
+  test("k-means++ seeding: full geometry, deterministic across " +
+      "partitionings, recall in family with sample init") {
+    // A-Res D² sampling is a pure function of (data, round), so the seeds
+    // must not move under a different physical layout
+    val s1 = PqIndex.seedCodebooksPP(nodesDf.coalesce(1), m, subLen, ksub)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .toSet
+    val s2 = PqIndex.seedCodebooksPP(nodesDf.repartition(7), m, subLen, ksub)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .toSet
+    assert(s1 === s2)
+    // geometry: every sub has ksub distinct codes of subLen floats
+    val bySub = s1.groupBy(_._1)
+    assert(bySub.keySet === (0 until m).toSet)
+    assert(bySub.values.forall(_.size == ksub))
+    assert(s1.forall(_._3.length == subLen))
+    // the PP-trained codebook must stay in the same recall family as the
+    // sample-trained one (measured equal on the probe data — SCALING.md;
+    // this pins "not broken", the probe pins "not better")
+    val trainedPP = PqIndex.trainCodebooksPP(nodesDf, m, subLen, ksub,
+      iters = 1)
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0,
+        metric = "euclidean")
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val enc = PqIndex.encode(nodesDf, trainedPP, m, subLen)
+    val got = PqIndex.searchAdcRerank(nodesDf, enc, trainedPP, queriesDf,
+        10, 80, m, subLen)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PP-trained rerank recall $recall")
+  }
+
   test("IVF-PQ: results equal plain ADC restricted to probed cells") {
     val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
     val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)

@@ -54,12 +54,19 @@ object CorpusOps {
     * totals up to ~9.2e15 tokens (≈ 370× a 100 TB corpus); n ≤ total
     * bounds the result at 1e6. Identical to the oracle's exact HUGEINT
     * `//` — the decomposition changes representation, not the value.
-    * Takes column NAMES (`div` has no Column-API form). */
-  def microShare(nCol: String, totalCol: String): Column =
-    expr(s"""($nCol div $totalCol) * 1000000
-      | + ((($nCol % $totalCol) * 1000) div $totalCol) * 1000
-      | + (((($nCol % $totalCol) * 1000) % $totalCol) * 1000)
-      |   div $totalCol""".stripMargin.replaceAll("\n", " "))
+    * Takes column NAMES (`div` has no Column-API form); names are
+    * backtick-quoted into the SQL so dots/spaces/keywords in a name
+    * can't break parsing or resolve to the wrong column (embedded
+    * backticks escape by doubling, per the SQL identifier rule). */
+  def microShare(nCol: String, totalCol: String): Column = {
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    val n = q(nCol)
+    val t = q(totalCol)
+    expr(s"""($n div $t) * 1000000
+      | + ((($n % $t) * 1000) div $t) * 1000
+      | + (((($n % $t) * 1000) % $t) * 1000)
+      |   div $t""".stripMargin.replaceAll("\n", " "))
+  }
 
   /** Training-mixture table: per (lang, source) doc and whitespace-token
     * counts plus `share_micro` — the source's integer-micro share of all
@@ -67,7 +74,15 @@ object CorpusOps {
     * division, no float anywhere in a checked column). The
     * corpus aggregates ONCE (map-side combinable sums keyed by the tiny
     * lang × source space); the global total attaches via a window over the
-    * aggregated rows — cardinality = distinct pairs, never corpus-sized. */
+    * aggregated rows — cardinality = distinct pairs, never corpus-sized.
+    *
+    * Token definition: `n_tokens` counts SPLIT FIELDS (`size(split(text,
+    * " "))`), so consecutive spaces contribute empty fields — a cheaper
+    * definition than the empties-filtered one [[TextDedup.tokens]]
+    * consumers use, deliberate for a mixture table (shares need a
+    * consistent denominator, not linguistic tokens; one pass, no filter).
+    * The oracle mirrors the same definition, so parity holds; downstream
+    * code must not assume this equals the dedup pipeline's token count. */
   def mixtureStats(docs: DataFrame, langCol: String = "lang",
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
     val nToks = size(split(col(textCol), " ")).cast("long")

@@ -110,25 +110,6 @@ object Retrieval {
         col("rn").cast("int").as("rn"))
   }
 
-  /** ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):
-    * score(q, d) = Σ over query vectors of max over doc vectors of
-    * cosine — the multi-vector retrieval scoring that keeps per-token
-    * granularity where single-vector search collapses a document to one
-    * point. `docVecs` = (doc_id, vector) with MANY rows per doc;
-    * `queryVecs` = (query_id, qvec_id, query_vec) likewise.
-    *
-    * Determinism: the outer Σ quantizes each per-query-vector max to
-    * integer micros first (`floor(max·1e6 + 0.5)`) and sums BIGINT —
-    * max is order-free, so the whole score is partition-order-free and
-    * engine-exact (the [[bm25TopK]] rule). Output (query_id, doc_id,
-    * score DOUBLE = micros/1e6, rn).
-    *
-    * Scale: THIS is the exact variant — cost |docVecs| × |queryVecs|
-    * kernel evaluations, the late-interaction analog of
-    * [[KnnSearch.knnExact]], with the query side gated by
-    * `broadcastBytes`. The production shape at corpus scale is
-    * [[maxSimRerank]]: single-vector ANN over token vectors proposes
-    * candidate docs, exact MaxSim re-ranks only those. */
   /** Unranked MaxSim scores (query_id, doc_id, score_micro BIGINT) — the
     * shared scoring stage of [[maxSimTopK]] and [[maxSimRerank]] (the
     * rerank path must restrict to per-query candidates BEFORE ranking, so
@@ -154,6 +135,25 @@ object Retrieval {
       .agg(sum(col("mx6")).as("score_micro"))
   }
 
+  /** ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):
+    * score(q, d) = Σ over query vectors of max over doc vectors of
+    * cosine — the multi-vector retrieval scoring that keeps per-token
+    * granularity where single-vector search collapses a document to one
+    * point. `docVecs` = (doc_id, vector) with MANY rows per doc;
+    * `queryVecs` = (query_id, qvec_id, query_vec) likewise.
+    *
+    * Determinism: the outer Σ quantizes each per-query-vector max to
+    * integer micros first (`floor(max·1e6 + 0.5)`) and sums BIGINT —
+    * max is order-free, so the whole score is partition-order-free and
+    * engine-exact (the [[bm25TopK]] rule). Output (query_id, doc_id,
+    * score DOUBLE = micros/1e6, rn).
+    *
+    * Scale: THIS is the exact variant — cost |docVecs| × |queryVecs|
+    * kernel evaluations, the late-interaction analog of
+    * [[KnnSearch.knnExact]], with the query side gated by
+    * `broadcastBytes`. The production shape at corpus scale is
+    * [[maxSimRerank]]: single-vector ANN over token vectors proposes
+    * candidate docs, exact MaxSim re-ranks only those. */
   def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame, topK: Int,
       broadcastBytes: Long = 64L << 20): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -171,9 +171,12 @@ object Retrieval {
     * its whole doc), then exact [[maxSimTopK]] scoring runs restricted
     * to the shortlist — so the quadratic token-pair cost applies to
     * Q × shortlist docs instead of Q × corpus (the standard ColBERT
-    * serving architecture). `tokenId`/`anchors` follow
-    * [[AnnSearch.searchLshAnchored]]; recall is governed by the ANN
-    * stage and pinned by RetrievalSpec against the exact variant. */
+    * serving architecture). Unlike [[maxSimTopK]], `docVecs` here must
+    * ALSO carry a unique per-token `vec_id` column — (doc_id, vec_id,
+    * vector) — because the ANN stage addresses individual token vectors;
+    * `anchors` follow [[AnnSearch.searchLshAnchored]]. Recall is governed
+    * by the ANN stage and pinned by RetrievalSpec against the exact
+    * variant. */
   def maxSimRerank(docVecs: DataFrame, queryVecs: DataFrame, topK: Int,
       tokenHitsPerQvec: Int, anchors: Seq[Seq[Array[Float]]],
       broadcastBytes: Long = 64L << 20): DataFrame = {

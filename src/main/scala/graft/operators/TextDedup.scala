@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   * are on content hashes (uniform, no skew) and candidate generation is
   * blocked (LSH bands / source blocks) so nothing is all-pairs at corpus
   * scale.
+  *
+  * Rounding rule: decimal `round(col, 6)` — normally banned from
+  * hash-checked columns (the Retrieval.scala portability note: JVM rounds
+  * the shortest-decimal rendering, C engines round the binary value, and
+  * they disagree at half-boundary values) — appears in this file ONLY on
+  * RATIO columns whose values are rationals p/q with q bounded by a
+  * document's token/element count (≲ 10⁴). Such a value is either exactly
+  * a terminating decimal (both engines hold the identical double and
+  * round it identically) or at least 1/(q·10⁷) ≈ 10⁻¹¹ from every 6-dp
+  * half boundary — about 10⁵ ulps of clearance, so no achievable value
+  * sits in the disagreement window. Irrational-valued scores (cosine,
+  * BM25's ln, ADC distances) get no such guarantee and use the
+  * floor-quantization rule (`floor(x·10ⁿ + 0.5)/10ⁿ`) instead.
   */
 object TextDedup {
 
@@ -62,6 +75,8 @@ object TextDedup {
       .withColumn("jacc",
         col("c").cast("double") / (col("a_n") + col("b_n") - col("c")))
       .filter(col("jacc") >= minJaccard)
+      // round-6 is safe here: jacc = c/(a+b−c), a rational with
+      // denominator ≤ |A∪B| — see the file-level rounding rule
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
   }
 
@@ -109,6 +124,8 @@ object TextDedup {
       .withColumn("jacc", col("c").cast("double") /
         (col("a_n") + col("b_n") - col("c")))
       .filter(col("jacc") >= minJaccard)
+      // round-6 is safe here: jacc = c/(a+b−c), a rational with
+      // denominator ≤ |A∪B| — see the file-level rounding rule
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
   }
 
@@ -171,6 +188,8 @@ object TextDedup {
       .withColumn("jacc", col("c").cast("double") /
         (col("a_n") + col("b_n") - col("c")))
       .filter(col("jacc") >= minJaccard)
+      // round-6 is safe here: jacc = c/(a+b−c), a rational with
+      // denominator ≤ |A∪B| — see the file-level rounding rule
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
   }
 
@@ -346,6 +365,8 @@ object TextDedup {
       .agg(sum(col("cnt")).as("n_bigrams"),
         max(col("cnt")).as("top_cnt"),
         sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_mass"))
+      // round-6 is safe here: both fracs are count/count rationals with
+      // denominator ≤ n_bigrams — see the file-level rounding rule
       .select(col("id"), col("n_bigrams"),
         round(col("top_cnt").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
         round(col("dup_mass").cast("double") / col("n_bigrams"), 6).as("dup_bigram_frac"))
@@ -544,6 +565,8 @@ object TextDedup {
       .withColumn("stopword_ratio",
         size(stop).cast("double") / col("n_tokens"))
       .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens"))
+      // round-6 is safe here: quality = (u + n − s)/(2n), a rational with
+      // denominator ≤ 2·n_tokens — see the file-level rounding rule
       .withColumn("quality",
         round(lit(0.5) * col("uniq_ratio")
           + lit(0.5) * (lit(1.0) - col("stopword_ratio")), 6))

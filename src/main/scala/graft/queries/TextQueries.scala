@@ -166,6 +166,10 @@ object TextQueries {
         .join(nodes.select(col("id").as("b_id"), col("v").as("b_vec")), Seq("b_id"))
         .withColumn("cos", VectorFunctions.cosineSim(col("a_vec"), col("b_vec")))
         .filter(col("cos") > 0.4)
+        // round-6 on an IRRATIONAL cosine: both engines accumulate the
+        // same doubles sequentially (DuckDB list_cosine_similarity mirrors
+        // the kernel), so the input double is bit-identical; residual
+        // hazard is the half-boundary round disagreement (~1e-11/value)
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
@@ -271,7 +275,8 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // Quality scoring features per document.
+    // Quality scoring features per document. round-6 on the ratio is safe
+    // under TextDedup's rounding rule (rational with denominator ≤ tokens).
     "t02_quality_score" -> ((s, d) => {
       TextDedup.qualityFeatures(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
@@ -307,6 +312,12 @@ object TextQueries {
       val w = Window.partitionBy(col("id"))
       sparse
         .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(w)))
+        // round-6 on an IRRATIONAL value (÷ sqrt) — outside TextDedup's
+        // rational-ratio rule. Safe because Σcnt² is an exact integer and
+        // IEEE sqrt/÷ are correctly rounded, so both engines hold the
+        // bit-identical double; residual hazard is the shortest-decimal
+        // vs binary round disagreement within ~1 ulp of a half boundary
+        // (~1e-11 per value), the documented BM25-class exposure.
         .select(col("id"), col("bucket"),
           round(col("cnt") / col("norm"), 6).as("weight"))
     }),

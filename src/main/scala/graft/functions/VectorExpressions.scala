@@ -143,6 +143,65 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Scalar-quantization squared-L2 kernel over two int-code arrays
+  * (symmetric SQ distance): Σ (a_i − b_i)², accumulated in index order in
+  * BIGINT — EXACT integer arithmetic, so the value is bit-identical on any
+  * engine and any partitioning (8-bit codes over ≤ 2^41 dims cannot
+  * overflow a long). Mismatched lengths return Long.MaxValue — corrupt
+  * pairings surface as never-top-ranked, the [[PqAdcExpr]] rule. */
+case class SqL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "sq_l2"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (ARRAY<INT>, ARRAY<INT>), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) Long.MaxValue
+    else {
+      var s = 0L; var i = 0
+      while (i < n) {
+        val d = (a.getInt(i) - b.getInt(i)).toLong
+        s += d * d
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+         |long $res = Long.MAX_VALUE;
+         |int $n = $a.numElements();
+         |if ($n == $b.numElements()) {
+         |  $res = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = (long) ($a.getInt($i) - $b.getInt($i));
+         |    $res += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** PQ asymmetric-distance kernel: `left` = the m sub-codes of one vector
   * (ARRAY<INT>), `right` = one query's flattened distance LUT
   * (ARRAY<DOUBLE>, laid out [sub*ksub + code]; ksub derived per row as
@@ -223,6 +282,7 @@ object VectorFunctions {
     "cosine_sim" -> (es => CosineSimilarityExpr(es(0), es(1))),
     "euclidean_dist" -> (es => EuclideanDistanceExpr(es(0), es(1))),
     "pq_adc" -> (es => PqAdcExpr(es(0), es(1))),
+    "sq_l2" -> (es => SqL2Expr(es(0), es(1))),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -249,4 +309,7 @@ object VectorFunctions {
   /** PQ ADC lookup-sum over (codes ARRAY<INT>, flat LUT ARRAY<DOUBLE>). */
   def pqAdc(codes: Column, lut: Column): Column =
     call_function("pq_adc", codes, lut)
+
+  /** Symmetric SQ squared-L2 over two ARRAY<INT> code rows (exact BIGINT). */
+  def sqL2(a: Column, b: Column): Column = call_function("sq_l2", a, b)
 }

@@ -442,7 +442,7 @@ object PqIndex {
     * (query_id, id) shortlist against the full vectors, `minSim` floor,
     * NaN guard, (query_id, id, score, rn) output. The corpus is touched
     * once, map-side; both side tables pass the broadcast gate. */
-  private def rerankScored(nodes: DataFrame, cand: DataFrame,
+  private[operators] def rerankScored(nodes: DataFrame, cand: DataFrame,
       queries: DataFrame, k: Int, minSim: Double, metric: String,
       broadcastBytes: Long): DataFrame = {
     val scoreFn = metric match {

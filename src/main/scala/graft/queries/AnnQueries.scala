@@ -238,6 +238,24 @@ object AnnQueries {
         VectorQueries.querySet(emb), k = 10, nProbe = 3, m = 8, subLen = 8)
     }),
 
+    // Scalar quantization (SQ8) — the second compression family (FAISS SQ):
+    // per-dimension 8-bit codes against corpus min/max bounds, SYMMETRIC
+    // integer squared-L2 ranking (query quantized with the same bounds).
+    // The d2 score column is an exact BIGINT — hash-checked directly, no
+    // float quantization step anywhere: the strongest determinism contract
+    // in the ANN family. Oracle re-derives bounds, every code (the
+    // (x−lo)/(hi−lo)·256 double arithmetic is mirrored token for token)
+    // and every rank.
+    "a15_sq8_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
+      val codes = graft.operators.SqIndex.encode(nodesDf, bounds)
+      graft.operators.SqIndex.searchSq(codes, bounds,
+        VectorQueries.querySet(emb), k = 10)
+    }),
+
     // PQ's production-quality tail: ADC shortlist (top-80 on compressed
     // codes) + exact euclidean re-rank of just the survivors. Same
     // fixed-order ADC determinism for the shortlist; the re-rank doubles
@@ -433,6 +451,42 @@ object AnnQueries {
         |  SELECT query_id, id,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY adc ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "a15_sq8_search" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bounds AS (
+        |  SELECT p.pos, min(list_extract(n.v, p.pos + 1)) AS lo,
+        |         max(list_extract(n.v, p.pos + 1)) AS hi
+        |  FROM nodes n CROSS JOIN range(0, 64) p(pos)
+        |  GROUP BY p.pos),
+        |enc AS (
+        |  SELECT n.id, b.pos,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(least(255, greatest(0,
+        |        floor((list_extract(n.v, b.pos + 1) - b.lo)
+        |          / (b.hi - b.lo) * 256.0))) AS BIGINT) END AS c
+        |  FROM nodes n CROSS JOIN bounds b),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qenc AS (
+        |  SELECT q.query_id, b.pos,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(least(255, greatest(0,
+        |        floor((list_extract(q.qv, b.pos + 1) - b.lo)
+        |          / (b.hi - b.lo) * 256.0))) AS BIGINT) END AS c
+        |  FROM q CROSS JOIN bounds b),
+        |scored AS (
+        |  SELECT qe.query_id, e.id,
+        |    CAST(SUM((qe.c - e.c) * (qe.c - e.c)) AS BIGINT) AS d2
+        |  FROM enc e JOIN qenc qe ON qe.pos = e.pos
+        |  GROUP BY qe.query_id, e.id)
+        |SELECT query_id, id, d2, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id, d2,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY d2 ASC, id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
     "a12_ivf_pq_search" ->

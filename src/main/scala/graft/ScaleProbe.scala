@@ -157,6 +157,27 @@ object ScaleProbe {
     val resRecall = resRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exactEuc.contains).toDouble / exactEuc.size
 
+    // SQ8: per-dimension 8-bit codes, symmetric exact-integer L2 — the
+    // 4×-compression alternative to PQ's 32×, with a training-light build
+    val (sqArt, tSqBuild) = timed {
+      val b = SqIndex.trainBounds(nodes).localCheckpoint()
+      val c = SqIndex.encode(nodes, b).localCheckpoint()
+      c.count(); (b, c)
+    }
+    val (sqRows, tSqSearch) = timed {
+      SqIndex.searchSq(sqArt._2, sqArt._1, queries, 10)
+        .select("query_id", "id").collect()
+    }
+    val sqRecall = sqRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+    val (sqRrRows, tSqRerank) = timed {
+      SqIndex.searchSqRerankScored(nodes, sqArt._2, sqArt._1, queries, 10,
+          shortlist = 100, minSim = -2.0, metric = "euclidean")
+        .select("query_id", "id").collect()
+    }
+    val sqRerankRecall = sqRrRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+
     // k-means++-seeded COARSE quantizer at the same probe budget: D²
     // seeding spreads the coarse cells, so true neighbors land in probed
     // cells more often — the full residual pipeline re-derived over the
@@ -222,6 +243,9 @@ object ScaleProbe {
       s""""residual_encode_sec":$tResEncode,""" +
       s""""residual_search_sec":$tResSearch,""" +
       s""""residual_recall_at_10":$resRecall,""" +
+      s""""sq_build_sec":$tSqBuild,"sq_search_sec":$tSqSearch,""" +
+      s""""sq_recall_at_10":$sqRecall,"sq_rerank_sec":$tSqRerank,""" +
+      s""""sq_rerank_recall_at_10":$sqRerankRecall,""" +
       s""""coarsepp_train_sec":$tPpTrain,""" +
       s""""coarsepp_assign_sec":$tPpAssign,""" +
       s""""coarsepp_encode_sec":$tPpEncode,""" +

@@ -95,6 +95,40 @@ object SqIndex {
       .select(col("query_id"), col("id"), col("d2"), col("rn"))
   }
 
+  /** IVF-SQ8: probe the `nProbe` cosine-nearest coarse cells per query
+    * ([[IvfIndex]]-style), then score only their members' codes with the
+    * exact integer kernel — the FAISS `IVF…,SQ8` architecture: the
+    * scanned fraction drops to nProbe/cells AND each scanned row is 4×
+    * smaller. `assignments` is the persisted (id, cell) table from index
+    * build; candidates stay narrow (query_id, id) end-to-end and pass
+    * the `broadcastBytes` gate. Output (query_id, id, d2, rn) — same
+    * exact-BIGINT contract as [[searchSq]]. */
+  def searchIvfSq(codes: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, bounds: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("__csim",
+        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
+      .withColumn("__crn", row_number().over(cw))
+      .filter(col("__crn") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = assignments.select(col("cell"), col("id"))
+      .join(KnnSearch.maybeBroadcast(probed, broadcastBytes), Seq("cell"))
+      .select(col("query_id"), col("id"))
+    val qcodes = encode(queries, bounds, "query_id", "query_vec")
+      .select(col("query_id"), col("codes").as("qcodes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("id").asc)
+    codes.join(KnnSearch.maybeBroadcast(cand, broadcastBytes), Seq("id"))
+      .join(KnnSearch.maybeBroadcast(qcodes, broadcastBytes), Seq("query_id"))
+      .withColumn("d2", VectorFunctions.sqL2(col("qcodes"), col("codes")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("d2"), col("rn"))
+  }
+
   /** SQ shortlist + exact re-rank with the [[KnnSearch.knnExact]] result
     * contract — TRUE-metric similarity + `minSim` floor over the
     * `shortlist` survivors only ([[PqIndex.rerankScored]] tail). Output

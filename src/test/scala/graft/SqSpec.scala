@@ -84,6 +84,24 @@ class SqSpec extends SparkSpec {
     assert(hinted === shuffled)
   }
 
+  test("IVF-SQ: results equal plain SQ restricted to probed cells; full " +
+      "probe degrades to plain SQ") {
+    import graft.operators.IvfIndex
+    val coarse = IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = IvfIndex.assign(nodesDf, coarse).select(col("id"), col("cell"))
+    val full = SqIndex.searchIvfSq(codes, asg, coarse, bounds, queriesDf,
+        k = 10, nProbe = 10)
+      .select("query_id", "id", "d2").as[(Long, Long, Long)].collect().toSet
+    val plain = SqIndex.searchSq(codes, bounds, queriesDf, k = 10)
+      .select("query_id", "id", "d2").as[(Long, Long, Long)].collect().toSet
+    assert(full === plain)
+    // partial probe returns exactly k rows per query from probed cells only
+    val part = SqIndex.searchIvfSq(codes, asg, coarse, bounds, queriesDf,
+      k = 10, nProbe = 3)
+    assert(part.groupBy("query_id").count().select("count")
+      .as[Long].collect().forall(_ === 10L))
+  }
+
   test("shortlist + exact re-rank: knnExact contract, recall clears the " +
       "fixture floor") {
     val res = SqIndex.searchSqRerankScored(nodesDf, codes, bounds,

@@ -181,6 +181,14 @@ class VectorStoreSpec extends SparkSpec {
     store.buildPqIndex(cells = 4)
     assert(store.searchPq(qv, k = 3, strengthSetting = 0)
       .filter(col("query_id") === col("id")).count() === 5)
+
+    // SQ8 lifecycle on the same store: build → search → self-hit rank 1
+    store.buildSqIndex()
+    val sq = store.searchSq(qv, k = 3, strengthSetting = 0)
+    assert(sq.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    val sqSelf = sq.filter(col("query_id") === col("id"))
+    assert(sqSelf.count() === 5)
+    assert(sqSelf.filter(col("rn") === 1).count() === 5)
     store.delete()
   }
 }

@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => PqAdcExpr(es(0), es(1))),
     ("sq_l2", "sq_l2(a, b) - symmetric SQ squared-L2 over int code arrays",
       es => SqL2Expr(es(0), es(1))),
+    ("hamming64", "hamming64(a, b) - Hamming distance over packed " +
+      "sign-bit word arrays",
+      es => HammingExpr(es(0), es(1))),
     ("topk_ids", "topk_ids(id, score, k) - top-k ids by score per group",
       es => TopKIds(es(0), es(1), es(2)).toAggregateExpression()),
     ("bloom_might_contain",

@@ -202,6 +202,61 @@ case class SqL2Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Hamming-distance kernel over two packed bit-sign arrays (ARRAY<BIGINT>
+  * of 32-bit words): Σ popcount(a_i XOR b_i) — exact integer arithmetic,
+  * bit-identical on any engine/partitioning ([[SqL2Expr]] contract).
+  * Mismatched lengths return Long.MaxValue (never-top-ranked). */
+case class HammingExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "hamming64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) Long.MaxValue
+    else {
+      var s = 0L; var i = 0
+      while (i < n) {
+        s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |long $res = Long.MAX_VALUE;
+         |int $n = $a.numElements();
+         |if ($n == $b.numElements()) {
+         |  $res = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $res += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** PQ asymmetric-distance kernel: `left` = the m sub-codes of one vector
   * (ARRAY<INT>), `right` = one query's flattened distance LUT
   * (ARRAY<DOUBLE>, laid out [sub*ksub + code]; ksub derived per row as
@@ -283,6 +338,7 @@ object VectorFunctions {
     "euclidean_dist" -> (es => EuclideanDistanceExpr(es(0), es(1))),
     "pq_adc" -> (es => PqAdcExpr(es(0), es(1))),
     "sq_l2" -> (es => SqL2Expr(es(0), es(1))),
+    "hamming64" -> (es => HammingExpr(es(0), es(1))),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -312,4 +368,8 @@ object VectorFunctions {
 
   /** Symmetric SQ squared-L2 over two ARRAY<INT> code rows (exact BIGINT). */
   def sqL2(a: Column, b: Column): Column = call_function("sq_l2", a, b)
+
+  /** Hamming distance over two packed ARRAY<BIGINT> sign-bit rows. */
+  def hamming64(a: Column, b: Column): Column =
+    call_function("hamming64", a, b)
 }

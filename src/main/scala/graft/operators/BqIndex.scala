@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Binary quantization (1-bit sign codes + Hamming ranking) — the extreme
+  * point of the compression ladder ([[SqIndex]] 4×, [[PqIndex]] 32×, this
+  * 32× for float32 at one bit per dimension with a trivial build): each
+  * dimension maps to one bit, x > midpoint(lo, hi), packed 32 bits per
+  * BIGINT word; search ranks by Hamming distance — popcount of XOR over
+  * the packed words via the codegen'd [[graft.functions.HammingExpr]]
+  * kernel. Like SQ8 the whole score path is EXACT integer arithmetic
+  * (bit-identical on any engine/partitioning), and the usual quality tail
+  * applies: Hamming shortlist → exact re-rank.
+  *
+  * 32-bit words (not 64) are deliberate: `1::BIGINT << 63` overflows
+  * engines with checked shifts (DuckDB) while the JVM wraps — capping the
+  * shift at 31 keeps every word value positive and the packing arithmetic
+  * portable everywhere.
+  *
+  * Spark shape: bounds broadcast (dim-sized); encode is posexplode →
+  * sign bit → `bit_or` word assembly, map-side collapsible; search
+  * crossJoins packed words against the size-gated broadcast query words —
+  * the exact-kNN shuffle class over rows 32× smaller than float32.
+  */
+object BqIndex {
+
+  /** Sign bit per (row, pos): x strictly above the midpoint of the
+    * corpus [lo, hi] for that dimension. Constant dimensions (hi = lo)
+    * code to 0. Midpoint arithmetic runs in DOUBLE with mirrored
+    * parenthesization — the [[SqIndex]] portability rule. */
+  private def bitOf(x: Column, lo: Column, hi: Column): Column =
+    when(x.cast("double") >
+        (lo.cast("double") + hi.cast("double")) / lit(2.0),
+      expr("shiftleft(1L, cast(pmod(pos, 32) as int))"))
+      .otherwise(lit(0L))
+
+  /** Encode against [[SqIndex.trainBounds]] bounds → (id, bits
+    * ARRAY<BIGINT> of ⌈dim/32⌉ words ordered by word index). */
+  def encode(df: DataFrame, bounds: DataFrame, idCol: String = "id",
+      vecCol: String = "vector"): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .join(broadcast(bounds), Seq("pos"))
+      .select(col(idCol), expr("CAST(pos div 32 AS INT)").as("word"),
+        bitOf(col("x"), col("lo"), col("hi")).as("b"))
+      .groupBy(col(idCol), col("word"))
+      .agg(expr("bit_or(b)").as("w"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("word"), col("w")))),
+        e => e.getField("w")).as("bits"))
+
+  /** Hamming top-k: encode the queries with the corpus bounds, rank by
+    * exact popcount-of-XOR (asc, ties id asc). Output
+    * (query_id, id, hd BIGINT, rn) — hd is exact, engine-portable. The
+    * query-bit table broadcasts while it fits `broadcastBytes`; past
+    * that both sides stay partitioned (SHUFFLE_REPLICATE_NL). */
+  def searchBq(bits: DataFrame, bounds: DataFrame, queries: DataFrame,
+      k: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+    val qbits = encode(queries, bounds, "query_id", "query_vec")
+      .select(col("query_id"), col("bits").as("qbits"))
+    val small =
+      qbits.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
+    val paired =
+      if (small) bits.crossJoin(broadcast(qbits))
+      else bits.crossJoin(qbits.hint("SHUFFLE_REPLICATE_NL"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hd").asc, col("id").asc)
+    paired
+      .withColumn("hd", VectorFunctions.hamming64(col("qbits"), col("bits")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("hd"), col("rn"))
+  }
+
+  /** Hamming shortlist + exact re-rank with the [[KnnSearch.knnExact]]
+    * result contract ([[PqIndex.rerankScored]] tail). Output
+    * (query_id, id, score, rn). */
+  def searchBqRerankScored(nodes: DataFrame, bits: DataFrame,
+      bounds: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      minSim: Double, metric: String = "cosine",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val cand = searchBq(bits, bounds, queries, shortlist, broadcastBytes)
+      .select(col("query_id"), col("id"))
+    PqIndex.rerankScored(nodes, cand, queries, k, minSim, metric,
+      broadcastBytes)
+  }
+}

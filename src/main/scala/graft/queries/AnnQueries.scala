@@ -256,6 +256,22 @@ object AnnQueries {
         VectorQueries.querySet(emb), k = 10)
     }),
 
+    // Binary quantization — the 1-bit extreme of the compression ladder:
+    // sign bit per dimension against the corpus midpoint, packed 32 bits
+    // per BIGINT word, ranked by exact popcount-of-XOR Hamming distance.
+    // Like a15 the score column is exact integer — hash-checked with zero
+    // float caveats; the oracle re-derives bounds, every bit, every
+    // packed word and every rank.
+    "a16_bq_hamming" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
+      val bits = graft.operators.BqIndex.encode(nodesDf, bounds)
+      graft.operators.BqIndex.searchBq(bits, bounds,
+        VectorQueries.querySet(emb), k = 10)
+    }),
+
     // PQ's production-quality tail: ADC shortlist (top-80 on compressed
     // codes) + exact euclidean re-rank of just the survivors. Same
     // fixed-order ADC determinism for the shortlist; the re-rank doubles
@@ -487,6 +503,44 @@ object AnnQueries {
         |  SELECT query_id, id, d2,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY d2 ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "a16_bq_hamming" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bounds AS (
+        |  SELECT p.pos, min(list_extract(n.v, p.pos + 1)) AS lo,
+        |         max(list_extract(n.v, p.pos + 1)) AS hi
+        |  FROM nodes n CROSS JOIN range(0, 64) p(pos)
+        |  GROUP BY p.pos),
+        |encw AS (
+        |  SELECT n.id, CAST(b.pos // 32 AS INT) AS word,
+        |    bit_or(CASE WHEN list_extract(n.v, b.pos + 1)
+        |        > (b.lo + b.hi) / 2.0
+        |      THEN CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS w
+        |  FROM nodes n CROSS JOIN bounds b
+        |  GROUP BY n.id, b.pos // 32),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qencw AS (
+        |  SELECT q.query_id, CAST(b.pos // 32 AS INT) AS word,
+        |    bit_or(CASE WHEN list_extract(q.qv, b.pos + 1)
+        |        > (b.lo + b.hi) / 2.0
+        |      THEN CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS w
+        |  FROM q CROSS JOIN bounds b
+        |  GROUP BY q.query_id, b.pos // 32),
+        |scored AS (
+        |  SELECT qe.query_id, e.id,
+        |    CAST(SUM(bit_count(xor(qe.w, e.w))) AS BIGINT) AS hd
+        |  FROM encw e JOIN qencw qe ON qe.word = e.word
+        |  GROUP BY qe.query_id, e.id)
+        |SELECT query_id, id, hd, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id, hd,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY hd ASC, id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
     "a12_ivf_pq_search" ->

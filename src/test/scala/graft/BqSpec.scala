@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BqIndex, KnnSearch, SqIndex}
+import graft.queries.VectorQueries
+
+/** Binary quantization: packing invariants, exact-integer Hamming
+  * determinism, and the shortlist + re-rank quality tail. */
+class BqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val nodesDf = VectorQueries.asVectorTable(emb)
+  private lazy val queriesDf = VectorQueries.querySet(emb)
+  private lazy val bounds = SqIndex.trainBounds(nodesDf)
+  private lazy val bits = BqIndex.encode(nodesDf, bounds)
+
+  test("encode: ceil(dim/32) words per vector, bits only inside the dim " +
+      "range") {
+    val rows = bits.collect()
+    assert(rows.length === nodesDf.count())
+    // dim 64 → exactly 2 words, every word uses only the low 32 bits
+    assert(rows.forall(_.getSeq[Long](1).length == 2))
+    assert(rows.forall(_.getSeq[Long](1).forall(w =>
+      w >= 0L && w <= 0xFFFFFFFFL)))
+  }
+
+  test("hand-computed packing: known vectors, known bounds") {
+    val fixed = Seq(
+      (1L, Seq(0.0f, 10.0f, 0.0f), false),
+      (2L, Seq(10.0f, 0.0f, 10.0f), false))
+      .toDF("id", "vector", "deleted")
+    val b = SqIndex.trainBounds(fixed)
+    // midpoints are 5.0 per dim: row 1 → bits 010 → word 2; row 2 →
+    // bits 101 → word 5
+    val w = BqIndex.encode(fixed, b).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(w(1L) === Seq(2L))
+    assert(w(2L) === Seq(5L))
+    // Hamming between them = 3 (all dims differ)
+    val q = Seq((1L, Seq(0.0f, 10.0f, 0.0f))).toDF("query_id", "query_vec")
+    val top = BqIndex.searchBq(BqIndex.encode(fixed, b), b, q, k = 2)
+      .orderBy("rn").select("id", "hd").as[(Long, Long)].collect().toList
+    assert(top === List((1L, 0L), (2L, 3L)))
+  }
+
+  test("bits are partition-invariant (bit_or is order-free)") {
+    val a = BqIndex.encode(nodesDf.coalesce(1), bounds).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = BqIndex.encode(nodesDf.repartition(7), bounds).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+  }
+
+  test("searchBq: corpus-vector queries re-find themselves at hd=0; gate=0 " +
+      "shuffle plan agrees") {
+    val res = BqIndex.searchBq(bits, bounds, queriesDf, k = 10)
+    assert(res.columns.toSeq === Seq("query_id", "id", "hd", "rn"))
+    val self = res.filter(col("query_id") === col("id"))
+      .select("hd").as[Long].collect()
+    assert(self.length === queriesDf.count())
+    assert(self.forall(_ === 0L))
+    val shuffled = BqIndex.searchBq(bits, bounds, queriesDf, k = 10,
+        broadcastBytes = 0L)
+      .select("query_id", "id", "hd").as[(Long, Long, Long)].collect().toSet
+    val hinted = res.select("query_id", "id", "hd")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hinted === shuffled)
+  }
+
+  test("shortlist + exact re-rank: knnExact contract, recall clears the " +
+      "1-bit fixture floor") {
+    val res = BqIndex.searchBqRerankScored(nodesDf, bits, bounds,
+      queriesDf, k = 10, shortlist = 100, minSim = -2.0)
+    assert(res.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val got = res.select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    // one bit per dimension is the coarsest code — the floor is
+    // calibrated to the fixture (100-deep shortlist over 500 vectors)
+    assert(recall >= 0.4, s"recall $recall")
+  }
+}

@@ -10,13 +10,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("injects all seven functions with working builders") {
+  test("injects all eight functions with working builders") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders enumerated below
     val fns = new GraftExtensions().functions
     assert(fns.map(_._1).sorted ===
       Seq("bloom_might_contain", "cosine_sim", "dot_product",
-        "euclidean_dist", "pq_adc", "sq_l2", "topk_ids"))
+        "euclidean_dist", "hamming64", "pq_adc", "sq_l2", "topk_ids"))
     // builders produce resolvable expressions
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -178,6 +178,27 @@ object ScaleProbe {
     val sqRerankRecall = sqRrRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exactEuc.contains).toDouble / exactEuc.size
 
+    // Binary quantization: 1 bit/dim, Hamming ranking — the compression
+    // extreme; raw recall is the coarse-code floor, the rerank tail is
+    // the quality recovery
+    val (bqBits, tBqBuild) = timed {
+      val c = BqIndex.encode(nodes, sqArt._1).localCheckpoint()
+      c.count(); c
+    }
+    val (bqRows, tBqSearch) = timed {
+      BqIndex.searchBq(bqBits, sqArt._1, queries, 10)
+        .select("query_id", "id").collect()
+    }
+    val bqRecall = bqRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+    val (bqRrRows, tBqRerank) = timed {
+      BqIndex.searchBqRerankScored(nodes, bqBits, sqArt._1, queries, 10,
+          shortlist = 1000, minSim = -2.0, metric = "euclidean")
+        .select("query_id", "id").collect()
+    }
+    val bqRerankRecall = bqRrRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+
     // k-means++-seeded COARSE quantizer at the same probe budget: D²
     // seeding spreads the coarse cells, so true neighbors land in probed
     // cells more often — the full residual pipeline re-derived over the
@@ -246,6 +267,9 @@ object ScaleProbe {
       s""""sq_build_sec":$tSqBuild,"sq_search_sec":$tSqSearch,""" +
       s""""sq_recall_at_10":$sqRecall,"sq_rerank_sec":$tSqRerank,""" +
       s""""sq_rerank_recall_at_10":$sqRerankRecall,""" +
+      s""""bq_build_sec":$tBqBuild,"bq_search_sec":$tBqSearch,""" +
+      s""""bq_recall_at_10":$bqRecall,"bq_rerank_sec":$tBqRerank,""" +
+      s""""bq_rerank_recall_at_10":$bqRerankRecall,""" +
       s""""coarsepp_train_sec":$tPpTrain,""" +
       s""""coarsepp_assign_sec":$tPpAssign,""" +
       s""""coarsepp_encode_sec":$tPpEncode,""" +

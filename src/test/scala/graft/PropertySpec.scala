@@ -132,4 +132,45 @@ class PropertySpec extends SparkSpec {
       assert(keepers.toSet === truth.values.toSet)
     }
   }
+
+  test("sq_l2 / hamming64 metric axioms on random code rows vs scala oracle") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.VectorFunctions.register(spark)
+    val codeGen: Gen[Seq[Int]] =
+      Gen.listOfN(16, Gen.choose(0, 255)).map(_.toSeq)
+    val wordGen: Gen[Seq[Long]] =
+      Gen.listOfN(3, Gen.choose(0L, 0xFFFFFFFFL)).map(_.toSeq)
+    for ((as, bs) <- cases(Gen.zip(Gen.listOfN(8, codeGen),
+        Gen.listOfN(8, wordGen)))) {
+      val pairs = as.zip(as.reverse)
+      val df = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("i", "a", "b")
+        .select(col("i"), expr("sq_l2(a, b)").as("ab"),
+          expr("sq_l2(b, a)").as("ba"), expr("sq_l2(a, a)").as("aa"))
+        .as[(Int, Long, Long, Long)].collect()
+      for ((i, ab, ba, aa) <- df) {
+        val (a, b) = pairs(i)
+        val want = a.zip(b).map { case (x, y) =>
+          val d = (x - y).toLong; d * d }.sum
+        assert(ab === want, s"sq_l2 oracle mismatch at $i")
+        assert(ab === ba, "sq_l2 symmetric")
+        assert(aa === 0L, "sq_l2 identity")
+      }
+      val wpairs = bs.zip(bs.reverse)
+      val wdf = wpairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("i", "a", "b")
+        .select(col("i"), expr("hamming64(a, b)").as("ab"),
+          expr("hamming64(b, a)").as("ba"), expr("hamming64(a, a)").as("aa"))
+        .as[(Int, Long, Long, Long)].collect()
+      for ((i, ab, ba, aa) <- wdf) {
+        val (a, b) = wpairs(i)
+        val want = a.zip(b).map { case (x, y) =>
+          java.lang.Long.bitCount(x ^ y).toLong }.sum
+        assert(ab === want, s"hamming64 oracle mismatch at $i")
+        assert(ab === ba, "hamming64 symmetric")
+        assert(aa === 0L, "hamming64 identity")
+        assert(ab <= 64L * a.length, "hamming64 bounded by bit width")
+      }
+    }
+  }
 }

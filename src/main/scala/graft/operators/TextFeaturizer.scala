@@ -96,4 +96,42 @@ object TextFeaturizer {
       .select(col("id"), col("term"), col("tfidf_r"),
         col("rk").cast("int").as("rk"))
   }
+
+  /** Unigram log-likelihood quality score — the LM-perplexity corpus
+    * filter (Wenzek et al., "CCNet", 2020-style) reduced to its portable
+    * core: a document's mean log-probability under the corpus's own
+    * unigram distribution. Low scores flag boilerplate-free gibberish
+    * and rare-token noise; high scores flag repetitive common-token text
+    * — the standard third axis next to the heuristic gates
+    * ([[TextDedup.qualityFeatures]]) and repetition signals.
+    *
+    * Determinism (the [[Retrieval]] BM25 rule): per-term
+    * ln(cnt/N) quantizes to integer micros (`floor(x·1e6 + 0.5)` — the
+    * libm-ln 1-ulp exposure is per DISTINCT TERM), per-doc totals are
+    * exact BIGINT sums, and the mean is `div` integer division —
+    * truncation toward zero in BOTH engines (verified), so every output
+    * column is engine-exact.
+    *
+    * Scale: one tokenize pass; the vocab aggregation is vocab-sized; the
+    * token→logp attach is a term-keyed equi-join (the BM25 postings
+    * class — AQE handles skew, and the df-ceiling argument does not
+    * apply because every token must score). */
+  def unigramLogLik(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val stats = toks.agg(count(lit(1)).as("n_total"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        floor(log(col("cnt").cast("double") / col("n_total").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("logp6"))
+    toks.join(vocab, Seq("term"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("logp6")).as("sum_logp_micro"))
+      .select(col("id").as(idCol), col("n_tokens"), col("sum_logp_micro"),
+        expr("sum_logp_micro div n_tokens").as("avg_logp_micro"))
+  }
 }

@@ -275,6 +275,14 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Unigram log-likelihood quality score (the LM-perplexity filter's
+    // portable core): mean log-prob of a doc under the corpus's own
+    // unigram distribution. Per-term ln quantizes to integer micros,
+    // per-doc sums are exact BIGINT, the mean is div (truncation toward
+    // zero in BOTH engines — verified) — every column engine-exact.
+    "t14_unigram_loglik" -> ((s, d) =>
+      graft.operators.TextFeaturizer.unigramLogLik(Tables.documents(s, d))),
+
     // Quality scoring features per document. round-6 on the ratio is safe
     // under TextDedup's rounding rule (rational with denominator ≤ tokens).
     "t02_quality_score" -> ((s, d) => {
@@ -573,6 +581,23 @@ object TextQueries {
         |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6)
         |    AS dup_bigram_frac
         |FROM c GROUP BY id""".stripMargin,
+    "t14_unigram_loglik" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, t.term
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  WHERE length(t.term) > 0),
+        |stats AS (SELECT count(*) AS n_total FROM toks),
+        |vocab AS (
+        |  SELECT term,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE) / n_total) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS logp6
+        |  FROM (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+        |  CROSS JOIN stats)
+        |SELECT t.id AS doc_id, count(*) AS n_tokens,
+        |  CAST(sum(v.logp6) AS BIGINT) AS sum_logp_micro,
+        |  CAST(sum(v.logp6) AS BIGINT) // count(*) AS avg_logp_micro
+        |FROM toks t JOIN vocab v USING (term)
+        |GROUP BY t.id""".stripMargin,
     "t08_tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term

@@ -78,4 +78,21 @@ class IvfFeaturizerSpec extends SparkSpec {
     val hits = KnnSearch.knnExact(vecs, q, k = 1, minSim = -2.0)
     assert(hits.filter(col("query_id") === col("id")).count() === 3)
   }
+
+  test("unigramLogLik: hand-computed micros on a tiny corpus") {
+    // corpus tokens: a a b | b → N=4, p(a)=p(b)=1/2,
+    // logp6 = floor(ln(0.5)·1e6 + 0.5) = −693147
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextFeaturizer.unigramLogLik(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((3L, -693147L * 3, -693147L)))
+    assert(out(2L) === ((1L, -693147L, -693147L)))
+    // repetitive common-token text scores HIGHER (less negative) than
+    // rare-token text — the filtering signal the gate exists for
+    val skew = Seq((1L, "x x x x x x x x x"), (2L, "y z w")).toDF("doc_id", "text")
+    val s = TextFeaturizer.unigramLogLik(skew).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(s(1L) > s(2L))
+  }
 }

@@ -75,6 +75,47 @@ object BqIndex {
       .select(col("query_id"), col("id"), col("hd"), col("rn"))
   }
 
+  /** Exact Hamming-ball near-duplicate pairs via multi-index hashing
+    * (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space with
+    * Multi-Index Hashing", CVPR 2012): slice each packed code row into
+    * `nBands` = 4·words byte-bands; by pigeonhole, ANY pair with
+    * hd ≤ nBands − 1 shares at least one identical band, so an
+    * equi-join on (band index, band value) generates EVERY qualifying
+    * candidate — exact recall inside the ball, the [[TextDedup]]
+    * deletion-neighborhood guarantee transplanted to embedding space —
+    * and the Hamming verify then keeps pairs with hd ≤ `maxHd`.
+    * The integer-exact, 32×-compressed complement to the probabilistic
+    * LSH-cosine near-dup pairs (d06): candidates are banded (never
+    * all-pairs), verification reads 8-byte code rows, and every value
+    * in the output is exact integer arithmetic. Output
+    * (a_id, b_id, hd), a_id < b_id. */
+  def hammingNearDupPairs(bits: DataFrame, maxHd: Int): DataFrame = {
+    val words = bits.select(max(size(col("bits")))).head().getInt(0)
+    val nBands = 4 * words
+    require(maxHd < nBands,
+      s"maxHd $maxHd breaks the pigeonhole guarantee: byte-banding " +
+        s"$words words gives $nBands bands, exact only for hd <= ${nBands - 1}")
+    val banded = bits
+      .select(col("id"), col("bits"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        expr("shiftright(element_at(bits, CAST(band div 4 AS INT) + 1), " +
+          "8 * CAST(pmod(band, 4) AS INT)) & 255").as("bval"))
+    val cand = banded.select(col("band"), col("bval"), col("id").as("a_id"))
+      .join(banded.select(col("band"), col("bval"), col("id").as("b_id")),
+        Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(bits.select(col("id").as("a_id"), col("bits").as("a_bits")),
+        Seq("a_id"))
+      .join(bits.select(col("id").as("b_id"), col("bits").as("b_bits")),
+        Seq("b_id"))
+      .withColumn("hd", VectorFunctions.hamming64(col("a_bits"), col("b_bits")))
+      .filter(col("hd") <= maxHd)
+      .select(col("a_id"), col("b_id"), col("hd"))
+  }
+
   /** Hamming shortlist + exact re-rank with the [[KnnSearch.knnExact]]
     * result contract ([[PqIndex.rerankScored]] tail). Output
     * (query_id, id, score, rn). */

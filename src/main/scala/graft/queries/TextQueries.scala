@@ -275,6 +275,29 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Exact Hamming-ball embedding near-dup via multi-index hashing
+    // (Norouzi et al. 2012): sign-bit codes sliced into byte bands; by
+    // pigeonhole every pair with hd <= 7 shares a band, so the band
+    // equi-join generates ALL qualifying candidates — exact recall
+    // inside the ball, the integer-exact 32x-compressed complement to
+    // d06's probabilistic LSH-cosine pairs. Twins are injected (first 3
+    // dims negated for every 25th vector) so the ball is populated; the
+    // oracle re-derives bounds, bits, bands, candidates and distances.
+    "d13_bq_neardup" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vector"))
+      val twins = base.filter(col("id") % 25 === 0)
+        .select((col("id") + 100000).as("id"),
+          transform(col("vector"), (x, i) =>
+            when(i < 3, -x).otherwise(x)).as("vector"))
+      val nodes = base.unionByName(twins)
+      val bounds = graft.operators.SqIndex.trainBounds(nodes)
+      val bits = graft.operators.BqIndex.encode(nodes, bounds)
+      graft.operators.BqIndex.hammingNearDupPairs(bits, maxHd = 7)
+    }),
+
     // Unigram log-likelihood quality score (the LM-perplexity filter's
     // portable core): mean log-prob of a doc under the corpus's own
     // unigram distribution. Per-term ln quantizes to integer micros,
@@ -581,6 +604,44 @@ object TextQueries {
         |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6)
         |    AS dup_bigram_frac
         |FROM c GROUP BY id""".stripMargin,
+    "d13_bq_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |twins AS (
+        |  SELECT id + 100000 AS id,
+        |    [CASE WHEN i <= 3 THEN -v[i] ELSE v[i] END
+        |     for i in range(1, len(v) + 1)] AS v
+        |  FROM base WHERE id % 25 = 0),
+        |nodes AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |bounds AS (
+        |  SELECT p.pos, min(list_extract(n.v, p.pos + 1)) AS lo,
+        |         max(list_extract(n.v, p.pos + 1)) AS hi
+        |  FROM nodes n CROSS JOIN range(0, 64) p(pos)
+        |  GROUP BY p.pos),
+        |encw AS (
+        |  SELECT n.id, CAST(b.pos // 32 AS INT) AS word,
+        |    bit_or(CASE WHEN list_extract(n.v, b.pos + 1)
+        |        > (b.lo + b.hi) / 2.0
+        |      THEN CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS w
+        |  FROM nodes n CROSS JOIN bounds b
+        |  GROUP BY n.id, b.pos // 32),
+        |banded AS (
+        |  SELECT e.id, e.word * 4 + k.k AS band,
+        |    (e.w >> CAST(8 * k.k AS INT)) & 255 AS bval
+        |  FROM encw e CROSS JOIN range(0, 4) k(k)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.id < b.id),
+        |hd AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(SUM(bit_count(xor(ea.w, eb.w))) AS BIGINT) AS hd
+        |  FROM cand c
+        |  JOIN encw ea ON ea.id = c.a_id
+        |  JOIN encw eb ON eb.id = c.b_id AND eb.word = ea.word
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id, hd FROM hd WHERE hd <= 7""".stripMargin,
     "t14_unigram_loglik" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, t.term

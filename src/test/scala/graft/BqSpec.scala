@@ -68,6 +68,27 @@ class BqSpec extends SparkSpec {
     assert(hinted === shuffled)
   }
 
+  test("hammingNearDupPairs: EXACT recall inside the ball vs brute force; " +
+      "maxHd past the pigeonhole bound rejected") {
+    // brute-force truth: every unordered pair with hd <= 7
+    val rows = bits.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    def hd(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val want = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      d = hd(rows(i)._2, rows(j)._2) if d <= 7
+    } yield (rows(i)._1, rows(j)._1, d)).toSet
+    val got = BqIndex.hammingNearDupPairs(bits, maxHd = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want) // pigeonhole: byte-banding misses nothing at hd<=7
+    // 64 bits -> 8 byte bands -> exact only to hd 7; 8 must throw
+    val e = intercept[IllegalArgumentException] {
+      BqIndex.hammingNearDupPairs(bits, maxHd = 8)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("shortlist + exact re-rank: knnExact contract, recall clears the " +
       "1-bit fixture floor") {
     val res = BqIndex.searchBqRerankScored(nodesDf, bits, bounds,

@@ -372,6 +372,47 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
 
+  // ---- BQ (1-bit) index lifecycle ------------------------------------
+
+  private def bqDir(gen: Long): String = s"$path/bq_g$gen"
+
+  /** Build + persist the binary-quantization index (per-dimension bounds
+    * + packed sign bits — [[operators.BqIndex]]) as an atomic generation.
+    * The memory-extreme option on the facade's compression ladder
+    * ([[buildSqIndex]] 4×, [[buildPqIndex]] 32× codes, this 32× with an
+    * integer-only scan); serve via [[searchBqStore]] with a deep
+    * shortlist — SCALING.md's ladder measurement has the recall trade. */
+  def buildBqIndex(): Unit = {
+    val live = Mutations.compact(nodes)
+    val bounds = SqIndex.trainBounds(live)
+    val bits = BqIndex.encode(live, bounds)
+    val old = currentAux("BQINDEX")
+    val gen = old.getOrElse(-1L) + 1
+    val dir = bqDir(gen)
+    bounds.write.mode("overwrite").parquet(s"$dir/bounds")
+    bits.write.mode("overwrite").parquet(s"$dir/bits")
+    graft.util.Fs.writeStringAtomic(spark, s"$path/BQINDEX", gen.toString)
+    old.foreach(g => graft.util.Fs.deleteRecursive(spark, bqDir(g)))
+  }
+
+  /** Hamming shortlist + exact re-rank against the persisted BQ
+    * generation. Output (query_id, id, score, rn) — the [[search]]
+    * contract. */
+  def searchBqStore(queries: DataFrame, k: Int,
+      strengthSetting: Double = 50, shortlist: Int = 0): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    val gen = currentAux("BQINDEX").getOrElse(throw new IllegalStateException(
+      s"no BQ index under $path — call buildBqIndex() first"))
+    val dir = bqDir(gen)
+    BqIndex.searchBqRerankScored(nodes,
+      spark.read.parquet(s"$dir/bits"),
+      spark.read.parquet(s"$dir/bounds"),
+      queries, k,
+      shortlist = if (shortlist > 0) shortlist else math.max(200, 20 * k),
+      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
   /** Drop the store (astrovault.ts:134-146). */
   def delete(): Unit = graft.util.Fs.deleteRecursive(spark, path)
 }

@@ -189,6 +189,31 @@ class VectorStoreSpec extends SparkSpec {
     val sqSelf = sq.filter(col("query_id") === col("id"))
     assert(sqSelf.count() === 5)
     assert(sqSelf.filter(col("rn") === 1).count() === 5)
+
+    // BQ lifecycle: the shortlist covers the whole 40-row fixture, so the
+    // exact re-rank must also put every query's own vector at rank 1
+    store.buildBqIndex()
+    val bq = store.searchBqStore(qv, k = 3, strengthSetting = 0)
+    assert(bq.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    assert(bq.filter(col("query_id") === col("id"))
+      .filter(col("rn") === 1).count() === 5)
+    store.delete()
+  }
+
+  test("compressed searches without an index fail with a clear message") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-noidx").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    store.add(1L, (0 until 8).map(_.toFloat))
+    val q = Seq((1L, (0 until 8).map(_.toFloat)))
+      .toDF("query_id", "query_vec")
+    for ((name, f) <- Seq[(String, () => Unit)](
+        ("PQ", () => { store.searchPq(q, 1); () }),
+        ("SQ", () => { store.searchSq(q, 1); () }),
+        ("BQ", () => { store.searchBqStore(q, 1); () }))) {
+      val e = intercept[IllegalStateException](f())
+      assert(e.getMessage.contains("index under"), s"$name: ${e.getMessage}")
+    }
     store.delete()
   }
 }

@@ -78,10 +78,11 @@ object BqIndex {
   /** Exact Hamming-ball near-duplicate pairs via multi-index hashing
     * (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space with
     * Multi-Index Hashing", CVPR 2012): slice each packed code row into
-    * `nBands` = 4·words byte-bands; by pigeonhole, ANY pair with
-    * hd ≤ nBands − 1 shares at least one identical band, so an
-    * equi-join on (band index, band value) generates EVERY qualifying
-    * candidate — exact recall inside the ball, the [[TextDedup]]
+    * exactly `maxHd + 1` equal byte-aligned bands; by pigeonhole, ANY
+    * pair with hd ≤ maxHd differs in fewer bits than there are bands,
+    * so it shares at least one identical band, and an equi-join on
+    * (band index, band value) generates EVERY qualifying candidate —
+    * exact recall inside the ball, the [[TextDedup]]
     * deletion-neighborhood guarantee transplanted to embedding space —
     * and the Hamming verify then keeps pairs with hd ≤ `maxHd`.
     * The integer-exact, 32×-compressed complement to the probabilistic
@@ -91,16 +92,31 @@ object BqIndex {
     * (a_id, b_id, hd), a_id < b_id. */
   def hammingNearDupPairs(bits: DataFrame, maxHd: Int): DataFrame = {
     val words = bits.select(max(size(col("bits")))).head().getInt(0)
-    val nBands = 4 * words
-    require(maxHd < nBands,
-      s"maxHd $maxHd breaks the pigeonhole guarantee: byte-banding " +
-        s"$words words gives $nBands bands, exact only for hd <= ${nBands - 1}")
+    val nBytes = 4 * words
+    val nBands = maxHd + 1
+    require(maxHd < nBytes,
+      s"maxHd $maxHd breaks the pigeonhole guarantee: $words words give " +
+        s"$nBytes byte-granularity bands, exact only for hd <= ${nBytes - 1}")
+    require(nBytes % nBands == 0,
+      s"code bytes $nBytes must divide into ${nBands} bands " +
+        s"(= maxHd + 1) — pad the code or pick maxHd accordingly")
+    // exactly maxHd+1 bands of g bytes each: pigeonhole needs only that
+    // many, and WIDER bands mean a 2^(8g) bucket space — for long codes
+    // the collision rate of unrelated rows falls off exponentially with
+    // g, which is what keeps the candidate join sub-quadratic at scale
+    // (8-bit buckets, the g=1 floor forced by 64-bit codes at hd<=7, cap
+    // the space at 256 values — fine when near-dup mass dominates
+    // buckets, hazardous for huge uniform corpora; use longer codes).
+    val g = nBytes / nBands
     val banded = bits
       .select(col("id"), col("bits"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .select(col("id"), col("band"),
-        expr("shiftright(element_at(bits, CAST(band div 4 AS INT) + 1), " +
-          "8 * CAST(pmod(band, 4) AS INT)) & 255").as("bval"))
+        explode(sequence(lit(0), lit(nBytes - 1))).as("byte"))
+      .select(col("id"), col("byte"),
+        expr("shiftright(element_at(bits, CAST(byte div 4 AS INT) + 1), " +
+          "8 * CAST(pmod(byte, 4) AS INT)) & 255").as("bv"))
+      .groupBy(col("id"), expr(s"CAST(byte div $g AS INT)").as("band"))
+      .agg(sum(expr(
+        s"shiftleft(bv, 8 * CAST(pmod(byte, $g) AS INT))")).as("bval"))
     val cand = banded.select(col("band"), col("bval"), col("id").as("a_id"))
       .join(banded.select(col("band"), col("bval"), col("id").as("b_id")),
         Seq("band", "bval"))

@@ -81,12 +81,23 @@ class BqSpec extends SparkSpec {
     } yield (rows(i)._1, rows(j)._1, d)).toSet
     val got = BqIndex.hammingNearDupPairs(bits, maxHd = 7)
       .as[(Long, Long, Long)].collect().toSet
-    assert(got === want) // pigeonhole: byte-banding misses nothing at hd<=7
-    // 64 bits -> 8 byte bands -> exact only to hd 7; 8 must throw
+    assert(got === want) // pigeonhole: banding misses nothing at hd<=7
+    // tighter radius → wider (2-byte) super-bands; exactness must hold
+    // through the band-regrouping path too
+    val want3 = want.filter(_._3 <= 3L)
+    val got3 = BqIndex.hammingNearDupPairs(bits, maxHd = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got3 === want3)
+    // 64 bits -> 8 byte-granularity bands -> exact only to hd 7; 8 throws
     val e = intercept[IllegalArgumentException] {
       BqIndex.hammingNearDupPairs(bits, maxHd = 8)
     }
     assert(e.getMessage.contains("pigeonhole"))
+    // band count must partition the code bytes evenly
+    val e2 = intercept[IllegalArgumentException] {
+      BqIndex.hammingNearDupPairs(bits, maxHd = 4)
+    }
+    assert(e2.getMessage.contains("divide"))
   }
 
   test("shortlist + exact re-rank: knnExact contract, recall clears the " +

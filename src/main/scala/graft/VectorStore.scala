@@ -250,14 +250,17 @@ class VectorStore private (
 
   /** The serving-scale MaxSim: token-ANN shortlist then exact re-rank
     * ([[operators.Retrieval.maxSimRerank]]), with anchor hyperplanes
-    * derived from the stored token vectors (lowest-vec_id rows — the
-    * [[graft.queries.AnnQueries.anchorPlanes]] scheme). */
+    * derived POSITIONALLY from the stored token vectors — the first
+    * `nBands·bits` rows in (doc_id, vec_id) order
+    * ([[graft.queries.AnnQueries.anchorPlanesPositional]]), so the store
+    * places no dense/0-based/globally-unique contract on vec_ids (natural
+    * per-doc token numbering and hashed ids work alike). */
   def searchMaxSimAnn(queryVecs: DataFrame, topK: Int,
       tokenHitsPerQvec: Int = 8, nBands: Int = 4, bits: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val tv = tokenVectors
-    val anchors = graft.queries.AnnQueries.anchorPlanes(
-      tv.select(col("vec_id"), col("vector").as("embedding")), nBands, bits)
+    val anchors = graft.queries.AnnQueries.anchorPlanesPositional(
+      tv, nBands, bits)
     Retrieval.maxSimRerank(tv, queryVecs, topK, tokenHitsPerQvec, anchors)
   }
 

@@ -74,6 +74,29 @@ object AnnQueries {
       .map(_._2.sortBy(_._1).map(_._2).toSeq)
   }
 
+  /** Anchor hyperplanes independent of id VALUES: the first `nBands·bits`
+    * token vectors in (doc_id, vec_id) order, banded positionally. Unlike
+    * [[anchorPlanes]] (which filters `vec_id < nBands·bits` — correct for
+    * a01's globally dense 0-based fixture ids, and mirrored by its oracle),
+    * this makes no assumption that vec_ids are dense, 0-based, or globally
+    * unique: natural per-doc numbering (0,1,2 per doc) and offset/hashed
+    * ids both yield `nBands` full bands of distinct rows instead of
+    * duplicated planes or an empty anchor list. Tiny driver-side collect;
+    * fails fast when the corpus can't fill the bands. */
+  def anchorPlanesPositional(tv: DataFrame, nBands: Int, bits: Int)
+      : Seq[Seq[Array[Float]]] = {
+    val need = nBands * bits
+    val rows = tv.select(col("doc_id"), col("vec_id"), col("vector"))
+      .orderBy(col("doc_id"), col("vec_id"))
+      .limit(need)
+      .select(col("vector")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.length == need,
+      s"need $need token vectors for $nBands x $bits anchor planes; " +
+        s"corpus has only ${rows.length}")
+    rows.grouped(bits).map(_.toSeq).toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LSH-bucketed ANN search (the scale path of v01's exact search) with
     // data-derived anchor hyperplanes — fully oracle-checkable: the DuckDB

@@ -156,6 +156,43 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("maxsim ANN anchors are id-value independent: per-doc numbering " +
+      "and offset vec_ids both work") {
+    // the round-6 advisor case: natural per-doc token numbering (0..3 per
+    // doc) used to collapse the anchor bands to duplicated planes, and
+    // offset ids used to produce an EMPTY anchor list (silent zero rows)
+    for (ids <- Seq("perdoc", "offset")) {
+      val store = freshStore()
+      val tv = (0L to 11L).map { v =>
+        val doc = v / 4 + 1
+        val vid = if (ids == "perdoc") v % 4 else 1000L + v
+        val vec = if (doc == 2L) Seq(0f, 1f) else Seq(1f, 0.05f * v)
+        (doc, vid, vec)
+      }
+      store.putTokenVectors(tv.toDF("doc_id", "vec_id", "vector"))
+      val qv = Seq((0L, 0L, Seq(0f, 1f)), (0L, 1L, Seq(0f, 0.9f)))
+        .toDF("query_id", "qvec_id", "query_vec")
+      val exact = store.searchMaxSim(qv, topK = 3)
+      val ann = store.searchMaxSimAnn(qv, topK = 3, tokenHitsPerQvec = 12)
+      val a = ann.select("query_id", "doc_id", "rn")
+        .as[(Long, Long, Int)].collect().toSet
+      val e = exact.select("query_id", "doc_id", "rn")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(a === e, s"id scheme '$ids' broke the ANN path")
+      assert(a.nonEmpty, s"id scheme '$ids' returned zero rows")
+      store.delete()
+    }
+    // too few tokens to fill the bands fails FAST, not silently-empty
+    val tiny = freshStore()
+    tiny.putTokenVectors(Seq((1L, 0L, Seq(1f, 0f)))
+      .toDF("doc_id", "vec_id", "vector"))
+    val qv1 = Seq((0L, 0L, Seq(1f, 0f))).toDF("query_id", "qvec_id", "query_vec")
+    val ex = intercept[IllegalArgumentException](
+      tiny.searchMaxSimAnn(qv1, topK = 1))
+    assert(ex.getMessage.contains("anchor planes"))
+    tiny.delete()
+  }
+
   test("pq index lifecycle: build → load → search → rebuild generation") {
     val store = VectorStore.openOrCreate(spark,
       java.nio.file.Files.createTempDirectory("graft-store-pq").toString,

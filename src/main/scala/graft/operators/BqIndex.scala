@@ -101,12 +101,17 @@ object BqIndex {
       s"code bytes $nBytes must divide into ${nBands} bands " +
         s"(= maxHd + 1) — pad the code or pick maxHd accordingly")
     // exactly maxHd+1 bands of g bytes each: pigeonhole needs only that
-    // many, and WIDER bands mean a 2^(8g) bucket space — for long codes
+    // many, and WIDER bands mean a bigger bucket space — for long codes
     // the collision rate of unrelated rows falls off exponentially with
     // g, which is what keeps the candidate join sub-quadratic at scale
-    // (8-bit buckets, the g=1 floor forced by 64-bit codes at hd<=7, cap
-    // the space at 256 values — fine when near-dup mass dominates
-    // buckets, hazardous for huge uniform corpora; use longer codes).
+    // (the g=1 floor forced by 64-bit codes at hd<=7 caps the space at
+    // 256 values — fine when near-dup mass dominates buckets, hazardous
+    // for huge uniform corpora; use longer codes). The band VALUE is
+    // xxhash64 over the band's (position, byte) structs, not arithmetic
+    // shift-packing: equal bands still hash equal (recall stays exact),
+    // unequal bands get a full 64-bit space at ANY g — shift-packing
+    // wraps the shift amount past the integer width (g > 4 on INT
+    // lanes), silently aliasing distant bytes onto the same bits.
     val g = nBytes / nBands
     val banded = bits
       .select(col("id"), col("bits"),
@@ -115,8 +120,8 @@ object BqIndex {
         expr("shiftright(element_at(bits, CAST(byte div 4 AS INT) + 1), " +
           "8 * CAST(pmod(byte, 4) AS INT)) & 255").as("bv"))
       .groupBy(col("id"), expr(s"CAST(byte div $g AS INT)").as("band"))
-      .agg(sum(expr(
-        s"shiftleft(bv, 8 * CAST(pmod(byte, $g) AS INT))")).as("bval"))
+      .agg(xxhash64(array_sort(collect_list(struct(col("byte"), col("bv")))))
+        .as("bval"))
     val cand = banded.select(col("band"), col("bval"), col("id").as("a_id"))
       .join(banded.select(col("band"), col("bval"), col("id").as("b_id")),
         Seq("band", "bval"))

@@ -84,13 +84,25 @@ object IvfIndex {
         .filter(col("d") > 0)
       val u = (pmod(xxhash64(col("id"), lit(r)), lit(1000000000L)) +
         lit(1)).cast("double") / lit(1000000001.0)
-      val w = Window.orderBy(col("skey").desc, col("id").asc)
+      // global top-take WITHOUT a single-partition window: orderBy+limit
+      // plans TakeOrderedAndProject (partition-local top-take, then a
+      // driver merge of take rows per partition) — the corpus-sized D²
+      // table never funnels through one task. Cell numbering happens on
+      // the ≤ take collected rows; the stable driver re-sort on the sample
+      // key preserves the executed (skey desc, id asc) order for any
+      // equal-key rows regardless of how the limit output is iterated.
+      val sp = nodes.sparkSession
+      import sp.implicits._
       val picked = d2
         .withColumn("skey", pow(u, lit(1.0) / (col("d") * col("d"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= take)
-        .select((col("rn") + lit(total - 1)).as("cell"),
-          col("vector").as("centroid"))
+        .orderBy(col("skey").desc, col("id").asc)
+        .limit(take)
+        .select(col("skey"), col("vector"))
+        .collect()
+        .sortBy(r => -r.getDouble(0))
+        .zipWithIndex
+        .map { case (row, i) => (total + i, row.getSeq[Float](1)) }
+        .toSeq.toDF("cell", "centroid")
       cb = cb.unionByName(picked).localCheckpoint()
       total += take
     }

@@ -162,11 +162,23 @@ object PqIndex {
         .filter(col("d") > 0)
       val u = (pmod(xxhash64(col("id"), col("sub"), lit(r)),
         lit(1000000000L)) + lit(1)).cast("double") / lit(1000000001.0)
-      val w = Window.partitionBy(col("sub"))
-        .orderBy(col("skey").desc, col("id").asc)
-      val picked = d2
+      // two-level top-take per sub: a per-sub window alone would funnel
+      // the corpus-sized slice table through m single partitions. Level 1
+      // takes the top `take` within each (sub, physical partition) — a
+      // superset of the per-sub global top `take` under ANY partitioning,
+      // so the result is still partitioning-invariant; level 2 ranks only
+      // the ≤ take·nPart survivors per sub.
+      val keyed = d2
         .withColumn("skey", pow(u, lit(1.0) / (col("d") * col("d"))))
-        .withColumn("rn", row_number().over(w))
+      val local = keyed
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy(col("sub"), col("pid"))
+            .orderBy(col("skey").desc, col("id").asc)))
+        .filter(col("lrn") <= take)
+      val picked = local
+        .withColumn("rn", row_number().over(Window.partitionBy(col("sub"))
+          .orderBy(col("skey").desc, col("id").asc)))
         .filter(col("rn") <= take)
         .select(col("sub"), (col("rn") + lit(total - 1)).as("code"),
           col("subvec").as("centroid"))

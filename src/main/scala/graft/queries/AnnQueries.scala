@@ -51,7 +51,7 @@ object AnnQueries {
   private val builtPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def indexFor(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val path = builtPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-ann-index")
       val emb = Tables.embeddings(s, d)
       val (nodes, edges) = IndexBuild.build(VectorQueries.asVectorTable(emb), params)
       IndexBuild.save(nodes, edges, params, p)

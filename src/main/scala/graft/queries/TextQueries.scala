@@ -25,13 +25,20 @@ object TextQueries {
     * generation is one batch job; components d08 and keep/drop selection
     * d11 consume its output) and the [[graft.queries.AnnQueries]]
     * `indexFor` memo shape. d03/d08/d11 share ONE derivation instead of
-    * re-running the tokenize→band→verify pipeline three times. */
+    * re-running the tokenize→band→verify pipeline three times.
+    *
+    * Memo contract: keyed on the data DIR PATH under the harness's
+    * immutable-fixture assumption (a testdata dir never changes within a
+    * process — true for the driver and Bench; a caller mutating a dir
+    * in-process must not reuse this memo). The temp parquet dirs are
+    * deleted on JVM exit. Bench comparability: whichever of d03/d08/d11
+    * runs FIRST pays the full pipeline; the other two time a parquet
+    * read of its output. */
   private val pairPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def nearDupPairsFor(s: SparkSession, d: String): DataFrame = {
     val path = pairPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-neardup-pairs").toString
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-neardup-pairs")
       TextDedup.minhashNearDupPairs(Tables.documents(s, d),
           nHashes = 6, minJaccard = 0.95)
         .write.mode("overwrite").parquet(p)

@@ -28,6 +28,14 @@ case class CapOut(doc_id: Long, source: String, day: String,
   * [[StreamingDedup]] covers ValueState+TTL, [[StatefulSessionizeV2]]
   * covers timers, this covers MapState.
   *
+  * State is BOUNDED by explicit per-entry eviction, not TTL (TTL is a
+  * processing-time clock; day keys live on DATA time): after each batch,
+  * day keys older than the newest `retainDays` distinct days seen for
+  * the source are removed, so a long-lived source holds ≤ retainDays +
+  * batch-new-days entries. Day strings must sort chronologically (ISO
+  * `yyyy-MM-dd`), and `retainDays` must cover the pipeline's late-data
+  * horizon — a row for an evicted day re-opens that day's counter at 0.
+  *
   * Determinism: batches are unordered, so rows are ranked (day, doc_id)
   * within each micro-batch before counting — the same salted-rank idea
   * as the batch operator reduced to arrival order across batches plus a
@@ -35,7 +43,7 @@ case class CapOut(doc_id: Long, source: String, day: String,
   */
 object StreamingSourceCap {
 
-  class CapProcessor(maxPerSourcePerDay: Long)
+  class CapProcessor(maxPerSourcePerDay: Long, retainDays: Int = 7)
       extends StatefulProcessor[String, CapIn, CapOut] {
     @transient private var counts: MapState[String, Long] = _
 
@@ -55,18 +63,27 @@ object StreamingSourceCap {
         out += CapOut(r.doc_id, key, r.day, rank,
           admitted = rank <= maxPerSourcePerDay)
       }
+      // bound the map: evict day entries older than the newest
+      // `retainDays` distinct days this source has ever counted (ISO day
+      // strings sort chronologically). Iterating keys here is O(entries),
+      // which eviction itself keeps ≤ retainDays + new-days-this-batch.
+      val days = counts.keys().toArray.sorted
+      if (days.length > retainDays)
+        days.dropRight(retainDays).foreach(counts.removeKey)
       out.result().iterator
     }
   }
 
   /** Admission stream keyed by source. Requires the RocksDB state store
     * provider (state v2). Downstream keeps `admitted` rows; the rejected
-    * ones flow too so a pipeline can count what the cap dropped. */
-  def cap(in: Dataset[CapIn], maxPerSourcePerDay: Long)(
+    * ones flow too so a pipeline can count what the cap dropped.
+    * `retainDays` bounds per-source state (see the eviction note above). */
+  def cap(in: Dataset[CapIn], maxPerSourcePerDay: Long,
+      retainDays: Int = 7)(
       implicit spark: SparkSession): Dataset[CapOut] = {
     import spark.implicits._
     in.groupByKey(_.source)
-      .transformWithState(new CapProcessor(maxPerSourcePerDay),
+      .transformWithState(new CapProcessor(maxPerSourcePerDay, retainDays),
         TimeMode.None(), OutputMode.Append())
   }
 }

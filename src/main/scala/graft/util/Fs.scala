@@ -56,4 +56,23 @@ object Fs {
     if (!fs(spark, src).rename(new Path(src), new Path(dst)))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
   }
+
+  /** Create a local temp directory that is recursively deleted on JVM
+    * exit — for process-lifetime memo artifacts (derived-pair parquet,
+    * per-process index builds) that would otherwise accumulate across
+    * runs. Driver-local java.nio on purpose: these memos are per-process
+    * scratch, not cluster state. */
+  def tempDirDeletedOnExit(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(q => { Files.deleteIfExists(q); () })
+      }
+    }
+    p.toString
+  }
 }

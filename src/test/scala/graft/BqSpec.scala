@@ -100,6 +100,44 @@ class BqSpec extends SparkSpec {
     assert(e2.getMessage.contains("divide"))
   }
 
+  test("hammingNearDupPairs: wide bands (g > 4 bytes) keep exactness AND " +
+      "distinct buckets — the shift-wrap regression case") {
+    // 128-dim codes (4 words = 16 bytes) at maxHd = 0 give ONE 16-byte
+    // band (g = 16): the old shift-packing wrapped the shift amount past
+    // the lane width there, aliasing distant bytes onto the same bits.
+    // Exactness still held (equal bands stayed equal) but unrelated rows
+    // collided; the hashed band value must keep both properties.
+    def baseVec(i: Long): Seq[Float] =
+      (0 until 128).map(j => if (((i >> (j % 6)) & 1L) == 1L) 10f else 0f)
+    val wide = (
+      (0L until 48L).map(i => (i, baseVec(i))) ++
+      // exact twins (hd = 0 pairs) and 1-dim flips (hd = 1 pairs)
+      (0L until 4L).map(i => (100L + i, baseVec(i))) ++
+      (4L until 8L).map(i => (200L + i,
+        baseVec(i).zipWithIndex.map { case (v, j) =>
+          if (j == 0) 10f - v else v }))
+    ).toDF("id", "vector")
+    val wb = SqIndex.trainBounds(wide)
+    val wbits = BqIndex.encode(wide, wb)
+    val rows = wbits.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(rows.forall(_._2.length == 4)) // 16-byte codes
+    def hd(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    for (maxHd <- Seq(0, 1, 3)) { // g = 16, 8, 4
+      val want = (for {
+        i <- rows.indices; j <- (i + 1) until rows.length
+        d = hd(rows(i)._2, rows(j)._2) if d <= maxHd
+      } yield (rows(i)._1, rows(j)._1, d)).toSet
+      val got = BqIndex.hammingNearDupPairs(wbits, maxHd)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"maxHd=$maxHd")
+      // the twins guarantee the check is non-vacuous: 4 exact-dup pairs
+      // at every radius, plus 4 hd = 1 pairs once maxHd >= 1
+      assert(want.size >= (if (maxHd == 0) 4 else 8), s"maxHd=$maxHd")
+    }
+  }
+
   test("shortlist + exact re-rank: knnExact contract, recall clears the " +
       "1-bit fixture floor") {
     val res = BqIndex.searchBqRerankScored(nodesDf, bits, bounds,

@@ -68,6 +68,66 @@ object CorpusOps {
       |   div $t""".stripMargin.replaceAll("\n", " "))
   }
 
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining layout:
+    * documents concatenate in `idCol` order into one global token stream,
+    * the stream chunks into fixed `seqTokens`-token training sequences,
+    * and a document straddling a chunk boundary SPLITS across sequences
+    * (no padding, no packing waste — the standard trade-off against
+    * truncation/first-fit packing). Output is the fragment table that a
+    * sequence writer consumes: one row per (sequence, document fragment)
+    * with `seq_id`, `doc_id`, `start_tok` (fragment start within the
+    * doc), `frag_tokens`, and `pos_in_seq` (fragment start within the
+    * sequence) — every sequence except the last sums to exactly
+    * `seqTokens`.
+    *
+    * Scale: the global prefix sum NEVER runs a corpus-sized unpartitioned
+    * window. Stage 1 range-partitions the narrow (id, n_toks) projection
+    * and cumsums WITHIN each partition (parallel); stage 2 cumsums the
+    * per-partition totals — one window over ≤ `partitions` rows — and
+    * broadcasts the offsets back. The result is the exact global running
+    * sum under any partitioning (within-partition prefix + prior-partition
+    * totals), so the output is partitioning-invariant and engine-exact
+    * (all-BIGINT arithmetic).
+    *
+    * Token definition = split fields ([[mixtureStats]]'s rule: consistent
+    * denominator, one pass); docs with NULL text drop (their token count
+    * is NULL, excluded in both engines). */
+  def packSequences(docs: DataFrame, seqTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      partitions: Int = 0): DataFrame = {
+    require(seqTokens > 0, s"seqTokens $seqTokens")
+    val b = seqTokens.toLong
+    val toks = docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+    val nPart =
+      if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = toks.repartitionByRange(nPart, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("local_cum",
+      sum(col("n_toks")).over(
+        Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+    val offsets = local.groupBy(col("pid"))
+      .agg(sum(col("n_toks")).as("pid_total"))
+      .withColumn("pid_offset",
+        coalesce(sum(col("pid_total")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("pid_offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("off", col("pid_offset") + col("local_cum") - col("n_toks"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"off div $b"), expr(s"(off + n_toks - 1) div $b"))))
+      .withColumn("start_tok",
+        greatest(lit(0L), col("seq_id") * lit(b) - col("off")))
+      .withColumn("end_tok",
+        least(col("n_toks"), (col("seq_id") + lit(1L)) * lit(b) - col("off")))
+      .select(col("seq_id"), col("doc_id"), col("start_tok"),
+        (col("end_tok") - col("start_tok")).as("frag_tokens"),
+        (col("off") + col("start_tok") - col("seq_id") * lit(b))
+          .as("pos_in_seq"))
+  }
+
   /** Training-mixture table: per (lang, source) doc and whitespace-token
     * counts plus `share_micro` — the source's integer-micro share of all
     * corpus tokens ([[microShare]]: exact overflow-safe BIGINT floor

@@ -220,6 +220,15 @@ object TextQueries {
     "t13_mixture_stats" -> ((s, d) =>
       graft.operators.CorpusOps.mixtureStats(Tables.documents(s, d))),
 
+    // Concat-and-chunk sequence packing (the GPT-style pretraining
+    // layout): docs concatenate in doc_id order, the token stream chunks
+    // into 512-token training sequences, boundary docs split into
+    // fragments. All-BIGINT arithmetic; the two-level prefix sum is
+    // partitioning-invariant, so the fragment table is engine-exact.
+    "t15_seq_packing" -> ((s, d) =>
+      graft.operators.CorpusOps.packSequences(
+        Tables.documents(s, d), seqTokens = 512)),
+
     // The span-dedup ACTION (Lee et al.): remove every token covered by a
     // cross-doc duplicated 4-gram span and reassemble the cleaned text —
     // d09's counts turned into the transform a pipeline applies. The
@@ -584,6 +593,28 @@ object TextQueries {
         |  (n_tokens::HUGEINT * 1000000 // (SELECT sum(n_tokens) FROM m))
         |    ::BIGINT AS share_micro
         |FROM m""".stripMargin,
+    "t15_seq_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS off
+        |  FROM toks WHERE n_toks > 0),
+        |frag AS (
+        |  SELECT doc_id, n_toks, off,
+        |    unnest(generate_series(off // 512, (off + n_toks - 1) // 512))
+        |      AS seq
+        |  FROM cum)
+        |SELECT seq AS seq_id, doc_id,
+        |  GREATEST(0, seq * 512 - off)::BIGINT AS start_tok,
+        |  (LEAST(n_toks, (seq + 1) * 512 - off)
+        |    - GREATEST(0, seq * 512 - off))::BIGINT AS frag_tokens,
+        |  (off + GREATEST(0, seq * 512 - off) - seq * 512)::BIGINT
+        |    AS pos_in_seq
+        |FROM frag""".stripMargin,
     "t06_contamination" ->
       """WITH g AS (
         |  SELECT doc_id,

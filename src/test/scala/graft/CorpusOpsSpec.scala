@@ -98,4 +98,53 @@ class CorpusOpsSpec extends SparkSpec {
       .select("share_micro").as[Long].collect().toSeq
     assert(shares === Seq(333333L, 333333L, 333333L))
   }
+
+  test("packSequences: hand-computed fragments, boundary docs split") {
+    // token counts [3, 4, 2] at budget 4: offsets 0, 3, 7 →
+    //   doc 1 fits seq 0; doc 2 splits 1+3 across seqs 0/1;
+    //   doc 3 splits 1+1 across seqs 1/2
+    val tiny = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val got = CorpusOps.packSequences(tiny, seqTokens = 4)
+      .orderBy("seq_id", "pos_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      (0L, 1L, 0L, 3L, 0L), (0L, 2L, 0L, 1L, 3L),
+      (1L, 2L, 1L, 3L, 0L), (1L, 3L, 0L, 1L, 3L),
+      (2L, 3L, 1L, 1L, 0L)))
+  }
+
+  test("packSequences: invariants at corpus shape + partitioning " +
+      "invariance of the two-level prefix sum") {
+    val base = CorpusOps.packSequences(docs, seqTokens = 7)
+    val rows = base.as[(Long, Long, Long, Long, Long)].collect()
+    // every sequence except the last is exactly full
+    val bySeq = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val lastSeq = bySeq.map(_._1).max
+    for ((seq, frs) <- bySeq if seq != lastSeq)
+      assert(frs.map(_._4).sum === 7L, s"seq $seq not full")
+    // fragments within a sequence tile it: sorted pos_in_seq is the
+    // running sum of fragment lengths from 0
+    for ((seq, frs) <- bySeq) {
+      val sorted = frs.sortBy(_._5)
+      sorted.foldLeft(0L) { case (expectPos, f) =>
+        assert(f._5 === expectPos, s"gap in seq $seq")
+        expectPos + f._4
+      }
+    }
+    // fragments per doc cover the doc contiguously
+    for ((doc, frs) <- rows.groupBy(_._2)) {
+      val sorted = frs.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 === b._3, s"doc $doc gap")
+        case _ =>
+      }
+    }
+    // same fragments no matter how the input arrives partitioned
+    val shuffled = CorpusOps.packSequences(
+      docs.repartition(7, col("source")), seqTokens = 7, partitions = 3)
+    assert(shuffled.as[(Long, Long, Long, Long, Long)].collect().toSet ===
+      rows.toSet)
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Seeded Johnson–Lindenstrauss random projection: embed `inDim`-dim
+  * vectors into `outDim` dims through a deterministic Gaussian matrix
+  * (JL lemma: pairwise distances/angles are preserved within ε with
+  * outDim = O(log n / ε²) — the standard pre-compression in front of
+  * clustering / dedup / ANN when the raw embedding width, not the row
+  * count, is the byte bottleneck).
+  *
+  * Determinism contract ([[IndexBuild.pstableProjections]]'s pattern):
+  * the matrix is Box–Muller over a splitmix64 integer mix of
+  * (seed, row, dim) — a pure function of the seed, reproducible across
+  * JVMs, and inlinable into oracle SQL as exact double literals
+  * (Float→Double widening is value-preserving, Double.toString
+  * round-trips), so an external engine re-derives every projected value
+  * bit-for-bit. Projections are plain dot products against broadcast
+  * literals: one narrow map-side pass, no shuffle, whole-stage codegen.
+  *
+  * No 1/√outDim rescale: cosine (the downstream metric here) is
+  * scale-invariant, and callers composing with L2 ops can fold the
+  * constant into their own threshold.
+  */
+object RandomProjection {
+
+  /** Splitmix64-style deterministic pseudo-uniform in [-1, 1]. */
+  private def mix(seed: Long, a: Long, b: Long): Double = {
+    var z = seed + a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** The outDim × inDim Gaussian projection matrix for `seed` — exposed
+    * so oracle SQL generation can inline the same literals. */
+  def gaussians(seed: Long, outDim: Int, inDim: Int): Array[Array[Float]] =
+    Array.tabulate(outDim) { p =>
+      Array.tabulate(inDim) { j =>
+        val u1 = math.max(1e-12, (mix(seed, 2L * p, j) + 1.0) / 2.0)
+        val u2 = math.max(1e-12, (mix(seed, 2L * p + 1, j) + 1.0) / 2.0)
+        (math.sqrt(-2.0 * math.log(u1))
+          * math.cos(2.0 * math.Pi * u2)).toFloat
+      }
+    }
+
+  private def dots(vecCol: String, seed: Long, outDim: Int, inDim: Int)
+      : Seq[Column] =
+    gaussians(seed, outDim, inDim).toSeq.map { w =>
+      VectorFunctions.dotProduct(col(vecCol), typedLit(w.toSeq))
+    }
+
+  /** (id, vector ARRAY<FLOAT> of outDim) — the projected table, shaped
+    * for every downstream kernel/operator that consumes `vector`. */
+  def project(vecs: DataFrame, seed: Long, outDim: Int, inDim: Int,
+      idCol: String = "id", vecCol: String = "vector"): DataFrame =
+    vecs.select(col(idCol).as("id"),
+      array(dots(vecCol, seed, outDim, inDim).map(_.cast("float")): _*)
+        .as("vector"))
+
+  /** (id, proj_micro ARRAY<BIGINT>) — each projected coordinate
+    * floor-quantized to integer micros BEFORE any float narrowing, so
+    * the column is engine-exact under the repo's quantization rule
+    * (floor(x·1e6 + 0.5) on an identically-accumulated double). */
+  def projectMicro(vecs: DataFrame, seed: Long, outDim: Int, inDim: Int,
+      idCol: String = "id", vecCol: String = "vector"): DataFrame =
+    vecs.select(col(idCol).as("id"),
+      array(dots(vecCol, seed, outDim, inDim).map(d =>
+        floor(d * lit(1000000.0) + lit(0.5)).cast("long")): _*)
+        .as("proj_micro"))
+
+  /** DuckDB expressions for [[projectMicro]]'s array elements over
+    * `vecExpr` (a DOUBLE[] column) — the a08 oracle-inlining pattern. */
+  def microSqlExprs(vecExpr: String, seed: Long, outDim: Int, inDim: Int)
+      : Seq[String] =
+    gaussians(seed, outDim, inDim).toSeq.map { w =>
+      val arr = w.map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"floor(list_dot_product($vecExpr, $arr::DOUBLE[]) * 1000000 " +
+        "+ 0.5)::BIGINT"
+    }
+}

@@ -343,6 +343,16 @@ object TextQueries {
             .as("n_chars_ok"))
     }),
 
+    // Seeded Johnson–Lindenstrauss random projection 64 → 16: the
+    // dimensionality pre-compression in front of clustering/dedup/ANN.
+    // Coordinates floor-quantize to integer micros; the Gaussian matrix
+    // inlines into the oracle as exact double literals (the a08
+    // pattern), so DuckDB re-derives every projected value bit-for-bit.
+    "e02_random_projection" -> ((s, d) =>
+      graft.operators.RandomProjection.projectMicro(
+        Tables.embeddings(s, d), seed = 41L, outDim = 16, inDim = 64,
+        idCol = "vec_id", vecCol = "embedding")),
+
     // Order-insensitive content fingerprint (md5 of sorted token set).
     "t04_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -882,6 +892,15 @@ object TextQueries {
         |  sum(len(regexp_extract_all(text, '[a-z]+')))::BIGINT AS sum_alpha_tokens,
         |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)::BIGINT AS n_chars_ok
         |FROM documents GROUP BY lang""".stripMargin,
+    "e02_random_projection" -> {
+      val exprs = graft.operators.RandomProjection
+        .microSqlExprs("embedding::DOUBLE[]", seed = 41L, outDim = 16,
+          inDim = 64)
+        .mkString("[", ",\n        |   ", "]")
+      s"""SELECT vec_id AS id,
+        |  $exprs AS proj_micro
+        |FROM embeddings""".stripMargin
+    },
     "e01_feature_hash" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok

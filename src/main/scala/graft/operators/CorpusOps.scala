@@ -128,6 +128,61 @@ object CorpusOps {
           .as("pos_in_seq"))
   }
 
+  /** Rebalance the corpus to a target source mixture by deterministic
+    * downsampling — the data-mixing step training pipelines run between
+    * [[mixtureStats]] (measure) and training (consume): given relative
+    * target weights per source, keep ALL of the most-underrepresented
+    * source (relative to its target) and thin every other source so
+    * expected token shares land on the target ratios. No upsampling —
+    * one pass, maximum data retention under the target.
+    *
+    * Determinism/portability: per-source acceptance rates are EXACT
+    * integer micros derived with BigInt on the driver (the per-source
+    * totals table is tiny; numerators reach ~1e25 at 100 TB-corpus
+    * magnitudes, past BIGINT but trivially inside BigInt/HUGEINT — the
+    * oracle re-derives the same rates in HUGEINT SQL). The binding
+    * source is the argmax of floor(target·10²⁴ / actual) with ties to
+    * the lexicographically smallest source — a scaled-floor rule both
+    * engines compute identically. A doc survives iff its salted-md5
+    * micro-bucket ([[Sampling.hashKey]] mod 1e6) falls under its
+    * source's rate: engine/partitioning-invariant and growth-stable
+    * (adding docs never flips another doc's fate at fixed rates).
+    *
+    * Sources with no target weight (and NULL-source docs) drop; target
+    * weights are RELATIVE (they need not sum to anything). Output =
+    * surviving docs + `n_toks` ([[mixtureStats]]' split-fields rule) +
+    * the source's `rate_micro` for auditability. */
+  def resampleToMixture(docs: DataFrame, targets: Map[String, Long],
+      idCol: String = "doc_id", srcCol: String = "source",
+      textCol: String = "text", salt: String = "mix"): DataFrame = {
+    require(targets.nonEmpty, "no target weights")
+    require(targets.values.forall(_ > 0), s"non-positive target weight")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      size(split(col(textCol), " ")).cast("long").as("n_toks"))
+    val actual = toks.filter(col("source").isin(targets.keys.toSeq: _*))
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("a"))
+      .as[(String, Long)].collect().toMap
+    require(actual.nonEmpty,
+      s"no corpus docs under any targeted source ${targets.keys.toSeq.sorted}")
+    val scale = BigInt(10).pow(24)
+    // binding source m: the max of target/actual under the scaled-floor
+    // rule; every rate is then r_s = floor(1e6·t_s·a_m / (a_s·t_m)) ≤ 1e6
+    val m = actual.keys.minBy(s =>
+      (-(BigInt(targets(s)) * scale / BigInt(actual(s))), s))
+    val rates = actual.keys.toSeq.sorted.map { s =>
+      val r = BigInt(1000000) * BigInt(targets(s)) * BigInt(actual(m)) /
+        (BigInt(actual(s)) * BigInt(targets(m)))
+      (s, r.toLong)
+    }.toDF("source", "rate_micro")
+    toks.join(broadcast(rates), Seq("source"))
+      .filter(pmod(Sampling.hashKey(col("doc_id"), salt), lit(1000000L)) <
+        col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("rate_micro"))
+  }
+
   /** Training-mixture table: per (lang, source) doc and whitespace-token
     * counts plus `share_micro` — the source's integer-micro share of all
     * corpus tokens ([[microShare]]: exact overflow-safe BIGINT floor

@@ -220,6 +220,15 @@ object TextQueries {
     "t13_mixture_stats" -> ((s, d) =>
       graft.operators.CorpusOps.mixtureStats(Tables.documents(s, d))),
 
+    // Mixture resampling (the data-mixing step between t13's measurement
+    // and training): rebalance sources to relative target weights 3:1:2
+    // by deterministic salted-hash downsampling — the binding source
+    // keeps everything, the rest thin to exact integer-micro rates the
+    // oracle re-derives in HUGEINT.
+    "t16_mixture_resample" -> ((s, d) =>
+      graft.operators.CorpusOps.resampleToMixture(Tables.documents(s, d),
+        targets = Map("src1" -> 3L, "src2" -> 1L, "src3" -> 2L))),
+
     // Concat-and-chunk sequence packing (the GPT-style pretraining
     // layout): docs concatenate in doc_id order, the token stream chunks
     // into 512-token training sequences, boundary docs split into
@@ -603,6 +612,33 @@ object TextQueries {
         |  (n_tokens::HUGEINT * 1000000 // (SELECT sum(n_tokens) FROM m))
         |    ::BIGINT AS share_micro
         |FROM m""".stripMargin,
+    "t16_mixture_resample" ->
+      """WITH t(source, tw) AS (
+        |  VALUES ('src1', 3), ('src2', 1), ('src3', 2)),
+        |toks AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents),
+        |a AS (
+        |  SELECT tk.source, sum(tk.n_toks)::BIGINT AS a,
+        |    any_value(t.tw)::BIGINT AS tw
+        |  FROM toks tk JOIN t ON tk.source = t.source
+        |  GROUP BY tk.source),
+        |m AS (
+        |  SELECT source AS msrc, a AS ma, tw AS mtw FROM a
+        |  ORDER BY (tw::HUGEINT
+        |    * '1000000000000000000000000'::HUGEINT // a::HUGEINT) DESC,
+        |    source ASC
+        |  LIMIT 1),
+        |r AS (
+        |  SELECT a.source,
+        |    ((1000000::HUGEINT * a.tw::HUGEINT * m.ma::HUGEINT)
+        |      // (a.a::HUGEINT * m.mtw::HUGEINT))::BIGINT AS rate_micro
+        |  FROM a, m)
+        |SELECT tk.doc_id, tk.source, tk.n_toks, r.rate_micro
+        |FROM toks tk JOIN r ON tk.source = r.source
+        |WHERE ('0x' || substr(md5('mix:' || CAST(tk.doc_id AS VARCHAR)),
+        |    1, 15))::BIGINT % 1000000 < r.rate_micro""".stripMargin,
     "t15_seq_packing" ->
       """WITH toks AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks

@@ -99,6 +99,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shares === Seq(333333L, 333333L, 333333L))
   }
 
+  test("resampleToMixture: binding source keeps all, others thin to " +
+      "exact micro rates, untargeted sources drop") {
+    // 10 docs × 4 tokens per source: src0..src2 all have 40 tokens.
+    // targets src0:2, src1:1 → src0 is binding (keeps 100%), src1 rate
+    // = 1e6·1·40/(40·2) = 500000, src2 untargeted → gone
+    val out = CorpusOps.resampleToMixture(docs,
+        targets = Map("src0" -> 2L, "src1" -> 1L))
+      .as[(Long, String, Long, Long)].collect()
+    assert(!out.exists(_._2 == "src2"))
+    val src0 = out.filter(_._2 == "src0")
+    assert(src0.length === 10 && src0.forall(_._4 === 1000000L))
+    val src1 = out.filter(_._2 == "src1")
+    assert(src1.forall(_._4 === 500000L))
+    // survivors are exactly the docs whose salted micro-bucket clears
+    // the rate — recompute the rule independently
+    val buckets = docs.filter(col("source") === "src1")
+      .select(col("doc_id"),
+        pmod(graft.operators.Sampling.hashKey(col("doc_id"), "mix"),
+          lit(1000000L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val wantSrc1 = buckets.filter(_._2 < 500000L).keySet
+    assert(src1.map(_._1).toSet === wantSrc1)
+    assert(wantSrc1.nonEmpty && wantSrc1.size < 10) // the thinning is real
+    // partitioning invariance
+    val re = CorpusOps.resampleToMixture(docs.repartition(7),
+        targets = Map("src0" -> 2L, "src1" -> 1L))
+      .as[(Long, String, Long, Long)].collect()
+    assert(re.toSet === out.toSet)
+  }
+
+  test("resampleToMixture: guards reject empty/non-positive targets and " +
+      "targets disjoint from the corpus") {
+    intercept[IllegalArgumentException](
+      CorpusOps.resampleToMixture(docs, targets = Map.empty))
+    intercept[IllegalArgumentException](
+      CorpusOps.resampleToMixture(docs, targets = Map("src0" -> 0L)))
+    intercept[IllegalArgumentException](
+      CorpusOps.resampleToMixture(docs, targets = Map("nope" -> 1L)))
+  }
+
   test("packSequences: hand-computed fragments, boundary docs split") {
     // token counts [3, 4, 2] at budget 4: offsets 0, 3, 7 →
     //   doc 1 fits seq 0; doc 2 splits 1+3 across seqs 0/1;

@@ -128,6 +128,42 @@ object CorpusOps {
           .as("pos_in_seq"))
   }
 
+  /** Mixture drift between two corpus snapshots: the per-source terms of
+    * KL(p‖q) where p = snapshot A's token mixture and q = snapshot B's —
+    * the monitor a pipeline runs between crawl versions to catch a
+    * source silently exploding or vanishing before the trained model
+    * does. Output per source present in BOTH snapshots (KL is undefined
+    * on disjoint support — absent sources surface through the count
+    * columns of [[mixtureStats]] diffs, not here): token counts, exact
+    * integer-micro shares ([[microShare]]), `lnr_micro` =
+    * floor(ln(p/q)·1e6 + 0.5), and `contrib_micro2` = p_micro·lnr_micro
+    * (micro² units; BIGINT-exact given the quantized factors — Σ/1e12 ≈
+    * the KL in nats). The ratio evaluates as (n_a/T_a)/(n_b/T_b) —
+    * correctly-rounded IEEE divisions in an identical tree on any
+    * engine; the libm-ln 1-ulp exposure is per SOURCE (the t14 rule).
+    *
+    * Scale: each side aggregates ONCE to source cardinality (map-side
+    * combinable); everything after runs on tiny per-source tables. */
+  def mixtureDrift(a: DataFrame, b: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    def perSource(df: DataFrame, n: String, t: String): DataFrame =
+      df.groupBy(col(srcCol))
+        .agg(sum(size(split(col(textCol), " ")).cast("long")).as(n))
+        .withColumn(t, sum(col(n)).over(Window.partitionBy()))
+    val pa = perSource(a, "n_tok_a", "t_a")
+    val pb = perSource(b, "n_tok_b", "t_b")
+    pa.join(pb, Seq(srcCol))
+      .withColumn("lnr_micro", floor(log(
+        (col("n_tok_a").cast("double") / col("t_a").cast("double")) /
+          (col("n_tok_b").cast("double") / col("t_b").cast("double")))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col(srcCol), col("n_tok_a"), col("n_tok_b"),
+        microShare("n_tok_a", "t_a").as("p_micro"),
+        microShare("n_tok_b", "t_b").as("q_micro"),
+        col("lnr_micro"))
+      .withColumn("contrib_micro2", col("p_micro") * col("lnr_micro"))
+  }
+
   /** Rebalance the corpus to a target source mixture by deterministic
     * downsampling — the data-mixing step training pipelines run between
     * [[mixtureStats]] (measure) and training (consume): given relative

@@ -37,6 +37,37 @@ object Sampling {
     df.filter(bucketOf(col(keyCol), salt) <
       lit(math.round(fraction * Buckets)))
 
+  /** Weighted sample without replacement: k rows with inclusion
+    * probability ∝ `weightCol` (Efraimidis–Spirakis A-Res: rank by
+    * u^(1/w), equivalently by ln(u)/w — the importance-weighted pick a
+    * pipeline uses to pull an annotation/eval subset biased toward
+    * high-quality or long documents). Deterministic and engine-portable
+    * like everything in this object: u derives from the salted md5 key
+    * as an exact rational, ln(u) quantizes to integer micros
+    * (`lnu_micro`; the libm-ln 1-ulp exposure is per distinct KEY — the
+    * t14 rule), and the sort key is `lnu_micro / w` — one
+    * correctly-rounded IEEE division of exactly-representable integers,
+    * bit-identical on any engine. Ties break by key asc.
+    *
+    * Weights must be POSITIVE INTEGERS (exact cross-engine comparison;
+    * a double weight column would reintroduce accumulation skew).
+    * Scale: global top-k via orderBy+limit — TakeOrderedAndProject,
+    * partition-local heaps + driver merge, no single-partition window.
+    * Output = input columns + `lnu_micro` (the exact half of the sort
+    * key, for audit/re-derivation). */
+  def weightedSample(df: DataFrame, k: Int, keyCol: String,
+      weightCol: String, salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k $k")
+    val u = (pmod(hashKey(col(keyCol), salt), lit(1000000000L)) + lit(1))
+      .cast("double") / lit(1000000001.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("lnu_micro",
+        floor(log(u) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .orderBy((col("lnu_micro").cast("double") /
+        col(weightCol).cast("double")).desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Assign each row a named split by consecutive bucket ranges, e.g.
     * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. Weights must
     * sum to ≤ 1; any remainder falls into the LAST split (so a full

@@ -220,6 +220,32 @@ object TextQueries {
     "t13_mixture_stats" -> ((s, d) =>
       graft.operators.CorpusOps.mixtureStats(Tables.documents(s, d))),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis A-Res):
+    // 100 docs with inclusion probability ∝ token count — the
+    // importance-weighted annotation/eval pull. Sort key = integer-micro
+    // ln(u) over an exact integer weight: one correctly-rounded IEEE
+    // division, bit-identical cross-engine.
+    "t17_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("w", size(split(col("text"), " ")).cast("long"))
+      graft.operators.Sampling.weightedSample(docs, k = 100,
+          keyCol = "doc_id", weightCol = "w")
+        .select(col("doc_id"), col("w"), col("lnu_micro"))
+    }),
+
+    // Mixture drift KL(p||q) between two corpus snapshots (alternating
+    // 20-blocks of doc_ids as stand-in versions — the fixture's source
+    // is doc_id % 20, so a parity split would make supports DISJOINT;
+    // block-alternation covers every source on both sides): per-source
+    // exact micro shares, the quantized log-ratio, and BIGINT-exact
+    // contribution terms.
+    "t18_mixture_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.CorpusOps.mixtureDrift(
+        docs.filter(expr("(doc_id div 20) % 2 = 0")),
+        docs.filter(expr("(doc_id div 20) % 2 = 1")))
+    }),
+
     // Mixture resampling (the data-mixing step between t13's measurement
     // and training): rebalance sources to relative target weights 3:1:2
     // by deterministic salted-hash downsampling — the binding source
@@ -612,6 +638,45 @@ object TextQueries {
         |  (n_tokens::HUGEINT * 1000000 // (SELECT sum(n_tokens) FROM m))
         |    ::BIGINT AS share_micro
         |FROM m""".stripMargin,
+    "t17_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS w
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |k AS (
+        |  SELECT doc_id, w,
+        |    floor(ln((((('0x' || substr(md5('wsample:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000000000) + 1)) / 1000000001.0) * 1000000
+        |      + 0.5)::BIGINT AS lnu_micro
+        |  FROM w)
+        |SELECT doc_id, w, lnu_micro FROM k
+        |ORDER BY lnu_micro::DOUBLE / w DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
+    "t18_mixture_drift" ->
+      """WITH pa AS (
+        |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
+        |    AS n_tok_a
+        |  FROM documents WHERE (doc_id // 20) % 2 = 0 GROUP BY source),
+        |pb AS (
+        |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
+        |    AS n_tok_b
+        |  FROM documents WHERE (doc_id // 20) % 2 = 1 GROUP BY source),
+        |j AS (
+        |  SELECT pa.source, n_tok_a, n_tok_b,
+        |    (SELECT sum(n_tok_a) FROM pa)::BIGINT AS t_a,
+        |    (SELECT sum(n_tok_b) FROM pb)::BIGINT AS t_b
+        |  FROM pa JOIN pb USING (source)),
+        |r AS (
+        |  SELECT source, n_tok_a, n_tok_b,
+        |    (n_tok_a::HUGEINT * 1000000 // t_a)::BIGINT AS p_micro,
+        |    (n_tok_b::HUGEINT * 1000000 // t_b)::BIGINT AS q_micro,
+        |    floor(ln((n_tok_a::DOUBLE / t_a) / (n_tok_b::DOUBLE / t_b))
+        |      * 1000000 + 0.5)::BIGINT AS lnr_micro
+        |  FROM j)
+        |SELECT source, n_tok_a, n_tok_b, p_micro, q_micro, lnr_micro,
+        |  p_micro * lnr_micro AS contrib_micro2
+        |FROM r""".stripMargin,
     "t16_mixture_resample" ->
       """WITH t(source, tw) AS (
         |  VALUES ('src1', 3), ('src2', 1), ('src3', 2)),

@@ -139,6 +139,35 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.resampleToMixture(docs, targets = Map("nope" -> 1L)))
   }
 
+  test("mixtureDrift: hand-computed KL terms; identical snapshots give " +
+      "zero drift; disjoint-support sources drop") {
+    val a = Seq(
+      (1L, "a b c d e f", "s1"), (2L, "a b", "s2"),     // s1: 6, s2: 2
+      (3L, "x y", "onlyA")).toDF("doc_id", "text", "source")
+    val b = Seq(
+      (4L, "a b c d", "s1"), (5L, "a b c d", "s2"),     // s1: 4, s2: 4
+      (6L, "x y", "onlyB")).toDF("doc_id", "text", "source")
+    val out = CorpusOps.mixtureDrift(a, b)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("s1", "s2")) // disjoint support drops
+    // totals include ALL sources on each side: T_a = 10, T_b = 10
+    val (_, na1, nb1, p1, q1, lnr1, c1) = out("s1")
+    assert((na1, nb1) === ((6L, 4L)))
+    assert(p1 === 600000L && q1 === 400000L)
+    val wantLnr1 = math.floor(
+      math.log((6.0 / 10.0) / (4.0 / 10.0)) * 1000000.0 + 0.5).toLong
+    assert(lnr1 === wantLnr1 && c1 === p1 * wantLnr1)
+    val (_, _, _, p2, q2, lnr2, c2) = out("s2")
+    assert(p2 === 200000L && q2 === 400000L)
+    assert(lnr2 < 0 && c2 === p2 * lnr2) // shrunk source: negative term
+    // identical snapshots: every log-ratio and contribution is exactly 0
+    val same = CorpusOps.mixtureDrift(a, a)
+      .select("lnr_micro", "contrib_micro2")
+      .as[(Long, Long)].collect()
+    assert(same.nonEmpty && same.forall(_ == ((0L, 0L))))
+  }
+
   test("packSequences: hand-computed fragments, boundary docs split") {
     // token counts [3, 4, 2] at budget 4: offsets 0, 3, 7 →
     //   doc 1 fits seq 0; doc 2 splits 1+3 across seqs 0/1;

@@ -46,6 +46,37 @@ class SamplingSpec extends SparkSpec {
     assert(ids === ids2)
   }
 
+  test("weightedSample: selection matches a driver-side A-Res mirror, " +
+      "is partitioning-invariant, and favors heavy rows") {
+    val rows = Seq.tabulate(60) { i =>
+      (i.toLong, if (i < 10) 50L else 1L) // 10 heavy rows, 50 light
+    }.toDF("id", "w")
+    val got = Sampling.weightedSample(rows, k = 15, keyCol = "id",
+        weightCol = "w")
+      .select("id").as[Long].collect().toSet
+    // driver mirror of the documented rule: u from the salted hash,
+    // micro-quantized ln, key = lnu_micro / w, top-15 desc (ties id asc)
+    val hk = rows.select(col("id"),
+        Sampling.hashKey(col("id"), "wsample").as("h"), col("w"))
+      .as[(Long, Long, Long)].collect()
+    val want = hk.map { case (id, h, w) =>
+      val u = ((h % 1000000000L) + 1L).toDouble / 1000000001.0
+      val lnu = math.floor(math.log(u) * 1000000.0 + 0.5)
+      (id, lnu / w)
+    }.sortBy { case (id, k) => (-k, id) }.take(15).map(_._1).toSet
+    assert(got === want)
+    // a 50x weight should dominate the sample: most heavy rows survive
+    assert(got.count(_ < 10L) >= 7, s"heavy rows in sample: $got")
+    val re = Sampling.weightedSample(rows.repartition(7), k = 15,
+        keyCol = "id", weightCol = "w")
+      .select("id").as[Long].collect().toSet
+    assert(re === got)
+    // non-positive weights are excluded, not sampled
+    val withZero = rows.union(Seq((100L, 0L)).toDF("id", "w"))
+    assert(!Sampling.weightedSample(withZero, k = 60, keyCol = "id",
+      weightCol = "w").select("id").as[Long].collect().contains(100L))
+  }
+
   test("weights must sum to <= 1") {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))

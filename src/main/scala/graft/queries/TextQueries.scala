@@ -246,6 +246,19 @@ object TextQueries {
         docs.filter(expr("(doc_id div 20) % 2 = 1")))
     }),
 
+    // Composed training-batch assembly — the ops chained the way the
+    // real job runs them: mixture resample (t16's rates) → sequence
+    // packing (t15's chunking) over the SURVIVORS ONLY. Packing offsets
+    // depend on which docs survived, so the oracle chain verifies the
+    // composition, not just the stages (the d10 rule).
+    "t19_training_assembly" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = graft.operators.CorpusOps.resampleToMixture(docs,
+        targets = Map("src1" -> 3L, "src2" -> 1L, "src3" -> 2L))
+      graft.operators.CorpusOps.packSequences(
+        docs.join(kept.select("doc_id"), Seq("doc_id")), seqTokens = 256)
+    }),
+
     // Mixture resampling (the data-mixing step between t13's measurement
     // and training): rebalance sources to relative target weights 3:1:2
     // by deterministic salted-hash downsampling — the binding source
@@ -677,6 +690,52 @@ object TextQueries {
         |SELECT source, n_tok_a, n_tok_b, p_micro, q_micro, lnr_micro,
         |  p_micro * lnr_micro AS contrib_micro2
         |FROM r""".stripMargin,
+    "t19_training_assembly" ->
+      """WITH t(source, tw) AS (
+        |  VALUES ('src1', 3), ('src2', 1), ('src3', 2)),
+        |toks0 AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents),
+        |a AS (
+        |  SELECT tk.source, sum(tk.n_toks)::BIGINT AS a,
+        |    any_value(t.tw)::BIGINT AS tw
+        |  FROM toks0 tk JOIN t ON tk.source = t.source
+        |  GROUP BY tk.source),
+        |m AS (
+        |  SELECT source AS msrc, a AS ma, tw AS mtw FROM a
+        |  ORDER BY (tw::HUGEINT
+        |    * '1000000000000000000000000'::HUGEINT // a::HUGEINT) DESC,
+        |    source ASC
+        |  LIMIT 1),
+        |r AS (
+        |  SELECT a.source,
+        |    ((1000000::HUGEINT * a.tw::HUGEINT * m.ma::HUGEINT)
+        |      // (a.a::HUGEINT * m.mtw::HUGEINT))::BIGINT AS rate_micro
+        |  FROM a, m),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.n_toks
+        |  FROM toks0 tk JOIN r ON tk.source = r.source
+        |  WHERE ('0x' || substr(md5('mix:' || CAST(tk.doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 1000000 < r.rate_micro),
+        |cum AS (
+        |  SELECT doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS off
+        |  FROM kept WHERE n_toks > 0),
+        |frag AS (
+        |  SELECT doc_id, n_toks, off,
+        |    unnest(generate_series(off // 256, (off + n_toks - 1) // 256))
+        |      AS seq
+        |  FROM cum)
+        |SELECT seq AS seq_id, doc_id,
+        |  GREATEST(0, seq * 256 - off)::BIGINT AS start_tok,
+        |  (LEAST(n_toks, (seq + 1) * 256 - off)
+        |    - GREATEST(0, seq * 256 - off))::BIGINT AS frag_tokens,
+        |  (off + GREATEST(0, seq * 256 - off) - seq * 256)::BIGINT
+        |    AS pos_in_seq
+        |FROM frag""".stripMargin,
     "t16_mixture_resample" ->
       """WITH t(source, tw) AS (
         |  VALUES ('src1', 3), ('src2', 1), ('src3', 2)),

@@ -134,4 +134,55 @@ object TextFeaturizer {
       .select(col("id").as(idCol), col("n_tokens"), col("sum_logp_micro"),
         expr("sum_logp_micro div n_tokens").as("avg_logp_micro"))
   }
+
+  /** [[unigramLogLik]] upgraded one Markov order: a document's mean
+    * log-probability under a Jelinek–Mercer-interpolated bigram model of
+    * the corpus itself — score(doc) = mean over bigram positions of
+    * ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) with λ = 1/2, P(w₂|w₁) =
+    * c(w₁w₂)/c(w₁·) over bigram counts and P(w₂) = c(w₂)/N over
+    * unigrams. The interpolation is what makes the score total: an
+    * unseen-bigram position backs off to the unigram term instead of
+    * −∞. Captures local word ORDER (scrambled text scores like its
+    * unigram bag; natural text scores higher), the signal t14's
+    * order-free model cannot see.
+    *
+    * Determinism: the probability argument evaluates as
+    * λ·(c₁₂/c₁) + λ·(c_w/N) — correctly-rounded IEEE divisions/
+    * multiplies/one addition in an identical tree on any engine over
+    * exact BIGINT counts; per-BIGRAM ln quantizes to integer micros
+    * (the t14 1-ulp-per-distinct-key exposure), doc sums are exact
+    * BIGINT, the mean is `div` (truncation toward zero, both engines).
+    *
+    * Scale: the t14 shape one order up — aggregations are
+    * bigram-vocabulary-sized, the score attach is a (w₁, w₂)-keyed
+    * equi-join, docs with < 2 tokens drop (no bigram positions). */
+  def bigramLogLik(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = filter(split(col(textCol), " "), x => length(x) > 0)
+    val base = docs.select(col(idCol).as("id"), t.as("t"))
+    val toks = base.select(col("id"), explode(col("t")).as("term"))
+    val uniN = toks.agg(count(lit(1)).as("n_uni"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c_w"))
+    val bi = base.filter(size(col("t")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_12"))
+    val leftCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_1"))
+    val lp = biCnt.join(leftCnt, Seq("w1"))
+      .join(uni.withColumnRenamed("term", "w2"), Seq("w2"))
+      .crossJoin(broadcast(uniN))
+      .select(col("w1"), col("w2"),
+        floor(log(
+          lit(0.5) * (col("c_12").cast("double") / col("c_1").cast("double"))
+            + lit(0.5) * (col("c_w").cast("double") / col("n_uni").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("lp6"))
+    bi.join(lp, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("sum_logp_micro"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("sum_logp_micro"),
+        expr("sum_logp_micro div n_bigrams").as("avg_logp_micro"))
+  }
 }

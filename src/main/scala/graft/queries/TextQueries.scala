@@ -370,6 +370,12 @@ object TextQueries {
     "t14_unigram_loglik" -> ((s, d) =>
       graft.operators.TextFeaturizer.unigramLogLik(Tables.documents(s, d))),
 
+    // Interpolated bigram log-likelihood (t14 one Markov order up,
+    // Jelinek–Mercer λ=1/2): local word-order quality signal; every
+    // checked column integer-exact under the per-distinct-bigram ln rule.
+    "t20_bigram_loglik" -> ((s, d) =>
+      graft.operators.TextFeaturizer.bigramLogLik(Tables.documents(s, d))),
+
     // Quality scoring features per document. round-6 on the ratio is safe
     // under TextDedup's rounding rule (rational with denominator ≤ tokens).
     "t02_quality_score" -> ((s, d) => {
@@ -651,6 +657,32 @@ object TextQueries {
         |  (n_tokens::HUGEINT * 1000000 // (SELECT sum(n_tokens) FROM m))
         |    ::BIGINT AS share_micro
         |FROM m""".stripMargin,
+    "t20_bigram_loglik" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT term, count(*)::BIGINT AS c_w
+        |  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+        |n AS (SELECT sum(c_w)::BIGINT AS n_uni FROM uni),
+        |bip AS (
+        |  SELECT id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS c_12 FROM bip
+        |  GROUP BY w1, w2),
+        |lc AS (SELECT w1, count(*)::BIGINT AS c_1 FROM bip GROUP BY w1),
+        |lp AS (
+        |  SELECT bc.w1, bc.w2,
+        |    floor(ln(0.5 * (bc.c_12::DOUBLE / lc.c_1)
+        |        + 0.5 * (u.c_w::DOUBLE / n.n_uni))
+        |      * 1000000 + 0.5)::BIGINT AS lp6
+        |  FROM bc JOIN lc USING (w1) JOIN uni u ON u.term = bc.w2, n)
+        |SELECT b.id AS doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(p.lp6)::BIGINT AS sum_logp_micro,
+        |  (sum(p.lp6)::BIGINT // count(*)::BIGINT) AS avg_logp_micro
+        |FROM bip b JOIN lp p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |GROUP BY b.id""".stripMargin,
     "t17_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS w

@@ -95,4 +95,36 @@ class IvfFeaturizerSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(s(1L) > s(2L))
   }
+
+  test("bigramLogLik: hand-computed micros; word order moves the score " +
+      "where the unigram model is blind") {
+    // corpus "a b a b" + "b a": unigrams a=3, b=3, N=6; bigrams from
+    // doc1: ab, ba, ab; doc2: ba → c(ab)=2, c(ba)=2, c(a·)=2, c(b·)=2
+    // p(b|a) = 2/2 = 1 ... wait: bigrams starting with a: ab, ab → c_1(a)=2
+    // doc1 pairs (a,b),(b,a),(a,b); doc2 (b,a): c12(ab)=2, c12(ba)=2,
+    // c1(a)=2, c1(b)=2, p(b|a)=1, p(a|b)=1, p uni = 1/2 each →
+    // every position: ln(0.5·1 + 0.5·0.5) = ln(0.75)
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val lp75 = math.floor(math.log(0.75) * 1000000.0 + 0.5).toLong
+    val out = TextFeaturizer.bigramLogLik(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((3L, lp75 * 3, lp75)))
+    assert(out(2L) === ((1L, lp75, lp75)))
+    // docs with < 2 tokens drop (no bigram positions)
+    val short = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    assert(TextFeaturizer.bigramLogLik(short).count() === 1)
+    // order sensitivity: same token BAG, natural vs scrambled order —
+    // the doc matching the corpus's dominant order scores higher, which
+    // the order-free unigram model cannot distinguish
+    val ord = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "cat the sat")).toDF("doc_id", "text")
+    val b = TextFeaturizer.bigramLogLik(ord).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(b(1L) > b(4L))
+    val u = TextFeaturizer.unigramLogLik(ord).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(u(1L) === u(4L))
+  }
 }

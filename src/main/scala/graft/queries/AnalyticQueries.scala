@@ -220,6 +220,27 @@ object AnalyticQueries {
         unix_timestamp(col("ts")).as("epoch_s"))
     }),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (Spark 4 lateral
+    // join surface): per region, the top-2 customers by account balance —
+    // the per-row-parameterized-subquery construct that window functions
+    // only approximate (q05's shape through a different engine path).
+    "q42_lateral_topk" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("graft_region_lat")
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat")
+      s.sql("""
+        SELECT r.r_name, l.c_custkey, l.c_acctbal
+        FROM graft_region_lat r,
+        LATERAL (
+          SELECT c.c_custkey, c.c_acctbal
+          FROM graft_customer_lat c
+          JOIN graft_nation_lat n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY c.c_acctbal DESC, c.c_custkey
+          LIMIT 2) l
+      """)
+    }),
+
     // Null-handling battery: nulls synthesized deterministically (the
     // fixtures are fully non-null), then routed through coalesce / nullif
     // / nvl2-style branches, null-safe equality, and null-aware counts —
@@ -352,6 +373,15 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q42_lateral_topk" ->
+      """SELECT r.r_name, l.c_custkey, l.c_acctbal
+        |FROM region r,
+        |LATERAL (
+        |  SELECT c.c_custkey, c.c_acctbal
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY c.c_acctbal DESC, c.c_custkey
+        |  LIMIT 2) l""".stripMargin,
     "q41_null_handling" ->
       """WITH li AS (
         |  SELECT l_orderkey,

@@ -88,6 +88,20 @@ object TextScaleProbe {
         println(s"""{"mode":"cc","chain_len":$len,"converged":true,""" +
           s""""auto_halving_sec":$tCc}""")
 
+      case "pack" =>
+        // the two-level prefix sum at millions of docs: no corpus-sized
+        // single-partition window anywhere, so wall-clock should stay
+        // near-linear in n and flat in seqTokens
+        val n = if (args.length > 1) args(1).toLong else 5000000L
+        val budget = if (args.length > 2) args(2).toInt else 4096
+        val docs = syntheticDocs(spark, n, salt = 3).localCheckpoint()
+        docs.count()
+        val (nFrags, tPack) = timed {
+          graft.operators.CorpusOps.packSequences(docs, budget).count()
+        }
+        println(s"""{"mode":"pack","docs":$n,"seq_tokens":$budget,""" +
+          s""""fragments":$nFrags,"pack_sec":$tPack}""")
+
       case other =>
         throw new IllegalArgumentException(s"unknown mode $other")
     }

@@ -83,4 +83,52 @@ class StreamingJoinSpec extends SparkSpec {
       assert(got === Set((10L, 100L), (11L, 101L)))
     } finally q.stop()
   }
+
+  test("LEFT OUTER stream-stream join: unmatched clicks emit null-padded " +
+      "rows once the watermark closes their interval") {
+    // the outer variant is its own engine path: an unmatched left row
+    // can only be emitted when the watermark PROVES no future right row
+    // can still match — the null-padded result arrives late by design
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val errors = MemoryStream[Err]
+    val c = clicks.toDF().withWatermark("ts", "2 seconds")
+      .select(col("user_id").as("c_user"), col("click_id"),
+        col("ts").as("c_ts"))
+    val e = errors.toDF().withWatermark("ts", "2 seconds")
+      .select(col("user_id").as("e_user"), col("err_id"), col("ts").as("e_ts"))
+    val joined = c.join(e,
+      col("c_user") === col("e_user") &&
+        col("e_ts") <= col("c_ts") &&
+        col("e_ts") >= col("c_ts") - expr("INTERVAL 5 seconds"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    try {
+      errors.addData(Err(1L, 100L, t(4)))
+      clicks.addData(
+        Click(1L, 10L, t(6)),  // err 100 @4 in [1, 6] → matched row
+        Click(2L, 20L, t(6)))  // no same-user error → outer row, LATER
+      q.processAllAvailable()
+      // matched row is emittable immediately; the outer row is NOT yet
+      // (a future error at ts ≤ 6 could still arrive)
+      val early = spark.table("ssj_outer")
+        .select(col("click_id"), col("err_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(early === Set((10L, Some(100L))))
+      // advance the watermark far past click 20's interval → the engine
+      // can prove no match is coming and emits the null-padded row
+      errors.addData(Err(9L, 900L, t(100)))
+      clicks.addData(Click(9L, 90L, t(100)))
+      q.processAllAvailable()
+      clicks.addData(Click(9L, 91L, t(101))) // one more batch to flush
+      q.processAllAvailable()
+      val late = spark.table("ssj_outer")
+        .select(col("click_id"), col("err_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(late.contains((20L, None)), s"outer row never emitted: $late")
+      assert(!late.exists(r => r._1 == 10L && r._2.isEmpty),
+        "matched click must not ALSO emit a null-padded row")
+    } finally q.stop()
+  }
 }

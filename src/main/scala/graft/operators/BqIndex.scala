@@ -75,6 +75,42 @@ object BqIndex {
       .select(col("query_id"), col("id"), col("hd"), col("rn"))
   }
 
+  /** IVF-BQ: probe the `nProbe` cosine-nearest coarse cells per query
+    * ([[IvfIndex]]-style), then Hamming-rank only their members' packed
+    * words — completing the coarse-quantizer × compression matrix
+    * ([[PqIndex]] IVF-PQ/residual, [[SqIndex]] IVF-SQ8, this): the
+    * scanned fraction drops to nProbe/cells AND each scanned row is 32×
+    * smaller than float32. `assignments` is the persisted (id, cell)
+    * table from index build; candidates stay narrow (query_id, id) and
+    * every query-proportional table passes the `broadcastBytes` gate.
+    * Output (query_id, id, hd, rn) — the [[searchBq]] exact-BIGINT
+    * contract. */
+  def searchIvfBq(bits: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, bounds: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("__csim",
+        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
+      .withColumn("__crn", row_number().over(cw))
+      .filter(col("__crn") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = assignments.select(col("cell"), col("id"))
+      .join(KnnSearch.maybeBroadcast(probed, broadcastBytes), Seq("cell"))
+      .select(col("query_id"), col("id"))
+    val qbits = encode(queries, bounds, "query_id", "query_vec")
+      .select(col("query_id"), col("bits").as("qbits"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hd").asc, col("id").asc)
+    bits.join(KnnSearch.maybeBroadcast(cand, broadcastBytes), Seq("id"))
+      .join(KnnSearch.maybeBroadcast(qbits, broadcastBytes), Seq("query_id"))
+      .withColumn("hd", VectorFunctions.hamming64(col("qbits"), col("bits")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("hd"), col("rn"))
+  }
+
   /** Exact Hamming-ball near-duplicate pairs via multi-index hashing
     * (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space with
     * Multi-Index Hashing", CVPR 2012): slice each packed code row into

@@ -299,6 +299,24 @@ object AnnQueries {
     // codes) + exact euclidean re-rank of just the survivors. Same
     // fixed-order ADC determinism for the shortlist; the re-rank doubles
     // bit-match DuckDB's list_distance (the a08 kernel-parity property).
+    // IVF-BQ — the last cell of the coarse-quantizer × compression
+    // matrix (IVF-PQ/residual a12/a14, IVF-SQ8 in SqSpec, this): probe
+    // 3 of 10 sample-codebook cells, Hamming-rank only their members'
+    // packed sign bits. Exact-integer score column; the oracle
+    // re-derives codebook, assignments, probes, bounds, bits and ranks.
+    "a17_ivf_bq" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val asg = graft.operators.IvfIndex.assign(nodesDf, centroids)
+        .select(col("id"), col("cell"))
+      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
+      val bits = graft.operators.BqIndex.encode(nodesDf, bounds)
+      graft.operators.BqIndex.searchIvfBq(bits, asg, centroids, bounds,
+        VectorQueries.querySet(emb), k = 10, nProbe = 3)
+    }),
+
     "a11_pq_rerank" -> ((s, d) => {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -526,6 +544,66 @@ object AnnQueries {
         |  SELECT query_id, id, d2,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY d2 ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "a17_ivf_bq" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN cb c)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN cb c)
+        |  WHERE rn <= 3),
+        |bounds AS (
+        |  SELECT p.pos, min(list_extract(n.v, p.pos + 1)) AS lo,
+        |         max(list_extract(n.v, p.pos + 1)) AS hi
+        |  FROM nodes n CROSS JOIN range(0, 64) p(pos)
+        |  GROUP BY p.pos),
+        |encw AS (
+        |  SELECT n.id, CAST(b.pos // 32 AS INT) AS word,
+        |    bit_or(CASE WHEN list_extract(n.v, b.pos + 1)
+        |        > (b.lo + b.hi) / 2.0
+        |      THEN CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS w
+        |  FROM nodes n CROSS JOIN bounds b
+        |  GROUP BY n.id, b.pos // 32),
+        |qencw AS (
+        |  SELECT q.query_id, CAST(b.pos // 32 AS INT) AS word,
+        |    bit_or(CASE WHEN list_extract(q.qv, b.pos + 1)
+        |        > (b.lo + b.hi) / 2.0
+        |      THEN CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS w
+        |  FROM q CROSS JOIN bounds b
+        |  GROUP BY q.query_id, b.pos // 32),
+        |cand AS (
+        |  SELECT p.query_id, a.id FROM probed p JOIN asg a ON a.cell = p.cell),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    CAST(SUM(bit_count(xor(qe.w, e.w))) AS BIGINT) AS hd
+        |  FROM cand c
+        |  JOIN encw e ON e.id = c.id
+        |  JOIN qencw qe ON qe.query_id = c.query_id AND qe.word = e.word
+        |  GROUP BY c.query_id, c.id)
+        |SELECT query_id, id, hd, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id, hd,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY hd ASC, id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
     "a16_bq_hamming" ->

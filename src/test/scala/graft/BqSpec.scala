@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BqIndex, KnnSearch, SqIndex}
+import graft.operators.{BqIndex, IvfIndex, KnnSearch, SqIndex}
 import graft.queries.VectorQueries
 
 /** Binary quantization: packing invariants, exact-integer Hamming
@@ -135,6 +135,30 @@ class BqSpec extends SparkSpec {
       // the twins guarantee the check is non-vacuous: 4 exact-dup pairs
       // at every radius, plus 4 hd = 1 pairs once maxHd >= 1
       assert(want.size >= (if (maxHd == 0) 4 else 8), s"maxHd=$maxHd")
+    }
+  }
+
+  test("IVF-BQ at full probe equals plain BQ; partial probe is a subset " +
+      "per query") {
+    val centroids = IvfIndex.sampleCodebook(nodesDf, k = 8)
+    val asg = IvfIndex.assign(nodesDf, centroids).select("id", "cell")
+    val full = BqIndex.searchIvfBq(bits, asg, centroids, bounds,
+        queriesDf, k = 10, nProbe = 8)
+      .select("query_id", "id", "hd", "rn")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val plain = BqIndex.searchBq(bits, bounds, queriesDf, k = 10)
+      .select("query_id", "id", "hd", "rn")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(full === plain) // probing every cell = scanning everything
+    val partial = BqIndex.searchIvfBq(bits, asg, centroids, bounds,
+        queriesDf, k = 10, nProbe = 2)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect()
+    assert(partial.nonEmpty)
+    for ((_, rows) <- partial.groupBy(_._1)) {
+      // contiguous ranks from 1, at most k — the searchBq contract holds
+      // on the probed subset too
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+      assert(rows.length <= 10)
     }
   }
 

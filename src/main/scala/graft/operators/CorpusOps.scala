@@ -149,6 +149,9 @@ object CorpusOps {
     def perSource(df: DataFrame, n: String, t: String): DataFrame =
       df.groupBy(col(srcCol))
         .agg(sum(size(split(col(textCol), " ")).cast("long")).as(n))
+        // a source of only NULL texts aggregates to a NULL total — drop
+        // it (no tokens, no mixture mass) rather than emit NULL ratios
+        .filter(col(n).isNotNull)
         .withColumn(t, sum(col(n)).over(Window.partitionBy()))
     val pa = perSource(a, "n_tok_a", "t_a")
     val pb = perSource(b, "n_tok_b", "t_b")
@@ -196,7 +199,11 @@ object CorpusOps {
     val sp = docs.sparkSession
     import sp.implicits._
     val toks = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-      size(split(col(textCol), " ")).cast("long").as("n_toks"))
+        size(split(col(textCol), " ")).cast("long").as("n_toks"))
+      // NULL-text docs carry no tokens: drop them here or a source of
+      // only-null texts would surface as a NULL total (and an undecodable
+      // rate denominator) instead of simply not participating
+      .filter(col("n_toks").isNotNull)
     val actual = toks.filter(col("source").isin(targets.keys.toSeq: _*))
       .groupBy(col("source")).agg(sum(col("n_toks")).as("a"))
       .as[(String, Long)].collect().toMap

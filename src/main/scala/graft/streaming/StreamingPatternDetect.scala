@@ -48,9 +48,11 @@ object StreamingPatternDetect {
 
     override def handleInputRows(key: String, rows: Iterator[EvIn],
         timerValues: TimerValues): Iterator[EvOut] = {
-      // the persisted tail is ≤ window entries by construction; the
-      // micro-batch's own rows append one at a time with a running count,
-      // so a hot source's batch never holds more than the window on heap
+      // the persisted tail is ≤ window entries by construction. The
+      // batch's rows DO materialize once for the deterministic event_id
+      // sort (the [[StreamingSourceCap]] trade-off — unordered batches
+      // need an order before counting); the sliding buffer itself stays
+      // ≤ window entries throughout.
       val buf = scala.collection.mutable.ArrayDeque.empty[BufEntry]
       recent.get().foreach(buf += _)
       var fails = buf.count(_.failed).toLong

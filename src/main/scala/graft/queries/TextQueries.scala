@@ -402,10 +402,17 @@ object TextQueries {
     // Coordinates floor-quantize to integer micros; the Gaussian matrix
     // inlines into the oracle as exact double literals (the a08
     // pattern), so DuckDB re-derives every projected value bit-for-bit.
-    "e02_random_projection" -> ((s, d) =>
+    // Checked-output convention: arrays string-join before the compare
+    // (the q18 pattern) — the driver's pandas-based sort can't hash an
+    // ARRAY column.
+    "e02_random_projection" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       graft.operators.RandomProjection.projectMicro(
-        Tables.embeddings(s, d), seed = 41L, outDim = 16, inDim = 64,
-        idCol = "vec_id", vecCol = "embedding")),
+          Tables.embeddings(s, d), seed = 41L, outDim = 16, inDim = 64,
+          idCol = "vec_id", vecCol = "embedding")
+        .select(col("id"),
+          array_join(col("proj_micro"), ",").as("proj_micro_s"))
+    }),
 
     // Order-insensitive content fingerprint (md5 of sorted token set).
     "t04_fingerprint" -> ((s, d) => {
@@ -1090,7 +1097,7 @@ object TextQueries {
           inDim = 64)
         .mkString("[", ",\n        |   ", "]")
       s"""SELECT vec_id AS id,
-        |  $exprs AS proj_micro
+        |  array_to_string($exprs, ',') AS proj_micro_s
         |FROM embeddings""".stripMargin
     },
     "e01_feature_hash" ->

@@ -72,13 +72,23 @@ object RandomProjection {
         floor(d * lit(1000000.0) + lit(0.5)).cast("long")): _*)
         .as("proj_micro"))
 
-  /** DuckDB expressions for [[projectMicro]]'s array elements over
-    * `vecExpr` (a DOUBLE[] column) — the a08 oracle-inlining pattern. */
-  def microSqlExprs(vecExpr: String, seed: Long, outDim: Int, inDim: Int)
+  /** DuckDB expressions for the raw (double) projected coordinates over
+    * `vecExpr` (a DOUBLE[] column) — the a08 oracle-inlining pattern.
+    * Composed oracles that mirror [[project]]'s ARRAY<FLOAT> output wrap
+    * the assembled list in `::FLOAT[]::DOUBLE[]` so the float narrowing
+    * happens at the same point as Spark's cast. */
+  def dotSqlExprs(vecExpr: String, seed: Long, outDim: Int, inDim: Int)
       : Seq[String] =
     gaussians(seed, outDim, inDim).toSeq.map { w =>
       val arr = w.map(_.toDouble.toString).mkString("[", ", ", "]")
-      s"floor(list_dot_product($vecExpr, $arr::DOUBLE[]) * 1000000 " +
-        "+ 0.5)::BIGINT"
+      s"list_dot_product($vecExpr, $arr::DOUBLE[])"
+    }
+
+  /** DuckDB expressions for [[projectMicro]]'s array elements over
+    * `vecExpr` (a DOUBLE[] column). */
+  def microSqlExprs(vecExpr: String, seed: Long, outDim: Int, inDim: Int)
+      : Seq[String] =
+    dotSqlExprs(vecExpr, seed, outDim, inDim).map { d =>
+      s"floor($d * 1000000 + 0.5)::BIGINT"
     }
 }

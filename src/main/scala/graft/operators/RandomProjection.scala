@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -71,6 +72,45 @@ object RandomProjection {
       array(dots(vecCol, seed, outDim, inDim).map(d =>
         floor(d * lit(1000000.0) + lit(0.5)).cast("long")): _*)
         .as("proj_micro"))
+
+  /** JL-compressed search with exact re-rank — the composition the
+    * projection exists for: score the FULL table in the `outDim`-dim
+    * projected space (64→16 reads 4× fewer bytes per candidate), keep a
+    * `shortlist` per query, then re-rank ONLY the survivors with the
+    * exact raw-space cosine. Returns (query_id, id, rn) — top-`k` by TRUE
+    * similarity among the shortlist. Recall is whatever the projected
+    * shortlist catches (JL distortion bounds it); callers pin the floor
+    * (RandomProjectionSpec) or the exact per-query overlap (e03).
+    *
+    * Scale: the projected scan is [[KnnSearch.knnExact]]'s plan (size-gated
+    * query broadcast, map-side WindowGroupLimit — shuffle is
+    * O(queries × shortlist)); the re-rank re-attaches raw vectors by an id
+    * join that touches shortlist rows per query, never the corpus. */
+  def searchRerank(nodes: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, seed: Long, outDim: Int, inDim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    val pn = project(live, seed, outDim, inDim)
+    val pq = project(queries, seed, outDim, inDim,
+        idCol = "query_id", vecCol = "query_vec")
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val short = KnnSearch.knnExact(pn, pq, shortlist, minSim = -2.0)
+      .select(col("query_id"), col("id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    short
+      .join(live.select(col("id"), col("vector")), Seq("id"))
+      .join(KnnSearch.maybeBroadcast(
+          queries.select(col("query_id"), col("query_vec")), 64L << 20),
+        Seq("query_id"))
+      .withColumn("score",
+        VectorFunctions.cosineSim(col("query_vec"), col("vector")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("rn"))
+  }
 
   /** DuckDB expressions for the raw (double) projected coordinates over
     * `vecExpr` (a DOUBLE[] column) — the a08 oracle-inlining pattern.

@@ -414,6 +414,31 @@ object TextQueries {
           array_join(col("proj_micro"), ",").as("proj_micro_s"))
     }),
 
+    // The JL projection CONSUMED (the t19/d10 composition rule): project
+    // 64→16, shortlist-80 per query in the projected space, exact
+    // re-rank the survivors in the raw space. The per-query `overlap10`
+    // column counts agreement with the exact full-dim top-10, so the
+    // driver gate pins the measured recall EXACTLY (stronger than a
+    // floor flag) — a projection, shortlist or re-rank regression
+    // changes ids, ranks or counts and fails the hash.
+    "e03_jl_search_rerank" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodes = VectorQueries.asVectorTable(emb)
+      val queriesDf = VectorQueries.querySet(emb)
+      val rer = graft.operators.RandomProjection.searchRerank(
+        nodes, queriesDf, k = 10, shortlist = 80, seed = 41L,
+        outDim = 16, inDim = 64)
+      val exact = graft.operators.KnnSearch
+        .knnExact(nodes, queriesDf, 10, minSim = -2.0)
+        .select(col("query_id").as("eq"), col("id").as("eid"))
+      val ov = rer.join(exact,
+          rer("query_id") === exact("eq") && rer("id") === exact("eid"),
+          "left_outer")
+        .groupBy(col("query_id")).agg(count(col("eid")).as("overlap10"))
+      rer.join(ov, Seq("query_id"))
+    }),
+
     // Order-insensitive content fingerprint (md5 of sorted token set).
     "t04_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1099,6 +1124,46 @@ object TextQueries {
       s"""SELECT vec_id AS id,
         |  array_to_string($exprs, ',') AS proj_micro_s
         |FROM embeddings""".stripMargin
+    },
+    "e03_jl_search_rerank" -> {
+      def proj(vecExpr: String) = graft.operators.RandomProjection
+        .dotSqlExprs(vecExpr, seed = 41L, outDim = 16, inDim = 64)
+        .mkString("[", ",\n        |   ", "]::FLOAT[]::DOUBLE[]")
+      s"""WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |pn AS (SELECT id, ${proj("v")} AS pv FROM nodes),
+        |pq AS (SELECT query_id, ${proj("qv")} AS pqv FROM q),
+        |short AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT pq.query_id, pn.id,
+        |      row_number() OVER (PARTITION BY pq.query_id
+        |        ORDER BY list_cosine_similarity(pn.pv, pq.pqv) DESC, pn.id)
+        |        AS srn
+        |    FROM pn CROSS JOIN pq) WHERE srn <= 80),
+        |rer AS (
+        |  SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |    SELECT s.query_id, s.id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(n.v, q.qv) DESC, s.id) AS rn
+        |    FROM short s
+        |    JOIN nodes n ON n.id = s.id
+        |    JOIN q ON q.query_id = s.query_id) WHERE rn <= 10),
+        |exact AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.query_id, n.id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(n.v, q.qv) DESC, n.id) AS rn
+        |    FROM nodes n CROSS JOIN q) WHERE rn <= 10),
+        |ov AS (
+        |  SELECT r.query_id, count(e.id)::BIGINT AS overlap10
+        |  FROM rer r LEFT JOIN exact e
+        |    ON e.query_id = r.query_id AND e.id = r.id
+        |  GROUP BY r.query_id)
+        |SELECT r.query_id, r.id, r.rn, o.overlap10
+        |FROM rer r JOIN ov o ON o.query_id = r.query_id""".stripMargin
     },
     "e01_feature_hash" ->
       """WITH toks AS (

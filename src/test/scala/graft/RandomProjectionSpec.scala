@@ -69,6 +69,46 @@ class RandomProjectionSpec extends SparkSpec {
     assert(errs.max <= 0.8, s"max |Δcos| ${errs.max}")
   }
 
+  test("searchRerank: exact raw-space re-rank of the projected shortlist " +
+      "restores recall well above the raw projected top-k") {
+    val queriesFull = VectorQueries.querySet(emb)
+    val exact = KnnSearch.knnExact(nodesDf, queriesFull, 10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val rer = RandomProjection.searchRerank(nodesDf, queriesFull,
+        k = 10, shortlist = 80, seed = 41L, outDim = 16, inDim = 64)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(rer).size.toDouble / exact.size
+    // 4x compression + 8x-k shortlist on the weakly-separated fixture:
+    // the re-rank recovers every true neighbor the shortlist catches
+    // (measured 0.64-0.65 at both sf0.001 and sf0.01; floor below the
+    // measured value — see e03's pinned overlap10 column for the exact
+    // per-query counts).
+    assert(recall >= 0.6, s"recall $recall")
+    // and the re-rank is what does it: the UN-reranked projected top-10
+    // must be strictly worse on this fixture
+    val projTop = KnnSearch.knnExact(
+        RandomProjection.project(nodesDf, 41L, 16, 64)
+          .withColumn("deleted", lit(false)),
+        RandomProjection.project(
+            queriesFull.select(col("query_id").as("id"),
+              col("query_vec").as("vector")), 41L, 16, 64)
+          .select(col("id").as("query_id"), col("vector").as("query_vec")),
+        10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val projRecall = exact.intersect(projTop).size.toDouble / exact.size
+    assert(recall > projRecall,
+      s"rerank recall $recall vs projected-only $projRecall")
+  }
+
+  test("searchRerank respects tombstones: a deleted node never surfaces") {
+    val del = nodesDf.withColumn("deleted", col("id") % 7 === 0)
+    val got = RandomProjection.searchRerank(del,
+        VectorQueries.querySet(emb), k = 10, shortlist = 80,
+        seed = 41L, outDim = 16, inDim = 64)
+      .filter(col("id") % 7 === 0).count()
+    assert(got === 0L)
+  }
+
   test("JL 64 -> 32 preserves cosine neighborhoods: recall@10 clears the " +
       "floor against exact full-dim search") {
     val proj = RandomProjection.project(nodesDf, seed = 41L,

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.util.{Fs, Snapshots}
+
+/** The corpus-side production facade — [[VectorStore]]'s lifecycle pattern
+  * applied to the training-data chain the loose operators implement (and
+  * the t19/d10 harness queries prove composes): persisted document
+  * snapshots plus ONE `assemble()` call that materializes
+  * clean → quality-gate → source-cap → dedup → mixture-resample →
+  * split-assign → sequence-pack as an atomic training-set generation.
+  *
+  * Layout mirrors [[VectorStore]] ([[graft.util.Snapshots]]): the raw
+  * corpus lives in a `docs_v{N}` chain behind the `DOCS` pointer; each
+  * assembled generation writes a complete `train_g{N}` directory (the
+  * surviving split-assigned doc table + the packed sequence table), then
+  * atomically flips the `TRAIN` pointer and deletes the previous
+  * generation. Readers ([[trainingDocs]], [[trainingSequences]]) resolve
+  * the pointer and always see one complete, internally-consistent
+  * generation; a crash mid-assemble leaves the previous generation live.
+  *
+  * Every stage is the already-verified operator, not a re-implementation:
+  * [[operators.TextClean]] (t11), [[operators.TextDedup.qualityFeatures]]
+  * (t02), [[operators.CorpusOps.sourceCap]] (t12),
+  * [[operators.TextDedup.exactDedup]] (d10) /
+  * [[operators.TextDedup.minhashNearDupPairs]]+[[operators.TextDedup.dedupSelect]]
+  * (d03/d08/d11), [[operators.CorpusOps.resampleToMixture]] (t16),
+  * [[operators.Sampling.splitAssign]] (t05),
+  * [[operators.CorpusOps.packSequences]] (t15) — so the facade's scale
+  * story is exactly theirs: the corpus never shuffles except where the
+  * underlying operator's contract says it must, and every decision
+  * (survivor sets, rates, splits, fragment offsets) is deterministic and
+  * engine-portable (the t21/t22 harness rows hash-check the composed
+  * output against a DuckDB re-derivation of the whole chain).
+  */
+class CorpusStore private (val spark: SparkSession, val path: String) {
+  import CorpusStore.AssemblyParams
+
+  /** Replace the corpus snapshot — requires (doc_id, text); payload
+    * columns (source, lang, …) ride along untouched. */
+  def putDocuments(docs: DataFrame): Unit = {
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"documents need (doc_id, text); got ${docs.columns.mkString(",")}")
+    Snapshots.persist(spark, path, "docs", "DOCS", docs)
+    ()
+  }
+
+  /** Append a batch (ingest shape): rows whose doc_id already exists are
+    * REPLACED by the incoming row (latest-wins, the
+    * [[operators.Mutations]] upsert rule); new ids union in. Schemas must
+    * match by name. */
+  def appendDocuments(batch: DataFrame): Unit =
+    if (Snapshots.current(spark, path, "DOCS").isEmpty) putDocuments(batch)
+    else {
+      val cur = documents
+      require(cur.columns.sorted.sameElements(batch.columns.sorted),
+        s"schema mismatch: ${cur.columns.sorted.mkString(",")} vs " +
+          batch.columns.sorted.mkString(","))
+      putDocuments(cur
+        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(batch))
+    }
+
+  /** Current corpus snapshot. */
+  def documents: DataFrame =
+    Snapshots.load(spark, path, "docs", "DOCS", "documents")
+
+  private def trainDir(gen: Long): String = s"$path/train_g$gen"
+
+  /** Run the composed chain over the current corpus snapshot and persist
+    * the result as the next training-set generation (atomic `TRAIN`
+    * pointer flip; the previous generation is deleted after the flip).
+    *
+    * Stage order is the order a production pipeline runs them — cleaning
+    * BEFORE dedup (so whitespace-variant duplicates collapse, the d10
+    * load-bearing composition), capping BEFORE resampling (quotas bound
+    * the worst sources; the mixture then rebalances what remains), and
+    * packing LAST over the `packSplit` docs only (eval splits stay
+    * doc-level). */
+  def assemble(p: AssemblyParams = AssemblyParams()): Unit = {
+    require(p.splits.exists(_._1 == p.packSplit),
+      s"packSplit ${p.packSplit} not among splits ${p.splits.map(_._1)}")
+    val src = documents
+
+    // 1. clean — in-place text transform, payload columns preserved
+    //    (same normalize→mask order as TextClean.scrub / the t11 oracle)
+    val cleaned =
+      if (p.clean) src.withColumn("text",
+        TextClean.maskPii(TextClean.normalizeWs(col("text"))))
+      else src
+
+    // 2. quality gate (t02's features); `quality` rides along for audit
+    val gated = TextDedup.qualityFeatures(cleaned)
+      .filter(col("n_tokens") >= p.minTokens &&
+        col("quality") >= p.minQuality)
+      .drop("n_tokens", "n_uniq", "stopword_ratio", "uniq_ratio")
+
+    // 3. blocklist + per-source quota
+    val capped =
+      if (p.maxPerSource > 0)
+        CorpusOps.sourceCap(gated, p.maxPerSource, p.blocklist,
+          salt = p.capSalt).drop("src_rank")
+      else if (p.blocklist.nonEmpty)
+        gated.filter(col("source").isNull ||
+          !col("source").isin(p.blocklist: _*))
+      else gated
+
+    // 4. dedup: exact always (min-id representative per cleaned text);
+    //    near-dup optionally on top (MinHash-LSH pairs → components →
+    //    min-id keep)
+    val exactKept = capped.join(
+      TextDedup.exactDedup(capped).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val deduped =
+      if (p.nearDupJaccard > 0) {
+        val pairs = TextDedup.minhashNearDupPairs(exactKept, p.nHashes,
+          p.nearDupJaccard)
+        exactKept.join(
+          TextDedup.dedupSelect(exactKept, pairs)
+            .filter(col("keep")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      } else exactKept
+
+    // 5. mixture resample (exact BigInt rates; no-op when no targets —
+    //    n_toks/rate_micro still attach so the generation schema is stable)
+    val mixed =
+      if (p.targets.nonEmpty)
+        deduped.join(
+          CorpusOps.resampleToMixture(deduped, p.targets, salt = p.mixSalt)
+            .select(col("doc_id"), col("n_toks"), col("rate_micro")),
+          Seq("doc_id"))
+      else deduped
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("rate_micro", lit(1000000L))
+
+    // 6. split assignment (stable salted buckets)
+    val assigned = Sampling.splitAssign(mixed, "doc_id", p.splits,
+      p.splitSalt)
+
+    // 7. sequence packing over the training split only
+    val seqs = CorpusOps.packSequences(
+      assigned.filter(col("split") === p.packSplit), p.seqTokens)
+
+    val old = Snapshots.current(spark, path, "TRAIN")
+    val gen = old.getOrElse(-1L) + 1
+    assigned.write.mode("overwrite").parquet(s"${trainDir(gen)}/docs")
+    seqs.write.mode("overwrite").parquet(s"${trainDir(gen)}/sequences")
+    Fs.writeStringAtomic(spark, s"$path/TRAIN", gen.toString)
+    // old generation is unreferenced now; best-effort cleanup (a crash
+    // here leaks a directory, never correctness)
+    old.foreach(g => Fs.deleteRecursive(spark, trainDir(g)))
+  }
+
+  private def currentTrainGen: Long =
+    Snapshots.current(spark, path, "TRAIN").getOrElse(
+      throw new IllegalStateException(
+        s"no assembled generation under $path — call assemble() first"))
+
+  /** Surviving documents of the current generation: the input columns
+    * (cleaned text) + `quality`, `n_toks`, `rate_micro`, `split`. */
+  def trainingDocs: DataFrame =
+    spark.read.parquet(s"${trainDir(currentTrainGen)}/docs")
+
+  /** Packed training sequences of the current generation — the
+    * [[operators.CorpusOps.packSequences]] fragment table over the
+    * `packSplit` docs. */
+  def trainingSequences: DataFrame =
+    spark.read.parquet(s"${trainDir(currentTrainGen)}/sequences")
+
+  /** Drop the store. */
+  def delete(): Unit = Fs.deleteRecursive(spark, path)
+}
+
+object CorpusStore {
+
+  /** Assembly configuration. Defaults are pass-through (no gate, no cap,
+    * no near-dup, no resample) except cleaning and exact dedup, which a
+    * training corpus always wants. Salt defaults pin the same hash
+    * streams as the standalone t12/t16/t05 harness queries, so a
+    * facade-assembled corpus is bit-comparable with the loose operators'
+    * output. */
+  case class AssemblyParams(
+      clean: Boolean = true,
+      minTokens: Int = 1,
+      minQuality: Double = 0.0,
+      maxPerSource: Int = 0,
+      blocklist: Seq[String] = Nil,
+      nearDupJaccard: Double = 0.0,
+      nHashes: Int = 16,
+      targets: Map[String, Long] = Map.empty,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      packSplit: String = "train",
+      seqTokens: Int = 2048,
+      capSalt: String = "cap",
+      mixSalt: String = "mix",
+      splitSalt: String = "split")
+
+  /** Open an existing store or create an empty one. */
+  def openOrCreate(spark: SparkSession, path: String): CorpusStore = {
+    Fs.mkdirs(spark, path)
+    new CorpusStore(spark, path)
+  }
+}

@@ -181,22 +181,15 @@ class VectorStore private (
   // chain per table kind — readers always see a complete snapshot.
 
   private def currentAux(pointer: String): Option[Long] =
-    if (graft.util.Fs.exists(spark, s"$path/$pointer"))
-      Some(graft.util.Fs.readString(spark, s"$path/$pointer").trim.toLong)
-    else None
+    graft.util.Snapshots.current(spark, path, pointer)
   private def persistAux(prefix: String, pointer: String, df: DataFrame)
       : Unit = {
-    val v = currentAux(pointer).getOrElse(-1L) + 1
-    df.write.mode("overwrite").parquet(s"$path/${prefix}_v$v")
-    graft.util.Fs.writeStringAtomic(spark, s"$path/$pointer", v.toString)
+    graft.util.Snapshots.persist(spark, path, prefix, pointer, df)
+    ()
   }
   private def loadAux(prefix: String, pointer: String, what: String)
       : DataFrame =
-    currentAux(pointer) match {
-      case Some(v) => spark.read.parquet(s"$path/${prefix}_v$v")
-      case None => throw new IllegalStateException(
-        s"no $what under $path — load them first")
-    }
+    graft.util.Snapshots.load(spark, path, prefix, pointer, what)
 
   /** Replace the store's document corpus snapshot — (doc_id, text) plus
     * any payload columns. The lexical side of the retrieval tower. */

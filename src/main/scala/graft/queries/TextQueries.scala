@@ -47,7 +47,50 @@ object TextQueries {
     s.read.parquet(path)
   }
 
+  /** One assembled [[graft.CorpusStore]] per process per data dir (the
+    * `indexFor`/`nearDupPairsFor` memo shape): load the documents table,
+    * run the composed assembly once against a temp store, and serve
+    * t21/t22 from the persisted generation — the real usage pattern
+    * (assemble is a batch job; training readers consume its parquet).
+    * Config exercises every default-off stage with the SAME constants as
+    * the standalone queries so the oracles compose their SQL: quality
+    * floor 0.62 (between t02's quantiles), cap 15 (t12), targets 3:1:2
+    * (t16), 80/10/10 split (t05), 256-token packing (t19). */
+  private val corpusStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.CorpusStore]
+  private def corpusStoreFor(s: SparkSession, d: String): graft.CorpusStore =
+    corpusStores.getOrElseUpdate(d, {
+      val store = graft.CorpusStore.openOrCreate(s,
+        graft.util.Fs.tempDirDeletedOnExit("graft-corpus-store"))
+      store.putDocuments(Tables.documents(s, d))
+      store.assemble(graft.CorpusStore.AssemblyParams(
+        minTokens = 5, minQuality = 0.62, maxPerSource = 15,
+        targets = Map("src1" -> 3L, "src2" -> 1L, "src3" -> 2L),
+        seqTokens = 256))
+      store
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The CorpusStore facade end-to-end (docs side): clean → quality-gate
+    // → source-cap → exact-dedup → mixture-resample → split-assign, all
+    // through ONE assemble() into a persisted generation. The oracle
+    // re-derives the ENTIRE chain (d10's scrub, t02's quality, t12's cap
+    // ranks, d10's dedup rule, t16's HUGEINT rates, t05's buckets) — a
+    // regression in any stage OR in the composition order changes the
+    // survivor set and fails the hash.
+    "t21_corpus_store_docs" -> ((s, d) =>
+      corpusStoreFor(s, d).trainingDocs
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("n_toks"), col("rate_micro"), col("split"))),
+
+    // The CorpusStore facade end-to-end (sequences side): the packed
+    // 256-token training fragments over t21's train split — packing
+    // offsets depend on every upstream survivor decision, so this row
+    // pins the whole chain THROUGH the pack stage (the t19 rule, now via
+    // the facade path).
+    "t22_corpus_store_sequences" -> ((s, d) =>
+      corpusStoreFor(s, d).trainingSequences),
+
     // BM25 lexical retrieval as a distributed inverted-index join: every
     // 100th doc is a bag-of-words query against the whole corpus. Scores
     // are exact BIGINT sums of floor-quantized integer-micro contributions
@@ -546,6 +589,77 @@ object TextQueries {
        |                         ORDER BY sum(c) DESC, id) AS rn
        |    FROM contrib GROUP BY query_id, id)
        |  WHERE rn <= $topK)""".stripMargin
+
+  /** The CorpusStore assembly chain as a DuckDB CTE chain ending in
+    * `assembled` (doc_id, source, quality, n_toks, rate_micro, split) —
+    * shared by t21 (docs) and t22 (sequences) so the two oracles can
+    * never drift. Composes the standalone stage oracles verbatim: d10's
+    * scrub regexes, t02's quality tree, t12's cap ranks, d10's min-id
+    * dedup rule, t16's HUGEINT rates, t05's split buckets. */
+  private val corpusStoreCtes: String =
+    """cleaned AS (
+      |  SELECT doc_id, source,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+\d{7,15}', '<PHONE>', 'g') AS text
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id, source, text,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE /
+      |                 len(string_split(text, ' ')))
+      |        + 0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+      |                 t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE /
+      |                 len(string_split(text, ' '))), 6) AS quality
+      |  FROM cleaned),
+      |gated AS (
+      |  SELECT doc_id, source, text, quality FROM feat
+      |  WHERE n_tokens >= 5 AND quality >= 0.62),
+      |capped AS (
+      |  SELECT doc_id, source, text, quality FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+      |                 1, 15))::BIGINT ASC, doc_id ASC) AS r
+      |    FROM gated) WHERE r <= 15),
+      |dedup AS (
+      |  SELECT doc_id, source, text, quality FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      |    FROM capped) WHERE doc_id = keep_id),
+      |t(source, tw) AS (
+      |  VALUES ('src1', 3), ('src2', 1), ('src3', 2)),
+      |toksd AS (
+      |  SELECT doc_id, source, quality,
+      |    len(string_split(text, ' '))::BIGINT AS n_toks
+      |  FROM dedup),
+      |a AS (
+      |  SELECT tk.source, sum(tk.n_toks)::BIGINT AS a,
+      |    any_value(t.tw)::BIGINT AS tw
+      |  FROM toksd tk JOIN t ON tk.source = t.source
+      |  GROUP BY tk.source),
+      |m AS (
+      |  SELECT source AS msrc, a AS ma, tw AS mtw FROM a
+      |  ORDER BY (tw::HUGEINT
+      |    * '1000000000000000000000000'::HUGEINT // a::HUGEINT) DESC,
+      |    source ASC
+      |  LIMIT 1),
+      |r AS (
+      |  SELECT a.source,
+      |    ((1000000::HUGEINT * a.tw::HUGEINT * m.ma::HUGEINT)
+      |      // (a.a::HUGEINT * m.mtw::HUGEINT))::BIGINT AS rate_micro
+      |  FROM a, m),
+      |assembled AS (
+      |  SELECT tk.doc_id, tk.source, tk.quality, tk.n_toks, r.rate_micro,
+      |    CASE WHEN tk.sb < 8000 THEN 'train'
+      |         WHEN tk.sb < 9000 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *,
+      |          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+      |            1, 15))::BIGINT % 10000 AS sb
+      |        FROM toksd) tk
+      |  JOIN r ON tk.source = r.source
+      |  WHERE ('0x' || substr(md5('mix:' || CAST(tk.doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 1000000 < r.rate_micro)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d10_corpus_pipeline" ->
@@ -1095,6 +1209,33 @@ object TextQueries {
         |      THEN 'en' ELSE 'unknown' END AS pred_lang
         |  FROM documents)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "t21_corpus_store_docs" ->
+      s"""WITH $corpusStoreCtes
+        |SELECT doc_id, source, quality, n_toks, rate_micro, split
+        |FROM assembled""".stripMargin,
+    // t22 re-derives the packing ON TOP of the full assembly chain — the
+    // fragment offsets shift if ANY upstream stage keeps or drops a
+    // different doc, so this is the strongest single row in the t-family.
+    "t22_corpus_store_sequences" ->
+      s"""WITH $corpusStoreCtes,
+        |cum AS (
+        |  SELECT doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS off
+        |  FROM assembled WHERE split = 'train' AND n_toks > 0),
+        |frag AS (
+        |  SELECT doc_id, n_toks, off,
+        |    unnest(generate_series(off // 256, (off + n_toks - 1) // 256))
+        |      AS seq
+        |  FROM cum)
+        |SELECT seq AS seq_id, doc_id,
+        |  GREATEST(0, seq * 256 - off)::BIGINT AS start_tok,
+        |  (LEAST(n_toks, (seq + 1) * 256 - off)
+        |    - GREATEST(0, seq * 256 - off))::BIGINT AS frag_tokens,
+        |  (off + GREATEST(0, seq * 256 - off) - seq * 256)::BIGINT
+        |    AS pos_in_seq
+        |FROM frag""".stripMargin,
     "t02_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id,

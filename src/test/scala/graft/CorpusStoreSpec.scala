@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.CorpusStore.AssemblyParams
+
+/** CorpusStore facade lifecycle: snapshot chain semantics, atomic
+  * generation flips, and the composed assembly against the loose
+  * operators it wraps. */
+class CorpusStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf001)
+
+  private def newStore() = CorpusStore.openOrCreate(spark,
+    graft.util.Fs.tempDirDeletedOnExit("graft-corpus-store-spec"))
+
+  test("putDocuments/documents round-trips with payload columns") {
+    val store = newStore()
+    store.putDocuments(docs)
+    assert(store.documents.count() === docs.count())
+    assert(store.documents.columns.sorted === docs.columns.sorted)
+    store.delete()
+  }
+
+  test("documents before any put throws; trainingDocs before assemble " +
+      "throws") {
+    val store = newStore()
+    intercept[IllegalStateException] { store.documents }
+    store.putDocuments(docs)
+    intercept[IllegalStateException] { store.trainingDocs }
+    store.delete()
+  }
+
+  test("appendDocuments: new ids union in, colliding ids are replaced " +
+      "latest-wins") {
+    val store = newStore()
+    store.putDocuments(docs.limit(0)) // empty snapshot, full schema
+    store.appendDocuments(docs.filter(col("doc_id") < 10))
+    assert(store.documents.count() === 10)
+    // replace doc 3 and add doc 1000 in one batch
+    val batch = docs.filter(col("doc_id").isin(3L, 4L))
+      .withColumn("text", lit("replaced words here"))
+      .withColumn("doc_id", when(col("doc_id") === 4, 1000L)
+        .otherwise(col("doc_id")))
+    store.appendDocuments(batch)
+    assert(store.documents.count() === 11)
+    val got = store.documents.filter(col("doc_id") === 3)
+      .select("text").as[String].head()
+    assert(got === "replaced words here")
+    store.delete()
+  }
+
+  test("appendDocuments rejects a schema mismatch") {
+    val store = newStore()
+    store.putDocuments(docs)
+    intercept[IllegalArgumentException] {
+      store.appendDocuments(docs.drop("lang"))
+    }
+    store.delete()
+  }
+
+  test("default assemble is clean + exact-dedup pass-through: all docs " +
+      "survive (fixture has no dups), every doc split-assigned, " +
+      "sequences cover exactly the train tokens") {
+    val store = newStore()
+    store.putDocuments(docs)
+    store.assemble(AssemblyParams(seqTokens = 128))
+    val td = store.trainingDocs
+    assert(td.count() === docs.count())
+    assert(td.select("split").distinct().as[String].collect().toSet
+      === Set("train", "val", "test"))
+    // packed fragments reproduce the train split's token total exactly
+    val trainToks = td.filter(col("split") === "train")
+      .agg(sum(col("n_toks"))).as[Long].head()
+    val fragToks = store.trainingSequences
+      .agg(sum(col("frag_tokens"))).as[Long].head()
+    assert(fragToks === trainToks)
+    // and every full sequence holds exactly 128 tokens
+    val full = store.trainingSequences.groupBy(col("seq_id"))
+      .agg(sum(col("frag_tokens")).as("n"))
+    val maxSeq = full.agg(max(col("seq_id"))).as[Long].head()
+    assert(full.filter(col("seq_id") < maxSeq && col("n") =!= 128)
+      .count() === 0)
+    store.delete()
+  }
+
+  test("assemble flips generations atomically: re-assemble with a new " +
+      "config serves the new generation and removes the old directory") {
+    val store = newStore()
+    store.putDocuments(docs)
+    store.assemble(AssemblyParams(seqTokens = 128))
+    val n0 = store.trainingDocs.count()
+    assert(graft.util.Fs.exists(spark, s"${store.path}/train_g0"))
+    store.assemble(AssemblyParams(seqTokens = 128, minQuality = 0.62))
+    val n1 = store.trainingDocs.count()
+    assert(n1 < n0, s"quality gate should bite: $n1 vs $n0")
+    assert(graft.util.Fs.exists(spark, s"${store.path}/train_g1"))
+    assert(!graft.util.Fs.exists(spark, s"${store.path}/train_g0"))
+    store.delete()
+  }
+
+  test("assembly stages match the loose operators they wrap " +
+      "(cap + resample + split on the cleaned corpus)") {
+    import graft.operators._
+    val store = newStore()
+    store.putDocuments(docs)
+    val p = AssemblyParams(maxPerSource = 15,
+      targets = Map("src1" -> 3L, "src2" -> 1L, "src3" -> 2L),
+      seqTokens = 256)
+    store.assemble(p)
+    val td = store.trainingDocs
+    // re-derive with the loose operators (fixture text is already clean,
+    // no dups, all-quality ≥ 0: clean/gate/dedup are identity here)
+    val cleaned = docs.withColumn("text",
+      TextClean.maskPii(TextClean.normalizeWs(col("text"))))
+    val capped = CorpusOps.sourceCap(cleaned, 15).drop("src_rank")
+    val expect = CorpusOps.resampleToMixture(capped, p.targets)
+    assert(td.select("doc_id").as[Long].collect().sorted
+      === expect.select("doc_id").as[Long].collect().sorted)
+    // rates agree with the standalone operator's
+    val gotRates = td.select("source", "rate_micro").distinct()
+      .as[(String, Long)].collect().toMap
+    val expRates = expect.select("source", "rate_micro").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(gotRates === expRates)
+    store.delete()
+  }
+
+  test("near-dup assembly drops whitespace-variant clones only because " +
+      "cleaning ran first (the d10 composition, via the facade)") {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val clones = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", regexp_replace(col("text"), lit(" "), lit("  ")))
+    val store = newStore()
+    store.putDocuments(base.unionByName(clones))
+    store.assemble(AssemblyParams(nearDupJaccard = 0.9, nHashes = 6,
+      seqTokens = 128))
+    val kept = store.trainingDocs.select("doc_id").as[Long].collect().toSet
+    // every clone collapsed onto its min-id original (the fixture also
+    // has NATURAL near-dups at J >= 0.9 — d03's harness threshold is
+    // 0.95 — so the total can dip below base count; the composition
+    // property is that no high-id clone ever wins its cluster)
+    assert(kept.forall(_ < 100000L))
+    assert(kept.size > 300 && kept.size <= base.count())
+    store.delete()
+  }
+}

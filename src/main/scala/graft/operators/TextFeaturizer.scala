@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -17,6 +17,33 @@ import graft.functions.VectorFunctions
   * map-side combinable, shuffle keys uniform by construction (md5 buckets).
   */
 object TextFeaturizer {
+
+  /** GPT-2-style pre-tokenization pattern (the segmentation a byte-pair
+    * tokenizer merges WITHIN — public openai/gpt-2 `encoder.py`), reduced
+    * to the Java∩RE2-identical subset: the original's `\s+(?!\S)`
+    * lookahead is dropped (RE2 has no lookaround) with its effect folded
+    * into the trailing space-run alternative, and `\p{L}`/`\p{N}` narrow
+    * to ASCII classes. Alternatives in order: contraction suffixes,
+    * optionally space-prefixed letter runs / digit runs / symbol runs,
+    * residual space runs — every character lands in exactly one piece,
+    * and both engines scan leftmost-first over the same alternation, so
+    * the segmentation is engine-portable. Piece counts over this track
+    * BPE token budgets far more closely than whitespace fields
+    * (contractions split, digit runs separate, multi-space runs don't
+    * inflate). */
+  val preTokenPat: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** The pre-token pieces of `text`, in order (ARRAY<STRING>). */
+  def preTokenPieces(text: Column): Column =
+    regexp_extract_all(text, lit(preTokenPat), lit(0))
+
+  /** Exploded (id, pos, piece) pre-tokenization of the corpus — one
+    * narrow map-side pass (regex inside codegen, no shuffle). */
+  def preTokenize(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(preTokenPieces(col(textCol))).as(Seq("pos", "piece")))
 
   /** (id, vector float[dim], L2-normalized) from a text column. Bucket =
     * md5-derived (engine-portable, no JVM hash dependence). Empty/short

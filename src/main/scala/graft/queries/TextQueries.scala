@@ -482,6 +482,35 @@ object TextQueries {
       rer.join(ov, Seq("query_id"))
     }),
 
+    // BPE-style pre-tokenization (GPT-2's segmentation, RE2-safe subset):
+    // per-doc piece counts by class plus an md5 over the ORDERED piece
+    // sequence — one scalar that pins every boundary decision, so a
+    // pattern or scan-order regression anywhere in the segmentation
+    // fails the hash. Injected rows (the t11 pattern) carry the
+    // contractions / digit runs / punctuation / multi-space cases the
+    // synthetic corpus lacks.
+    "t23_pretokenize" -> ((s, d) => {
+      val extra = s.createDataFrame(Seq(
+        (910001L, "it's a test-case with 123 numbers, don't you think?"),
+        (910002L, "multi  spaced   text and CamelCase Words2Go"),
+        (910003L, "they're we've i'm you'll he'd won't 'quoted' (parens)"))
+      ).toDF("doc_id", "text")
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(extra)
+      corpus
+        .withColumn("pieces", graft.operators.TextFeaturizer
+          .preTokenPieces(col("text")))
+        .select(col("doc_id"),
+          size(col("pieces")).as("n_pieces"),
+          size(filter(col("pieces"), p => p.rlike("^ ?[A-Za-z]+$")))
+            .as("n_alpha"),
+          size(filter(col("pieces"), p => p.rlike("^ ?[0-9]+$")))
+            .as("n_num"),
+          // U+001F separator: an empty separator would reconstruct the
+          // input text and pin nothing about the piece BOUNDARIES
+          md5(concat_ws("\u001F", col("pieces"))).as("seg_md5"))
+    }),
+
     // Order-insensitive content fingerprint (md5 of sorted token set).
     "t04_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1209,6 +1238,29 @@ object TextQueries {
         |      THEN 'en' ELSE 'unknown' END AS pred_lang
         |  FROM documents)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "t23_pretokenize" -> {
+      // SQL-escape the pattern's single quotes (contraction alternatives)
+      val pat = graft.operators.TextFeaturizer.preTokenPat
+        .replace("'", "''")
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (910001, 'it''s a test-case with 123 numbers, don''t you think?'),
+        |    (910002, 'multi  spaced   text and CamelCase Words2Go'),
+        |    (910003, 'they''re we''ve i''m you''ll he''d won''t ''quoted'' (parens)'))
+        |    v(doc_id, text)),
+        |p AS (
+        |  SELECT doc_id, regexp_extract_all(text, '$pat') AS l FROM corpus)
+        |SELECT doc_id,
+        |  len(l) AS n_pieces,
+        |  len(list_filter(l, x -> regexp_matches(x, '^ ?[A-Za-z]+$$')))
+        |    AS n_alpha,
+        |  len(list_filter(l, x -> regexp_matches(x, '^ ?[0-9]+$$')))
+        |    AS n_num,
+        |  md5(array_to_string(l, chr(31))) AS seg_md5
+        |FROM p""".stripMargin
+    },
     "t21_corpus_store_docs" ->
       s"""WITH $corpusStoreCtes
         |SELECT doc_id, source, quality, n_toks, rate_micro, split

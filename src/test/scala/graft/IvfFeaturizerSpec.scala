@@ -11,6 +11,29 @@ class IvfFeaturizerSpec extends SparkSpec {
   private lazy val nodesDf = VectorQueries.asVectorTable(emb)
   private lazy val queriesDf = VectorQueries.querySet(emb)
 
+  test("preTokenize: GPT-2-style segmentation — every char covered " +
+      "(pieces reassemble the text), contractions split, known cases") {
+    val docs = Seq(
+      (1L, "it's a test-case with 123 numbers"),
+      (2L, "multi  spaced   text"),
+      (3L, "don't")).toDF("doc_id", "text")
+    val got = TextFeaturizer.preTokenize(docs)
+      .orderBy(col("id"), col("pos"))
+      .select("id", "piece").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // lossless cover: concatenating pieces reproduces the input
+    assert(got(1L).mkString === "it's a test-case with 123 numbers")
+    assert(got(2L).mkString === "multi  spaced   text")
+    // known segmentations
+    assert(got(3L) === Seq("don", "'t"))
+    assert(got(1L) === Seq("it", "'s", " a", " test", "-", "case",
+      " with", " 123", " numbers"))
+    // multi-space runs: the greedy ` +` alternative takes the WHOLE run
+    // (the documented divergence from GPT-2's `\s+(?!\S)` lookahead,
+    // which RE2 can't express), so the following word starts unprefixed
+    assert(got(2L) === Seq("multi", "  ", "spaced", "   ", "text"))
+  }
+
   test("IVF: cells partition the corpus; search recall@10 beats 0.6 at nProbe=3") {
     val centroids = IvfIndex.train(nodesDf, k = 10, iters = 3)
     assert(centroids.count() === 10)

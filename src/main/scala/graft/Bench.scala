@@ -31,6 +31,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Machine-diffable per-query record (the driver's tail capture can
+    // truncate the line above): overwritten every run; snapshot per round
+    // under bench_history/ to track regressions across rounds.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST_QUERIES.json"),
+      s"""{"sf":"$sfDir","total":$total,"queries":$qs}""")
+    catch { case _: Throwable => () }
     // The per-query line above can exceed a tail-capture window (the
     // driver keeps the END of stdout), so repeat the headline LAST as a
     // short self-contained record — whatever window survives contains it.

@@ -73,6 +73,18 @@ object ScaleProbe {
       .count(exact.contains).toDouble / exact.size
     val nEdges = edges.count()
 
+    // graph-traversal search over the index just built (a03's path): the
+    // one search whose JOB COUNT grows with levelMax (one frontier
+    // expansion per iteration per level) — measured here so the ladder
+    // bounds it instead of extrapolating from fixture scale
+    val (graphRows, tGraph) = timed {
+      AnnSearch.searchGraph(nodesIdx, edges, queries, 10, minSim = -2.0,
+          params, ef = 96, itersPerLevel = 3, efUpper = 16)
+        .select("query_id", "id").collect()
+    }
+    val graphRecall = graphRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+
     // IVF comparison: centroids adapt to clusters, so candidate volume per
     // query is n×nProbe/k regardless of how clustered the data is — the
     // counterpoint to LSH's hot-bucket sensitivity
@@ -234,6 +246,37 @@ object ScaleProbe {
     val ivfPpRecall = ivfPpRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exact.contains).toDouble / exact.size
 
+    // OPQ (parametric, Ge et al. CVPR 2013): PCA rotation + eigenvalue
+    // allocation in FRONT of the residual pipeline, same cells and probe
+    // budget (centroids rotate instead of retraining — orthogonal
+    // rotation preserves cosine, so assignments/probes are unchanged and
+    // the measurement isolates the subspace-split effect on the residual
+    // codebooks)
+    val (rotArt, tOpqTrain) = timed {
+      val rot = OpqRotation.trainRotation(nodes, mSub)
+      val rn = OpqRotation.rotate(nodes, rot).localCheckpoint()
+      rn.count(); (rot, rn)
+    }
+    val (rot, rnodes) = rotArt
+    val rqueries = OpqRotation.rotate(queries, rot, vecCol = "query_vec")
+      .localCheckpoint()
+    val rcentroids = OpqRotation.rotate(centroids, rot,
+      vecCol = "centroid").localCheckpoint()
+    val resO = PqIndex.residuals(rnodes, asg, rcentroids)
+      .select(col("id"), col("vector"))
+    val (rcodesO, tOpqEncode) = timed {
+      val rcbO = PqIndex.trainCodebooks(resO, mSub, subLen, ksub, iters = 2)
+      val c = PqIndex.encode(resO, rcbO, mSub, subLen).localCheckpoint()
+      c.count(); (rcbO, c)
+    }
+    val (opqRows, tOpqSearch) = timed {
+      PqIndex.searchIvfPqResidual(rcodesO._2, asg, rcentroids,
+          rcodesO._1, rqueries, 10, nProbe = 8, mSub, subLen)
+        .select("query_id", "id").collect()
+    }
+    val opqRecall = opqRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exactEuc.contains).toDouble / exactEuc.size
+
     // the dispatcher's >pqCutoff arm end-to-end: prebuilt residual index,
     // cutoffs forced so UsePq fires — it must ride the residual shortlist
     // (+ exact cosine re-rank), so its recall is judged against the
@@ -252,6 +295,7 @@ object ScaleProbe {
     println(s"""{"n":$n,"dim":$dim,"bucketBits":${params.bucketBits},""" +
       s""""exact_search_sec":$tExact,"index_build_sec":$tBuild,""" +
       s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges,""" +
+      s""""graph_search_sec":$tGraph,"graph_recall_at_10":$graphRecall,""" +
       s""""ivf_cells":$kCells,"ivf_train_sec":$tIvfTrain,""" +
       s""""ivf_assign_sec":$tIvfAssign,""" +
       s""""ivf_search_sec":$tIvf,"ivf_recall_at_10":$ivfRecall,""" +
@@ -276,6 +320,9 @@ object ScaleProbe {
       s""""coarsepp_search_sec":$tPpSearch,""" +
       s""""coarsepp_residual_recall_at_10":$ppRecall,""" +
       s""""coarsepp_ivf_recall_at_10":$ivfPpRecall,""" +
+      s""""opq_train_sec":$tOpqTrain,"opq_encode_sec":$tOpqEncode,""" +
+      s""""opq_search_sec":$tOpqSearch,""" +
+      s""""opq_residual_recall_at_10":$opqRecall,""" +
       s""""adaptive_pq_sec":$tDispatch,""" +
       s""""adaptive_pq_recall_at_10":$dispatchRecall}""")
     spark.stop()

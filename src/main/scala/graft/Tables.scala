@@ -2,17 +2,23 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata layout (one parquet per table,
   * see /root/repo/TESTDATA.md). All engine operators are DataFrame-in /
   * DataFrame-out; these helpers only exist for the query harness.
   *
-  * The testdata stores timestamps as parquet TIMESTAMP(NANOS), which Spark
-  * has no native type for — we read them as nano longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to micros
-  * timestamps here, so queries see plain TimestampType (UTC, matching the
-  * DuckDB oracle's TIMESTAMP_NS → TIMESTAMP cast).
+  * Timestamp normalization: queries must always see plain TimestampType
+  * (UTC instants, matching how the DuckDB oracle reads the same naive
+  * values). The driver has shipped the testdata with two different
+  * physical encodings across rounds, so BOTH are handled:
+  *  - parquet TIMESTAMP(NANOS) (no native Spark type) — read as nano
+  *    longs (`spark.sql.legacy.parquet.nanosAsLong`), convert to micros;
+  *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — inferred as
+  *    TIMESTAMP_NTZ, cast to TimestampType (identical wall values under
+  *    the UTC sessions every entry point builds; `unix_micros` et al.
+  *    reject NTZ, so leaving it would break every time-arithmetic
+  *    operator, the silent q22/q25/q35 breakage of round 8).
   */
 object Tables {
   private val tsColumns = Set("l_shipdate", "o_orderdate", "ts")
@@ -23,6 +29,8 @@ object Tables {
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       if (tsColumns.contains(f.name) && f.dataType == LongType)
         df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+      else if (tsColumns.contains(f.name) && f.dataType == TimestampNTZType)
+        df.withColumn(f.name, col(f.name).cast(TimestampType))
       else df
     }
   }

@@ -84,6 +84,15 @@ object ScaleProbe {
     }
     val graphRecall = graphRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exact.contains).toDouble / exact.size
+    // the scale-correct hybrid: LSH-seeded frontier + level-0 expansions
+    // (no cross-graph routing) — judged against the same exact set
+    val (seededRows, tSeeded) = timed {
+      AnnSearch.searchGraphSeeded(nodesIdx, edges, queries, 10,
+          minSim = -2.0, params, ef = 64, iters = 2)
+        .select("query_id", "id").collect()
+    }
+    val seededRecall = seededRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
 
     // IVF comparison: centroids adapt to clusters, so candidate volume per
     // query is n×nProbe/k regardless of how clustered the data is — the
@@ -296,6 +305,8 @@ object ScaleProbe {
       s""""exact_search_sec":$tExact,"index_build_sec":$tBuild,""" +
       s""""lsh_search_sec":$tLsh,"lsh_recall_at_10":$recall,"edges":$nEdges,""" +
       s""""graph_search_sec":$tGraph,"graph_recall_at_10":$graphRecall,""" +
+      s""""graph_seeded_sec":$tSeeded,""" +
+      s""""graph_seeded_recall_at_10":$seededRecall,""" +
       s""""ivf_cells":$kCells,"ivf_train_sec":$tIvfTrain,""" +
       s""""ivf_assign_sec":$tIvfAssign,""" +
       s""""ivf_search_sec":$tIvf,"ivf_recall_at_10":$ivfRecall,""" +

@@ -176,6 +176,23 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), p)
   }
 
+  /** LSH-seeded graph search against the saved index — the recall tier
+    * above [[searchAnn]] at the cost of `iters` extra frontier
+    * expansions over the stored adjacency
+    * ([[operators.AnnSearch.searchGraphSeeded]]; expansions can only
+    * improve on the LSH seeds, and the hybrid needs no cross-graph
+    * routing, the property that survives scale — SCALING.md). */
+  def searchAnnSeeded(queries: DataFrame, k: Int,
+      strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2)
+      : DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
+      s"no ANN index under $path — call rebuild() first"))
+    val (n, e, p) = IndexBuild.load(spark, indexDir(gen))
+    AnnSearch.searchGraphSeeded(n, e, queries, k,
+      KnnSearch.scaleThreshold(strengthSetting), p, ef, iters)
+  }
+
   // ---- auxiliary snapshot chains (documents / token vectors) ----------
   // Same versioned-parquet + atomic-pointer layout as the node table, one
   // chain per table kind — readers always see a complete snapshot.

@@ -104,6 +104,71 @@ object AnnSearch {
       .select(col("query_id"), col("id"), col("score"), col("rn"))
   }
 
+  /** LSH-seeded graph search — the scale-correct hybrid: seed each
+    * query's frontier with its LSH bucket candidates (top-`ef` by true
+    * score, the [[searchLsh]] path), then run `iters` level-0 frontier
+    * expansions to pull in true neighbors whose buckets the query
+    * missed. [[searchGraph]]'s upper-layer descent exists to ROUTE from
+    * a global entry set to the query's neighborhood; a hop-budgeted
+    * frontier walk cannot do that across a large graph (measured:
+    * recall 0.0 at 200 k under the default budgets — SCALING.md), while
+    * LSH seeding lands the frontier in the right neighborhood in O(1)
+    * jobs, after which each expansion can only improve on the seeds
+    * (the final rank scores seeds ∪ expansions with the true metric).
+    * Tombstoned nodes stay routable mid-walk and are filtered from
+    * results ([[searchGraph]]'s reference semantics). Output
+    * (query_id, id, score, rn) — the [[KnnSearch.knnExact]] contract. */
+  def searchGraphSeeded(nodes: DataFrame, edges: DataFrame,
+      queries: DataFrame, k: Int, minSim: Double, params: IndexParams,
+      ef: Int = 64, iters: Int = 2,
+      anchors: Option[Seq[Seq[Array[Float]]]] = None,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    require(ef >= k, s"ef $ef < k $k")
+    val sf = scoreFn(params.metric)
+    val topW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    def topEf(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("rn", row_number().over(topW))
+        .filter(col("rn") <= n).drop("rn")
+    val withDel =
+      if (nodes.columns.contains("deleted")) nodes
+      else nodes.withColumn("deleted", lit(false))
+    val qvs = KnnSearch.maybeBroadcast(
+      queries.select(col("query_id"), col("query_vec")), broadcastBytes)
+    val e0 = edges.filter(col("level") === 0).select(col("src"), col("dst"))
+    // seeds: the LSH candidates' top-ef by TRUE score (no similarity
+    // floor yet — a floor here could empty the frontier and the final
+    // rank applies it anyway). Data-derived `anchors` make the whole
+    // hybrid oracle-derivable (the a01/a07 pattern — a18 hash-checks it).
+    val seedSearch = anchors match {
+      case Some(a) => searchLshAnchored(nodes, queries, ef,
+        Double.NegativeInfinity, a, params.metric, broadcastBytes)
+      case None => searchLsh(nodes, queries, ef,
+        Double.NegativeInfinity, params, broadcastBytes)
+    }
+    var frontier = seedSearch
+      .select(col("query_id"), col("id"), col("score"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val expanded = frontier
+        .join(e0, frontier("id") === e0("src"))
+        .select(col("query_id"), col("dst").as("id"))
+        .dropDuplicates("query_id", "id")
+        .join(withDel.select(col("id"), col("vector")), Seq("id"))
+        .join(qvs, Seq("query_id"))
+        .withColumn("score", sf(col("query_vec"), col("vector")))
+        .select(col("query_id"), col("id"), col("score"))
+      frontier = topEf(frontier.unionByName(expanded)
+        .dropDuplicates("query_id", "id"), ef).localCheckpoint()
+    }
+    frontier
+      .join(withDel.filter(!col("deleted")).select(col("id")), Seq("id"))
+      .filter(col("score") > lit(minSim) && !isnan(col("score")))
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("score"), col("rn"))
+  }
+
   /** Graph-traversal ANN over the built (nodes, edges) index.
     *
     * Starts from the top-layer membership (the entry-point set) and walks

@@ -371,6 +371,28 @@ object AnnQueries {
       me.select(col("level"), col("src"), col("dst"), q6(col("score")))
     }),
 
+    // The LSH-seeded graph SEARCH, fully hash-checked — a03's rows-only
+    // caveat closed the way a07/a13 closed a02/a06's: over the anchored
+    // build (a07's oracle-derivable graph) with anchored seeding (a01's
+    // data-derived buckets), every seed, every frontier expansion and
+    // every final rank is re-derivable by the DuckDB oracle. This is
+    // also the search shape that SURVIVES scale (SCALING.md: the routed
+    // walk's recall collapses at 200 k on a fixed hop budget; the seeded
+    // hybrid doesn't route — seeds land in the neighborhood and
+    // expansions strictly improve on them).
+    "a18_seeded_graph_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val anchors = anchorPlanes(emb, nBands = 4, bits = 3)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val (bn, be) = IndexBuild.buildAnchored(nodesDf, params, anchors)
+      val (nodes, edges) = (bn.localCheckpoint(), be.localCheckpoint())
+      AnnSearch.searchGraphSeeded(nodes, edges,
+          VectorQueries.querySet(emb), k = 10, minSim = -2.0, params,
+          ef = 48, iters = 2, anchors = Some(anchors))
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Graph-traversal ANN search, emitting a PER-QUERY recall floor flag
     // the driver hash-checks against an all-true oracle: recall@10 vs the
     // exact top-k must clear 0.9 for every query, so a walk regression
@@ -963,6 +985,73 @@ object AnnQueries {
         |SELECT layer AS level, src, dst,
         |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score_r FROM (
         |  SELECT * FROM untouched UNION ALL SELECT * FROM rewired)""".stripMargin,
+    // a18 re-derives the WHOLE hybrid: the anchored graph (a07's chain),
+    // anchored query buckets, seed candidates, the top-48 seed rank, TWO
+    // frontier expansions over layer-0 adjacency (UNION dedup is exact —
+    // both sides score the identical kernel), and the final top-10 rank.
+    "a18_seeded_graph_search" ->
+      s"""WITH $anchoredBuildCtes,
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qk AS (
+        |  SELECT q.query_id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(q.qv, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bk
+        |  FROM q CROSS JOIN anch a GROUP BY q.query_id, a.aid // 3),
+        |cand AS (
+        |  SELECT DISTINCT qk.query_id, k.id
+        |  FROM keys k JOIN qk ON k.band = qk.band AND k.bk = qk.bk),
+        |seeds AS (
+        |  SELECT query_id, id, score FROM (
+        |    SELECT query_id, id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, id) AS rn
+        |    FROM (
+        |      SELECT c.query_id, c.id,
+        |        list_cosine_similarity(n.v, q.qv) AS score
+        |      FROM cand c
+        |      JOIN nodes n ON n.id = c.id
+        |      JOIN q ON q.query_id = c.query_id))
+        |  WHERE rn <= 48),
+        |exp1 AS (
+        |  SELECT DISTINCT s.query_id, b.dst AS id
+        |  FROM seeds s JOIN base b ON b.layer = 0 AND b.src = s.id),
+        |sc1 AS (
+        |  SELECT e.query_id, e.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM exp1 e
+        |  JOIN nodes n ON n.id = e.id
+        |  JOIN q ON q.query_id = e.query_id),
+        |f1 AS (
+        |  SELECT query_id, id, score FROM (
+        |    SELECT query_id, id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, id) AS rn
+        |    FROM (SELECT * FROM seeds UNION SELECT * FROM sc1))
+        |  WHERE rn <= 48),
+        |exp2 AS (
+        |  SELECT DISTINCT f.query_id, b.dst AS id
+        |  FROM f1 f JOIN base b ON b.layer = 0 AND b.src = f.id),
+        |sc2 AS (
+        |  SELECT e.query_id, e.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM exp2 e
+        |  JOIN nodes n ON n.id = e.id
+        |  JOIN q ON q.query_id = e.query_id),
+        |f2 AS (
+        |  SELECT query_id, id, score FROM (
+        |    SELECT query_id, id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, id) AS rn
+        |    FROM (SELECT * FROM f1 UNION SELECT * FROM sc2))
+        |  WHERE rn <= 48)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM f2)
+        |WHERE rn <= 10""".stripMargin,
     "a01_ann_lsh_search" ->
       """WITH nodes AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

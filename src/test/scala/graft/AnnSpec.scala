@@ -195,6 +195,33 @@ class AnnSpec extends SparkSpec {
     assert(got === 0)
   }
 
+  test("LSH-seeded graph search: recall >= plain LSH at the same ef, " +
+      "tombstones excluded from results but routable") {
+    val (nodes, edges) = IndexBuild.build(nodesDf, params)
+    val lshHits = AnnSearch.searchLsh(nodesDf, queriesDf, 10,
+        minSim = -2.0, params)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val seeded = AnnSearch.searchGraphSeeded(nodes, edges, queriesDf,
+      k = 10, minSim = -2.0, params, ef = 48, iters = 2)
+    val seededHits = seeded.select("query_id", "id")
+      .as[(Long, Long)].collect().toSet
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val rLsh = exact.intersect(lshHits).size.toDouble / exact.size
+    val rSeeded = exact.intersect(seededHits).size.toDouble / exact.size
+    // expansions only ADD candidates before the true-score rank, so the
+    // hybrid can never do worse than its seeds
+    assert(rSeeded >= rLsh, s"seeded $rSeeded < lsh $rLsh")
+    assert(rSeeded > 0.4, s"seeded recall@10 = $rSeeded")
+
+    val deadId = 100L
+    val tombstoned = nodes.withColumn("deleted", col("id") === deadId)
+    val got = AnnSearch.searchGraphSeeded(tombstoned, edges, queriesDf,
+      k = 10, minSim = -2.0, params)
+      .filter(col("id") === deadId).count()
+    assert(got === 0)
+  }
+
   test("save/load round-trip preserves params (incl. metric) and tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
     val (nodes, edges) = IndexBuild.build(nodesDf,

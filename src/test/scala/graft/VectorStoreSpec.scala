@@ -51,6 +51,11 @@ class VectorStoreSpec extends SparkSpec {
       Seq((100L, Seq(1f, 1f))).toDF("query_id", "query_vec"), k = 2,
       strengthSetting = 50)
     assert(ann.select("id").as[Long].collect().toList === List(2L, 9L))
+    // the seeded-graph tier serves the same top-k from the same index
+    val seeded = store.searchAnnSeeded(
+      Seq((100L, Seq(1f, 1f))).toDF("query_id", "query_vec"), k = 2,
+      strengthSetting = 50, ef = 4, iters = 1)
+    assert(seeded.select("id").as[Long].collect().toList === List(2L, 9L))
 
     val path = store.path
     store.delete()

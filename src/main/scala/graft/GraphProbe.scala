@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import graft.operators.{AnnSearch, IndexBuild, IndexParams, KnnSearch}
+
+/** Manual scale probe for the GRAPH search paths only (not part of the
+  * driver harness): the routed frontier walk (a03's shape) vs the
+  * LSH-seeded hybrid vs plain LSH, at N beyond the committed fixtures —
+  * the full [[ScaleProbe]] measures every family and takes much longer.
+  * Usage: `sbt "runMain graft.GraphProbe 200000 64"`. */
+object GraphProbe {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val nodes = ScaleProbe.syntheticVectors(spark, n, dim).localCheckpoint()
+    val queries = nodes.filter(col("id") % math.max(1L, n / 100) === 0)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      .localCheckpoint()
+    val params = IndexParams(m = 16, dim = dim, levelMax = 7,
+      bucketBits = math.max(4, (math.log(n / 64.0) / math.log(2)).toInt),
+      nBands = 4)
+
+    val exact = KnnSearch.knnExact(nodes, queries, 10, minSim = -2.0)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .count(exact.contains).toDouble / exact.size
+
+    val ((nodesIdx, edges), tBuild) = timed {
+      val r = IndexBuild.build(nodes, params)
+      val ni = r._1.localCheckpoint(); val e = r._2.localCheckpoint()
+      e.count(); (ni, e)
+    }
+    val (lshRows, tLsh) = timed {
+      AnnSearch.searchLsh(nodes, queries, 10, minSim = -2.0, params)
+        .select("query_id", "id").collect()
+    }
+    val (graphRows, tGraph) = timed {
+      AnnSearch.searchGraph(nodesIdx, edges, queries, 10, minSim = -2.0,
+          params, ef = 96, itersPerLevel = 3, efUpper = 16)
+        .select("query_id", "id").collect()
+    }
+    val (seededRows, tSeeded) = timed {
+      AnnSearch.searchGraphSeeded(nodesIdx, edges, queries, 10,
+          minSim = -2.0, params, ef = 64, iters = 2)
+        .select("query_id", "id").collect()
+    }
+    println(s"""{"n":$n,"dim":$dim,"build_sec":$tBuild,""" +
+      s""""lsh_sec":$tLsh,"lsh_recall_at_10":${recallOf(lshRows)},""" +
+      s""""graph_sec":$tGraph,"graph_recall_at_10":${recallOf(graphRows)},""" +
+      s""""graph_seeded_sec":$tSeeded,""" +
+      s""""graph_seeded_recall_at_10":${recallOf(seededRows)}}""")
+    spark.stop()
+  }
+}

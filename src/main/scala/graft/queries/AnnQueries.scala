@@ -61,6 +61,24 @@ object AnnQueries {
     (n, e)
   }
 
+  /** Memoized anchored build per data dir (the `indexFor` shape): a07
+    * and a18 both consume the identical deterministic
+    * `buildAnchored(nodes, params, anchors)` graph — build once per
+    * process, checkpoint, share. (a13 keeps its own build: its
+    * `efConstruction = 32` params must ALSO govern the base it merges
+    * into.) */
+  private val anchoredBuilt = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+  private def anchoredFor(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    anchoredBuilt.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+      val (n, e) = IndexBuild.buildAnchored(
+        VectorQueries.asVectorTable(emb), params,
+        anchorPlanes(emb, nBands = 4, bits = 3))
+      (n.localCheckpoint(), e.localCheckpoint())
+    })
+
   /** Anchor hyperplanes for a01: the `nBands × bits` lowest-vec_id
     * embeddings, banded by vec_id VALUE (`vec_id / bits` — exactly the
     * oracle's `aid // bits`, so a gap in the id range changes both sides
@@ -339,10 +357,7 @@ object AnnQueries {
     // end-to-end against an external engine.
     "a07_anchored_build" -> ((s, d) => {
       VectorFunctions.register(s)
-      val emb = Tables.embeddings(s, d)
-      val (_, edges) = IndexBuild.buildAnchored(
-        VectorQueries.asVectorTable(emb), params,
-        anchorPlanes(emb, nBands = 4, bits = 3))
+      val (_, edges) = anchoredFor(s, d)
       edges.select(col("level"), col("src"), col("dst"), q6(col("score")))
     }),
 
@@ -384,9 +399,7 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val anchors = anchorPlanes(emb, nBands = 4, bits = 3)
-      val nodesDf = VectorQueries.asVectorTable(emb)
-      val (bn, be) = IndexBuild.buildAnchored(nodesDf, params, anchors)
-      val (nodes, edges) = (bn.localCheckpoint(), be.localCheckpoint())
+      val (nodes, edges) = anchoredFor(s, d)
       AnnSearch.searchGraphSeeded(nodes, edges,
           VectorQueries.querySet(emb), k = 10, minSim = -2.0, params,
           ef = 48, iters = 2, anchors = Some(anchors))

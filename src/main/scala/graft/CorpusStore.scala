@@ -9,8 +9,9 @@ import graft.util.{Fs, Snapshots}
   * applied to the training-data chain the loose operators implement (and
   * the t19/d10 harness queries prove composes): persisted document
   * snapshots plus ONE `assemble()` call that materializes
-  * clean → quality-gate → source-cap → dedup → mixture-resample →
-  * split-assign → sequence-pack as an atomic training-set generation.
+  * clean → quality-gate → source-cap → dedup → decontaminate →
+  * mixture-resample → split-assign → sequence-pack as an atomic
+  * training-set generation.
   *
   * Layout mirrors [[VectorStore]] ([[graft.util.Snapshots]]): the raw
   * corpus lives in a `docs_v{N}` chain behind the `DOCS` pointer; each
@@ -123,15 +124,32 @@ class CorpusStore private (val spark: SparkSession, val path: String) {
           Seq("doc_id"), "left_semi")
       } else exactKept
 
+    // 4b. decontamination — the ACTION on t06's measurement: drop every
+    //     doc sharing more than `maxSharedNgrams` distinct word n-grams
+    //     with the held-out benchmark (GPT-3/Pile-style n-gram
+    //     decontamination). Docs sharing none never appear in the
+    //     contamination table, so the anti-join keeps them untouched;
+    //     the corpus never shuffles (the t06 broadcast-grams shape).
+    val decontaminated = p.benchmark match {
+      case Some(bench) =>
+        val dirty = TextDedup.contamination(deduped, bench,
+            p.contaminationN)
+          .filter(col("n_shared_ngrams") > p.maxSharedNgrams)
+          .select(col("id").as("doc_id"))
+        deduped.join(dirty, Seq("doc_id"), "left_anti")
+      case None => deduped
+    }
+
     // 5. mixture resample (exact BigInt rates; no-op when no targets —
     //    n_toks/rate_micro still attach so the generation schema is stable)
     val mixed =
       if (p.targets.nonEmpty)
-        deduped.join(
-          CorpusOps.resampleToMixture(deduped, p.targets, salt = p.mixSalt)
+        decontaminated.join(
+          CorpusOps.resampleToMixture(decontaminated, p.targets,
+              salt = p.mixSalt)
             .select(col("doc_id"), col("n_toks"), col("rate_micro")),
           Seq("doc_id"))
-      else deduped
+      else decontaminated
         .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
         .withColumn("rate_micro", lit(1000000L))
 
@@ -189,6 +207,9 @@ object CorpusStore {
       blocklist: Seq[String] = Nil,
       nearDupJaccard: Double = 0.0,
       nHashes: Int = 16,
+      benchmark: Option[org.apache.spark.sql.DataFrame] = None,
+      maxSharedNgrams: Int = 0,
+      contaminationN: Int = 3,
       targets: Map[String, Long] = Map.empty,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),

@@ -126,6 +126,30 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("decontamination drops exactly the docs sharing n-grams with " +
+      "the benchmark (the t06 action, via the facade)") {
+    val store = newStore()
+    store.putDocuments(docs)
+    // benchmark = the held-out texts of every 50th doc — those docs (and
+    // only those docs plus any text-identical siblings) must drop
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    // 8-grams: benchmark members share their ENTIRE text (every 8-gram)
+    // and always drop; incidental phrase overlap at 8 tokens is rare.
+    // (At n=3 the templated fixture text shares trigrams so widely that
+    // a zero-tolerance gate drops half the corpus — realistic for a
+    // 0-tolerance trigram rule, which is why production pipelines pick
+    // longer n or a nonzero budget.)
+    store.assemble(AssemblyParams(seqTokens = 128,
+      benchmark = Some(bench), maxSharedNgrams = 0, contaminationN = 8))
+    val kept = store.trainingDocs.select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ % 50 != 0L), "benchmark members survived")
+    val total = docs.count()
+    assert(kept.size >= (total - total / 50 - total / 10).toInt,
+      s"over-dropped: ${kept.size} of $total")
+    store.delete()
+  }
+
   test("near-dup assembly drops whitespace-variant clones only because " +
       "cleaning ran first (the d10 composition, via the facade)") {
     val base = docs.select(col("doc_id"), col("text"), col("lang"),

@@ -128,6 +128,42 @@ object CorpusOps {
           .as("pos_in_seq"))
   }
 
+  /** Per-document sliding-window chunking — the RAG/embedding-side
+    * complement to [[packSequences]] (which concatenates ACROSS docs for
+    * pretraining): each document yields overlapping windows of
+    * `window` tokens starting every `stride` tokens, the shape an
+    * embedding/retrieval pipeline feeds its encoder. Chunk starts are
+    * 0, stride, 2·stride, …; the count is 1 for docs within one window,
+    * else ⌈(n−window)/stride⌉+1 (the last chunk may be short; every
+    * token is covered, consecutive chunks overlap by window−stride).
+    *
+    * Output: (doc_id, chunk_id, start_tok, n_chunk_toks, chunk_text).
+    * All-BIGINT start/count arithmetic; the chunk text itself is an
+    * array_join of the token slice, so oracles can pin content (t24
+    * hashes md5 of it). One narrow map-side explode — no shuffle, no
+    * driver involvement, linear in corpus tokens at any scale. */
+  def chunkByTokens(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window; got window=$window stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= window, lit(1L))
+          .otherwise(expr(s"(n - $window + $stride - 1) div $stride") +
+            lit(1L)))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_chunk_toks",
+        least(lit(window.toLong), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_chunk_toks"),
+        array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          col("n_chunk_toks").cast("int")), " ").as("chunk_text"))
+  }
+
   /** Mixture drift between two corpus snapshots: the per-source terms of
     * KL(p‖q) where p = snapshot A's token mixture and q = snapshot B's —
     * the monitor a pipeline runs between crawl versions to catch a

@@ -511,6 +511,16 @@ object TextQueries {
           md5(concat_ws("\u001F", col("pieces"))).as("seg_md5"))
     }),
 
+    // Per-doc sliding-window chunking (window 64, stride 48 → 16-token
+    // overlap): the RAG-side complement to t15's cross-doc packing. The
+    // md5 over each chunk's joined text pins the exact token slice, so
+    // an off-by-one in starts, lengths or the overlap fails the hash.
+    "t24_chunk_overlap" -> ((s, d) =>
+      graft.operators.CorpusOps.chunkByTokens(
+          Tables.documents(s, d), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_chunk_toks"), md5(col("chunk_text")).as("chunk_md5"))),
+
     // Order-insensitive content fingerprint (md5 of sorted token set).
     "t04_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1238,6 +1248,26 @@ object TextQueries {
         |      THEN 'en' ELSE 'unknown' END AS pred_lang
         |  FROM documents)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "t24_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE (n - 64 + 48 - 1) // 48 + 1 END AS n_chunks
+        |  FROM toks WHERE n > 0),
+        |chunks AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM base)
+        |SELECT doc_id, chunk_id, (chunk_id * 48)::BIGINT AS start_tok,
+        |  LEAST(64, n - chunk_id * 48)::BIGINT AS n_chunk_toks,
+        |  md5(array_to_string(
+        |    t[(chunk_id * 48 + 1):(chunk_id * 48 + LEAST(64, n - chunk_id * 48))],
+        |    ' ')) AS chunk_md5
+        |FROM chunks""".stripMargin,
     "t23_pretokenize" -> {
       // SQL-escape the pattern's single quotes (contraction alternatives)
       val pat = graft.operators.TextFeaturizer.preTokenPat

@@ -57,6 +57,35 @@ class CorpusOpsSpec extends SparkSpec {
       "a NULL source is not blocklisted — bare !isin would drop it")
   }
 
+  test("chunkByTokens: every token covered exactly once per stride " +
+      "step, overlap = window - stride, short docs yield one chunk") {
+    val d = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks
+      (2L, (1 to 10).map(i => s"v$i").mkString(" ")),  // 10 toks < window
+      (3L, (1 to 64).map(i => s"u$i").mkString(" "))   // exactly one window
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.chunkByTokens(d, window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_toks",
+        "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // doc 1: ceil((100-64)/48)+1 = 2 chunks — [0,64) and [48,100)
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq
+      === Seq((0L, 0L, 64L), (1L, 48L, 52L)))
+    // overlap region: last 16 tokens of chunk 0 == first 16 of chunk 1
+    val c0 = d1(0)._5.split(" ")
+    val c1 = d1(1)._5.split(" ")
+    assert(c0.takeRight(16).toSeq === c1.take(16).toSeq)
+    // chunk text is the exact slice
+    assert(c1.head === "w49" && c1.last === "w100")
+    // short doc and exact-window doc: one full-coverage chunk each
+    assert(got.filter(_._1 == 2L).map(c => (c._3, c._4)).toSeq
+      === Seq((0L, 10L)))
+    assert(got.filter(_._1 == 3L).map(c => (c._3, c._4)).toSeq
+      === Seq((0L, 64L)))
+  }
+
   test("mixtureStats: exact counts and integer-micro shares") {
     val tiny = Seq(
       (1L, "a b c d", "s1", "en"),   // 4 tokens

@@ -187,6 +187,38 @@ class CorpusStore private (val spark: SparkSession, val path: String) {
   def trainingSequences: DataFrame =
     spark.read.parquet(s"${trainDir(currentTrainGen)}/sequences")
 
+  /** Streaming document ingest — the corpus-side analog of
+    * [[graft.streaming.StreamingIngest]]'s single-writer queue:
+    * micro-batches ARE the serialized writer (foreachBatch runs one
+    * batch at a time, in order). Each batch resolves intra-batch
+    * duplicate doc_ids by `seq` (highest wins — a DataFrame carries no
+    * arrival order) and folds latest-wins into the DOCS snapshot chain
+    * via [[appendDocuments]]. Single-writer contract: one running
+    * ingest query (or one batch writer) owns a store path at a time. */
+  def startIngest(events: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(events.columns.contains("seq"),
+      s"ingest events need a seq column; got ${events.columns.mkString(",")}")
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$path/_ingest_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("seq").desc)
+          appendDocuments(batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn", "seq"))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Drop the store. */
   def delete(): Unit = Fs.deleteRecursive(spark, path)
 }

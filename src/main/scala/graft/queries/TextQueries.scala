@@ -521,6 +521,28 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_id"), col("start_tok"),
           col("n_chunk_toks"), md5(col("chunk_text")).as("chunk_md5"))),
 
+    // The RAG indexing pipeline COMPOSED (the t19/d10 rule, retrieval
+    // side): slide-chunk the corpus (t24's windows), feature-hash embed
+    // every chunk AND the query docs (e01's kernel), exact cosine top-5
+    // chunks per query. Chunk ids pack as doc_id*1000 + chunk_id. The
+    // oracle re-derives chunking, bucketing, the exact-integer norms,
+    // the float-narrowed weights and every rank — an error in any stage
+    // or in the composition moves a chunk id or rank and fails the hash.
+    "e04_rag_chunk_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val chunks = graft.operators.CorpusOps
+        .chunkByTokens(docs, window = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text"))
+      val cvec = graft.operators.TextFeaturizer.featureHash(chunks, dim = 32)
+      val qvec = graft.operators.TextFeaturizer
+        .featureHash(docs.filter(col("doc_id") % 100 === 0), dim = 32)
+        .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      graft.operators.KnnSearch.knnExact(cvec, qvec, k = 5, minSim = 0.0)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Order-insensitive content fingerprint (md5 of sorted token set).
     "t04_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1248,6 +1270,76 @@ object TextQueries {
         |      THEN 'en' ELSE 'unknown' END AS pred_lang
         |  FROM documents)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "e04_rag_chunk_search" ->
+      """WITH ctoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |cbase AS (
+        |  SELECT doc_id, t, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE (n - 64 + 48 - 1) // 48 + 1 END AS n_chunks
+        |  FROM ctoks WHERE n > 0),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + chunk_id AS cid,
+        |    array_to_string(
+        |      t[(chunk_id * 48 + 1):(chunk_id * 48 + LEAST(64, n - chunk_id * 48))],
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, t, n,
+        |          unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |        FROM cbase)),
+        |cw AS (
+        |  SELECT cid AS id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS INT)
+        |      AS bucket,
+        |    count(*)::DOUBLE AS cnt
+        |  FROM (SELECT cid, unnest(string_split(text, ' ')) AS tok
+        |        FROM chunks)
+        |  WHERE length(tok) > 0 GROUP BY 1, 2),
+        |cnorm AS (
+        |  SELECT id, sqrt(SUM(cnt * cnt)) AS nrm FROM cw GROUP BY id),
+        |cd AS (
+        |  SELECT id, list_transform(rawl, x -> (x / nrm)::FLOAT)::DOUBLE[]
+        |    AS v
+        |  FROM (
+        |    SELECT i.id, list(COALESCE(w.cnt, 0.0) ORDER BY b.b) AS rawl,
+        |      any_value(n.nrm) AS nrm
+        |    FROM (SELECT DISTINCT id FROM cw) i
+        |    CROSS JOIN range(0, 32) b(b)
+        |    LEFT JOIN cw w ON w.id = i.id AND w.bucket = b.b
+        |    JOIN cnorm n ON n.id = i.id
+        |    GROUP BY i.id)),
+        |qw AS (
+        |  SELECT doc_id AS id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS INT)
+        |      AS bucket,
+        |    count(*)::DOUBLE AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE doc_id % 100 = 0)
+        |  WHERE length(tok) > 0 GROUP BY 1, 2),
+        |qnorm AS (
+        |  SELECT id, sqrt(SUM(cnt * cnt)) AS nrm FROM qw GROUP BY id),
+        |qd AS (
+        |  SELECT id, list_transform(rawl, x -> (x / nrm)::FLOAT)::DOUBLE[]
+        |    AS v
+        |  FROM (
+        |    SELECT i.id, list(COALESCE(w.cnt, 0.0) ORDER BY b.b) AS rawl,
+        |      any_value(n.nrm) AS nrm
+        |    FROM (SELECT DISTINCT id FROM qw) i
+        |    CROSS JOIN range(0, 32) b(b)
+        |    LEFT JOIN qw w ON w.id = i.id AND w.bucket = b.b
+        |    JOIN qnorm n ON n.id = i.id
+        |    GROUP BY i.id)),
+        |scored AS (
+        |  SELECT q.id AS query_id, c.id,
+        |    list_cosine_similarity(c.v, q.v) AS score
+        |  FROM cd c CROSS JOIN qd q)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM scored WHERE score > 0.0)
+        |WHERE rn <= 5""".stripMargin,
     "t24_chunk_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

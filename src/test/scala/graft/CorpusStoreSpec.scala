@@ -126,6 +126,30 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("streaming ingest: batches apply serially, same-batch duplicate " +
+      "doc_ids resolve by seq, colliding ids replace latest-wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    val store = newStore()
+    val q = store.startIngest(
+      stream.toDF().toDF("doc_id", "text", "seq"))
+    try {
+      stream.addData((1L, "first words", 1L), (2L, "second doc", 2L))
+      q.processAllAvailable()
+      assert(store.documents.count() === 2)
+      // batch 2: replace doc 1, add doc 3 twice (later seq wins)
+      stream.addData((1L, "replaced words", 1L),
+        (3L, "early version", 2L), (3L, "late version", 3L))
+      q.processAllAvailable()
+      val got = store.documents.orderBy("doc_id")
+        .as[(Long, String)].collect().toList
+      assert(got === List((1L, "replaced words"), (2L, "second doc"),
+        (3L, "late version")))
+    } finally q.stop()
+    store.delete()
+  }
+
   test("decontamination drops exactly the docs sharing n-grams with " +
       "the benchmark (the t06 action, via the facade)") {
     val store = newStore()

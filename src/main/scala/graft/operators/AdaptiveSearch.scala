@@ -23,6 +23,7 @@ object AdaptiveSearch {
   sealed trait Strategy
   case object UseExact extends Strategy
   case object UseLsh extends Strategy
+  case object UseGraphSeeded extends Strategy
   case object UseIvf extends Strategy
   case object UsePq extends Strategy
 
@@ -114,17 +115,32 @@ object AdaptiveSearch {
     * `pqCutoff` should build once and pass it in. */
   def search(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       params: IndexParams, nProbe: Int = 8, ivfCells: Int = 256,
-      exactCutoff: Long = 50000, pqCutoff: Long = 5000000L,
-      prebuiltPq: Option[PqPrebuilt] = None)
+      exactCutoff: Long = 50000, skewCutoff: Double = 0.05,
+      pqCutoff: Long = 5000000L,
+      prebuiltPq: Option[PqPrebuilt] = None,
+      prebuiltGraph: Option[(DataFrame, DataFrame)] = None)
       : (Strategy, DataFrame) = {
     val mSub = 8
     val (n, share) = stats(nodes, params)
-    decide(n, share, exactCutoff = exactCutoff, pqCutoff = pqCutoff,
+    decide(n, share, exactCutoff = exactCutoff, skewCutoff = skewCutoff,
+        pqCutoff = pqCutoff,
         pqEligible = params.dim % mSub == 0) match {
       case UseExact =>
         (UseExact, KnnSearch.knnExact(nodes, queries, k, minSim, params.metric))
       case UseLsh =>
-        (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params))
+        // with a persisted graph index at hand, the LSH arm upgrades to
+        // the seeded hybrid: identical candidate generation plus bounded
+        // frontier expansions that can only improve on the seeds
+        // (measured +10 recall points at 200 k for ~equal cost —
+        // SCALING.md). Without one, building a graph per dispatch would
+        // dwarf the search; plain LSH stays the no-index answer.
+        prebuiltGraph match {
+          case Some((gn, ge)) =>
+            (UseGraphSeeded, AnnSearch.searchGraphSeeded(gn, ge, queries,
+              k, minSim, params, ef = math.max(64, k)))
+          case None =>
+            (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params))
+        }
       case UseIvf =>
         val cells = math.min(ivfCells, math.max(16, math.sqrt(n.toDouble).toInt))
         val centroids = IvfIndex.train(nodes, cells, iters = 3)

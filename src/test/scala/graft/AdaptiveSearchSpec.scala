@@ -41,6 +41,35 @@ class AdaptiveSearchSpec extends SparkSpec {
     assert(res.filter(col("score") <= 0.2).isEmpty)
   }
 
+  test("LSH arm upgrades to the seeded hybrid when a prebuilt graph " +
+      "index is provided; without one it stays plain LSH") {
+    import graft.operators.{AnnSearch, IndexBuild}
+    val emb = Tables.embeddings(spark, sf001)
+    val nodesDf = VectorQueries.asVectorTable(emb)
+    val queriesDf = VectorQueries.querySet(emb)
+    val p = IndexParams(m = 12, bucketBits = 4, nBands = 4)
+    // exactCutoff=0 + disabled skew gate → the decision is UseLsh (the
+    // clustered fixture's hot bucket would otherwise pick IVF)
+    val (sNone, _) = AdaptiveSearch.search(nodesDf, queriesDf, k = 5,
+      minSim = 0.2, p, exactCutoff = 0L, skewCutoff = 1.1)
+    assert(sNone === AdaptiveSearch.UseLsh)
+    val (gn, ge) = IndexBuild.build(nodesDf, p)
+    val (sG, res) = AdaptiveSearch.search(nodesDf, queriesDf, k = 5,
+      minSim = 0.2, p, exactCutoff = 0L, skewCutoff = 1.1,
+      prebuiltGraph = Some((gn.localCheckpoint(), ge.localCheckpoint())))
+    assert(sG === AdaptiveSearch.UseGraphSeeded)
+    // contract parity + the hybrid's guarantee: recall >= the LSH arm's
+    assert(res.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    assert(res.filter(col("score") <= 0.2).isEmpty)
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 5, minSim = 0.2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val lsh = AnnSearch.searchLsh(nodesDf, queriesDf, 5, minSim = 0.2, p)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val hybrid = res.select("query_id", "id")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.intersect(hybrid).size >= exact.intersect(lsh).size)
+  }
+
   test("PQ arm accepts a prebuilt residual index and matches the in-line " +
       "build") {
     val emb = Tables.embeddings(spark, sf001)

@@ -35,6 +35,23 @@ object AnalyticQueries {
         .select(col("event_id"), col("err_event_id"), col("err_value"))
     }),
 
+    // Forward as-of with tolerance (pandas merge_asof direction='forward'):
+    // every click carries the NEXT error of the same user, but only if it
+    // lands within 10 minutes — ties at equal (ts) resolve to the lowest
+    // event_id, equal-time errors ARE visible. Complements q24's backward
+    // pick; the tolerance mask NULLs both carried columns together.
+    "q43_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.forward(clicks, errors, Seq("user_id"), "ts",
+          tieCol = "event_id", rightValCols = Seq("event_id", "value"),
+          asofPrefix = "err_", toleranceSec = Some(600L))
+        .select(col("event_id"), col("err_event_id"), col("err_value"))
+    }),
+
     // Banded interval join: (error, click) pairs of the same user with the
     // click 0..10 minutes after the error.
     "q25_range_join" -> ((s, d) => {
@@ -511,6 +528,21 @@ object AnalyticQueries {
         |    row_number() OVER (PARTITION BY c.event_id
         |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
         |  FROM c JOIN e ON c.user_id = e.user_id AND e.ts <= c.ts)
+        |SELECT c.event_id, m.err_event_id, m.err_value
+        |FROM c LEFT JOIN m ON m.click_id = c.event_id AND m.rn = 1""".stripMargin,
+    "q43_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'error'),
+        |m AS (
+        |  SELECT c.event_id AS click_id, e.event_id AS err_event_id,
+        |    e.value AS err_value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |                       ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM c JOIN e ON c.user_id = e.user_id AND e.ts >= c.ts
+        |    AND epoch_us(e.ts) <= epoch_us(c.ts) + 600000000)
         |SELECT c.event_id, m.err_event_id, m.err_value
         |FROM c LEFT JOIN m ON m.click_id = c.event_id AND m.rn = 1""".stripMargin,
     "q25_range_join" ->

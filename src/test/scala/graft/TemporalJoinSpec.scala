@@ -31,6 +31,55 @@ class TemporalJoinSpec extends SparkSpec {
       3L -> None, 4L -> None))
   }
 
+  test("asof forward: earliest at-or-after wins, equal-ts visible, " +
+      "min-tie on equal time, no-match is null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // before both → carries r101
+      (2L, 10L, ts("2024-01-01 00:00:02")), // equal ts to r102 → visible
+      (3L, 10L, ts("2024-01-01 00:00:05")), // after all → null
+      (4L, 99L, ts("2024-01-01 00:00:00"))  // other key → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 00:00:01"), 1.0),
+      (102L, 10L, ts("2024-01-01 00:00:02"), 2.0),
+      (100L, 10L, ts("2024-01-01 00:00:02"), 3.0) // equal-ts tie → min id
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.forward(left, right, Seq("user_id"), "ts",
+        tieCol = "event_id", rightValCols = Seq("event_id", "value"),
+        asofPrefix = "r_")
+      .select("event_id", "r_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(1L -> Some(101L), 2L -> Some(100L),
+      3L -> None, 4L -> None))
+  }
+
+  test("asof tolerance: out-of-window carries null; both directions") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:10:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 00:00:00"), 1.0),  // 600 s before
+      (102L, 10L, ts("2024-01-01 00:30:00"), 2.0))  // 1200 s after
+      .toDF("event_id", "user_id", "ts", "value")
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.select("r_event_id", "r_value")
+        .as[(Option[Long], Option[Double])].head()
+    // backward within 600 s: the 600-s-old row is exactly at the bound
+    assert(one(AsOfJoin.backward(left, right, Seq("user_id"), "ts",
+      "event_id", Seq("event_id", "value"), "r_",
+      toleranceSec = Some(600L))) === ((Some(101L), Some(1.0))))
+    // backward within 599 s: out of window — BOTH carried columns null
+    assert(one(AsOfJoin.backward(left, right, Seq("user_id"), "ts",
+      "event_id", Seq("event_id", "value"), "r_",
+      toleranceSec = Some(599L))) === ((None, None)))
+    // forward within 1200 s / 1199 s: same at the other bound
+    assert(one(AsOfJoin.forward(left, right, Seq("user_id"), "ts",
+      "event_id", Seq("event_id", "value"), "r_",
+      toleranceSec = Some(1200L))) === ((Some(102L), Some(2.0))))
+    assert(one(AsOfJoin.forward(left, right, Seq("user_id"), "ts",
+      "event_id", Seq("event_id", "value"), "r_",
+      toleranceSec = Some(1199L))) === ((None, None)))
+  }
+
   test("asof backward: NULL-time right rows precede nothing (SQL comparison semantics)") {
     val left = Seq((1L, 10L, ts("2024-01-01 00:00:05")))
       .toDF("event_id", "user_id", "ts")

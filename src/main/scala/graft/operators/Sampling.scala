@@ -68,6 +68,51 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * for each query row, `k` pseudo-random corpus negatives — the
+    * dataset-construction step behind embedding/reranker training
+    * (in-batch negatives are a training-time trick; PERSISTED datasets
+    * want reproducible sampled ones).
+    *
+    * Scale shape (the hashed-rendezvous trick, never a cross join): every
+    * corpus doc lands in one of `buckets` hash buckets; each (query, j)
+    * slot hashes to a bucket and takes that bucket's min-rank doc under a
+    * slot-salted rank — one equi-join keyed by bucket moving
+    * Q×k×(n/buckets) candidate rows, with the per-slot pick collapsing
+    * map-side (min_by). Self-matches are excluded by rank (a query can
+    * never draw itself); a slot landing in an empty bucket yields no row
+    * (choose buckets ≪ n to make that impossible in practice).
+    *
+    * Determinism/portability: bucket assignment and ranks are salted md5
+    * ([[hashKey]]) of ids — same negatives on any engine at any
+    * parallelism, and adding corpus docs only changes slots whose bucket
+    * min actually changed. Output: (query_id, slot, neg_id). */
+  def negativeSample(queries: DataFrame, corpus: DataFrame, k: Int,
+      queryIdCol: String = "query_id", corpusIdCol: String = "doc_id",
+      buckets: Int = 1024, salt: String = "neg"): DataFrame = {
+    require(k > 0 && buckets > 0, s"k $k buckets $buckets")
+    val docs = corpus.select(col(corpusIdCol).as("neg_id"))
+      .withColumn("__b", pmod(hashKey(col("neg_id"), salt + "-b"),
+        lit(buckets.toLong)))
+    val slots = queries.select(col(queryIdCol).as("query_id"))
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__b", pmod(
+        hashKey(concat(col("query_id").cast("string"), lit("#"),
+          col("slot").cast("string")), salt + "-s"),
+        lit(buckets.toLong)))
+    slots.join(docs, Seq("__b"))
+      // rank is slot-salted so the same bucket serves DIFFERENT docs to
+      // different slots; a query's own doc ranks last, never first
+      .withColumn("__r", when(col("neg_id") === col("query_id"),
+          lit(Long.MaxValue))
+        .otherwise(hashKey(concat(col("query_id").cast("string"), lit("#"),
+          col("slot").cast("string"), lit("#"),
+          col("neg_id").cast("string")), salt + "-r")))
+      .groupBy(col("query_id"), col("slot"))
+      .agg(expr("min_by(neg_id, struct(__r, neg_id))").as("neg_id"))
+      .filter(col("neg_id") =!= col("query_id")) // bucket of size 1 = self
+  }
+
   /** Assign each row a named split by consecutive bucket ranges, e.g.
     * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. Weights must
     * sum to ≤ 1; any remainder falls into the LAST split (so a full

@@ -543,6 +543,17 @@ object TextQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // Deterministic negative sampling (contrastive-pair construction):
+    // 4 hashed-rendezvous negatives per query doc — never a cross join,
+    // never the query itself, reproducible on any engine/partitioning.
+    "t25_negative_sampling" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Sampling.negativeSample(
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id")),
+        docs, k = 4, buckets = 64)
+    }),
+
     // Order-insensitive content fingerprint (md5 of sorted token set).
     "t04_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1340,6 +1351,31 @@ object TextQueries {
         |                       ORDER BY score DESC, id) AS rn
         |  FROM scored WHERE score > 0.0)
         |WHERE rn <= 5""".stripMargin,
+    "t25_negative_sampling" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS neg_id,
+        |    ('0x' || substr(md5('neg-b:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 64 AS b
+        |  FROM documents),
+        |slots AS (
+        |  SELECT doc_id AS query_id, s.slot,
+        |    ('0x' || substr(md5('neg-s:' || CAST(doc_id AS VARCHAR)
+        |      || '#' || CAST(s.slot AS VARCHAR)), 1, 15))::BIGINT % 64 AS b
+        |  FROM documents, range(0, 4) s(slot) WHERE doc_id % 100 = 0),
+        |cand AS (
+        |  SELECT sl.query_id, sl.slot, d.neg_id,
+        |    CASE WHEN d.neg_id = sl.query_id THEN 9223372036854775807
+        |      ELSE ('0x' || substr(md5('neg-r:'
+        |        || CAST(sl.query_id AS VARCHAR) || '#'
+        |        || CAST(sl.slot AS VARCHAR) || '#'
+        |        || CAST(d.neg_id AS VARCHAR)), 1, 15))::BIGINT END AS r
+        |  FROM slots sl JOIN docs d ON d.b = sl.b)
+        |SELECT query_id, slot, neg_id FROM (
+        |  SELECT query_id, slot, neg_id,
+        |    row_number() OVER (PARTITION BY query_id, slot
+        |                       ORDER BY r, neg_id) AS rn
+        |  FROM cand)
+        |WHERE rn = 1 AND neg_id <> query_id""".stripMargin,
     "t24_chunk_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

@@ -77,6 +77,28 @@ class SamplingSpec extends SparkSpec {
       weightCol = "w").select("id").as[Long].collect().contains(100L))
   }
 
+  test("negativeSample: k negatives per query, never the query itself, " +
+      "deterministic and partitioning-independent") {
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"))
+    val got = Sampling.negativeSample(queries, docs, k = 4, buckets = 32)
+      .orderBy("query_id", "slot")
+      .as[(Long, Int, Long)].collect()
+    val nQ = queries.count()
+    // 500 docs over 32 buckets → every bucket occupied → all slots fill
+    assert(got.length === (nQ * 4).toInt)
+    assert(got.forall { case (q, _, n) => q != n })
+    // distinct slots of one query draw independently (not all identical)
+    val perQuery = got.groupBy(_._1).values
+    assert(perQuery.exists(_.map(_._3).distinct.length > 1))
+    // deterministic under a different partitioning
+    val got2 = Sampling.negativeSample(queries.repartition(7),
+        docs.repartition(13), k = 4, buckets = 32)
+      .orderBy("query_id", "slot")
+      .as[(Long, Int, Long)].collect()
+    assert(got2.toSeq === got.toSeq)
+  }
+
   test("weights must sum to <= 1") {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))

@@ -102,6 +102,36 @@ object TextScaleProbe {
         println(s"""{"mode":"pack","docs":$n,"seq_tokens":$budget,""" +
           s""""fragments":$nFrags,"pack_sec":$tPack}""")
 
+      case "store" =>
+        // the CorpusStore facade end-to-end at scale: every default-off
+        // stage enabled (gate, cap, exact dedup, resample, split, pack)
+        // over synthetic sourced docs — evidence that ONE assemble() call
+        // stays near-linear in corpus size (each stage's own scale story
+        // is measured elsewhere; this measures their composition +
+        // the generation write)
+        val n = if (args.length > 1) args(1).toLong else 1000000L
+        val docs = syntheticDocs(spark, n, salt = 4)
+          .withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20))))
+          .withColumn("lang", lit("en"))
+          .localCheckpoint()
+        docs.count()
+        val store = CorpusStore.openOrCreate(spark,
+          graft.util.Fs.tempDirDeletedOnExit("graft-store-probe"))
+        val (_, tPut) = timed { store.putDocuments(docs) }
+        val (_, tAssemble) = timed {
+          store.assemble(CorpusStore.AssemblyParams(
+            minTokens = 5, minQuality = 0.1,
+            maxPerSource = (n / 25).toInt,
+            targets = Map("src1" -> 3L, "src2" -> 1L, "src3" -> 2L),
+            seqTokens = 2048))
+        }
+        val kept = store.trainingDocs.count()
+        val frags = store.trainingSequences.count()
+        println(s"""{"mode":"store","docs":$n,"put_sec":$tPut,""" +
+          s""""assemble_sec":$tAssemble,"kept_docs":$kept,""" +
+          s""""fragments":$frags}""")
+
       case other =>
         throw new IllegalArgumentException(s"unknown mode $other")
     }

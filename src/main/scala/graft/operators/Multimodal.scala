@@ -210,6 +210,69 @@ object Multimodal {
       s"([\\s\\S])[\\s\\S]{0,${stride - 1}}", "$1")
   }
 
+  /** Content-defined chunking over a text payload column — the
+    * rsync/LBFS-style blob-dedup primitive a multimodal data lake needs:
+    * chunk boundaries fall where a sliding window's fingerprint hits a
+    * target residue (content-derived, so an insertion early in an asset
+    * shifts ONE chunk's boundary instead of re-aligning every fixed-size
+    * block — the property that lets identical media segments dedup
+    * across assets that differ elsewhere). The window fingerprint is an
+    * md5 prefix of the `windowBytes`-char window ending at each position
+    * (same boundaries on any engine; a real rolling hash saves the
+    * re-hash per position but changes nothing semantically), boundary
+    * iff fingerprint % `boundaryMod` == 0 — expected chunk length ≈
+    * boundaryMod bytes.
+    *
+    * Output: (asset_id, chunk_idx, start, chunk_len, chunk_md5,
+    * n_assets_sharing) — the md5 identifies a chunk's CONTENT, and
+    * `n_assets_sharing` counts distinct assets carrying the identical
+    * chunk (the dedup signal; > 1 ⇒ the bytes can be stored once).
+    *
+    * Scale: one explode to O(bytes) narrow candidate rows, boundary
+    * filter, per-asset lag window (partitioned by asset — bounded by
+    * asset size), chunk hashing via substring; the sharing count is one
+    * hash-agg keyed by uniform md5 values. Nothing corpus-wide. */
+  def cdcChunks(assets: DataFrame, windowBytes: Int = 8,
+      boundaryMod: Int = 64, payloadCol: String = "payload_text")
+      : DataFrame = {
+    require(windowBytes > 0 && boundaryMod > 0,
+      s"windowBytes $windowBytes boundaryMod $boundaryMod")
+    val p = col(payloadCol)
+    val n = length(p)
+    // candidate boundary = window-END positions with the target residue,
+    // plus the asset end (always a chunk end); assets shorter than one
+    // window yield just the end boundary = one whole-asset chunk
+    val ends = assets
+      .filter(n > 0)
+      .withColumn("__e", explode(concat(
+        when(n >= windowBytes,
+          filter(sequence(lit(windowBytes), n),
+            i => conv(substring(md5(p.substr(
+                (i - lit(windowBytes) + 1).cast("int"), lit(windowBytes))),
+              1, 8), 16, 10).cast("long") % boundaryMod === 0))
+          .otherwise(array().cast("array<int>")),
+        array(n))))
+      .dropDuplicates("asset_id", "__e")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("__e").asc)
+    val chunks = ends
+      .withColumn("start",
+        coalesce(lag(col("__e"), 1).over(w) + 1, lit(1)))
+      .withColumn("chunk_idx",
+        org.apache.spark.sql.functions.row_number().over(w) - 1)
+      .withColumn("chunk_len", col("__e") - col("start") + 1)
+      .withColumn("chunk_md5",
+        md5(expr(s"substring($payloadCol, start, chunk_len)")))
+    // sharing counts via a separate hash-agg + equi-join (NOT a window
+    // over chunk_md5: a hot chunk shared by millions of assets would
+    // hold a per-row distinct set; the agg is two-phase map-side)
+    val sharing = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("asset_id")).as("n_assets_sharing"))
+    chunks.join(sharing, Seq("chunk_md5"))
+      .select(col("asset_id"), col("chunk_idx"), col("start"),
+        col("chunk_len"), col("chunk_md5"), col("n_assets_sharing"))
+  }
+
   /** Video frame sampling stub: treat the payload as fixed-size frames and
     * keep every `stride`-th — pure offset arithmetic on the binary column
     * (a real impl swaps substring for a demuxer; the explode shape stays). */

@@ -39,9 +39,61 @@ object MultimodalQueries {
           length(col("resized")).as("n_chars_resized"),
           md5(col("resized").cast("binary")).as("resized_md5"))
     }),
+    // Content-defined chunking + cross-asset chunk dedup: every 10th
+    // asset re-enters with bytes INSERTED at the front — fixed-size
+    // blocking would misalign every block after the insertion, but CDC
+    // boundaries re-synchronize at the first content-derived cut, so
+    // the clone's tail chunks dedup against the original's
+    // (n_assets_sharing > 1). The oracle re-derives every boundary,
+    // chunk hash and sharing count.
+    "m04_cdc_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val shifted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("inserted prefix bytes "), col("text")).as("text"))
+      val assets = docs.unionByName(shifted)
+        .select(col("doc_id").as("asset_id"),
+          col("text").as("payload_text"))
+      Multimodal.cdcChunks(assets, windowBytes = 8, boundaryMod = 64)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "m04_cdc_chunks" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, text AS p FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS asset_id,
+        |    'inserted prefix bytes ' || text AS p
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ends AS (
+        |  SELECT asset_id, e FROM (
+        |    SELECT a.asset_id, a.p,
+        |      unnest(generate_series(8, length(a.p))) AS e
+        |    FROM assets a)
+        |  WHERE ('0x' || substr(md5(substr(p, (e - 7)::INT, 8)),
+        |    1, 8))::BIGINT % 64 = 0
+        |  UNION
+        |  SELECT asset_id, length(p) AS e FROM assets WHERE length(p) > 0),
+        |chunks AS (
+        |  SELECT asset_id,
+        |    row_number() OVER (PARTITION BY asset_id ORDER BY e) - 1
+        |      AS chunk_idx,
+        |    COALESCE(lag(e) OVER (PARTITION BY asset_id ORDER BY e) + 1, 1)
+        |      AS start,
+        |    e - COALESCE(lag(e) OVER (PARTITION BY asset_id ORDER BY e)
+        |      + 1, 1) + 1 AS chunk_len
+        |  FROM ends),
+        |withmd5 AS (
+        |  SELECT c.asset_id, c.chunk_idx, c.start, c.chunk_len,
+        |    md5(substr(a.p, c.start::INT, c.chunk_len::INT)) AS chunk_md5
+        |  FROM chunks c JOIN assets a ON a.asset_id = c.asset_id),
+        |sh AS (
+        |  SELECT chunk_md5, count(DISTINCT asset_id) AS n_assets_sharing
+        |  FROM withmd5 GROUP BY chunk_md5)
+        |SELECT w.asset_id, w.chunk_idx, w.start, w.chunk_len,
+        |  w.chunk_md5, s.n_assets_sharing
+        |FROM withmd5 w JOIN sh s ON s.chunk_md5 = w.chunk_md5""".stripMargin,
     "m03_resize_stride" ->
       """SELECT doc_id AS asset_id,
         |  length(regexp_replace(text, '([\s\S])[\s\S]{0,1}', '\1', 'g')) AS n_chars_resized,

@@ -104,6 +104,40 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeStub(junk, 4).toSeq)
   }
 
+  test("cdcChunks: chunks tile each asset exactly; boundaries re-sync " +
+      "after an insertion so shifted clones share tail chunks") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val assets = Seq(
+      (1L, base),
+      (2L, "inserted junk bytes " + base), // same content, shifted
+      (3L, "completely different words here entirely")
+    ).toDF("asset_id", "payload_text")
+    val got = Multimodal.cdcChunks(assets, windowBytes = 8,
+        boundaryMod = 32)
+      .orderBy("asset_id", "chunk_idx")
+      .select("asset_id", "chunk_idx", "start", "chunk_len", "chunk_md5")
+      .as[(Long, Int, Int, Int, String)].collect()
+    // chunks tile: starts are contiguous and lengths sum to the payload
+    for (a <- Seq(1L, 2L, 3L)) {
+      val cs = got.filter(_._1 == a).sortBy(_._2)
+      assert(cs.head._3 === 1)
+      for (Array(x, y) <- cs.sliding(2).map(_.toArray))
+        assert(y._3 === x._3 + x._4, s"gap in asset $a")
+      val text = assets.filter(col("asset_id") === a)
+        .select("payload_text").as[String].head()
+      assert(cs.map(_._4).sum === text.length)
+    }
+    // the CDC property: the shifted clone re-synchronizes — at least one
+    // identical-content chunk md5 appears in both asset 1 and asset 2
+    val md5s1 = got.filter(_._1 == 1L).map(_._5).toSet
+    val md5s2 = got.filter(_._1 == 2L).map(_._5).toSet
+    assert(md5s1.intersect(md5s2).nonEmpty,
+      s"no shared chunks after shift: $md5s1 vs $md5s2")
+    // and the unrelated asset shares nothing
+    val md5s3 = got.filter(_._1 == 3L).map(_._5).toSet
+    assert(md5s1.intersect(md5s3).isEmpty)
+  }
+
   test("frame sampling: every stride-th fixed-size frame") {
     val frames = Multimodal.sampleFrames(
       assets.filter(col("asset_id") === 2L), frameBytes = 8, stride = 2)

@@ -14,7 +14,10 @@ import graft.util.{Fs, Snapshots}
   * training-set generation.
   *
   * Layout mirrors [[VectorStore]] ([[graft.util.Snapshots]]): the raw
-  * corpus lives in a `docs_v{N}` chain behind the `DOCS` pointer; each
+  * corpus lives as ONE live `docs_v{N}` base plus a bounded
+  * `docs_v{N}_delta_{k}` ingest-delta chain behind the `DOCS` pointer
+  * (appends are O(batch); compaction folds the chain every
+  * `compactEvery` appends and deletes superseded directories); each
   * assembled generation writes a complete `train_g{N}` directory (the
   * surviving split-assigned doc table + the packed sequence table), then
   * atomically flips the `TRAIN` pointer and deletes the previous
@@ -36,37 +39,89 @@ import graft.util.{Fs, Snapshots}
   * engine-portable (the t21/t22 harness rows hash-check the composed
   * output against a DuckDB re-derivation of the whole chain).
   */
-class CorpusStore private (val spark: SparkSession, val path: String) {
+class CorpusStore private (val spark: SparkSession, val path: String,
+    compactEvery: Int) {
   import CorpusStore.AssemblyParams
 
   /** Replace the corpus snapshot — requires (doc_id, text); payload
-    * columns (source, lang, …) ride along untouched. */
+    * columns (source, lang, …) ride along untouched. The superseded
+    * version (and its delta chain) is deleted after the pointer flip, so
+    * the docs chain never grows beyond one live version + its deltas. */
   def putDocuments(docs: DataFrame): Unit = {
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       s"documents need (doc_id, text); got ${docs.columns.mkString(",")}")
+    val old = Snapshots.currentWithDeltas(spark, path, "DOCS")
     Snapshots.persist(spark, path, "docs", "DOCS", docs)
-    ()
+    // old version is unreferenced now; best-effort cleanup (a crash here
+    // leaks a directory, never correctness)
+    old.foreach { case (v, k) => Snapshots.prune(spark, path, "docs", v, k) }
   }
 
   /** Append a batch (ingest shape): rows whose doc_id already exists are
-    * REPLACED by the incoming row (latest-wins, the
+    * REPLACED by the incoming rows (latest-wins, the
     * [[operators.Mutations]] upsert rule); new ids union in. Schemas must
-    * match by name. */
+    * match by name.
+    *
+    * O(batch) per call, NOT O(corpus): the batch lands as a delta behind
+    * the `DOCS` pointer ([[graft.util.Snapshots.appendDelta]] — one
+    * atomic pointer flip), and [[documents]] overlays deltas at read
+    * time. Every `compactEvery` appends the chain is folded into a fresh
+    * base snapshot and the superseded directories are deleted — so a
+    * long-running [[startIngest]] stream costs amortized
+    * O(corpus / compactEvery) write amplification per micro-batch and
+    * bounded disk (one base + ≤ compactEvery deltas), instead of
+    * rewriting and retaining the whole corpus every batch. */
   def appendDocuments(batch: DataFrame): Unit =
-    if (Snapshots.current(spark, path, "DOCS").isEmpty) putDocuments(batch)
-    else {
-      val cur = documents
-      require(cur.columns.sorted.sameElements(batch.columns.sorted),
-        s"schema mismatch: ${cur.columns.sorted.mkString(",")} vs " +
-          batch.columns.sorted.mkString(","))
-      putDocuments(cur
-        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .unionByName(batch))
+    Snapshots.currentWithDeltas(spark, path, "DOCS") match {
+      case None => putDocuments(batch)
+      case Some((_, _)) =>
+        val cur = documents
+        require(cur.columns.sorted.sameElements(batch.columns.sorted),
+          s"schema mismatch: ${cur.columns.sorted.mkString(",")} vs " +
+            batch.columns.sorted.mkString(","))
+        val (_, k) = Snapshots.appendDelta(spark, path, "docs", "DOCS",
+          batch.select(cur.columns.map(col).toIndexedSeq: _*))
+        if (k >= compactEvery) compactDocuments()
     }
 
-  /** Current corpus snapshot. */
-  def documents: DataFrame =
-    Snapshots.load(spark, path, "docs", "DOCS", "documents")
+  /** Fold the delta chain into a fresh base snapshot and delete the
+    * superseded directories. Called automatically by [[appendDocuments]];
+    * public for callers that want to compact before a heavy read phase. */
+  def compactDocuments(): Unit =
+    if (Snapshots.currentWithDeltas(spark, path, "DOCS")
+        .exists(_._2 > 0)) putDocuments(documents)
+
+  /** Current corpus snapshot: the base version overlaid by any pending
+    * ingest deltas — per doc_id, rows of the LATEST delta carrying that
+    * id win; base rows survive only for ids no delta touched. The
+    * overlay work is proportional to the delta rows (the corpus-sized
+    * side is one anti-join probe), so reads between compactions stay
+    * cheap. */
+  def documents: DataFrame = {
+    val (v, k) = Snapshots.currentWithDeltas(spark, path, "DOCS")
+      .getOrElse(throw new IllegalStateException(
+        s"no documents under $path — load them first"))
+    val base = spark.read.parquet(Snapshots.versionPath(path, "docs", v))
+    if (k == 0L) base
+    else {
+      val deltas = (1L to k).map(i =>
+        spark.read.parquet(Snapshots.deltaPath(path, "docs", v, i))
+          .withColumn("__ds", lit(i)))
+        .reduce(_.unionByName(_))
+      // keep every row of the winning (max __ds) delta per doc_id — a
+      // batch that carries an id twice keeps both rows, matching the
+      // pre-delta union semantics; cross-delta the later append replaces
+      val wMax = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val resolved = deltas
+        .withColumn("__mx", max(col("__ds")).over(wMax))
+        .filter(col("__ds") === col("__mx"))
+        .drop("__ds", "__mx")
+      base
+        .join(resolved.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(resolved.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+  }
 
   private def trainDir(gen: Long): String = s"$path/train_g$gen"
 
@@ -251,9 +306,14 @@ object CorpusStore {
       mixSalt: String = "mix",
       splitSalt: String = "split")
 
-  /** Open an existing store or create an empty one. */
-  def openOrCreate(spark: SparkSession, path: String): CorpusStore = {
+  /** Open an existing store or create an empty one. `compactEvery` bounds
+    * the docs delta chain: the Nth consecutive [[CorpusStore.appendDocuments]]
+    * folds the chain into a fresh base (amortized O(corpus/N) write
+    * amplification per ingest micro-batch). */
+  def openOrCreate(spark: SparkSession, path: String,
+      compactEvery: Int = 8): CorpusStore = {
+    require(compactEvery >= 1, s"compactEvery $compactEvery")
     Fs.mkdirs(spark, path)
-    new CorpusStore(spark, path)
+    new CorpusStore(spark, path, compactEvery)
   }
 }

@@ -88,10 +88,17 @@ object AsOfJoin {
     // scan order: backward ascends time (last-seen right = latest <= t,
     // tie asc scanned last wins = max tie); forward DESCENDS time
     // (last-seen right = earliest >= t, tie desc scanned last wins =
-    // MIN tie). Right before left at equal time in both.
+    // MIN tie). Right before left at equal time in both. NULL-time LEFT
+    // rows (right NULLs are filtered above) must scan before every right
+    // row in BOTH directions so they carry nothing — `NULL >= t` never
+    // qualifies — hence nulls-first on the descending forward order too
+    // (plain desc is nulls-LAST, which would scan a NULL-time left row
+    // after the whole group and wrongly attach the earliest right row).
     val ord =
-      if (back) Seq(col("__t").asc, col("__side").asc, col("__tie").asc)
-      else Seq(col("__t").desc, col("__side").asc, col("__tie").desc)
+      if (back) Seq(col("__t").asc_nulls_first, col("__side").asc,
+        col("__tie").asc)
+      else Seq(col("__t").desc_nulls_first, col("__side").asc,
+        col("__tie").desc)
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -228,41 +228,64 @@ object Multimodal {
     * `n_assets_sharing` counts distinct assets carrying the identical
     * chunk (the dedup signal; > 1 ⇒ the bytes can be stored once).
     *
-    * Scale: one explode to O(bytes) narrow candidate rows, boundary
-    * filter, per-asset lag window (partitioned by asset — bounded by
-    * asset size), chunk hashing via substring; the sharing count is one
-    * hash-agg keyed by uniform md5 values. Nothing corpus-wide. */
+    * Scale: the candidate-end scan is SEGMENTED — each asset explodes to
+    * ceil(n / segChars) segment rows, each slicing only the ≤
+    * `segChars + windowBytes − 1` chars its windows touch, so per-row
+    * memory is O(segChars) regardless of asset size (a 100 MB blob never
+    * materializes a 100 M-element position array in one row). Boundary
+    * positions then travel as NARROW (asset_id, end) rows through the
+    * dedup + per-asset lag window — the payload is shuffled exactly once
+    * (the chunk-hash equi-join back to the asset table), not once per
+    * candidate position. The sharing count is one hash-agg keyed by
+    * uniform md5 values. Nothing corpus-wide. */
   def cdcChunks(assets: DataFrame, windowBytes: Int = 8,
-      boundaryMod: Int = 64, payloadCol: String = "payload_text")
-      : DataFrame = {
-    require(windowBytes > 0 && boundaryMod > 0,
-      s"windowBytes $windowBytes boundaryMod $boundaryMod")
+      boundaryMod: Int = 64, payloadCol: String = "payload_text",
+      segChars: Int = 4096): DataFrame = {
+    require(windowBytes > 0 && boundaryMod > 0 && segChars > windowBytes,
+      s"windowBytes $windowBytes boundaryMod $boundaryMod segChars $segChars")
     val p = col(payloadCol)
     val n = length(p)
-    // candidate boundary = window-END positions with the target residue,
-    // plus the asset end (always a chunk end); assets shorter than one
-    // window yield just the end boundary = one whole-asset chunk
-    val ends = assets
-      .filter(n > 0)
-      .withColumn("__e", explode(concat(
-        when(n >= windowBytes,
-          filter(sequence(lit(windowBytes), n),
-            i => conv(substring(md5(p.substr(
-                (i - lit(windowBytes) + 1).cast("int"), lit(windowBytes))),
-              1, 8), 16, 10).cast("long") % boundaryMod === 0))
-          .otherwise(array().cast("array<int>")),
-        array(n))))
+    // candidate boundary = window-END positions e ∈ [windowBytes, n] with
+    // the target residue. Segment s covers ends [windowBytes + s*segChars,
+    // min(windowBytes + (s+1)*segChars − 1, n)]; its windows touch chars
+    // (segOff, segHi] where segOff = windowBytes + s*segChars − windowBytes.
+    val nSegs = (floor((n - windowBytes).cast("double") / segChars) + 1)
+      .cast("int")
+    val segEnds = assets
+      .filter(n >= windowBytes)
+      .select(col("asset_id"), p.as("__p"), n.as("__n"),
+        explode(sequence(lit(0), nSegs - 1)).as("__s"))
+      .select(col("asset_id"),
+        (col("__s") * segChars).as("__off"), // global e = __off + local j
+        col("__p").substr(col("__s") * segChars + 1,
+          least(lit(windowBytes + segChars - 1),
+            col("__n") - col("__s") * segChars)).as("__slice"))
+      .select(col("asset_id"), col("__off"),
+        explode(filter(sequence(lit(windowBytes), length(col("__slice"))),
+          j => conv(substring(md5(col("__slice").substr(
+              (j - lit(windowBytes) + 1).cast("int"), lit(windowBytes))),
+            1, 8), 16, 10).cast("long") % boundaryMod === 0)).as("__j"))
+      .select(col("asset_id"), (col("__off") + col("__j")).as("__e"))
+    // the asset end is always a chunk end; assets shorter than one window
+    // yield just the end boundary = one whole-asset chunk
+    val ends = segEnds
+      .unionByName(assets.filter(n > 0)
+        .select(col("asset_id"), n.cast("int").as("__e")))
       .dropDuplicates("asset_id", "__e")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("asset_id")).orderBy(col("__e").asc)
-    val chunks = ends
+    val specs = ends
       .withColumn("start",
         coalesce(lag(col("__e"), 1).over(w) + 1, lit(1)))
       .withColumn("chunk_idx",
         org.apache.spark.sql.functions.row_number().over(w) - 1)
       .withColumn("chunk_len", col("__e") - col("start") + 1)
+      .select(col("asset_id"), col("chunk_idx"), col("start"),
+        col("chunk_len"))
+    val chunks = specs
+      .join(assets.select(col("asset_id"), p.as("__p")), Seq("asset_id"))
       .withColumn("chunk_md5",
-        md5(expr(s"substring($payloadCol, start, chunk_len)")))
+        md5(col("__p").substr(col("start"), col("chunk_len"))))
     // sharing counts via a separate hash-agg + equi-join (NOT a window
     // over chunk_md5: a hot chunk shared by millions of assets would
     // hold a per-row distinct set; the agg is two-phase map-side)

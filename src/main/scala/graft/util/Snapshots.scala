@@ -8,25 +8,74 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `persist` writes a complete `{prefix}_v{N}` directory, then atomically
   * flips the pointer (write-temp + rename-overwrite), so readers resolving
   * the pointer always see a complete snapshot and a crash mid-write leaves
-  * the previous version live. */
+  * the previous version live.
+  *
+  * Delta chains for streaming ingest: the pointer may carry a second
+  * token — `"N"` means base version N, `"N K"` means base N overlaid by
+  * deltas 1..K (`{prefix}_v{N}_delta_{k}` directories). [[appendDelta]]
+  * writes one O(batch) delta and flips the pointer in ONE atomic rename
+  * (base and delta count never disagree), so a micro-batch append costs
+  * O(batch), not O(state); the caller compacts by re-[[persist]]ing the
+  * overlaid view (the single-token pointer resets the delta count) and
+  * deleting the superseded directories. Overlay SEMANTICS (latest-wins by
+  * what key) belong to the caller — this layer only stores and counts. */
 object Snapshots {
 
-  /** Current version number behind `pointer`, if any. */
+  /** Current base version number behind `pointer`, if any (the first
+    * pointer token; delta counts don't change which base is live). */
   def current(spark: SparkSession, base: String, pointer: String)
       : Option[Long] =
-    if (Fs.exists(spark, s"$base/$pointer"))
-      Some(Fs.readString(spark, s"$base/$pointer").trim.toLong)
-    else None
+    currentWithDeltas(spark, base, pointer).map(_._1)
 
-  /** Write `df` as the next version and flip the pointer. Old versions are
-    * left in place (cheap, and a reader may still hold one); callers that
-    * want aggressive cleanup delete `{prefix}_v{N-1}` after the flip. */
+  /** (base version, delta count) behind `pointer`, if any. */
+  def currentWithDeltas(spark: SparkSession, base: String, pointer: String)
+      : Option[(Long, Long)] =
+    if (Fs.exists(spark, s"$base/$pointer")) {
+      val parts = Fs.readString(spark, s"$base/$pointer").trim
+        .split("\\s+")
+      Some((parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L))
+    } else None
+
+  def versionPath(base: String, prefix: String, v: Long): String =
+    s"$base/${prefix}_v$v"
+
+  def deltaPath(base: String, prefix: String, v: Long, k: Long): String =
+    s"${versionPath(base, prefix, v)}_delta_$k"
+
+  /** Write `df` as the next version and flip the pointer (single-token —
+    * any delta chain of the previous version is dereferenced). Old
+    * versions are left in place (cheap, and a reader may still hold one);
+    * callers that want aggressive cleanup use [[prune]] after the flip. */
   def persist(spark: SparkSession, base: String, prefix: String,
       pointer: String, df: DataFrame): Long = {
     val v = current(spark, base, pointer).getOrElse(-1L) + 1
-    df.write.mode("overwrite").parquet(s"$base/${prefix}_v$v")
+    df.write.mode("overwrite").parquet(versionPath(base, prefix, v))
     Fs.writeStringAtomic(spark, s"$base/$pointer", v.toString)
     v
+  }
+
+  /** Write `df` as delta K+1 of the current base and flip the pointer to
+    * `"N K+1"`. O(batch) I/O; requires an existing base. A crash between
+    * the directory write and the pointer flip leaves an orphan delta dir
+    * that the next append simply overwrites. */
+  def appendDelta(spark: SparkSession, base: String, prefix: String,
+      pointer: String, df: DataFrame): (Long, Long) = {
+    val (v, k) = currentWithDeltas(spark, base, pointer).getOrElse(
+      throw new IllegalStateException(
+        s"no base snapshot under $base/$pointer — persist one first"))
+    df.write.mode("overwrite").parquet(deltaPath(base, prefix, v, k + 1))
+    Fs.writeStringAtomic(spark, s"$base/$pointer", s"$v ${k + 1}")
+    (v, k + 1)
+  }
+
+  /** Delete version `v`'s directory and every `v`-based delta directory
+    * with index ≤ `deltas`. Best-effort cleanup for superseded versions —
+    * call only AFTER the pointer has moved off `v`. */
+  def prune(spark: SparkSession, base: String, prefix: String, v: Long,
+      deltas: Long = 0L): Unit = {
+    (1L to deltas).foreach(k =>
+      Fs.deleteRecursive(spark, deltaPath(base, prefix, v, k)))
+    Fs.deleteRecursive(spark, versionPath(base, prefix, v))
   }
 
   /** Read the snapshot behind `pointer`; `what` names it in the error. */

@@ -50,6 +50,49 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("appendDocuments lands as O(batch) deltas; compaction folds the " +
+      "chain and deletes superseded directories (bounded disk)") {
+    val path = graft.util.Fs.tempDirDeletedOnExit("graft-corpus-delta-spec")
+    val store = CorpusStore.openOrCreate(spark, path, compactEvery = 3)
+    def dirs() = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("docs_")).sorted.toList
+    store.putDocuments(docs.filter(col("doc_id") < 10))
+    assert(dirs() === List("docs_v0"))
+    // two appends → two deltas, base untouched (O(batch) writes)
+    store.appendDocuments(docs.filter(col("doc_id").between(10, 14)))
+    store.appendDocuments(docs.filter(col("doc_id").between(15, 19)))
+    assert(dirs() ===
+      List("docs_v0", "docs_v0_delta_1", "docs_v0_delta_2"))
+    // the overlaid read sees all three pieces, latest-wins across deltas
+    assert(store.documents.count() === 20)
+    val reBatch = docs.filter(col("doc_id") === 12)
+      .withColumn("text", lit("delta-two wins"))
+    store.appendDocuments(reBatch) // 3rd append → auto-compaction
+    assert(dirs() === List("docs_v1"), "compaction must fold + prune")
+    assert(store.documents.count() === 20)
+    assert(store.documents.filter(col("doc_id") === 12)
+      .select("text").as[String].head() === "delta-two wins")
+    // a put after the chain also prunes the old base
+    store.putDocuments(docs.filter(col("doc_id") < 5))
+    assert(dirs() === List("docs_v2"))
+    assert(store.documents.count() === 5)
+    store.delete()
+  }
+
+  test("delta overlay: later delta replaces an id an earlier delta wrote") {
+    val store = CorpusStore.openOrCreate(spark,
+      graft.util.Fs.tempDirDeletedOnExit("graft-corpus-delta2-spec"),
+      compactEvery = 100)
+    store.putDocuments(docs.limit(0))
+    store.appendDocuments(docs.filter(col("doc_id") < 3))
+    store.appendDocuments(docs.filter(col("doc_id") === 1)
+      .withColumn("text", lit("second write")))
+    assert(store.documents.count() === 3)
+    assert(store.documents.filter(col("doc_id") === 1)
+      .select("text").as[String].head() === "second write")
+    store.delete()
+  }
+
   test("appendDocuments rejects a schema mismatch") {
     val store = newStore()
     store.putDocuments(docs)

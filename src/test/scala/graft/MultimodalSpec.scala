@@ -138,6 +138,24 @@ class MultimodalSpec extends SparkSpec {
     assert(md5s1.intersect(md5s3).isEmpty)
   }
 
+  test("cdcChunks: segmented scan is invariant in segChars (bounded " +
+      "per-row memory changes nothing semantically)") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val assets = Seq((1L, base), (2L, "tiny"), (3L, base.take(11)))
+      .toDF("asset_id", "payload_text")
+    def run(seg: Int) = Multimodal.cdcChunks(assets, windowBytes = 8,
+        boundaryMod = 32, segChars = seg)
+      .select("asset_id", "chunk_idx", "start", "chunk_len", "chunk_md5",
+        "n_assets_sharing")
+      .as[(Long, Int, Int, Int, String, Long)].collect().sorted
+    // segChars 9 forces ~1-position segments; 16 several per asset; 1 << 20
+    // a single segment — all must produce byte-identical chunkings
+    val ref = run(1 << 20)
+    assert(ref.nonEmpty && ref.exists(_._1 == 2L)) // short asset → 1 chunk
+    assert(run(16) === ref)
+    assert(run(9) === ref)
+  }
+
   test("frame sampling: every stride-th fixed-size frame") {
     val frames = Multimodal.sampleFrames(
       assets.filter(col("asset_id") === 2L), frameBytes = 8, stride = 2)

@@ -93,6 +93,33 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got === Some(102L))
   }
 
+  test("asof: NULL-time LEFT rows carry nothing in both directions") {
+    // `NULL <= t` / `NULL >= t` is NULL under SQL comparison semantics —
+    // an undated left row must never attach a right row. Forward is the
+    // regression case: plain `desc` sorts NULLs LAST, which would scan the
+    // NULL-time left row after the whole group and attach the key's
+    // earliest right row.
+    val left = Seq(
+      (1L, 10L, Option.empty[Timestamp]),           // undated → null carry
+      (2L, 10L, Some(ts("2024-01-01 00:00:02")))    // dated control row
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 00:00:01"), 1.0),
+      (102L, 10L, ts("2024-01-01 00:00:03"), 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Seq[String], String, String, Seq[String], String,
+        Option[Long]) => org.apache.spark.sql.DataFrame) =
+      f(left, right, Seq("user_id"), "ts", "event_id",
+        Seq("event_id", "value"), "r_", None)
+        .select("event_id", "r_event_id")
+        .as[(Long, Option[Long])].collect().toMap
+    assert(run(AsOfJoin.backward) ===
+      Map(1L -> None, 2L -> Some(101L)))
+    assert(run(AsOfJoin.forward) ===
+      Map(1L -> None, 2L -> Some(102L)))
+  }
+
   test("asof backward: equal-time right rows resolve by tie column (max wins)") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:01:00")))
       .toDF("event_id", "user_id", "ts")

@@ -587,4 +587,44 @@ object TextDedup {
     docs
       .withColumn("n_ws_tokens", size(tokens(col(textCol))))
       .withColumn("n_alpha_tokens", regexp_count(col(textCol), lit("[a-z]+")))
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540) over an embedding column — the dedup axis the
+    * text-shingle family cannot see: paraphrases, translations and
+    * re-encodings that share no surface n-grams but embed to nearly the
+    * same direction. Assign every vector to its nearest centroid (the
+    * [[IvfIndex.assign]] broadcast argmax — cosine, ties to the lower
+    * cell), then within each cluster drop every vector whose cosine
+    * similarity to a LOWER-id cluster-mate exceeds `tau`
+    * (keep-lowest-id — the deterministic, engine-portable stand-in for
+    * the paper's keep-one-per-ε-group; the kept set is identical for
+    * transitively-linked groups whose members share a cluster).
+    *
+    * Output: (id, cell, keep) — keep=false marks a semantic duplicate
+    * of some lower-id same-cluster vector.
+    *
+    * Scale (the paper's own argument): clustering exists precisely so
+    * the pair scan is per-cell, O(Σ|cell|²) instead of O(n²) — k grows
+    * with the corpus to hold |cell| ~constant; assignment is one
+    * broadcast map-side pass (centroids ≤ k rows), the pair self-join
+    * shuffles on cell (one shuffle; a skewed hot cell is salt-splittable
+    * upstream like any hot join key), and the final keep flag is a
+    * left-join against the (small) duplicate-id set. */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame, tau: Double,
+      idCol: String = "id", vecCol: String = "vector"): DataFrame = {
+    val assigned = IvfIndex.assign(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("vector")),
+      centroids)
+    val x = assigned.select(col("cell"), col("id"), col("vector"))
+    val dup = x.as("a")
+      .join(x.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") > col("b.id"))
+      .filter(graft.functions.VectorFunctions.cosineSim(
+        col("a.vector"), col("b.vector")) > tau)
+      .select(col("a.id").as("id")).distinct()
+    assigned.select(col("id"), col("cell"))
+      .join(dup.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .withColumn("keep", col("__dup").isNull)
+      .drop("__dup")
+  }
 }

@@ -405,6 +405,40 @@ object TextQueries {
       graft.operators.BqIndex.hammingNearDupPairs(bits, maxHd = 7)
     }),
 
+    // SemDeDup semantic dedup (Abbas et al. 2023): cluster-then-prune
+    // over the embedding column — every 20th vector re-enters SCALED ×2
+    // (byte-different, so exact/fingerprint dedup is blind to it, but
+    // the direction — hence every cosine — is unchanged), and the
+    // keep-lowest-id rule drops each clone against its original inside
+    // the shared cluster. The oracle re-derives the centroid assignment
+    // (the a05 argmax pattern), every intra-cluster pair and the keep
+    // flags.
+    "d14_semantic_dedup" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vector"))
+      val clones = base.filter(col("id") % 20 === 0)
+        .select((col("id") + 100000L).as("id"),
+          transform(col("vector"), x => x * lit(2.0f)).as("vector"))
+      val nodes = base.unionByName(clones)
+      val cb = graft.operators.IvfIndex.sampleCodebook(nodes, k = 10)
+      TextDedup.semanticDedup(nodes, cb, tau = 0.9)
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-token bag
+    // models on raw (all docs) vs target (lang='en'), integer-micro
+    // per-bucket log-likelihood ratios, exact BIGINT per-doc weights,
+    // Gumbel-top-k selection — the oracle re-derives buckets, both
+    // models, every weight and the selected set.
+    "t26_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.ImportanceResampling.resample(
+          docs, docs.filter(col("lang") === "en"), k = 100, buckets = 512)
+        .select(col("doc_id"), col("n_tokens"), col("logw_micro"),
+          col("key_micro"))
+    }),
+
     // Unigram log-likelihood quality score (the LM-perplexity filter's
     // portable core): mean log-prob of a doc under the corpus's own
     // unigram distribution. Per-term ln quantizes to integer micros,
@@ -1100,6 +1134,67 @@ object TextQueries {
         |  JOIN encw eb ON eb.id = c.b_id AND eb.word = ea.word
         |  GROUP BY c.a_id, c.b_id)
         |SELECT a_id, b_id, hd FROM hd WHERE hd <= 7""".stripMargin,
+    "d14_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |clones AS (
+        |  SELECT id + 100000 AS id, list_transform(v, x -> x * 2) AS v
+        |  FROM base WHERE id % 20 = 0),
+        |nodes AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell,
+        |    v AS cv
+        |  FROM (SELECT * FROM nodes ORDER BY id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell)
+        |        AS rn
+        |    FROM nodes n CROSS JOIN cb c)
+        |  WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT a.id
+        |  FROM asg a JOIN nodes na ON na.id = a.id
+        |  JOIN asg b ON b.cell = a.cell AND a.id > b.id
+        |  JOIN nodes nb ON nb.id = b.id
+        |  WHERE list_cosine_similarity(na.v, nb.v) > 0.9)
+        |SELECT a.id, a.cell, (d.id IS NULL) AS keep
+        |FROM asg a LEFT JOIN dup d ON d.id = a.id""".stripMargin,
+    "t26_dsir_resample" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT % 512 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) u
+        |  WHERE length(tok) > 0),
+        |ttk AS (
+        |  SELECT t.b FROM tk t JOIN documents d ON d.doc_id = t.doc_id
+        |  WHERE d.lang = 'en'),
+        |np AS (SELECT b, count(*)::BIGINT AS np FROM tk GROUP BY b),
+        |nq AS (SELECT b, count(*)::BIGINT AS nq FROM ttk GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM tk)::BIGINT AS p_total,
+        |               (SELECT count(*) FROM ttk)::BIGINT AS q_total),
+        |llr AS (
+        |  SELECT np.b,
+        |    floor(ln((COALESCE(nq.nq, 0) + 1.0) / (tot.q_total + 512.0))
+        |        * 1000000 + 0.5)::BIGINT
+        |    - floor(ln((np.np + 1.0) / (tot.p_total + 512.0))
+        |        * 1000000 + 0.5)::BIGINT AS llr6
+        |  FROM np LEFT JOIN nq ON nq.b = np.b CROSS JOIN tot),
+        |w AS (
+        |  SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(llr.llr6)::BIGINT AS logw_micro
+        |  FROM tk JOIN llr ON llr.b = tk.b GROUP BY tk.doc_id),
+        |g AS (
+        |  SELECT doc_id, n_tokens, logw_micro,
+        |    logw_micro + floor(-ln(-ln(
+        |      (((('0x' || substr(md5('dsir-g:' || CAST(doc_id AS VARCHAR)),
+        |          1, 15))::BIGINT % 1000000000) + 1)) / 1000000001.0))
+        |      * 1000000 + 0.5)::BIGINT AS key_micro
+        |  FROM w)
+        |SELECT doc_id, n_tokens, logw_micro, key_micro FROM g
+        |ORDER BY key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
     "t14_unigram_loglik" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, t.term

@@ -99,6 +99,35 @@ class SamplingSpec extends SparkSpec {
     assert(got2.toSeq === got.toSeq)
   }
 
+  test("DSIR: docs made of target-style tokens outweigh off-target docs; " +
+      "weights are partitioning-invariant exact integers") {
+    import graft.operators.ImportanceResampling
+    // raw corpus: half "good"-vocab docs, half "junk"-vocab docs; the
+    // target corpus speaks only the good vocab → importance weights must
+    // rank every good doc above every junk doc
+    val raw = (0 until 40).map { i =>
+      val vocab = if (i % 2 == 0) Seq("alpha", "beta", "gamma")
+        else Seq("zip", "zap", "zop")
+      (i.toLong, (0 until 12).map(j => vocab(j % 3)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = Seq((1000L, "alpha beta gamma alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val w = ImportanceResampling.importanceWeights(raw, target)
+      .as[(Long, Long, Long)].collect()
+    val (good, junk) = w.partition(_._1 % 2 == 0)
+    assert(good.map(_._3).min > junk.map(_._3).max,
+      s"good docs must outweigh junk: ${w.toSeq.sortBy(_._1)}")
+    // exact integers → identical at any parallelism
+    val w2 = ImportanceResampling.importanceWeights(raw.repartition(7),
+      target).as[(Long, Long, Long)].collect()
+    assert(w.sortBy(_._1).toSeq === w2.sortBy(_._1).toSeq)
+    // resample without noise = deterministic top-k by weight
+    val top = ImportanceResampling.resample(raw, target, k = 20,
+        noiseSalt = None)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top === good.map(_._1).toSet)
+  }
+
   test("weights must sum to <= 1") {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))

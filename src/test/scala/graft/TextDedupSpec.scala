@@ -285,6 +285,52 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) === List("other", "common"))
   }
 
+  test("semanticDedup: scaled clones drop against their originals; " +
+      "distinct-direction vectors survive") {
+    graft.functions.VectorFunctions.register(spark)
+    // two tight direction groups + one loner; ids pick keep-lowest
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),   // ×2 clone of 1 → drop
+      (3L, Array(0.98f, 0.2f, 0.0f)),  // cos≈0.98 to 1 → drop at τ=0.9
+      (10L, Array(0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.0f, 3.0f, 0.0f)),  // clone of 10 → drop
+      (20L, Array(0.0f, 0.0f, 1.0f))   // loner → keep
+    ).toDF("id", "vector")
+    val cb = graft.operators.IvfIndex.sampleCodebook(
+      vecs.filter(col("id").isin(1L, 10L, 20L)), k = 3)
+    val got = TextDedup.semanticDedup(vecs, cb, tau = 0.9)
+      .as[(Long, Int, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false,
+      10L -> true, 11L -> false, 20L -> true))
+  }
+
+  test("semanticDedup: partitioning-invariant (same keep set at any " +
+      "parallelism)") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vector"))
+    val clones = base.filter(col("id") % 20 === 0)
+      .select((col("id") + 100000L).as("id"),
+        transform(col("vector"), x => x * lit(2.0f)).as("vector"))
+    val nodes = base.unionByName(clones)
+    val cb = graft.operators.IvfIndex.sampleCodebook(nodes, k = 10)
+    def keeps(df: org.apache.spark.sql.DataFrame) =
+      TextDedup.semanticDedup(df, cb, tau = 0.9)
+        .filter(!col("keep")).select("id").as[Long].collect().toSet
+    val a = keeps(nodes)
+    val b = keeps(nodes.repartition(7))
+    assert(a === b)
+    // every injected clone is caught; no original with a unique
+    // direction is dropped spuriously against this loose fixture
+    val cloneIds = clones.select("id").as[Long].collect().toSet
+    assert(cloneIds.subsetOf(a))
+    assert((a -- cloneIds).isEmpty,
+      s"unexpected non-clone drops: ${a -- cloneIds}")
+  }
+
   test("deletion neighborhood: jaccard bound (m−1)/(m+1) holds for all pairs") {
     val pairs = TextDedup.deletionNeighborhoodPairs(
       Tables.documents(spark, sf001).limit(200))

@@ -9,9 +9,9 @@ import graft.util.{Fs, Snapshots}
   * applied to the training-data chain the loose operators implement (and
   * the t19/d10 harness queries prove composes): persisted document
   * snapshots plus ONE `assemble()` call that materializes
-  * clean → quality-gate → source-cap → dedup → decontaminate →
-  * mixture-resample → split-assign → sequence-pack as an atomic
-  * training-set generation.
+  * clean → quality-gate → source-cap → dedup → semantic-dedup →
+  * decontaminate → DSIR-select → mixture-resample → split-assign →
+  * sequence-pack as an atomic training-set generation.
   *
   * Layout mirrors [[VectorStore]] ([[graft.util.Snapshots]]): the raw
   * corpus lives as ONE live `docs_v{N}` base plus a bounded
@@ -138,6 +138,8 @@ class CorpusStore private (val spark: SparkSession, val path: String,
   def assemble(p: AssemblyParams = AssemblyParams()): Unit = {
     require(p.splits.exists(_._1 == p.packSplit),
       s"packSplit ${p.packSplit} not among splits ${p.splits.map(_._1)}")
+    require(p.dsirTarget.isEmpty || p.dsirK > 0,
+      s"dsirTarget set but dsirK ${p.dsirK} is not positive")
     val src = documents
 
     // 1. clean — in-place text transform, payload columns preserved
@@ -179,20 +181,53 @@ class CorpusStore private (val spark: SparkSession, val path: String,
           Seq("doc_id"), "left_semi")
       } else exactKept
 
-    // 4b. decontamination — the ACTION on t06's measurement: drop every
+    // 4b. semantic dedup (SemDeDup, d14's operator) — when a doc-keyed
+    //     embedding table is supplied, cluster-then-prune drops the
+    //     paraphrase/re-encode duplicates surface n-grams can't see.
+    //     Runs AFTER surface dedup (cheaper ops first shrink the pair
+    //     scan) and only over SURVIVING docs' vectors.
+    val semDeduped = p.embeddings match {
+      case Some(emb) =>
+        graft.functions.VectorFunctions.register(spark)
+        val vecs = emb
+          .select(col("doc_id").as("id"), col("vector"))
+          .join(deduped.select(col("doc_id").as("id")), Seq("id"),
+            "left_semi")
+        val dropIds = TextDedup.semanticDedup(vecs,
+            IvfIndex.sampleCodebook(vecs, p.semanticK), p.semanticTau)
+          .filter(!col("keep")).select(col("id").as("doc_id"))
+        deduped.join(dropIds, Seq("doc_id"), "left_anti")
+      case None => deduped
+    }
+
+    // 4c. decontamination — the ACTION on t06's measurement: drop every
     //     doc sharing more than `maxSharedNgrams` distinct word n-grams
     //     with the held-out benchmark (GPT-3/Pile-style n-gram
     //     decontamination). Docs sharing none never appear in the
     //     contamination table, so the anti-join keeps them untouched;
     //     the corpus never shuffles (the t06 broadcast-grams shape).
-    val decontaminated = p.benchmark match {
+    val decontTmp = p.benchmark match {
       case Some(bench) =>
-        val dirty = TextDedup.contamination(deduped, bench,
+        val dirty = TextDedup.contamination(semDeduped, bench,
             p.contaminationN)
           .filter(col("n_shared_ngrams") > p.maxSharedNgrams)
           .select(col("id").as("doc_id"))
-        deduped.join(dirty, Seq("doc_id"), "left_anti")
-      case None => deduped
+        semDeduped.join(dirty, Seq("doc_id"), "left_anti")
+      case None => semDeduped
+    }
+
+    // 4d. DSIR selection (t26's operator) — when a target corpus is
+    //     supplied, keep only the `dsirK` most target-like survivors
+    //     (importance weights on hashed-token bags, Gumbel-top-k).
+    //     Runs LAST among the drop stages: selection quota applies to
+    //     docs that already survived dedup + decontamination.
+    val decontaminated = p.dsirTarget match {
+      case Some(target) =>
+        decontTmp.join(
+          ImportanceResampling.resample(decontTmp, target, p.dsirK)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case None => decontTmp
     }
 
     // 5. mixture resample (exact BigInt rates; no-op when no targets —
@@ -297,6 +332,11 @@ object CorpusStore {
       benchmark: Option[org.apache.spark.sql.DataFrame] = None,
       maxSharedNgrams: Int = 0,
       contaminationN: Int = 3,
+      embeddings: Option[org.apache.spark.sql.DataFrame] = None,
+      semanticTau: Double = 0.9,
+      semanticK: Int = 64,
+      dsirTarget: Option[org.apache.spark.sql.DataFrame] = None,
+      dsirK: Int = 0,
       targets: Map[String, Long] = Map.empty,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),

@@ -132,6 +132,69 @@ object TextScaleProbe {
           s""""assemble_sec":$tAssemble,"kept_docs":$kept,""" +
           s""""fragments":$frags}""")
 
+      case "ingest" =>
+        // delta-chain ingest cost: per-batch appendDocuments time must be
+        // ~flat in CORPUS size (O(batch) deltas) until the compactEvery-th
+        // append folds the chain (O(corpus), amortized). Run at two corpus
+        // sizes to see the flat part stay flat.
+        val n = if (args.length > 1) args(1).toLong else 200000L
+        val nBatches = if (args.length > 2) args(2).toInt else 8
+        val batchSize = 1000L
+        val base = syntheticDocs(spark, n, salt = 5).localCheckpoint()
+        base.count()
+        val store = CorpusStore.openOrCreate(spark,
+          graft.util.Fs.tempDirDeletedOnExit("graft-ingest-probe"),
+          compactEvery = nBatches) // the LAST append triggers compaction
+        val (_, tPut) = timed { store.putDocuments(base) }
+        val times = (1 to nBatches).map { i =>
+          val batch = syntheticDocs(spark, batchSize, salt = 100 + i)
+            .select((col("doc_id") + n + i.toLong * batchSize).as("doc_id"),
+              col("text"))
+          timed { store.appendDocuments(batch) }._2
+        }
+        val (total, tRead) = timed { store.documents.count() }
+        require(total == n + nBatches * batchSize,
+          s"ingest lost rows: $total")
+        println(s"""{"mode":"ingest","corpus_docs":$n,""" +
+          s""""batch_docs":$batchSize,"put_sec":$tPut,""" +
+          s""""delta_append_sec":[${times.init.mkString(",")}],""" +
+          s""""compacting_append_sec":${times.last},""" +
+          s""""read_after_compact_sec":$tRead}""")
+
+      case "cdc" =>
+        // segmented CDC scan on multi-MB assets: segChars=4096 bounds
+        // per-row memory; segChars=1<<30 reproduces the old
+        // whole-asset-array-in-one-row shape for comparison (identical
+        // output, unbounded per-row allocation).
+        val nAssets = if (args.length > 1) args(1).toInt else 8
+        val charsPer = if (args.length > 2) args(2).toInt else 1 << 19
+        // aperiodic hash-derived tokens (a repeated literal would cycle
+        // the window fingerprints and yield no interior boundaries);
+        // every second asset shares the previous asset's token stream
+        // with a shifted head so chunk-level dedup has real hits
+        val nToks = charsPer / 5
+        val toks = transform(sequence(lit(0), lit(nToks - 1)),
+          j => conv(pmod(hash((col("id") / 2).cast("int"), j),
+            lit(1679616L)).cast("string"), 10, 36))
+        val assets = spark.range(nAssets)
+          .select(col("id").as("asset_id"),
+            concat(concat(lit("asset "), col("id"), lit(" head ")),
+              concat_ws(" ", toks)).as("payload_text"))
+          .localCheckpoint()
+        assets.count()
+        val (c1, tSeg) = timed {
+          operators.Multimodal.cdcChunks(assets, windowBytes = 8,
+            boundaryMod = 4096, segChars = 4096).count()
+        }
+        val (c2, tWhole) = timed {
+          operators.Multimodal.cdcChunks(assets, windowBytes = 8,
+            boundaryMod = 4096, segChars = 1 << 30).count()
+        }
+        require(c1 == c2, s"segmentation changed chunking: $c1 vs $c2")
+        println(s"""{"mode":"cdc","assets":$nAssets,""" +
+          s""""chars_per_asset":$charsPer,"chunks":$c1,""" +
+          s""""seg4096_sec":$tSeg,"whole_asset_sec":$tWhole}""")
+
       case other =>
         throw new IllegalArgumentException(s"unknown mode $other")
     }

@@ -243,12 +243,25 @@ object Multimodal {
       segChars: Int = 4096): DataFrame = {
     require(windowBytes > 0 && boundaryMod > 0 && segChars > windowBytes,
       s"windowBytes $windowBytes boundaryMod $boundaryMod segChars $segChars")
-    val p = col(payloadCol)
+    // BYTE-oriented on purpose (blob dedup chunks bytes, not characters):
+    // the binary cast makes every substring byte-positioned and O(len) —
+    // a STRING payload would make each window extraction O(position)
+    // (UTF-8 char-boundary scan from the start ⇒ O(n²) per asset). For
+    // ASCII text the chunking is identical either way; a multi-byte char
+    // can split across a chunk boundary, which is harmless for dedup
+    // (reassembly is by offset, not by chunk content).
+    val p = col(payloadCol).cast("binary")
     val n = length(p)
     // candidate boundary = window-END positions e ∈ [windowBytes, n] with
     // the target residue. Segment s covers ends [windowBytes + s*segChars,
-    // min(windowBytes + (s+1)*segChars − 1, n)]; its windows touch chars
-    // (segOff, segHi] where segOff = windowBytes + s*segChars − windowBytes.
+    // min(windowBytes + (s+1)*segChars − 1, n)] — the per-row position
+    // array is ≤ segChars elements, and each element extracts its
+    // windowBytes-char window STRAIGHT from the payload attribute.
+    // (Deliberately NOT via an intermediate slice column: projection
+    // collapse inlines a computed column into the per-element lambda, so
+    // a slice would be re-copied once per POSITION — O(n·segChars)
+    // copying, O(n²) in the unsegmented limit. An attribute reference
+    // costs one 8-char copy per position.)
     val nSegs = (floor((n - windowBytes).cast("double") / segChars) + 1)
       .cast("int")
     val segEnds = assets
@@ -256,16 +269,13 @@ object Multimodal {
       .select(col("asset_id"), p.as("__p"), n.as("__n"),
         explode(sequence(lit(0), nSegs - 1)).as("__s"))
       .select(col("asset_id"),
-        (col("__s") * segChars).as("__off"), // global e = __off + local j
-        col("__p").substr(col("__s") * segChars + 1,
-          least(lit(windowBytes + segChars - 1),
-            col("__n") - col("__s") * segChars)).as("__slice"))
-      .select(col("asset_id"), col("__off"),
-        explode(filter(sequence(lit(windowBytes), length(col("__slice"))),
-          j => conv(substring(md5(col("__slice").substr(
-              (j - lit(windowBytes) + 1).cast("int"), lit(windowBytes))),
-            1, 8), 16, 10).cast("long") % boundaryMod === 0)).as("__j"))
-      .select(col("asset_id"), (col("__off") + col("__j")).as("__e"))
+        explode(filter(
+          sequence(lit(windowBytes) + col("__s") * segChars,
+            least(lit(windowBytes) + (col("__s") + 1) * segChars - 1,
+              col("__n"))),
+          e => conv(substring(md5(col("__p").substr(
+              (e - lit(windowBytes) + 1).cast("int"), lit(windowBytes))),
+            1, 8), 16, 10).cast("long") % boundaryMod === 0)).as("__e"))
     // the asset end is always a chunk end; assets shorter than one window
     // yield just the end boundary = one whole-asset chunk
     val ends = segEnds

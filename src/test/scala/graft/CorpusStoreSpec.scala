@@ -169,6 +169,51 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("assemble with embeddings runs semantic dedup: embedding clones " +
+      "drop, docs without embeddings survive untouched") {
+    val store = newStore()
+    // doc 3 is a semantic clone of doc 1 (identical direction, different
+    // text bytes — invisible to exact dedup); docs 5/7 have no embedding
+    val d = Seq(
+      (1L, "alpha beta gamma words", "src1", "en"),
+      (3L, "totally different surface text", "src1", "en"),
+      (5L, "no embedding here", "src2", "en"),
+      (7L, "nor here either", "src2", "en")
+    ).toDF("doc_id", "text", "source", "lang").withColumn("n_chars",
+      length(col("text")))
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f))
+    ).toDF("doc_id", "vector")
+    store.putDocuments(d)
+    store.assemble(AssemblyParams(seqTokens = 64,
+      embeddings = Some(emb), semanticTau = 0.9, semanticK = 2))
+    val kept = store.trainingDocs.select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept === Set(1L, 5L, 7L), s"got $kept")
+    store.delete()
+  }
+
+  test("assemble with a DSIR target keeps the k most target-like docs") {
+    val store = newStore()
+    // a unique trailing token per doc keeps the exact-dedup stage from
+    // collapsing same-class docs before DSIR sees them
+    val d = (0 until 20).map { i =>
+      val text = if (i % 2 == 0) s"alpha beta gamma alpha beta gamma doc$i"
+        else s"zip zap zop zip zap zop doc$i"
+      (i.toLong, text, s"src${i % 3}", "en")
+    }.toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val target = Seq((99L, "alpha beta gamma")).toDF("doc_id", "text")
+    store.putDocuments(d)
+    store.assemble(AssemblyParams(seqTokens = 64,
+      dsirTarget = Some(target), dsirK = 10))
+    val kept = store.trainingDocs.select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept === (0 until 20 by 2).map(_.toLong).toSet, s"got $kept")
+    store.delete()
+  }
+
   test("streaming ingest: batches apply serially, same-batch duplicate " +
       "doc_ids resolve by seq, colliding ids replace latest-wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

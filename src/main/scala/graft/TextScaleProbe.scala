@@ -195,6 +195,66 @@ object TextScaleProbe {
           s""""chars_per_asset":$charsPer,"chunks":$c1,""" +
           s""""seg4096_sec":$tSeg,"whole_asset_sec":$tWhole}""")
 
+      case "semdedup" =>
+        // SemDeDup at vector scale: clusters bound the pair scan, so cost
+        // tracks Σ|cell|² — probe with n/20 injected ×2-scaled clones
+        // (structurally guaranteed to share their original's cell) and a
+        // √n-ish codebook. Catch rate must be 1.0; extra drops are
+        // genuine near-dups of the synthetic fixture, reported not judged.
+        graft.functions.VectorFunctions.register(spark)
+        val n = if (args.length > 1) args(1).toLong else 200000L
+        val base = ScaleProbe.syntheticVectors(spark, n, 64)
+          .select(col("id"), col("vector"))
+        val clones = base.filter(col("id") % 20 === 0)
+          .select((col("id") + 10000000L).as("id"),
+            transform(col("vector"), x => x * lit(2.0f)).as("vector"))
+        val nodes = base.unionByName(clones).localCheckpoint()
+        nodes.count()
+        val kCells = math.min(1024, math.max(16,
+          math.sqrt(n.toDouble).toInt))
+        val cb = operators.IvfIndex.sampleCodebook(nodes, kCells)
+          .localCheckpoint()
+        cb.count()
+        val (dropped, tSem) = timed {
+          operators.TextDedup.semanticDedup(nodes, cb, tau = 0.9)
+            .filter(!col("keep")).select("id")
+            .collect().map(_.getLong(0)).toSet
+        }
+        val cloneIds = clones.select("id")
+          .collect().map(_.getLong(0)).toSet
+        val caught = cloneIds.intersect(dropped).size
+        println(s"""{"mode":"semdedup","vectors":$n,""" +
+          s""""clones":${cloneIds.size},"caught":$caught,""" +
+          s""""extra_drops":${(dropped -- cloneIds).size},""" +
+          s""""cells":$kCells,"sec":$tSem}""")
+
+      case "dsir" =>
+        // DSIR at corpus scale: both model fits are one tokenize pass
+        // each (bucket tables ≤ 512 rows, broadcast); the weight attach
+        // is map-side; top-k is TakeOrdered. Target docs draw from a
+        // 10×-narrower vocabulary so importance weights carry signal.
+        val n = if (args.length > 1) args(1).toLong else 1000000L
+        val raw = syntheticDocs(spark, n, salt = 6).localCheckpoint()
+        val tgtToks = transform(sequence(lit(0), lit(39)),
+          j => concat(lit("w"), pmod(hash(col("id") * 11 + 13, j),
+            lit(5000))))
+        val target = spark.range(n / 100)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", tgtToks).as("text")).localCheckpoint()
+        raw.count(); target.count()
+        val (_, tW) = timed {
+          operators.ImportanceResampling
+            .importanceWeights(raw, target).count()
+        }
+        val (topW, tTop) = timed {
+          operators.ImportanceResampling
+            .resample(raw, target, k = (n / 100).toInt)
+            .agg(min(col("logw_micro"))).head().getLong(0)
+        }
+        println(s"""{"mode":"dsir","raw_docs":$n,""" +
+          s""""target_docs":${n / 100},"weights_sec":$tW,""" +
+          s""""topk_sec":$tTop,"topk_min_logw_micro":$topW}""")
+
       case other =>
         throw new IllegalArgumentException(s"unknown mode $other")
     }

@@ -52,7 +52,10 @@ object PlanDump {
       "e04_rag_chunk_search" -> "composed RAG pipeline: map-side chunk explode, two hash-agg embeds, broadcast cosine top-k",
       "t25_negative_sampling" -> "hashed-rendezvous negatives: ONE bucket equi-join + map-side min_by, never a cross join",
       "q43_asof_forward" -> "forward as-of with tolerance: same single-shuffle window shape as q24, tolerance as a post-mask",
-      "a18_seeded_graph_search" -> "LSH-seeded graph hybrid: bucket-join seeds, two bounded frontier expansions, no routed walk")
+      "a18_seeded_graph_search" -> "LSH-seeded graph hybrid: bucket-join seeds, two bounded frontier expansions, no routed walk",
+      "d14_semantic_dedup" -> "SemDeDup: broadcast-argmax cluster assignment, per-cell pair self-join (never all-pairs), left-join keep flags",
+      "t26_dsir_resample" -> "DSIR: broadcast <=512-row model tables, map-side weight attach, doc-keyed hash-agg, TakeOrdered top-k",
+      "m04_cdc_chunks" -> "CDC: segmented byte-window scan, narrow (asset,end) shuffle, payload joined back once per asset")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of flagship queries\n\n")

@@ -288,4 +288,77 @@ object CorpusOps {
       .select(col(langCol), col(srcCol), col("n_docs"), col("n_tokens"),
         microShare("n_tokens", "__total").as("share_micro"))
   }
+
+  /** Length-quantile batching buckets — the inference/training-serving
+    * step that minimizes padding waste: docs batched with similar-length
+    * docs pad to the batch max, not the corpus max. Bucket of a doc is
+    * determined by its token count's position in the exact corpus length
+    * distribution: bucket(len) = min(nBuckets−1, cumBefore(len)·nBuckets
+    * div N) — all docs of one length share a bucket (same padding), and
+    * buckets hold ~N/nBuckets docs each except where one hot length
+    * overflows its quantile (unsplittable by definition).
+    *
+    * Scale: the distribution work is LENGTH-CARDINALITY-sized, never
+    * corpus-sized — one hash-agg to (n_toks, cnt), a running sum over
+    * those ≤ max-doc-length rows (tiny window), and a broadcast join
+    * back on n_toks. No global sort, no corpus-wide window (the naive
+    * ntile formulation is a one-partition window — unusable at scale).
+    * All-BIGINT arithmetic → engine-exact. Output: input + (n_toks,
+    * bucket). Docs with empty/NULL text drop (no tokens to batch). */
+  def lengthBuckets(docs: DataFrame, nBuckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets $nBuckets")
+    val toks = docs
+      .withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
+      .filter(col("n_toks") > 0)
+    val dist = toks.groupBy(col("n_toks")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("n_toks"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("n_toks"),
+        least(lit(nBuckets - 1).cast("long"),
+          expr(s"(cum_before * $nBuckets) div total")).cast("int")
+          .as("bucket"))
+    toks.join(broadcast(dist), Seq("n_toks"))
+  }
+
+  /** Deterministic interleaved epoch ordering — the reproducible
+    * corpus-shuffle a training run needs (engine row order is not a
+    * contract; restarts and engine swaps must replay the SAME order):
+    * per source, docs rank by a salted hash keyed on (epoch, doc id);
+    * the global position interleaves sources round-robin,
+    * `interleave_key = rank_in_source · nSources + source_index`, so
+    * every prefix of the order carries near-equal doc counts per source
+    * (±1 per stride) until a source exhausts — the anti-clumping
+    * guarantee a plain hash order gives only in expectation. A new
+    * `epoch` value re-deals the whole order.
+    *
+    * Scale: one per-source window (shuffle keyed by source; skew = the
+    * largest source, salt-splittable like any hot key) + a broadcast
+    * join against the ≤ |sources| index table. Consumers ORDER BY
+    * interleave_key (TakeOrdered for prefixes, sorted write for full
+    * epochs) — no global window anywhere. */
+  def epochOrder(docs: DataFrame, epoch: Long,
+      idCol: String = "doc_id", srcCol: String = "source",
+      salt: String = "epoch"): DataFrame = {
+    // NULL-source docs form their own stream (a null-safe key — a plain
+    // equi-join on srcCol would silently drop them)
+    val withKey = docs.withColumn("__src",
+      coalesce(col(srcCol).cast("string"), lit(" null")))
+    val srcIdx = withKey.select(col("__src")).distinct()
+      .withColumn("__src_idx",
+        row_number().over(Window.orderBy(col("__src").asc)) - 1)
+      .withColumn("__n_src", count(lit(1)).over(Window.partitionBy()))
+    val ranked = withKey.withColumn("rank_in_source",
+      row_number().over(Window.partitionBy(col("__src")).orderBy(
+        Sampling.hashKey(concat(lit(epoch), lit("#"),
+          col(idCol).cast("string")), salt).asc,
+        col(idCol).asc)) - 1)
+    ranked
+      .join(broadcast(srcIdx), Seq("__src"))
+      .withColumn("interleave_key",
+        col("rank_in_source") * col("__n_src") + col("__src_idx"))
+      .drop("__src", "__src_idx", "__n_src")
+  }
 }

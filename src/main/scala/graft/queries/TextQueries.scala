@@ -426,6 +426,25 @@ object TextQueries {
       TextDedup.semanticDedup(nodes, cb, tau = 0.9)
     }),
 
+    // Length-quantile batching buckets: exact corpus length distribution
+    // → bucket per token count, length-cardinality-sized work only (the
+    // naive ntile is a one-partition window). All-BIGINT → engine-exact.
+    "t27_length_buckets" -> ((s, d) => {
+      graft.operators.CorpusOps.lengthBuckets(Tables.documents(s, d),
+          nBuckets = 8)
+        .select(col("doc_id"), col("n_toks"), col("bucket"))
+    }),
+
+    // Deterministic interleaved epoch ordering: per-source salted-hash
+    // rank, round-robin interleave key — the reproducible corpus shuffle
+    // (prefixes are source-balanced by construction, not in expectation).
+    "t28_epoch_order" -> ((s, d) => {
+      graft.operators.CorpusOps.epochOrder(Tables.documents(s, d),
+          epoch = 1L)
+        .select(col("doc_id"), col("source"), col("rank_in_source"),
+          col("interleave_key"))
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-token bag
     // models on raw (all docs) vs target (lang='en'), integer-micro
     // per-bucket log-likelihood ratios, exact BIGINT per-doc weights,
@@ -1161,6 +1180,44 @@ object TextQueries {
         |  WHERE list_cosine_similarity(na.v, nb.v) > 0.9)
         |SELECT a.id, a.cell, (d.id IS NULL) AS keep
         |FROM asg a LEFT JOIN dup d ON d.id = a.id""".stripMargin,
+    "t27_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |dist AS (
+        |  SELECT n_toks, count(*)::BIGINT AS cnt FROM toks GROUP BY n_toks),
+        |cum AS (
+        |  SELECT n_toks,
+        |    COALESCE(sum(cnt) OVER (ORDER BY n_toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum_before,
+        |    (SELECT sum(cnt)::BIGINT FROM dist) AS total
+        |  FROM dist),
+        |b AS (
+        |  SELECT n_toks,
+        |    CAST(least(7, (cum_before * 8) // total) AS INT) AS bucket
+        |  FROM cum)
+        |SELECT t.doc_id, t.n_toks, b.bucket
+        |FROM toks t JOIN b ON b.n_toks = t.n_toks""".stripMargin,
+    "t28_epoch_order" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, COALESCE(source, ' null') AS src,
+        |    ('0x' || substr(md5('epoch:1#' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, src,
+        |    row_number() OVER (PARTITION BY src ORDER BY h, doc_id) - 1
+        |      AS rank_in_source
+        |  FROM k),
+        |s AS (
+        |  SELECT src, row_number() OVER (ORDER BY src) - 1 AS src_idx,
+        |    count(*) OVER () AS n_src
+        |  FROM (SELECT DISTINCT COALESCE(source, ' null') AS src
+        |        FROM documents))
+        |SELECT r.doc_id, r.source, r.rank_in_source,
+        |  r.rank_in_source * s.n_src + s.src_idx AS interleave_key
+        |FROM r JOIN s ON s.src = r.src""".stripMargin,
     "t26_dsir_resample" ->
       """WITH tk AS (
         |  SELECT doc_id,

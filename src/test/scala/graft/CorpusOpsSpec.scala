@@ -245,4 +245,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shuffled.as[(Long, Long, Long, Long, Long)].collect().toSet ===
       rows.toSet)
   }
+
+  test("lengthBuckets: monotone in length, equal lengths share a bucket, " +
+      "balanced within hot-length limits, partitioning-invariant") {
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 to i % 16).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text") // lengths 1..16, 5 docs each
+    val got = CorpusOps.lengthBuckets(docs, nBuckets = 4)
+      .select("doc_id", "n_toks", "bucket")
+      .as[(Long, Long, Int)].collect()
+    assert(got.length === 80)
+    // same length → same bucket; bucket monotone nondecreasing in length
+    val byLen = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byLen.values.forall(_.size === 1))
+    val ordered = byLen.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered === ordered.sorted)
+    assert(ordered.head === 0 && ordered.last === 3)
+    // exact quartiles here: 16 lengths × 5 docs → 4 lengths per bucket
+    val perBucket = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(perBucket === Map(0 -> 20, 1 -> 20, 2 -> 20, 3 -> 20))
+    val got2 = CorpusOps.lengthBuckets(docs.repartition(7), nBuckets = 4)
+      .select("doc_id", "n_toks", "bucket")
+      .as[(Long, Long, Int)].collect()
+    assert(got2.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
+  test("epochOrder: prefixes are source-balanced, epochs re-deal, " +
+      "NULL source forms its own stream, partitioning-invariant") {
+    val docs = (0 until 30).map { i =>
+      val src = if (i % 10 == 9) None else Some(s"s${i % 3}")
+      (i.toLong, s"text $i", src)
+    }.toDF("doc_id", "text", "source")
+    val e1 = CorpusOps.epochOrder(docs, epoch = 1L)
+      .select("doc_id", "source", "rank_in_source", "interleave_key")
+      .as[(Long, Option[String], Long, Long)].collect()
+    assert(e1.length === 30)
+    // interleave keys are distinct; any stride-aligned prefix carries
+    // near-equal per-source counts (4 streams: s0/s1/s2/null)
+    assert(e1.map(_._4).distinct.length === 30)
+    val prefix = e1.sortBy(_._4).take(12)
+    val counts = prefix.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts.values.forall(c => c >= 2 && c <= 4), s"clumped: $counts")
+    assert(counts.keySet.contains(None), "null stream missing from prefix")
+    // a different epoch re-deals the within-source order
+    val e2 = CorpusOps.epochOrder(docs, epoch = 2L)
+      .select("doc_id", "interleave_key").as[(Long, Long)].collect()
+    assert(e2.sortBy(_._2).map(_._1).toSeq !==
+      e1.sortBy(_._4).map(_._1).toSeq)
+    // deterministic under repartitioning
+    val e1b = CorpusOps.epochOrder(docs.repartition(5), epoch = 1L)
+      .select("doc_id", "interleave_key").as[(Long, Long)].collect()
+    assert(e1b.sortBy(_._1).toSeq ===
+      e1.map(r => (r._1, r._4)).sortBy(_._1).toSeq)
+  }
 }

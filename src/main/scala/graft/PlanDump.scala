@@ -55,7 +55,9 @@ object PlanDump {
       "a18_seeded_graph_search" -> "LSH-seeded graph hybrid: bucket-join seeds, two bounded frontier expansions, no routed walk",
       "d14_semantic_dedup" -> "SemDeDup: broadcast-argmax cluster assignment, per-cell pair self-join (never all-pairs), left-join keep flags",
       "t26_dsir_resample" -> "DSIR: broadcast <=512-row model tables, map-side weight attach, doc-keyed hash-agg, TakeOrdered top-k",
-      "m04_cdc_chunks" -> "CDC: segmented byte-window scan, narrow (asset,end) shuffle, payload joined back once per asset")
+      "m04_cdc_chunks" -> "CDC: segmented byte-window scan, narrow (asset,end) shuffle, payload joined back once per asset",
+      "t27_length_buckets" -> "length buckets: length-cardinality agg + tiny running-sum window + broadcast join back — no corpus-wide ntile",
+      "t28_epoch_order" -> "epoch order: per-source hash-rank window + broadcast source-index join, no global window")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of flagship queries\n\n")

@@ -320,24 +320,28 @@ object TextDedup {
     * shuffles; a large held-out set falls past the gate and the join runs
     * unhinted (AQE picks the strategy), instead of pinning an oversized
     * gram table in every executor. The only wide op is the per-doc
-    * aggregation of matches. Hashes are 60-bit md5 prefixes
-    * (engine-portable, uniform). */
+    * aggregation of matches.
+    *
+    * The join key is the n-gram STRING itself — exact equality, zero
+    * collision caveat. The earlier 60-bit md5 keying bought only a
+    * smaller broadcast of the side that is small by construction, at
+    * the cost of hashing every corpus gram (measured neutral at the
+    * bench SF; the honest win of dropping it is semantic — no
+    * collision footnote on a correctness operator). */
   def contamination(docs: DataFrame, testDocs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text",
       broadcastBytes: Long = 64L << 20): DataFrame = {
     def grams(df: DataFrame, idAs: String): DataFrame = df
       .select(col(idCol).as(idAs), explode(shingles(col(textCol), n)).as("sh"))
-      .select(col(idAs),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("k"))
     // corpus grams are NOT pre-deduped: that would shuffle every gram in
     // the corpus, while the final countDistinct dedups anyway — only the
     // (small) matched rows ever reach a shuffle. The broadcast test side
     // IS deduped (shrinks the broadcast, nothing else does it).
     val testGrams = grams(testDocs, "test_id").distinct()
     grams(docs, "id")
-      .join(KnnSearch.maybeBroadcast(testGrams, broadcastBytes), Seq("k"))
+      .join(KnnSearch.maybeBroadcast(testGrams, broadcastBytes), Seq("sh"))
       .groupBy(col("id"))
-      .agg(countDistinct(col("k")).as("n_shared_ngrams"),
+      .agg(countDistinct(col("sh")).as("n_shared_ngrams"),
         countDistinct(col("test_id")).as("n_test_docs"))
   }
 
@@ -486,14 +490,22 @@ object TextDedup {
   }
 
   /** Word n-gram shingle set (n consecutive tokens joined by one space).
-    * Docs shorter than n tokens yield an empty set (guarded: Spark's
-    * `sequence(0, negative)` would count DOWN, not produce empty). */
+    * Docs shorter than n tokens yield an empty set.
+    *
+    * Built from n row-level `slice`s of the token array folded with
+    * `zip_with` — every lambda references only its own variables. The
+    * obvious `transform(sequence(...), i => element_at(t, i+j))`
+    * formulation re-evaluates the SPLIT once per position (Catalyst
+    * inlines outer expression trees through lambda bodies — the
+    * ngramJaccardPairs/cdcChunks trap), turning an O(L) shingle pass
+    * into O(L²) per document. */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
+    val nShingles = size(t) - (n - 1)
+    val joined = (0 until n).map(k => slice(t, lit(k + 1), nShingles))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
     when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(t) - n), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array_distinct(joined))
   }
 
   /** Exact n-gram Jaccard near-dup pairs within a blocking key (e.g. same

@@ -1094,13 +1094,11 @@ object TextQueries {
         |    unnest(list_distinct([array_to_string(t[i:i+2], ' ')
         |      for i in range(1, len(t) - 1)])) AS sh
         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-        |k AS (SELECT DISTINCT doc_id,
-        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS k FROM g),
-        |corpus AS (SELECT doc_id AS id, k FROM k WHERE doc_id % 50 <> 0),
-        |test AS (SELECT doc_id AS test_id, k FROM k WHERE doc_id % 50 = 0)
-        |SELECT id, count(DISTINCT c.k) AS n_shared_ngrams,
+        |corpus AS (SELECT doc_id AS id, sh FROM g WHERE doc_id % 50 <> 0),
+        |test AS (SELECT doc_id AS test_id, sh FROM g WHERE doc_id % 50 = 0)
+        |SELECT id, count(DISTINCT c.sh) AS n_shared_ngrams,
         |  count(DISTINCT test_id) AS n_test_docs
-        |FROM corpus c JOIN test USING (k) GROUP BY id""".stripMargin,
+        |FROM corpus c JOIN test USING (sh) GROUP BY id""".stripMargin,
     "t07_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

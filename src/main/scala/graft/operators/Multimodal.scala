@@ -256,12 +256,12 @@ object Multimodal {
     // the target residue. Segment s covers ends [windowBytes + s*segChars,
     // min(windowBytes + (s+1)*segChars − 1, n)] — the per-row position
     // array is ≤ segChars elements, and each element extracts its
-    // windowBytes-char window STRAIGHT from the payload attribute.
-    // (Deliberately NOT via an intermediate slice column: projection
-    // collapse inlines a computed column into the per-element lambda, so
-    // a slice would be re-copied once per POSITION — O(n·segChars)
-    // copying, O(n²) in the unsegmented limit. An attribute reference
-    // costs one 8-char copy per position.)
+    // windowBytes-byte window STRAIGHT from the payload attribute: on
+    // BINARY a substring is an O(window) byte copy at any offset, so the
+    // per-element work is constant. (An intermediate slice column buys
+    // nothing once the payload is binary, and computed Column vals must
+    // never be embedded in lambda BODIES — the tree evaluates once per
+    // element, the shingles trap.)
     val nSegs = (floor((n - windowBytes).cast("double") / segChars) + 1)
       .cast("int")
     val segEnds = assets

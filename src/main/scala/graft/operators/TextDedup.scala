@@ -495,10 +495,13 @@ object TextDedup {
     * Built from n row-level `slice`s of the token array folded with
     * `zip_with` — every lambda references only its own variables. The
     * obvious `transform(sequence(...), i => element_at(t, i+j))`
-    * formulation re-evaluates the SPLIT once per position (Catalyst
-    * inlines outer expression trees through lambda bodies — the
-    * ngramJaccardPairs/cdcChunks trap), turning an O(L) shingle pass
-    * into O(L²) per document. */
+    * formulation embeds the split's whole expression TREE in the lambda
+    * body (a reused Column val is tree duplication, not a shared
+    * binding), and a lambda body evaluates once per element — the split
+    * re-ran once per position, O(L²) per document (measured: t06
+    * 5.15 s → 0.83 s at sf0.1 from this rewrite alone). Outer trees a
+    * HOF needs must arrive as HOF *arguments* (evaluated per row), as
+    * attributes, or via posexplode (the ngramJaccardPairs shape). */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
     val nShingles = size(t) - (n - 1)

@@ -274,6 +274,33 @@ class VectorStore private (
     Retrieval.maxSimRerank(tv, queryVecs, topK, tokenHitsPerQvec, anchors)
   }
 
+  /** Streaming near-dup monitor over an incoming embedding stream
+    * ((doc_id, vector) rows), anchored on THIS store's vectors: the LSH
+    * band planes derive from the first `nBands·bits` live node vectors
+    * in id order, so the bucket geometry is a pure function of the
+    * stored corpus (re-opening the store reproduces it). Flags each
+    * arrival that cosine-matches a bucket representative above `tau` in
+    * any band — the ingest-side gate that keeps near-duplicate vectors
+    * from ever entering the table ([[graft.streaming.StreamingNearDedup]]
+    * carries the state-size and determinism contract). */
+  def nearDupMonitor(stream: DataFrame, tau: Double = 0.9,
+      nBands: Int = 4, bits: Int = 3, maxReps: Int = 64,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      : org.apache.spark.sql.Dataset[graft.streaming.NearDupOut] = {
+    graft.functions.VectorFunctions.register(spark)
+    val need = nBands * bits
+    val planes = Mutations.compact(nodes).orderBy(col("id"))
+      .limit(need).select(col("vector")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(planes.length == need,
+      s"need $need live vectors for $nBands x $bits anchor planes; " +
+        s"store has only ${planes.length}")
+    val anchors = planes.grouped(bits).map(_.toSeq).toSeq
+    graft.streaming.StreamingNearDedup.dedupNear(stream, anchors, tau,
+      maxReps, ttl)(spark)
+  }
+
   // ---- residual IVF-PQ index lifecycle -------------------------------
 
   private def currentPqGen: Option[Long] =

@@ -242,6 +242,43 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("nearDupMonitor: store-anchored planes flag streamed scaled " +
+      "clones of stored vectors; fresh directions pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-ndm").toString,
+      IndexParams(dim = 4, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    // 1 band × 2 bits needs 2 live vectors for planes; add 3
+    store.addBatch(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(1f, 1f, 1f, 1f))).toDF("id", "vector"))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Array[Float])]
+      val q = store.nearDupMonitor(
+          stream.toDF().toDF("doc_id", "vector"),
+          tau = 0.9, nBands = 1, bits = 2)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("store_ndm").start()
+      try {
+        stream.addData(
+          (10L, Array(1f, 1f, 1f, 1f)),   // registers
+          (11L, Array(2f, 2f, 2f, 2f)),   // ×2 clone of 10 → flagged
+          (12L, Array(1f, -1f, 1f, 1f)))  // different bucket → passes
+        q.processAllAvailable()
+        val got = spark.table("store_ndm")
+          .as[graft.streaming.NearDupOut].collect()
+          .groupBy(_.doc_id).view.mapValues(_.map(_.matched_rep).max).toMap
+        assert(got === Map(10L -> -1L, 11L -> 10L, 12L -> -1L))
+      } finally q.stop()
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+    store.delete()
+  }
+
   test("compressed searches without an index fail with a clear message") {
     val store = VectorStore.openOrCreate(spark,
       java.nio.file.Files.createTempDirectory("graft-store-noidx").toString,

@@ -112,6 +112,51 @@ object RandomProjection {
       .select(col("query_id"), col("id"), col("rn"))
   }
 
+  /** Matryoshka prefix-truncation search with exact re-rank (Kusupati
+    * et al., NeurIPS 2022): MRL-trained embeddings pack coarse-to-fine
+    * signal into dimension PREFIXES, so serving shortlists on the first
+    * `dPrefix` dims — dim/dPrefix× fewer bytes and FLOPs per candidate
+    * with NO projection matrix at all, the learned-structure
+    * counterpart to [[searchRerank]]'s data-oblivious JL planes — then
+    * re-ranks the shortlist with the full-dimension exact cosine.
+    * Output (query_id, id, rn): top-`k` by TRUE similarity among the
+    * shortlist. (The fixture's embeddings are not MRL-trained, so
+    * prefix recall is whatever iid dims give — e05 pins the measured
+    * per-query overlap; on an MRL checkpoint the same plan serves the
+    * paper's quality curve.)
+    *
+    * Scale: identical plan shape to [[searchRerank]] — truncation is a
+    * map-side `slice` (the scan reads dPrefix floats per row), the
+    * shortlist is [[KnnSearch.knnExact]]'s size-gated broadcast +
+    * WindowGroupLimit, and the re-rank re-attaches raw vectors by an id
+    * join touching shortlist rows only, never the corpus. */
+  def mrlSearchRerank(nodes: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, dPrefix: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    require(dPrefix > 0, s"dPrefix $dPrefix")
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    val pn = live.select(col("id"),
+      slice(col("vector"), 1, dPrefix).as("vector"))
+    val pq = queries.select(col("query_id"),
+      slice(col("query_vec"), 1, dPrefix).as("query_vec"))
+    val short = KnnSearch.knnExact(pn, pq, shortlist, minSim = -2.0)
+      .select(col("query_id"), col("id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    short
+      .join(live.select(col("id"), col("vector")), Seq("id"))
+      .join(KnnSearch.maybeBroadcast(
+          queries.select(col("query_id"), col("query_vec")), 64L << 20),
+        Seq("query_id"))
+      .withColumn("score",
+        VectorFunctions.cosineSim(col("query_vec"), col("vector")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("rn"))
+  }
+
   /** DuckDB expressions for the raw (double) projected coordinates over
     * `vecExpr` (a DOUBLE[] column) — the a08 oracle-inlining pattern.
     * Composed oracles that mirror [[project]]'s ARRAY<FLOAT> output wrap

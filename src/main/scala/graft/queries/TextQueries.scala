@@ -535,6 +535,27 @@ object TextQueries {
       rer.join(ov, Seq("query_id"))
     }),
 
+    // Matryoshka prefix-truncation search (e03's serving shape with the
+    // projection replaced by a dimension-prefix slice — the MRL serving
+    // knob): shortlist on the first 16 of 64 dims, exact re-rank, the
+    // per-query overlap-vs-exact pinned like e03's.
+    "e05_mrl_search_rerank" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodes = VectorQueries.asVectorTable(emb)
+      val queriesDf = VectorQueries.querySet(emb)
+      val rer = graft.operators.RandomProjection.mrlSearchRerank(
+        nodes, queriesDf, k = 10, shortlist = 80, dPrefix = 16)
+      val exact = graft.operators.KnnSearch
+        .knnExact(nodes, queriesDf, 10, minSim = -2.0)
+        .select(col("query_id").as("eq"), col("id").as("eid"))
+      val ov = rer.join(exact,
+          rer("query_id") === exact("eq") && rer("id") === exact("eid"),
+          "left_outer")
+        .groupBy(col("query_id")).agg(count(col("eid")).as("overlap10"))
+      rer.join(ov, Seq("query_id"))
+    }),
+
     // BPE-style pre-tokenization (GPT-2's segmentation, RE2-safe subset):
     // per-doc piece counts by class plus an md5 over the ORDERED piece
     // sequence — one scalar that pins every boundary decision, so a
@@ -1666,6 +1687,40 @@ object TextQueries {
         |SELECT r.query_id, r.id, r.rn, o.overlap10
         |FROM rer r JOIN ov o ON o.query_id = r.query_id""".stripMargin
     },
+    "e05_mrl_search_rerank" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |short AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.query_id, n.id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(n.v[1:16], q.qv[1:16])
+        |          DESC, n.id) AS srn
+        |    FROM nodes n CROSS JOIN q) WHERE srn <= 80),
+        |rer AS (
+        |  SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |    SELECT s.query_id, s.id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(n.v, q.qv) DESC, s.id) AS rn
+        |    FROM short s
+        |    JOIN nodes n ON n.id = s.id
+        |    JOIN q ON q.query_id = s.query_id) WHERE rn <= 10),
+        |exact AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.query_id, n.id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(n.v, q.qv) DESC, n.id) AS rn
+        |    FROM nodes n CROSS JOIN q) WHERE rn <= 10),
+        |ov AS (
+        |  SELECT r.query_id, count(e.id)::BIGINT AS overlap10
+        |  FROM rer r LEFT JOIN exact e
+        |    ON e.query_id = r.query_id AND e.id = r.id
+        |  GROUP BY r.query_id)
+        |SELECT r.query_id, r.id, r.rn, o.overlap10
+        |FROM rer r JOIN ov o ON o.query_id = r.query_id""".stripMargin,
     "e01_feature_hash" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok

@@ -109,6 +109,31 @@ class RandomProjectionSpec extends SparkSpec {
     assert(got === 0L)
   }
 
+  test("mrlSearchRerank: full-dim prefix reproduces exact search; " +
+      "16-dim prefix returns k ranked rows per query, tombstones hidden") {
+    val queriesDf = VectorQueries.querySet(emb)
+    // dPrefix = dim → the shortlist IS full-dim exact; top-k must match
+    val full = RandomProjection.mrlSearchRerank(nodesDf, queriesDf,
+        k = 10, shortlist = 80, dPrefix = 64)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+    // truncated prefix: complete ranked result per query
+    val mrl = RandomProjection.mrlSearchRerank(nodesDf, queriesDf,
+        k = 10, shortlist = 80, dPrefix = 16)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect()
+    val perQ = mrl.groupBy(_._1)
+    assert(perQ.values.forall(_.length === 10))
+    assert(perQ.values.forall(_.map(_._3).sorted.toSeq === (1 to 10)))
+    // tombstoned nodes never surface through the truncated path either
+    val del = nodesDf.withColumn("deleted", col("id") % 7 === 0)
+    val got = RandomProjection.mrlSearchRerank(del, queriesDf,
+        k = 10, shortlist = 80, dPrefix = 16)
+      .filter(col("id") % 7 === 0).count()
+    assert(got === 0L)
+  }
+
   test("JL 64 -> 32 preserves cosine neighborhoods: recall@10 clears the " +
       "floor against exact full-dim search") {
     val proj = RandomProjection.project(nodesDf, seed = 41L,

@@ -277,6 +277,90 @@ class CorpusStore private (val spark: SparkSession, val path: String,
   def trainingSequences: DataFrame =
     spark.read.parquet(s"${trainDir(currentTrainGen)}/sequences")
 
+  // ---- RAG chunk index lifecycle -------------------------------------
+
+  private def chunkDir(gen: Long): String = s"$path/chunks_g$gen"
+  private def currentChunkGen: Option[Long] =
+    if (graft.util.Fs.exists(spark, s"$path/CHUNKS"))
+      Some(graft.util.Fs.readString(spark, s"$path/CHUNKS").trim.toLong)
+    else None
+
+  /** Build + persist the RAG chunk index from the current corpus
+    * snapshot — the e04 pipeline (slide-chunk → feature-hash embed)
+    * given the build-once/serve-many lifecycle the compressed vector
+    * indexes already have ([[VectorStore.buildPqIndex]]'s pattern):
+    * the chunk table and its embeddings land as a complete
+    * `chunks_g{N}` generation (chunk metadata + vectors + the
+    * window/stride/dim params that [[searchChunks]] must embed queries
+    * with), then the `CHUNKS` pointer flips atomically and the previous
+    * generation is deleted. Serving never re-derives chunks or
+    * re-embeds the corpus; a crash mid-build leaves the old generation
+    * live.
+    *
+    * Chunk identity is the collision-free string `doc_id#chunk_id`
+    * (never an arithmetic packing that overflows at large ids). Scale:
+    * chunking is one map-side explode, embedding is the t/e01 hash-agg
+    * — the corpus passes through once at build time and the searchable
+    * side is O(chunks), written once. */
+  def buildChunkIndex(window: Int = 64, stride: Int = 48,
+      dim: Int = 64): Unit = {
+    require(dim > 0, s"dim $dim")
+    val chunks = CorpusOps.chunkByTokens(documents, window, stride)
+      .withColumn("chunk_uid", concat(col("doc_id").cast("string"),
+        lit("#"), col("chunk_id").cast("string")))
+    val vecs = TextFeaturizer.featureHash(chunks, dim,
+      idCol = "chunk_uid", textCol = "chunk_text")
+    val old = currentChunkGen
+    val gen = old.getOrElse(-1L) + 1
+    val dir = chunkDir(gen)
+    chunks.write.mode("overwrite").parquet(s"$dir/chunks")
+    vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+    Fs.writeStringAtomic(spark, s"$dir/PARAMS", s"$window $stride $dim")
+    Fs.writeStringAtomic(spark, s"$path/CHUNKS", gen.toString)
+    old.foreach(g => Fs.deleteRecursive(spark, chunkDir(g)))
+  }
+
+  /** The persisted chunk table of the current index generation:
+    * (doc_id, chunk_id, start_tok, n_chunk_toks, chunk_text, chunk_uid). */
+  def chunkTable: DataFrame = {
+    val gen = currentChunkGen.getOrElse(throw new IllegalStateException(
+      s"no chunk index under $path — call buildChunkIndex() first"))
+    spark.read.parquet(s"${chunkDir(gen)}/chunks")
+  }
+
+  /** Serve top-k chunks per query from the persisted generation:
+    * queries (query_id, text) are embedded with the GENERATION'S OWN
+    * window/stride-independent hash dim (stored params — a caller can't
+    * accidentally search dim-32 vectors with dim-64 queries), scored by
+    * exact cosine against the persisted chunk vectors, and the winning
+    * chunks come back with their provenance
+    * (query_id, doc_id, chunk_id, start_tok, chunk_text, score, rn).
+    * The query side rides [[operators.KnnSearch.knnExact]]'s
+    * size-gated broadcast; the metadata join-back touches only the
+    * Q×k winning rows. */
+  def searchChunks(queries: DataFrame, k: Int,
+      minSim: Double = 0.0): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    require(queries.columns.contains("query_id") &&
+      queries.columns.contains("text"),
+      s"queries need (query_id, text); got ${queries.columns.mkString(",")}")
+    val gen = currentChunkGen.getOrElse(throw new IllegalStateException(
+      s"no chunk index under $path — call buildChunkIndex() first"))
+    val dir = chunkDir(gen)
+    val dim = Fs.readString(spark, s"$dir/PARAMS").trim
+      .split("\\s+")(2).toInt
+    val qvec = TextFeaturizer.featureHash(queries, dim,
+        idCol = "query_id", textCol = "text")
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val hits = KnnSearch.knnExact(
+      spark.read.parquet(s"$dir/vectors"), qvec, k, minSim)
+    hits
+      .join(spark.read.parquet(s"$dir/chunks"),
+        hits("id") === col("chunk_uid"))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        col("start_tok"), col("chunk_text"), col("score"), col("rn"))
+  }
+
   /** Streaming document ingest — the corpus-side analog of
     * [[graft.streaming.StreamingIngest]]'s single-writer queue:
     * micro-batches ARE the serialized writer (foreachBatch runs one

@@ -86,7 +86,17 @@ object Sampling {
     * Determinism/portability: bucket assignment and ranks are salted md5
     * ([[hashKey]]) of ids — same negatives on any engine at any
     * parallelism, and adding corpus docs only changes slots whose bucket
-    * min actually changed. Output: (query_id, slot, neg_id). */
+    * min actually changed.
+    *
+    * Starvation contract: a slot hashing to an empty bucket (or a
+    * size-1 bucket holding only the query itself) cannot be filled; it
+    * is emitted with a NULL `neg_id` rather than silently dropped, and
+    * every row carries the query's filled-slot count `n_negatives`, so a
+    * caller shipping a contrastive set sees under-provisioned queries
+    * (`n_negatives < k`) instead of discovering them at training time.
+    * The grid join-back and the count window run over Q×k slot rows —
+    * bounded by the query set, never the corpus.
+    * Output: (query_id, slot, neg_id nullable, n_negatives). */
   def negativeSample(queries: DataFrame, corpus: DataFrame, k: Int,
       queryIdCol: String = "query_id", corpusIdCol: String = "doc_id",
       buckets: Int = 1024, salt: String = "neg"): DataFrame = {
@@ -100,7 +110,7 @@ object Sampling {
         hashKey(concat(col("query_id").cast("string"), lit("#"),
           col("slot").cast("string")), salt + "-s"),
         lit(buckets.toLong)))
-    slots.join(docs, Seq("__b"))
+    val picked = slots.join(docs, Seq("__b"))
       // rank is slot-salted so the same bucket serves DIFFERENT docs to
       // different slots; a query's own doc ranks last, never first
       .withColumn("__r", when(col("neg_id") === col("query_id"),
@@ -111,6 +121,11 @@ object Sampling {
       .groupBy(col("query_id"), col("slot"))
       .agg(expr("min_by(neg_id, struct(__r, neg_id))").as("neg_id"))
       .filter(col("neg_id") =!= col("query_id")) // bucket of size 1 = self
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    slots.select(col("query_id"), col("slot"))
+      .join(picked, Seq("query_id", "slot"), "left")
+      .withColumn("n_negatives", count(col("neg_id")).over(w))
   }
 
   /** Assign each row a named split by consecutive bucket ranges, e.g.

@@ -58,6 +58,8 @@ object TextQueries {
     * (t16), 80/10/10 split (t05), 256-token packing (t19). */
   private val corpusStores =
     scala.collection.concurrent.TrieMap.empty[String, graft.CorpusStore]
+  private val chunkStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.CorpusStore]
   private def corpusStoreFor(s: SparkSession, d: String): graft.CorpusStore =
     corpusStores.getOrElseUpdate(d, {
       val store = graft.CorpusStore.openOrCreate(s,
@@ -70,7 +72,32 @@ object TextQueries {
       store
     })
 
+  private def chunkStoreFor(s: SparkSession, d: String): graft.CorpusStore =
+    chunkStores.getOrElseUpdate(d, {
+      val store = graft.CorpusStore.openOrCreate(s,
+        graft.util.Fs.tempDirDeletedOnExit("graft-chunk-store"))
+      store.putDocuments(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")))
+      store.buildChunkIndex(window = 64, stride = 48, dim = 32)
+      store
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The RAG chunk tier through its FACADE lifecycle (e04's chain,
+    // build-once/serve-many): buildChunkIndex persists chunks + hash
+    // embeddings as an atomic chunks_g{N} generation; searchChunks
+    // embeds the queries at the generation's own stored dim and serves
+    // exact cosine top-5 with provenance. The oracle re-derives
+    // chunking, bucketing, norms, and every rank — same stack as e04,
+    // but THROUGH the persisted-generation serving path.
+    "e06_chunk_store_search" -> ((s, d) =>
+      chunkStoreFor(s, d).searchChunks(
+          Tables.documents(s, d).filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"),
+          col("rn"))),
+
     // The CorpusStore facade end-to-end (docs side): clean → quality-gate
     // → source-cap → exact-dedup → mixture-resample → split-assign, all
     // through ONE assemble() into a persisted generation. The oracle
@@ -620,6 +647,8 @@ object TextQueries {
     // Deterministic negative sampling (contrastive-pair construction):
     // 4 hashed-rendezvous negatives per query doc — never a cross join,
     // never the query itself, reproducible on any engine/partitioning.
+    // The full (query, slot) grid is emitted (starved slots NULL) and the
+    // oracle re-derives the per-query n_negatives coverage count.
     "t25_negative_sampling" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.operators.Sampling.negativeSample(
@@ -1452,6 +1481,81 @@ object TextQueries {
         |      THEN 'en' ELSE 'unknown' END AS pred_lang
         |  FROM documents)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "e06_chunk_store_search" ->
+      """WITH ctoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |cbase AS (
+        |  SELECT doc_id, t, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE (n - 64 + 48 - 1) // 48 + 1 END AS n_chunks
+        |  FROM ctoks WHERE n > 0),
+        |chunks AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)
+        |      AS cid,
+        |    array_to_string(
+        |      t[(chunk_id * 48 + 1):(chunk_id * 48 + LEAST(64, n - chunk_id * 48))],
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, t, n,
+        |          unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |        FROM cbase)),
+        |cw AS (
+        |  SELECT cid AS id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS INT)
+        |      AS bucket,
+        |    count(*)::DOUBLE AS cnt
+        |  FROM (SELECT cid, unnest(string_split(text, ' ')) AS tok
+        |        FROM chunks)
+        |  WHERE length(tok) > 0 GROUP BY 1, 2),
+        |cnorm AS (
+        |  SELECT id, sqrt(SUM(cnt * cnt)) AS nrm FROM cw GROUP BY id),
+        |cd AS (
+        |  SELECT id, list_transform(rawl, x -> (x / nrm)::FLOAT)::DOUBLE[]
+        |    AS v
+        |  FROM (
+        |    SELECT i.id, list(COALESCE(w.cnt, 0.0) ORDER BY b.b) AS rawl,
+        |      any_value(n.nrm) AS nrm
+        |    FROM (SELECT DISTINCT id FROM cw) i
+        |    CROSS JOIN range(0, 32) b(b)
+        |    LEFT JOIN cw w ON w.id = i.id AND w.bucket = b.b
+        |    JOIN cnorm n ON n.id = i.id
+        |    GROUP BY i.id)),
+        |qw AS (
+        |  SELECT doc_id AS id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS INT)
+        |      AS bucket,
+        |    count(*)::DOUBLE AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE doc_id % 100 = 0)
+        |  WHERE length(tok) > 0 GROUP BY 1, 2),
+        |qnorm AS (
+        |  SELECT id, sqrt(SUM(cnt * cnt)) AS nrm FROM qw GROUP BY id),
+        |qd AS (
+        |  SELECT id, list_transform(rawl, x -> (x / nrm)::FLOAT)::DOUBLE[]
+        |    AS v
+        |  FROM (
+        |    SELECT i.id, list(COALESCE(w.cnt, 0.0) ORDER BY b.b) AS rawl,
+        |      any_value(n.nrm) AS nrm
+        |    FROM (SELECT DISTINCT id FROM qw) i
+        |    CROSS JOIN range(0, 32) b(b)
+        |    LEFT JOIN qw w ON w.id = i.id AND w.bucket = b.b
+        |    JOIN qnorm n ON n.id = i.id
+        |    GROUP BY i.id)),
+        |scored AS (
+        |  SELECT q.id AS query_id, c.id,
+        |    list_cosine_similarity(c.v, q.v) AS score
+        |  FROM cd c CROSS JOIN qd q),
+        |ranked AS (
+        |  SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |    SELECT query_id, id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, id) AS rn
+        |    FROM scored WHERE score > 0.0)
+        |  WHERE rn <= 5)
+        |SELECT r.query_id, c.doc_id, c.chunk_id, r.rn
+        |FROM ranked r JOIN chunks c ON c.cid = r.id""".stripMargin,
     "e04_rag_chunk_search" ->
       """WITH ctoks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,
@@ -1540,13 +1644,18 @@ object TextQueries {
         |        || CAST(sl.query_id AS VARCHAR) || '#'
         |        || CAST(sl.slot AS VARCHAR) || '#'
         |        || CAST(d.neg_id AS VARCHAR)), 1, 15))::BIGINT END AS r
-        |  FROM slots sl JOIN docs d ON d.b = sl.b)
-        |SELECT query_id, slot, neg_id FROM (
-        |  SELECT query_id, slot, neg_id,
-        |    row_number() OVER (PARTITION BY query_id, slot
-        |                       ORDER BY r, neg_id) AS rn
-        |  FROM cand)
-        |WHERE rn = 1 AND neg_id <> query_id""".stripMargin,
+        |  FROM slots sl JOIN docs d ON d.b = sl.b),
+        |picked AS (
+        |  SELECT query_id, slot, neg_id FROM (
+        |    SELECT query_id, slot, neg_id,
+        |      row_number() OVER (PARTITION BY query_id, slot
+        |                         ORDER BY r, neg_id) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1 AND neg_id <> query_id)
+        |SELECT s.query_id, s.slot, p.neg_id,
+        |  COUNT(p.neg_id) OVER (PARTITION BY s.query_id) AS n_negatives
+        |FROM slots s LEFT JOIN picked p
+        |  ON p.query_id = s.query_id AND p.slot = s.slot""".stripMargin,
     "t24_chunk_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

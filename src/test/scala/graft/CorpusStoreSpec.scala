@@ -282,4 +282,50 @@ class CorpusStoreSpec extends SparkSpec {
     assert(kept.size > 300 && kept.size <= base.count())
     store.delete()
   }
+
+  test("chunk index lifecycle: build persists a generation, searchChunks " +
+      "serves with provenance, rebuild flips and deletes the old gen") {
+    val store = newStore()
+    intercept[IllegalStateException] { store.chunkTable }
+    store.putDocuments(docs.select(col("doc_id"), col("text")))
+    intercept[IllegalStateException] {
+      store.searchChunks(Seq((1L, "a b c")).toDF("query_id", "text"), 1)
+    }
+    store.buildChunkIndex(window = 32, stride = 16, dim = 16)
+    assert(graft.util.Fs.exists(spark, s"${store.path}/chunks_g0"))
+    // every chunk of every non-empty doc is present, uid is doc#chunk
+    val ct = store.chunkTable
+    assert(ct.count() ===
+      graft.operators.CorpusOps.chunkByTokens(store.documents, 32, 16)
+        .count())
+    assert(ct.filter(col("chunk_uid") !==
+      concat(col("doc_id").cast("string"), lit("#"),
+        col("chunk_id").cast("string"))).count() === 0)
+    // a query made of a SINGLE-CHUNK doc's own text retrieves a chunk
+    // with identical hashed content at rank 1 (cosine 1 against its own
+    // chunk vector; the fixture's exact clones may tie, so pin the
+    // CONTENT, not the id)
+    val shortId = docs.filter(size(split(col("text"), " "))
+        .between(1, 32))
+      .agg(min(col("doc_id"))).as[Long].head()
+    val probe = docs.filter(col("doc_id") === shortId)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val hits = store.searchChunks(probe, k = 3)
+    assert(hits.columns.toSeq === Seq("query_id", "doc_id", "chunk_id",
+      "start_tok", "chunk_text", "score", "rn"))
+    assert(hits.count() === 3)
+    val top = hits.filter(col("rn") === 1)
+      .select("chunk_text", "score").as[(String, Double)].head()
+    assert(top._2 > 0.9999, s"self-retrieval score ${top._2}")
+    // rebuild at a different dim: generation flips, old dir removed,
+    // serving embeds queries at the NEW generation's stored dim
+    store.buildChunkIndex(window = 32, stride = 16, dim = 8)
+    assert(graft.util.Fs.exists(spark, s"${store.path}/chunks_g1"))
+    assert(!graft.util.Fs.exists(spark, s"${store.path}/chunks_g0"))
+    val hits2 = store.searchChunks(probe, k = 3)
+    assert(hits2.count() === 3)
+    assert(hits2.filter(col("rn") === 1)
+      .select("score").as[Double].head() > 0.9999)
+    store.delete()
+  }
 }

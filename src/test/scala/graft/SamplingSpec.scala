@@ -83,20 +83,43 @@ class SamplingSpec extends SparkSpec {
       .select(col("doc_id").as("query_id"))
     val got = Sampling.negativeSample(queries, docs, k = 4, buckets = 32)
       .orderBy("query_id", "slot")
-      .as[(Long, Int, Long)].collect()
+      .as[(Long, Int, Option[Long], Long)].collect()
     val nQ = queries.count()
-    // 500 docs over 32 buckets → every bucket occupied → all slots fill
+    // the grid contract: EVERY (query, slot) appears, filled or not
     assert(got.length === (nQ * 4).toInt)
-    assert(got.forall { case (q, _, n) => q != n })
+    // 500 docs over 32 buckets → every bucket occupied → all slots fill
+    assert(got.forall { case (_, _, n, c) => n.isDefined && c === 4L })
+    assert(got.forall { case (q, _, n, _) => !n.contains(q) })
     // distinct slots of one query draw independently (not all identical)
     val perQuery = got.groupBy(_._1).values
-    assert(perQuery.exists(_.map(_._3).distinct.length > 1))
+    assert(perQuery.exists(_.flatMap(_._3).distinct.length > 1))
     // deterministic under a different partitioning
     val got2 = Sampling.negativeSample(queries.repartition(7),
         docs.repartition(13), k = 4, buckets = 32)
       .orderBy("query_id", "slot")
-      .as[(Long, Int, Long)].collect()
+      .as[(Long, Int, Option[Long], Long)].collect()
     assert(got2.toSeq === got.toSeq)
+  }
+
+  test("negativeSample starvation contract: empty buckets surface as " +
+      "NULL slots and n_negatives < k, never a silent short set") {
+    // adversarial regime: 3 corpus docs spread over 64 buckets — most
+    // slots hash to an empty bucket and CANNOT be filled
+    val tiny = Seq(1L, 2L, 3L).toDF("doc_id")
+    val queries = tiny.select(col("doc_id").as("query_id"))
+    val got = Sampling.negativeSample(queries, tiny, k = 8, buckets = 64)
+      .orderBy("query_id", "slot")
+      .as[(Long, Int, Option[Long], Long)].collect()
+    // the full grid is still emitted
+    assert(got.length === 3 * 8)
+    // starvation is visible: some slot is NULL, and every row's
+    // n_negatives equals its query's filled-slot count
+    assert(got.exists(_._3.isEmpty))
+    val filled = got.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.count(_._3.isDefined).toLong
+    }
+    assert(got.forall { case (q, _, _, c) => c === filled(q) })
+    assert(got.exists { case (_, _, _, c) => c < 8L })
   }
 
   test("DSIR: docs made of target-style tokens outweigh off-target docs; " +

@@ -63,11 +63,22 @@ object GraphProbe {
           minSim = -2.0, params, ef = 64, iters = 2)
         .select("query_id", "id").collect()
     }
+    // the band-agreement shortlist bounds the seeding scan's true-score
+    // pass at O(Q × shortlist) — the hot-bucket lever (clustered data
+    // keeps cluster-sized buckets at any bits setting)
+    val (shortRows, tShort) = timed {
+      AnnSearch.searchGraphSeeded(nodesIdx, edges, queries, 10,
+          minSim = -2.0, params, ef = 64, iters = 2,
+          seedShortlist = 512)
+        .select("query_id", "id").collect()
+    }
     println(s"""{"n":$n,"dim":$dim,"build_sec":$tBuild,""" +
       s""""lsh_sec":$tLsh,"lsh_recall_at_10":${recallOf(lshRows)},""" +
       s""""graph_sec":$tGraph,"graph_recall_at_10":${recallOf(graphRows)},""" +
       s""""graph_seeded_sec":$tSeeded,""" +
-      s""""graph_seeded_recall_at_10":${recallOf(seededRows)}}""")
+      s""""graph_seeded_recall_at_10":${recallOf(seededRows)},""" +
+      s""""graph_seeded_short_sec":$tShort,""" +
+      s""""graph_seeded_short_recall_at_10":${recallOf(shortRows)}}""")
     spark.stop()
   }
 }

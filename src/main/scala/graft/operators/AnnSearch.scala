@@ -41,9 +41,10 @@ object AnnSearch {
     * search time are [[IvfIndex]]'s job ([[AdaptiveSearch]] dispatches
     * there from bucket-skew stats). */
   def searchLsh(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
-      params: IndexParams, broadcastBytes: Long = 64L << 20): DataFrame =
+      params: IndexParams, broadcastBytes: Long = 64L << 20,
+      shortlist: Int = 0): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, params.metric,
-      v => IndexBuild.bucketKeys(v, params), broadcastBytes)
+      v => IndexBuild.bucketKeys(v, params), broadcastBytes, shortlist)
 
   /** [[searchLsh]] with data-derived anchor hyperplanes instead of the
     * seeded-random ones: bit p of band b = sign(vec · anchors(b)(p)).
@@ -56,9 +57,10 @@ object AnnSearch {
   def searchLshAnchored(nodes: DataFrame, queries: DataFrame, k: Int,
       minSim: Double, anchors: Seq[Seq[Array[Float]]],
       metric: String = "cosine",
-      broadcastBytes: Long = 64L << 20): DataFrame =
+      broadcastBytes: Long = 64L << 20,
+      shortlist: Int = 0): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, metric,
-      v => anchorBucketKeys(v, anchors), broadcastBytes)
+      v => anchorBucketKeys(v, anchors), broadcastBytes, shortlist)
 
   /** All band keys for anchor-hyperplane LSH in one projection (same
     * band-prefixed shape as [[IndexBuild.bucketKeys]]). */
@@ -70,9 +72,21 @@ object AnnSearch {
       }: _*)
     }: _*)
 
+  /** `shortlist` > 0 bounds the expensive true-score pass per query:
+    * candidates rank by BAND-AGREEMENT COUNT (how many of the nBands
+    * buckets they share with the query — a similarity proxy the
+    * candidate join yields for free, no vectors touched) and only the
+    * top-`shortlist` per query get scored. This is the scale lever for
+    * hot-bucket corpora (clustered data keeps cluster-sized buckets at
+    * ANY bits setting): the dot-product volume drops from O(Σ bucket
+    * overlap) to O(Q × shortlist) while staying QUERY-SPECIFIC — unlike
+    * the query-agnostic bucket cap SCALING.md refutes, every query keeps
+    * its own most-agreeing candidates. Ties at equal agreement break by
+    * id (deterministic, oracle-derivable). 0 = score every candidate
+    * (the exact-within-buckets default all fixture oracles pin). */
   private def searchLshKeyed(nodes: DataFrame, queries: DataFrame, k: Int,
       minSim: Double, metric: String, keyFn: Column => Column,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20, shortlist: Int = 0): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       KnnSearch.maybeBroadcast(df, broadcastBytes)
     val live =
@@ -89,8 +103,20 @@ object AnnSearch {
     val q = queries
       .withColumn("b", explode(keyFn(col("query_vec"))))
       .select(col("b"), col("query_id"))
-    val candidates = n.join(maybeBroadcast(q), Seq("b")).drop("b")
-      .dropDuplicates("query_id", "id")
+    val joined = n.join(maybeBroadcast(q), Seq("b")).drop("b")
+    val candidates =
+      if (shortlist <= 0) joined.dropDuplicates("query_id", "id")
+      else {
+        // same shuffle the dedup pays (narrow (query_id, id) keys), but
+        // the aggregate keeps the agreement count the dedup throws away
+        val sw = Window.partitionBy(col("query_id"))
+          .orderBy(col("n_bands").desc, col("id").asc)
+        joined.groupBy(col("query_id"), col("id"))
+          .agg(count(lit(1)).as("n_bands"))
+          .withColumn("srn", row_number().over(sw))
+          .filter(col("srn") <= shortlist)
+          .select(col("query_id"), col("id"))
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
     candidates
@@ -122,7 +148,8 @@ object AnnSearch {
       queries: DataFrame, k: Int, minSim: Double, params: IndexParams,
       ef: Int = 64, iters: Int = 2,
       anchors: Option[Seq[Seq[Array[Float]]]] = None,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      seedShortlist: Int = 0): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
     val sf = scoreFn(params.metric)
     val topW = Window.partitionBy(col("query_id"))
@@ -140,11 +167,15 @@ object AnnSearch {
     // floor yet — a floor here could empty the frontier and the final
     // rank applies it anyway). Data-derived `anchors` make the whole
     // hybrid oracle-derivable (the a01/a07 pattern — a18 hash-checks it).
+    // `seedShortlist` bounds the seeding scan on hot-bucket corpora (the
+    // [[searchLshKeyed]] band-agreement shortlist); the expansions then
+    // recover neighbors the truncated seed set missed via graph edges.
     val seedSearch = anchors match {
       case Some(a) => searchLshAnchored(nodes, queries, ef,
-        Double.NegativeInfinity, a, params.metric, broadcastBytes)
+        Double.NegativeInfinity, a, params.metric, broadcastBytes,
+        seedShortlist)
       case None => searchLsh(nodes, queries, ef,
-        Double.NegativeInfinity, params, broadcastBytes)
+        Double.NegativeInfinity, params, broadcastBytes, seedShortlist)
     }
     var frontier = seedSearch
       .select(col("query_id"), col("id"), col("score"))

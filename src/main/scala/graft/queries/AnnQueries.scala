@@ -64,9 +64,10 @@ object AnnQueries {
   /** Memoized anchored build per data dir (the `indexFor` shape): a07
     * and a18 both consume the identical deterministic
     * `buildAnchored(nodes, params, anchors)` graph — build once per
-    * process, checkpoint, share. (a13 keeps its own build: its
-    * `efConstruction = 32` params must ALSO govern the base it merges
-    * into.) */
+    * process, checkpoint, share. a13's base build memoizes SEPARATELY
+    * ([[anchoredFor32]]): its `efConstruction = 32` must also govern the
+    * base it merges into, so the two bases differ structurally and can
+    * never share a memo entry. */
   private val anchoredBuilt = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
   private def anchoredFor(s: SparkSession, d: String)
@@ -75,6 +76,22 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val (n, e) = IndexBuild.buildAnchored(
         VectorQueries.asVectorTable(emb), params,
+        anchorPlanes(emb, nBands = 4, bits = 3))
+      (n.localCheckpoint(), e.localCheckpoint())
+    })
+
+  /** The efConstruction=32 anchored base a13 merges into — same
+    * memoize-once-per-dir shape as [[anchoredFor]]. Merge's contract is
+    * an already-persisted index (it scans nodes/edges more than once),
+    * so the checkpoint here is load-bearing, not just a bench saving. */
+  private val anchoredBuilt32 = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+  private def anchoredFor32(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    anchoredBuilt32.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+      val (n, e) = IndexBuild.buildAnchored(
+        VectorQueries.asVectorTable(emb), params.copy(efConstruction = 32),
         anchorPlanes(emb, nBands = 4, bits = 3))
       (n.localCheckpoint(), e.localCheckpoint())
     })
@@ -375,11 +392,7 @@ object AnnQueries {
       val anchors = anchorPlanes(emb, nBands = 4, bits = 3)
       val mp = params.copy(efConstruction = 32)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      // materialize the base index before merging — merge's contract is an
-      // already-persisted index (it scans nodes/edges more than once), and
-      // without this the whole build lineage recomputes per reference
-      val (bn, be) = IndexBuild.buildAnchored(nodesDf, mp, anchors)
-      val (nodes, edges) = (bn.localCheckpoint(), be.localCheckpoint())
+      val (nodes, edges) = anchoredFor32(s, d)
       val delta = nodesDf.filter(col("id") % 40 === 1)
         .withColumn("vector", transform(col("vector"), x => -x))
       val (_, me) = IndexBuild.mergeAnchored(nodes, edges, delta, mp, anchors)

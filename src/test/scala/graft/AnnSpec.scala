@@ -222,6 +222,31 @@ class AnnSpec extends SparkSpec {
     assert(got === 0)
   }
 
+  test("band-agreement shortlist: a generous shortlist reproduces the " +
+      "unshortlisted results exactly; a tight one stays query-specific " +
+      "with sane recall") {
+    val base = AnnSearch.searchLsh(nodesDf, queriesDf, 10, minSim = -2.0,
+        params)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    // shortlist >= every query's candidate count (500-node fixture) —
+    // the cap never bites, results identical
+    val generous = AnnSearch.searchLsh(nodesDf, queriesDf, 10,
+        minSim = -2.0, params, shortlist = 100000)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(generous === base)
+    // a tight cap still yields k rows per query with usable recall (the
+    // fixture's buckets are small, so most of the top-k collide in >= 1
+    // band and survive the agreement rank)
+    val tight = AnnSearch.searchLsh(nodesDf, queriesDf, 10,
+      minSim = -2.0, params, shortlist = 64)
+    val nQ = queriesDf.count()
+    assert(tight.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0)
+    assert(tight.select("query_id").distinct().count() === nQ)
+    val r = recallAt(10, tight)
+    assert(r > 0.3, s"shortlisted recall@10 = $r")
+  }
+
   test("save/load round-trip preserves params (incl. metric) and tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
     val (nodes, edges) = IndexBuild.build(nodesDf,

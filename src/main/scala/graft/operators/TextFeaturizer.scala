@@ -212,4 +212,115 @@ object TextFeaturizer {
       .select(col("id").as(idCol), col("n_bigrams"), col("sum_logp_micro"),
         expr("sum_logp_micro div n_bigrams").as("avg_logp_micro"))
   }
+
+  /** Symbol delimiter for the BPE word encoding: every symbol is wrapped
+    * `D+sym+D` individually, so the pair (a,b) appears as the
+    * literal `DaDDbD` (D = U+001F) and a left-to-right
+    * non-overlapping string replace applies a merge with EXACT BPE
+    * semantics (`aaa` + merge(a,a) → `[aa, a]`) — adjacent tokens never
+    * share boundary characters, so consecutive pair occurrences all
+    * match. Both Spark's `replace` and DuckDB's `replace` scan
+    * left-to-right non-overlapping, which makes every training step
+    * engine-portable. U+001F never occurs in text corpora (it's a C0
+    * control); [[bpeTrain]] requires it absent. */
+  private val D = "\u001F"
+
+  /** Distributed BPE vocabulary training (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — the public
+    * algorithm behind GPT-2/RoBERTa vocabularies): starting from
+    * characters, repeatedly merge the globally most frequent adjacent
+    * symbol pair. Returns the learned merge table
+    * (step, left, right, merged, pair_count) — the artifact a tokenizer
+    * serves from ([[bpeSegment]] applies it).
+    *
+    * Spark shape — the classic scale trick is built in: pair counting
+    * runs over the WORD-TYPE table weighted by type counts (one
+    * whitespace explode + one groupBy builds it; the type table is
+    * vocabulary-sized, orders of magnitude below token count, and is the
+    * only thing the loop ever touches — the corpus is scanned exactly
+    * once). Each merge step is one hash aggregation over exploded
+    * adjacent pairs + a driver-side argmax of ONE row (count desc, then
+    * (left, right) lexicographic — fully deterministic), then a single
+    * codegen'd literal `replace` projection applies the merge to every
+    * word type. `nMerges` is a bounded constant (vocab-size knob), so
+    * the driver loop is O(nMerges) tiny jobs, never corpus-driven; the
+    * word table re-checkpoints every 4 steps to keep lineage linear.
+    *
+    * Determinism: counts are exact integers, ties break lexicographic,
+    * and the delimiter encoding makes each step's replace byte-identical
+    * across engines — the harness oracle re-derives every step (pair
+    * counts, argmax, replace) in DuckDB and hash-checks the merge table. */
+  def bpeTrain(docs: DataFrame, nMerges: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nMerges > 0, s"nMerges $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // word-type table: (delimited symbol string, count)
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(D))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("word"), "(.)", s"$D$$1$D").as("w"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // adjacent symbol pairs of every word type, weighted by type count
+      val toks = words
+        .select(col("cnt"),
+          split(expr("substring(w, 2, length(w) - 2)"), D + D).as("t"))
+        .withColumn("n", size(col("t")))
+        .filter(col("n") >= 2)
+      val top = toks
+        .withColumn("i", explode(sequence(lit(1), col("n") - 1)))
+        .select(element_at(col("t"), col("i")).as("l"),
+          element_at(col("t"), col("i") + 1).as("r"), col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, l + r, pc))
+        words = words.withColumn("w",
+          replace(col("w"), lit(s"$D$l$D$D$r$D"), lit(s"$D$l$r$D")))
+        if (step % 4 == 0) words = words.localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** Apply a learned merge table to a corpus: per doc, the ordered BPE
+    * pieces after replaying every merge in training order over each
+    * whitespace word. Serving shape: the merge list is a bounded
+    * driver-side constant, so the whole segmentation is `nMerges`
+    * chained literal-replace projections inside ONE codegen stage —
+    * zero shuffle, zero joins; the corpus streams through map-side.
+    * Output: (id, wpos, pos, piece) — word position in the doc, piece
+    * position within the word. */
+  def bpeSegment(docs: DataFrame, merges: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ms = merges.select(col("step"), col("left"), col("right"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val delimited = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+      .filter(length(col("word")) > 0 && !col("word").contains(D))
+      .select(col("id"), col("wpos"),
+        regexp_replace(col("word"), "(.)", s"$D$$1$D").as("w"))
+    val replayed = ms.foldLeft(delimited) { case (df, (l, r)) =>
+      df.withColumn("w",
+        replace(col("w"), lit(s"$D$l$D$D$r$D"), lit(s"$D$l$r$D")))
+    }
+    replayed
+      .select(col("id"), col("wpos"),
+        posexplode(split(expr("substring(w, 2, length(w) - 2)"), D + D))
+          .as(Seq("pos", "piece")))
+  }
 }

@@ -644,6 +644,39 @@ object TextQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // Distributed BPE vocabulary TRAINING (Sennrich et al. 2016): the
+    // first 8 learned merges over the corpus — pair counts on the
+    // word-TYPE table, deterministic argmax (count desc, pair lexi),
+    // literal left-to-right replace per step. The oracle replays all 8
+    // steps in DuckDB (same delimiter encoding, same replace
+    // semantics) — a drift in ANY step's counts, argmax, or application
+    // cascades into every later row and fails the hash.
+    "t29_bpe_train" -> ((s, d) =>
+      graft.operators.TextFeaturizer.bpeTrain(
+          Tables.documents(s, d), nMerges = 8)
+        // left/right are SQL reserved words — alias for the oracle side
+        .select(col("step"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("merged"), col("pair_count"))),
+
+    // BPE SEGMENTATION at corpus scale (t29's serving side): train the
+    // 8-merge vocab, replay it over every word as chained literal
+    // replaces (one codegen stage, zero shuffle), and pin every piece
+    // boundary per doc via the ordered-piece md5 (the t23 pattern). The
+    // oracle re-learns the merges AND re-applies them in SQL.
+    "t30_bpe_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.TextFeaturizer
+        .bpeTrain(docs, nMerges = 8)
+      graft.operators.TextFeaturizer.bpeSegment(docs, merges)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_pieces"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(
+              struct(col("wpos"), col("pos"), col("piece")))),
+            x => x.getField("piece")))).as("seg_md5"))
+        .select(col("id").as("doc_id"), col("n_pieces"), col("seg_md5"))
+    }),
+
     // Deterministic negative sampling (contrastive-pair construction):
     // 4 hashed-rendezvous negatives per query doc — never a cross join,
     // never the query itself, reproducible on any engine/partitioning.
@@ -683,6 +716,75 @@ object TextQueries {
           round(col("cnt") / col("norm"), 6).as("weight"))
     }),
   )
+
+  /** DuckDB replay of [[graft.operators.TextFeaturizer.bpeTrain]]: `n`
+    * chained CTE steps, each re-deriving the pair counts over the
+    * word-type table, the deterministic argmax (count desc, pair
+    * lexicographic) and the literal merge application — same U+001F
+    * delimiter encoding, and DuckDB's `replace` shares Spark's
+    * left-to-right non-overlapping scan, so every step is byte-exact. */
+  /** The shared CTE chain: w0 (delimited word types) then, per step i,
+    * p_i (pair counts) / m_i (the argmax merge) / w_i (the applied
+    * table). [[bpeTrainOracle]] selects the merges; the t30 segment
+    * oracle replays the same merges over every corpus word. */
+  private def bpeOracleCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT regexp_replace(word, '(.)', chr(31)||'\1'||chr(31), 'g') AS w,
+      |    cnt FROM (
+      |    SELECT tok AS word, count(*)::BIGINT AS cnt
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |    WHERE length(tok) > 0 AND NOT contains(tok, chr(31)) GROUP BY 1))""".stripMargin
+    for (i <- 1 to n) sb ++= s""",
+      |p$i AS (
+      |  SELECT t[u.i] AS l, t[u.i+1] AS r, sum(cnt)::BIGINT AS pc
+      |  FROM (SELECT string_split(w[2:-2], chr(31)||chr(31)) AS t, cnt
+      |        FROM w${i - 1}),
+      |       LATERAL unnest(generate_series(1, len(t)-1)) AS u(i)
+      |  GROUP BY 1, 2),
+      |m$i AS (
+      |  SELECT $i AS step, l AS left_sym, r AS right_sym, l||r AS merged,
+      |    pc AS pair_count
+      |  FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+      |w$i AS (
+      |  SELECT replace(w, chr(31)||m.l||chr(31)||chr(31)||m.r||chr(31),
+      |                 chr(31)||m.l||m.r||chr(31)) AS w, cnt
+      |  FROM w${i - 1},
+      |       (SELECT l, r FROM p$i ORDER BY pc DESC, l, r LIMIT 1) m)""".stripMargin
+    sb.toString
+  }
+
+  private def bpeTrainOracle(n: Int): String =
+    bpeOracleCtes(n) + "\nSELECT * FROM " +
+      (1 to n).map(i => s"m$i").mkString(" UNION ALL SELECT * FROM ")
+
+  /** t30: replay the learned merges over EVERY corpus word (scalar
+    * subqueries against the m_i CTEs), split to pieces, and aggregate
+    * per doc — piece count + md5 of pieces in (wpos, pos) order. */
+  private def bpeSegmentOracle(n: Int): String = {
+    val applied = (1 to n).foldLeft("dw") { (acc, i) =>
+      s"""replace($acc,
+         |  (SELECT chr(31)||left_sym||chr(31)||chr(31)||right_sym||chr(31)
+         |   FROM m$i),
+         |  (SELECT chr(31)||merged||chr(31) FROM m$i))""".stripMargin
+    }
+    bpeOracleCtes(n) + s""",
+      |dwords AS (
+      |  SELECT doc_id, u.i - 1 AS wpos,
+      |    regexp_replace(t[u.i], '(.)', chr(31)||'\\1'||chr(31), 'g') AS dw
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       LATERAL unnest(generate_series(1, len(t))) AS u(i)
+      |  WHERE length(t[u.i]) > 0 AND NOT contains(t[u.i], chr(31))),
+      |seg AS (
+      |  SELECT doc_id, wpos, p.i AS pos, pieces[p.i] AS piece
+      |  FROM (SELECT doc_id, wpos,
+      |          string_split(($applied)[2:-2], chr(31)||chr(31)) AS pieces
+      |        FROM dwords),
+      |       LATERAL unnest(generate_series(1, len(pieces))) AS p(i))
+      |SELECT doc_id, count(*)::BIGINT AS n_pieces,
+      |  md5(array_to_string(list(piece ORDER BY wpos, pos), ' ')) AS seg_md5
+      |FROM seg GROUP BY doc_id""".stripMargin
+  }
 
   private val tokSetSql = "list_distinct(string_split(text, ' '))"
   private def mhSql(seed: Int) =
@@ -1481,6 +1583,8 @@ object TextQueries {
         |      THEN 'en' ELSE 'unknown' END AS pred_lang
         |  FROM documents)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "t29_bpe_train" -> bpeTrainOracle(8),
+    "t30_bpe_segment" -> bpeSegmentOracle(8),
     "e06_chunk_store_search" ->
       """WITH ctoks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

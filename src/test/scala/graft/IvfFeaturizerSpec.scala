@@ -150,4 +150,47 @@ class IvfFeaturizerSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(u(1L) === u(4L))
   }
+
+  test("bpeTrain: hand-computable merges in order, exact left-to-right " +
+      "pair semantics, exhaustion stops early") {
+    // corpus: "aaab" x3, "ab" x2
+    //   step1 pairs: (a,a)=6 (two per aaab), (a,b)=5 -> merge (a,a) pc 6
+    //   step2: aaab=[aa,a,b]: (aa,a)=3,(a,b)=3; ab: (a,b)=2 -> (a,b) pc 5
+    //   step3: aaab=[aa,ab]: (aa,ab)=3 -> merged "aaab" pc 3
+    //   step4: every word is one symbol -> training exhausts at 3 merges
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab ab"))
+      .toDF("doc_id", "text")
+    val merges = TextFeaturizer.bpeTrain(docs, nMerges = 10)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("bpeSegment: replaying the merges reconstructs each word from its " +
+      "pieces, and a trained vocab compresses the training corpus") {
+    val docs = Tables.documents(spark, sf001).limit(100)
+      .select(col("doc_id"), col("text"))
+    val merges = TextFeaturizer.bpeTrain(docs, nMerges = 12)
+    assert(merges.count() === 12) // fixture text is rich enough
+    val seg = TextFeaturizer.bpeSegment(docs, merges)
+    // pieces joined in piece order reconstruct the original text's
+    // whitespace words — segmentation never loses or reorders a char
+    val rebuilt = seg.groupBy(col("id"), col("wpos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        x => x.getField("piece")), "").as("rejoined"))
+    val orig = docs
+      .select(col("doc_id").as("id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "orig_word")))
+      .filter(length(col("orig_word")) > 0)
+    val joined = rebuilt.join(orig, Seq("id", "wpos"))
+    assert(joined.count() === orig.count())
+    assert(joined.filter(col("rejoined") =!= col("orig_word")).count() === 0)
+    // the learned vocab compresses: fewer pieces than characters
+    val nChars = orig.agg(sum(length(col("orig_word")))).head().getLong(0)
+    assert(seg.count() < nChars)
+  }
 }

@@ -279,84 +279,163 @@ class CorpusStore private (val spark: SparkSession, val path: String,
 
   // ---- RAG chunk index lifecycle -------------------------------------
 
-  private def chunkDir(gen: Long): String = s"$path/chunks_g$gen"
-  private def currentChunkGen: Option[Long] =
-    if (graft.util.Fs.exists(spark, s"$path/CHUNKS"))
-      Some(graft.util.Fs.readString(spark, s"$path/CHUNKS").trim.toLong)
-    else None
+  /** Chunk + embed `docs` into the combined index-row shape: chunk
+    * provenance columns plus the hash-embedded `vector`, one row per
+    * chunk, keyed by the collision-free string uid `doc_id#chunk_id`
+    * (never an arithmetic packing that overflows at large ids). */
+  private def chunkRows(docs: DataFrame, window: Int, stride: Int,
+      dim: Int): DataFrame = {
+    val chunks = CorpusOps.chunkByTokens(docs, window, stride)
+      .withColumn("chunk_uid", concat(col("doc_id").cast("string"),
+        lit("#"), col("chunk_id").cast("string")))
+    chunks.join(
+      TextFeaturizer.featureHash(chunks, dim,
+          idCol = "chunk_uid", textCol = "chunk_text")
+        .select(col("id").as("chunk_uid"), col("vector")),
+      Seq("chunk_uid"))
+  }
+
+  private def chunkParams: (Int, Int, Int) = {
+    val p = Fs.readString(spark, s"$path/CHUNK_PARAMS").trim
+      .split("\\s+").map(_.toInt)
+    (p(0), p(1), p(2))
+  }
 
   /** Build + persist the RAG chunk index from the current corpus
     * snapshot — the e04 pipeline (slide-chunk → feature-hash embed)
     * given the build-once/serve-many lifecycle the compressed vector
-    * indexes already have ([[VectorStore.buildPqIndex]]'s pattern):
-    * the chunk table and its embeddings land as a complete
-    * `chunks_g{N}` generation (chunk metadata + vectors + the
-    * window/stride/dim params that [[searchChunks]] must embed queries
-    * with), then the `CHUNKS` pointer flips atomically and the previous
-    * generation is deleted. Serving never re-derives chunks or
+    * indexes already have ([[VectorStore.buildPqIndex]]'s pattern).
+    * The combined chunk+vector table lands as a complete `chunks_v{N}`
+    * base on the [[graft.util.Snapshots]] chain behind the `CHUNKS`
+    * pointer; params (window/stride/dim — [[searchChunks]] must embed
+    * queries with the generation's own dim) and the covered docs state
+    * persist beside it, the pointer flips atomically, and superseded
+    * directories are deleted. Serving never re-derives chunks or
     * re-embeds the corpus; a crash mid-build leaves the old generation
     * live.
     *
-    * Chunk identity is the collision-free string `doc_id#chunk_id`
-    * (never an arithmetic packing that overflows at large ids). Scale:
-    * chunking is one map-side explode, embedding is the t/e01 hash-agg
-    * — the corpus passes through once at build time and the searchable
-    * side is O(chunks), written once. */
+    * Maintenance is O(Δ), not O(corpus): after ingest appends,
+    * [[refreshChunkIndex]] re-embeds ONLY the touched docs as a chunk
+    * DELTA — a full rebuild is only ever needed here, at params
+    * changes. Scale: chunking is one map-side explode, embedding is
+    * the t/e01 hash-agg — the corpus passes through once at build time
+    * and the searchable side is O(chunks). */
   def buildChunkIndex(window: Int = 64, stride: Int = 48,
       dim: Int = 64): Unit = {
     require(dim > 0, s"dim $dim")
-    val chunks = CorpusOps.chunkByTokens(documents, window, stride)
-      .withColumn("chunk_uid", concat(col("doc_id").cast("string"),
-        lit("#"), col("chunk_id").cast("string")))
-    val vecs = TextFeaturizer.featureHash(chunks, dim,
-      idCol = "chunk_uid", textCol = "chunk_text")
-    val old = currentChunkGen
-    val gen = old.getOrElse(-1L) + 1
-    val dir = chunkDir(gen)
-    chunks.write.mode("overwrite").parquet(s"$dir/chunks")
-    vecs.write.mode("overwrite").parquet(s"$dir/vectors")
-    Fs.writeStringAtomic(spark, s"$dir/PARAMS", s"$window $stride $dim")
-    Fs.writeStringAtomic(spark, s"$path/CHUNKS", gen.toString)
-    old.foreach(g => Fs.deleteRecursive(spark, chunkDir(g)))
+    val old = Snapshots.currentWithDeltas(spark, path, "CHUNKS")
+    val docsState = Snapshots.currentWithDeltas(spark, path, "DOCS")
+      .getOrElse(throw new IllegalStateException(
+        s"no documents under $path — load them first"))
+    Snapshots.persist(spark, path, "chunks", "CHUNKS",
+      chunkRows(documents, window, stride, dim))
+    Fs.writeStringAtomic(spark, s"$path/CHUNK_PARAMS",
+      s"$window $stride $dim")
+    Fs.writeStringAtomic(spark, s"$path/CHUNK_DOCS_STATE",
+      s"${docsState._1} ${docsState._2}")
+    old.foreach { case (v, k) =>
+      Snapshots.prune(spark, path, "chunks", v, k) }
   }
 
-  /** The persisted chunk table of the current index generation:
-    * (doc_id, chunk_id, start_tok, n_chunk_toks, chunk_text, chunk_uid). */
+  /** Fold pending ingest deltas into the chunk index at O(|Δ|) cost:
+    * docs appended/replaced since the index last covered the corpus
+    * (the persisted docs-state watermark) are re-chunked and re-embedded
+    * as ONE chunk delta ([[graft.util.Snapshots.appendDelta]] — atomic
+    * pointer flip); untouched docs' chunks are never read, recomputed,
+    * or rewritten. Read-side overlay is latest-wins BY DOC: a doc's
+    * delta chunks replace ALL its base chunks (chunk counts may shrink
+    * — delete-then-insert semantics). If the docs BASE version moved
+    * (a compaction or [[putDocuments]] replaced the corpus), content
+    * can't be attributed to deltas and the index rebuilds at the same
+    * params. Every `compactEvery` refreshes the chain folds
+    * ([[compactChunkIndex]]) so serving overlays stay bounded. */
+  def refreshChunkIndex(): Unit = {
+    val (window, stride, dim) = chunkParams
+    val covered = Fs.readString(spark, s"$path/CHUNK_DOCS_STATE").trim
+      .split("\\s+").map(_.toLong)
+    val (dv, dk) = Snapshots.currentWithDeltas(spark, path, "DOCS")
+      .getOrElse(throw new IllegalStateException(
+        s"no documents under $path"))
+    if (dv != covered(0)) buildChunkIndex(window, stride, dim)
+    else if (dk > covered(1)) {
+      val touched = (covered(1) + 1 to dk)
+        .map(i => spark.read
+          .parquet(Snapshots.deltaPath(path, "docs", dv, i))
+          .select(col("doc_id")))
+        .reduce(_.unionByName(_)).distinct()
+      // latest content of the touched docs (documents already resolves
+      // cross-delta latest-wins)
+      val touchedDocs = documents.join(touched, Seq("doc_id"), "left_semi")
+      val (_, ck) = Snapshots.appendDelta(spark, path, "chunks", "CHUNKS",
+        chunkRows(touchedDocs, window, stride, dim))
+      Fs.writeStringAtomic(spark, s"$path/CHUNK_DOCS_STATE", s"$dv $dk")
+      if (ck >= compactEvery) compactChunkIndex()
+    }
+  }
+
+  /** Fold the chunk delta chain into a fresh base and prune superseded
+    * directories (the [[compactDocuments]] analog). */
+  def compactChunkIndex(): Unit =
+    Snapshots.currentWithDeltas(spark, path, "CHUNKS").foreach {
+      case (v, k) if k > 0 =>
+        Snapshots.persist(spark, path, "chunks", "CHUNKS", chunkTable)
+        Snapshots.prune(spark, path, "chunks", v, k)
+      case _ => ()
+    }
+
+  /** The served chunk view: base overlaid by pending chunk deltas,
+    * latest-wins BY DOC (a refreshed doc's delta chunks replace all its
+    * base chunks). Columns: (chunk_uid, doc_id, chunk_id, start_tok,
+    * n_chunk_toks, chunk_text, vector). Overlay work is proportional to
+    * delta rows — the base-sized side is one anti-join probe. */
   def chunkTable: DataFrame = {
-    val gen = currentChunkGen.getOrElse(throw new IllegalStateException(
-      s"no chunk index under $path — call buildChunkIndex() first"))
-    spark.read.parquet(s"${chunkDir(gen)}/chunks")
+    val (v, k) = Snapshots.currentWithDeltas(spark, path, "CHUNKS")
+      .getOrElse(throw new IllegalStateException(
+        s"no chunk index under $path — call buildChunkIndex() first"))
+    val base = spark.read.parquet(Snapshots.versionPath(path, "chunks", v))
+    if (k == 0L) base
+    else {
+      val deltas = (1L to k).map(i =>
+        spark.read.parquet(Snapshots.deltaPath(path, "chunks", v, i))
+          .withColumn("__ds", lit(i)))
+        .reduce(_.unionByName(_))
+      val wMax = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val resolved = deltas
+        .withColumn("__mx", max(col("__ds")).over(wMax))
+        .filter(col("__ds") === col("__mx"))
+        .drop("__ds", "__mx")
+      base
+        .join(resolved.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .unionByName(resolved.select(base.columns.map(col).toIndexedSeq: _*))
+    }
   }
 
-  /** Serve top-k chunks per query from the persisted generation:
-    * queries (query_id, text) are embedded with the GENERATION'S OWN
-    * window/stride-independent hash dim (stored params — a caller can't
-    * accidentally search dim-32 vectors with dim-64 queries), scored by
-    * exact cosine against the persisted chunk vectors, and the winning
-    * chunks come back with their provenance
+  /** Serve top-k chunks per query from the persisted index: queries
+    * (query_id, text) are embedded with the INDEX'S OWN stored hash dim
+    * (a caller can't accidentally search dim-32 vectors with dim-64
+    * queries), scored by exact cosine against the persisted chunk
+    * vectors, and the winning chunks come back with their provenance
     * (query_id, doc_id, chunk_id, start_tok, chunk_text, score, rn).
-    * The query side rides [[operators.KnnSearch.knnExact]]'s
-    * size-gated broadcast; the metadata join-back touches only the
-    * Q×k winning rows. */
+    * The query side rides [[operators.KnnSearch.knnExact]]'s size-gated
+    * broadcast; the metadata join-back touches only the Q×k winning
+    * rows. */
   def searchChunks(queries: DataFrame, k: Int,
       minSim: Double = 0.0): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     require(queries.columns.contains("query_id") &&
       queries.columns.contains("text"),
       s"queries need (query_id, text); got ${queries.columns.mkString(",")}")
-    val gen = currentChunkGen.getOrElse(throw new IllegalStateException(
-      s"no chunk index under $path — call buildChunkIndex() first"))
-    val dir = chunkDir(gen)
-    val dim = Fs.readString(spark, s"$dir/PARAMS").trim
-      .split("\\s+")(2).toInt
+    val view = chunkTable
+    val dim = chunkParams._3
     val qvec = TextFeaturizer.featureHash(queries, dim,
         idCol = "query_id", textCol = "text")
       .select(col("id").as("query_id"), col("vector").as("query_vec"))
     val hits = KnnSearch.knnExact(
-      spark.read.parquet(s"$dir/vectors"), qvec, k, minSim)
+      view.select(col("chunk_uid").as("id"), col("vector")), qvec, k, minSim)
     hits
-      .join(spark.read.parquet(s"$dir/chunks"),
-        hits("id") === col("chunk_uid"))
+      .join(view, hits("id") === col("chunk_uid"))
       .select(col("query_id"), col("doc_id"), col("chunk_id"),
         col("start_tok"), col("chunk_text"), col("score"), col("rn"))
   }

@@ -72,13 +72,33 @@ object GraphProbe {
           seedShortlist = 512)
         .select("query_id", "id").collect()
     }
+    // IVF-seeded hybrid: coarse-quantizer seeds bound the seeding stage
+    // at O(Q × nProbe × n/cells) BY CONSTRUCTION — the hot-bucket answer
+    // (build-time artifacts prebuilt, the serving pattern)
+    val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val (ivfPre, tIvfBuild) = timed {
+      val c = graft.operators.IvfIndex.train(nodes, cells, iters = 2)
+        .localCheckpoint()
+      val a = graft.operators.IvfIndex.assign(nodes, c)
+        .select(col("id"), col("vector"), col("cell")).localCheckpoint()
+      a.count(); (c, a)
+    }
+    val (ivfSeededRows, tIvfSeeded) = timed {
+      AnnSearch.searchGraphSeededIvf(nodesIdx, edges, queries, 10,
+          minSim = -2.0, params, ivfPre._1, ef = 64, iters = 2,
+          nProbe = 8, assignments = Some(ivfPre._2))
+        .select("query_id", "id").collect()
+    }
     println(s"""{"n":$n,"dim":$dim,"build_sec":$tBuild,""" +
       s""""lsh_sec":$tLsh,"lsh_recall_at_10":${recallOf(lshRows)},""" +
       s""""graph_sec":$tGraph,"graph_recall_at_10":${recallOf(graphRows)},""" +
       s""""graph_seeded_sec":$tSeeded,""" +
       s""""graph_seeded_recall_at_10":${recallOf(seededRows)},""" +
       s""""graph_seeded_short_sec":$tShort,""" +
-      s""""graph_seeded_short_recall_at_10":${recallOf(shortRows)}}""")
+      s""""graph_seeded_short_recall_at_10":${recallOf(shortRows)},""" +
+      s""""ivf_build_sec":$tIvfBuild,""" +
+      s""""graph_seeded_ivf_sec":$tIvfSeeded,""" +
+      s""""graph_seeded_ivf_recall_at_10":${recallOf(ivfSeededRows)}}""")
     spark.stop()
   }
 }

@@ -151,18 +151,9 @@ object AnnSearch {
       broadcastBytes: Long = 64L << 20,
       seedShortlist: Int = 0): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
-    val sf = scoreFn(params.metric)
-    val topW = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("id").asc)
-    def topEf(df: DataFrame, n: Int): DataFrame =
-      df.withColumn("rn", row_number().over(topW))
-        .filter(col("rn") <= n).drop("rn")
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
       else nodes.withColumn("deleted", lit(false))
-    val qvs = KnnSearch.maybeBroadcast(
-      queries.select(col("query_id"), col("query_vec")), broadcastBytes)
-    val e0 = edges.filter(col("level") === 0).select(col("src"), col("dst"))
     // seeds: the LSH candidates' top-ef by TRUE score (no similarity
     // floor yet — a floor here could empty the frontier and the final
     // rank applies it anyway). Data-derived `anchors` make the whole
@@ -177,7 +168,56 @@ object AnnSearch {
       case None => searchLsh(nodes, queries, ef,
         Double.NegativeInfinity, params, broadcastBytes, seedShortlist)
     }
-    var frontier = seedSearch
+    expandAndRank(withDel, edges, seedSearch, queries, k, minSim,
+      params.metric, ef, iters, broadcastBytes)
+  }
+
+  /** IVF-seeded graph search — the seeded hybrid for HOT-BUCKET corpora
+    * (cosine metric): clustered data keeps cluster-sized LSH buckets at
+    * any bits setting, so LSH seeding pays O(Σ bucket overlap) in the
+    * candidate shuffle (measured 149 s at 500 k×64 — SCALING.md; the
+    * band-agreement shortlist was measured AND REFUTED there: no wall
+    * win, recall 0.726 → 0.41, because the SHUFFLE is the cost, not the
+    * scoring pass). Coarse-quantizer seeding bounds the same stage at
+    * O(Q × nProbe × n/cells) by construction — the [[IvfIndex]] probe —
+    * and the bounded level-0 expansions then recover neighbors outside
+    * the probed cells exactly as in [[searchGraphSeeded]]. Pass the
+    * build-time `assignments` to skip the O(n × cells) re-assignment
+    * (the [[AdaptiveSearch.PqPrebuilt]] rule). */
+  def searchGraphSeededIvf(nodes: DataFrame, edges: DataFrame,
+      queries: DataFrame, k: Int, minSim: Double, params: IndexParams,
+      centroids: DataFrame, ef: Int = 64, iters: Int = 2, nProbe: Int = 8,
+      assignments: Option[DataFrame] = None,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    require(ef >= k, s"ef $ef < k $k")
+    val withDel =
+      if (nodes.columns.contains("deleted")) nodes
+      else nodes.withColumn("deleted", lit(false))
+    val seeds = IvfIndex.search(withDel, centroids, queries, ef,
+      Double.NegativeInfinity, nProbe, assignments)
+    expandAndRank(withDel, edges, seeds, queries, k, minSim,
+      "cosine", ef, iters, broadcastBytes)
+  }
+
+  /** The shared second half of every seeded hybrid: bounded level-0
+    * frontier expansions from `seeds`, then one true-metric rank over
+    * seeds ∪ expansions (so the hybrid can never do worse than its
+    * seeds). `nodes` must carry `deleted` (tombstones routable mid-walk,
+    * filtered from results). */
+  private def expandAndRank(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, queries: DataFrame, k: Int, minSim: Double,
+      metric: String, ef: Int, iters: Int,
+      broadcastBytes: Long): DataFrame = {
+    val sf = scoreFn(metric)
+    val topW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    def topEf(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("rn", row_number().over(topW))
+        .filter(col("rn") <= n).drop("rn")
+    val qvs = KnnSearch.maybeBroadcast(
+      queries.select(col("query_id"), col("query_vec")), broadcastBytes)
+    val e0 = edges.filter(col("level") === 0).select(col("src"), col("dst"))
+    var frontier = seeds
       .select(col("query_id"), col("id"), col("score"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
@@ -185,7 +225,7 @@ object AnnSearch {
         .join(e0, frontier("id") === e0("src"))
         .select(col("query_id"), col("dst").as("id"))
         .dropDuplicates("query_id", "id")
-        .join(withDel.select(col("id"), col("vector")), Seq("id"))
+        .join(nodes.select(col("id"), col("vector")), Seq("id"))
         .join(qvs, Seq("query_id"))
         .withColumn("score", sf(col("query_vec"), col("vector")))
         .select(col("query_id"), col("id"), col("score"))
@@ -193,7 +233,7 @@ object AnnSearch {
         .dropDuplicates("query_id", "id"), ef).localCheckpoint()
     }
     frontier
-      .join(withDel.filter(!col("deleted")).select(col("id")), Seq("id"))
+      .join(nodes.filter(!col("deleted")).select(col("id")), Seq("id"))
       .filter(col("score") > lit(minSim) && !isnan(col("score")))
       .withColumn("rn", row_number().over(topW))
       .filter(col("rn") <= k)

@@ -222,6 +222,33 @@ class AnnSpec extends SparkSpec {
     assert(got === 0)
   }
 
+  test("IVF-seeded graph search: recall >= its IVF seeds at the same " +
+      "budget, tombstones excluded") {
+    import graft.operators.IvfIndex
+    val (nodes, edges) = IndexBuild.build(nodesDf, params)
+    val centroids = IvfIndex.sampleCodebook(nodesDf, 16)
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    def recallOf(df: DataFrame): Double = {
+      val got = df.select("query_id", "id").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val rIvf = recallOf(IvfIndex.search(nodesDf, centroids, queriesDf,
+      10, minSim = -2.0, nProbe = 4))
+    val seeded = AnnSearch.searchGraphSeededIvf(nodes, edges, queriesDf,
+      k = 10, minSim = -2.0, params, centroids, ef = 48, iters = 2,
+      nProbe = 4)
+    val rSeeded = recallOf(seeded)
+    // expansions only ADD candidates before the true-score rank
+    assert(rSeeded >= rIvf, s"ivf-seeded $rSeeded < ivf $rIvf")
+    assert(rSeeded > 0.4, s"ivf-seeded recall@10 = $rSeeded")
+    val deadId = 100L
+    val tombstoned = nodes.withColumn("deleted", col("id") === deadId)
+    assert(AnnSearch.searchGraphSeededIvf(tombstoned, edges, queriesDf,
+        k = 10, minSim = -2.0, params, centroids, ef = 48, iters = 1)
+      .filter(col("id") === deadId).count() === 0)
+  }
+
   test("band-agreement shortlist: a generous shortlist reproduces the " +
       "unshortlisted results exactly; a tight one stays query-specific " +
       "with sane recall") {

@@ -292,7 +292,7 @@ class CorpusStoreSpec extends SparkSpec {
       store.searchChunks(Seq((1L, "a b c")).toDF("query_id", "text"), 1)
     }
     store.buildChunkIndex(window = 32, stride = 16, dim = 16)
-    assert(graft.util.Fs.exists(spark, s"${store.path}/chunks_g0"))
+    assert(graft.util.Fs.exists(spark, s"${store.path}/chunks_v0"))
     // every chunk of every non-empty doc is present, uid is doc#chunk
     val ct = store.chunkTable
     assert(ct.count() ===
@@ -320,12 +320,64 @@ class CorpusStoreSpec extends SparkSpec {
     // rebuild at a different dim: generation flips, old dir removed,
     // serving embeds queries at the NEW generation's stored dim
     store.buildChunkIndex(window = 32, stride = 16, dim = 8)
-    assert(graft.util.Fs.exists(spark, s"${store.path}/chunks_g1"))
-    assert(!graft.util.Fs.exists(spark, s"${store.path}/chunks_g0"))
+    assert(graft.util.Fs.exists(spark, s"${store.path}/chunks_v1"))
+    assert(!graft.util.Fs.exists(spark, s"${store.path}/chunks_v0"))
     val hits2 = store.searchChunks(probe, k = 3)
     assert(hits2.count() === 3)
     assert(hits2.filter(col("rn") === 1)
       .select("score").as[Double].head() > 0.9999)
+    store.delete()
+  }
+
+  test("refreshChunkIndex is O(delta): ingest appends land as chunk " +
+      "deltas (base untouched), replaced docs' chunks are superseded, " +
+      "and compaction folds the chain") {
+    val store = CorpusStore.openOrCreate(spark,
+      graft.util.Fs.tempDirDeletedOnExit("graft-corpus-store-spec"),
+      compactEvery = 100) // keep auto-compaction out of the way
+    store.putDocuments(docs.select(col("doc_id"), col("text")))
+    store.buildChunkIndex(window = 32, stride = 16, dim = 16)
+    val nBase = store.chunkTable.count()
+    // refresh with no new deltas: no-op, no delta dir appears
+    store.refreshChunkIndex()
+    assert(!graft.util.Fs.exists(spark,
+      s"${store.path}/chunks_v0_delta_1"))
+
+    // append a new doc + REPLACE doc 3 with a much longer text
+    val longText = (1 to 100).map(i => s"w$i").mkString(" ")
+    store.appendDocuments(
+      Seq((90001L, "brand new doc text"), (3L, longText))
+        .toDF("doc_id", "text"))
+    store.refreshChunkIndex()
+    // the delta landed as a delta, not a rewrite: base dir still live,
+    // delta dir holds only the touched docs' chunks
+    assert(graft.util.Fs.exists(spark, s"${store.path}/chunks_v0"))
+    assert(graft.util.Fs.exists(spark,
+      s"${store.path}/chunks_v0_delta_1"))
+    val delta = spark.read.parquet(s"${store.path}/chunks_v0_delta_1")
+    assert(delta.select("doc_id").distinct().as[Long].collect().toSet ===
+      Set(90001L, 3L))
+    // serving view: new doc searchable, replaced doc re-chunked at the
+    // new length ((100-32+15)/16+1 = 6 chunks), untouched docs intact
+    val view = store.chunkTable
+    assert(view.filter(col("doc_id") === 90001L).count() === 1)
+    assert(view.filter(col("doc_id") === 3L).count() === 6)
+    val base = spark.read.parquet(s"${store.path}/chunks_v0")
+    assert(view.filter(col("doc_id") =!= 3L && col("doc_id") =!= 90001L)
+      .count() === base.filter(col("doc_id") =!= 3L).count())
+    val probe = Seq((1L, "brand new doc text")).toDF("query_id", "text")
+    assert(store.searchChunks(probe, k = 1)
+      .select("doc_id").as[Long].head() === 90001L)
+    // compaction folds the overlay into a fresh base and prunes
+    // (materialize the pre-compaction count first — `view` is a lazy
+    // plan over files compaction deletes)
+    val viewCount = view.count()
+    store.compactChunkIndex()
+    assert(graft.util.Fs.exists(spark, s"${store.path}/chunks_v1"))
+    assert(!graft.util.Fs.exists(spark,
+      s"${store.path}/chunks_v0_delta_1"))
+    assert(store.chunkTable.count() === viewCount)
+    assert(nBase > 0)
     store.delete()
   }
 }

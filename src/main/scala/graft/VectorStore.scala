@@ -193,6 +193,30 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), p, ef, iters)
   }
 
+  /** The hot-bucket seeded tier: graph expansions seeded from the
+    * PERSISTED residual-PQ generation's coarse quantizer (centroids +
+    * build-time assignments — [[buildPqIndex]]'s artifact, reused
+    * instead of re-assigning the corpus). Clustered corpora keep
+    * cluster-sized LSH buckets at any bits setting, so
+    * [[searchAnnSeeded]]'s seeding scan grows with the hottest bucket;
+    * this tier's seeding is O(Q × nProbe × n/cells) by construction
+    * (SCALING.md measures the crossover at 500 k). Requires both the
+    * ANN graph generation and a PQ generation. */
+  def searchAnnSeededIvf(queries: DataFrame, k: Int,
+      strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2,
+      nProbe: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
+      s"no ANN index under $path — call rebuild() first"))
+    val (n, e, p) = IndexBuild.load(spark, indexDir(gen))
+    val pre = loadPqIndex()
+    AnnSearch.searchGraphSeededIvf(n, e, queries, k,
+      KnnSearch.scaleThreshold(strengthSetting), p, pre.centroids,
+      ef, iters, nProbe,
+      assignments = Some(pre.assignments
+        .join(n.select(col("id"), col("vector")), Seq("id"))))
+  }
+
   // ---- auxiliary snapshot chains (documents / token vectors) ----------
   // Same versioned-parquet + atomic-pointer layout as the node table, one
   // chain per table kind — readers always see a complete snapshot.

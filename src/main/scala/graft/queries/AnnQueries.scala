@@ -419,6 +419,25 @@ object AnnQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // The IVF-SEEDED graph hybrid, fully hash-checked (a18's pattern
+    // with the seeding stage swapped): coarse-quantizer seeds (a04's
+    // oracle-derivable probe — id-ordered sample codebook, argmax-cosine
+    // assignment) feed the same two bounded expansions over the anchored
+    // adjacency. This is the hot-bucket serving shape SCALING.md
+    // measures at 500 k (LSH seeding pays the cluster-bucket shuffle;
+    // the IVF probe is O(Q × nProbe × n/cells) by construction).
+    "a19_ivf_seeded_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val (nodes, edges) = anchoredFor(s, d)
+      val centroids = graft.operators.IvfIndex.sampleCodebook(
+        VectorQueries.asVectorTable(emb), k = 10)
+      AnnSearch.searchGraphSeededIvf(nodes, edges,
+          VectorQueries.querySet(emb), k = 10, minSim = -2.0, params,
+          centroids, ef = 48, iters = 2, nProbe = 3)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Graph-traversal ANN search, emitting a PER-QUERY recall floor flag
     // the driver hash-checks against an all-true oracle: recall@10 vs the
     // exact top-k must clear 0.9 for every query, so a walk regression
@@ -1039,6 +1058,87 @@ object AnnQueries {
         |      FROM cand c
         |      JOIN nodes n ON n.id = c.id
         |      JOIN q ON q.query_id = c.query_id))
+        |  WHERE rn <= 48),
+        |exp1 AS (
+        |  SELECT DISTINCT s.query_id, b.dst AS id
+        |  FROM seeds s JOIN base b ON b.layer = 0 AND b.src = s.id),
+        |sc1 AS (
+        |  SELECT e.query_id, e.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM exp1 e
+        |  JOIN nodes n ON n.id = e.id
+        |  JOIN q ON q.query_id = e.query_id),
+        |f1 AS (
+        |  SELECT query_id, id, score FROM (
+        |    SELECT query_id, id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, id) AS rn
+        |    FROM (SELECT * FROM seeds UNION SELECT * FROM sc1))
+        |  WHERE rn <= 48),
+        |exp2 AS (
+        |  SELECT DISTINCT f.query_id, b.dst AS id
+        |  FROM f1 f JOIN base b ON b.layer = 0 AND b.src = f.id),
+        |sc2 AS (
+        |  SELECT e.query_id, e.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM exp2 e
+        |  JOIN nodes n ON n.id = e.id
+        |  JOIN q ON q.query_id = e.query_id),
+        |f2 AS (
+        |  SELECT query_id, id, score FROM (
+        |    SELECT query_id, id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, id) AS rn
+        |    FROM (SELECT * FROM f1 UNION SELECT * FROM sc2))
+        |  WHERE rn <= 48)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM f2)
+        |WHERE rn <= 10""".stripMargin,
+    // a19 re-derives the WHOLE IVF-seeded hybrid: the anchored graph
+    // (a07's chain), a04's coarse probe as the seeding stage (id-ordered
+    // sample codebook, argmax-cosine assignment, nProbe=3 cells,
+    // top-48 true-score seeds), then a18's two expansion/fold rounds
+    // and the final rank.
+    "a19_ivf_seeded_search" ->
+      s"""WITH $anchoredBuildCtes,
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cell, embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell)
+        |        AS rn
+        |    FROM nodes n CROSS JOIN cb c)
+        |  WHERE rn = 1),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell)
+        |        AS rn
+        |    FROM q CROSS JOIN cb c)
+        |  WHERE rn <= 3),
+        |seeds AS (
+        |  SELECT query_id, id, score FROM (
+        |    SELECT query_id, id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, id) AS rn
+        |    FROM (
+        |      SELECT p.query_id, a.id,
+        |        list_cosine_similarity(n.v, q.qv) AS score
+        |      FROM probed p
+        |      JOIN asg a ON a.cell = p.cell
+        |      JOIN nodes n ON n.id = a.id
+        |      JOIN q ON q.query_id = p.query_id))
         |  WHERE rn <= 48),
         |exp1 AS (
         |  SELECT DISTINCT s.query_id, b.dst AS id

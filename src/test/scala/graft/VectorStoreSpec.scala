@@ -239,6 +239,16 @@ class VectorStoreSpec extends SparkSpec {
     assert(bq.columns.toSeq === Seq("query_id", "id", "score", "rn"))
     assert(bq.filter(col("query_id") === col("id"))
       .filter(col("rn") === 1).count() === 5)
+
+    // IVF-seeded graph tier: seeds from the PQ generation's coarse
+    // quantizer (prebuilt assignments), expansions over the ANN graph —
+    // nProbe covering every cell makes self-retrieval exact
+    store.rebuild()
+    val ivfSeeded = store.searchAnnSeededIvf(qv, k = 3,
+      strengthSetting = 0, ef = 8, iters = 1, nProbe = 4)
+    assert(ivfSeeded.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    assert(ivfSeeded.filter(col("query_id") === col("id"))
+      .filter(col("rn") === 1).count() === 5)
     store.delete()
   }
 

@@ -447,10 +447,16 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     * duplicate doc_ids by `seq` (highest wins — a DataFrame carries no
     * arrival order) and folds latest-wins into the DOCS snapshot chain
     * via [[appendDocuments]]. Single-writer contract: one running
-    * ingest query (or one batch writer) owns a store path at a time. */
+    * ingest query (or one batch writer) owns a store path at a time.
+    *
+    * `refreshChunks = true` additionally folds each micro-batch into the
+    * chunk index ([[refreshChunkIndex]] — O(batch) per call, the RAG
+    * tier stays searchable as documents stream in). Requires
+    * [[buildChunkIndex]] to have run once. */
   def startIngest(events: DataFrame,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      refreshChunks: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(events.columns.contains("seq"),
       s"ingest events need a seq column; got ${events.columns.mkString(",")}")
@@ -466,6 +472,7 @@ class CorpusStore private (val spark: SparkSession, val path: String,
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1)
             .drop("__rn", "seq"))
+          if (refreshChunks) refreshChunkIndex()
         }
         ()
       }

@@ -238,6 +238,31 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("streaming ingest with refreshChunks: the RAG tier stays " +
+      "searchable as documents stream in, each batch an O(batch) delta") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    val store = CorpusStore.openOrCreate(spark,
+      graft.util.Fs.tempDirDeletedOnExit("graft-corpus-store-spec"),
+      compactEvery = 100)
+    store.putDocuments(docs.select(col("doc_id"), col("text")))
+    store.buildChunkIndex(window = 32, stride = 16, dim = 16)
+    val q = store.startIngest(
+      stream.toDF().toDF("doc_id", "text", "seq"), refreshChunks = true)
+    try {
+      stream.addData((70001L, "totally fresh streaming payload", 1L))
+      q.processAllAvailable()
+      assert(graft.util.Fs.exists(spark,
+        s"${store.path}/chunks_v0_delta_1"))
+      val probe = Seq((1L, "totally fresh streaming payload"))
+        .toDF("query_id", "text")
+      assert(store.searchChunks(probe, k = 1)
+        .select("doc_id").as[Long].head() === 70001L)
+    } finally q.stop()
+    store.delete()
+  }
+
   test("decontamination drops exactly the docs sharing n-grams with " +
       "the benchmark (the t06 action, via the facade)") {
     val store = newStore()

@@ -57,7 +57,11 @@ object PlanDump {
       "t26_dsir_resample" -> "DSIR: broadcast <=512-row model tables, map-side weight attach, doc-keyed hash-agg, TakeOrdered top-k",
       "m04_cdc_chunks" -> "CDC: segmented byte-window scan, narrow (asset,end) shuffle, payload joined back once per asset",
       "t27_length_buckets" -> "length buckets: length-cardinality agg + tiny running-sum window + broadcast join back — no corpus-wide ntile",
-      "t28_epoch_order" -> "epoch order: per-source hash-rank window + broadcast source-index join, no global window")
+      "t28_epoch_order" -> "epoch order: per-source hash-rank window + broadcast source-index join, no global window",
+      "t29_bpe_train" -> "BPE training: word-TYPE table aggs (vocab-sized), per-step literal replace projections, driver argmax of ONE row per merge",
+      "t30_bpe_segment" -> "BPE segmentation: 8 chained literal replaces inside one codegen stage, zero shuffle before the per-doc agg",
+      "e06_chunk_store_search" -> "chunk store serving: persisted chunk+vector generation scanned once, broadcast query embed, WindowGroupLimit top-k, Qxk metadata join-back",
+      "a19_ivf_seeded_search" -> "IVF-seeded hybrid: broadcast coarse probe bounds seeding at O(Q*nProbe*n/cells), then the two bounded expansions")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of flagship queries\n\n")

@@ -72,6 +72,16 @@ object TextQueries {
       store
     })
 
+  /** Memoized per-dir BPE merge table (the `indexFor` build-once shape):
+    * t29 reports it, t30 replays it — one training pass per process. The
+    * returned frame is a driver-local literal (built from the collected
+    * merge list), so caching it holds no executor state. */
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def bpeMergesFor(s: SparkSession, d: String): DataFrame =
+    bpeMergesCache.getOrElseUpdate(d, graft.operators.TextFeaturizer
+      .bpeTrain(Tables.documents(s, d), nMerges = 8))
+
   private def chunkStoreFor(s: SparkSession, d: String): graft.CorpusStore =
     chunkStores.getOrElseUpdate(d, {
       val store = graft.CorpusStore.openOrCreate(s,
@@ -652,8 +662,7 @@ object TextQueries {
     // semantics) — a drift in ANY step's counts, argmax, or application
     // cascades into every later row and fails the hash.
     "t29_bpe_train" -> ((s, d) =>
-      graft.operators.TextFeaturizer.bpeTrain(
-          Tables.documents(s, d), nMerges = 8)
+      bpeMergesFor(s, d)
         // left/right are SQL reserved words — alias for the oracle side
         .select(col("step"), col("left").as("left_sym"),
           col("right").as("right_sym"), col("merged"), col("pair_count"))),
@@ -665,9 +674,7 @@ object TextQueries {
     // oracle re-learns the merges AND re-applies them in SQL.
     "t30_bpe_segment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.operators.TextFeaturizer
-        .bpeTrain(docs, nMerges = 8)
-      graft.operators.TextFeaturizer.bpeSegment(docs, merges)
+      graft.operators.TextFeaturizer.bpeSegment(docs, bpeMergesFor(s, d))
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_pieces"),
           md5(concat_ws(" ", transform(

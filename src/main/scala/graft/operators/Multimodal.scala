@@ -210,6 +210,81 @@ object Multimodal {
       s"([\\s\\S])[\\s\\S]{0,${stride - 1}}", "$1")
   }
 
+  /** 64-bit AVERAGE perceptual hash of an image payload (the public
+    * aHash family — Krawetz, "Looks Like It"): real JDK decode
+    * ([[decodeImage]], [[decodeStub]] fallback keeps undecodable rows
+    * flowing), 8×8 luma sample grid, bit i set when grid cell i's luma
+    * exceeds the grid mean. Survives re-encode/resize (grid sampling +
+    * mean threshold), not crops/rotations — the standard trade. */
+  def aHash64(payload: Array[Byte]): Long = {
+    val lum = decodeImage(payload, 64) // g = 8 → an 8×8 grid
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += lum(i); i += 1 }
+    mean /= 64
+    var h = 0L
+    i = 0
+    while (i < 64) { if (lum(i) > mean) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** 64-bit DIFFERENCE perceptual hash (dHash): 9-wide × 8-row luma
+    * grid ([[decodeImage]] at dim = 72 samples exactly that grid), bit
+    * per horizontal gradient sign — more robust than [[aHash64]] to
+    * global brightness shifts because only NEIGHBOR ordering matters. */
+  def dHash64(payload: Array[Byte]): Long = {
+    val lum = decodeImage(payload, 72) // g = 9 → 8 rows of 9 samples
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (lum(r * 9 + c) < lum(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Perceptual hashes of every asset, packed as two 32-bit words each —
+    * exactly [[BqIndex.hammingNearDupPairs]]' input shape, so image
+    * near-dup pairing rides the existing pigeonhole-exact multi-index
+    * Hamming machinery and the codegen `hamming64` kernel. Executor-side
+    * batched decode (the [[extractFeatures]] mapPartitions shape).
+    * Output: (asset_id, ahash_bits, dhash_bits). */
+  def imageHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    // two unsigned 32-bit values carried as BIGINT elements — the word
+    // layout BqIndex's codegen hamming64 kernel and band explode expect
+    def pack(h: Long): Seq[Long] = Seq(h & 0xFFFFFFFFL, h >>> 32)
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          (id, pack(aHash64(payload)), pack(dHash64(payload)))
+        }
+      }
+      .toDF("asset_id", "ahash_bits", "dhash_bits")
+  }
+
+  /** Image near-duplicate pairs by perceptual-hash Hamming distance —
+    * the IMAGE axis of the dedup family (exact n-gram / MinHash /
+    * SimHash / embedding-cosine cover text; this covers re-encoded,
+    * resized, slightly-edited media): decode → [[imageHashes]] →
+    * [[BqIndex.hammingNearDupPairs]] (pigeonhole-exact for
+    * hd ≤ maxHd on the 64-bit codes — never an all-pairs scan).
+    * Output (a_id, b_id, hd). dHash by default (brightness-shift
+    * robust); `useDHash = false` pairs on aHash. */
+  def imageNearDupPairs(assets: DataFrame, maxHd: Int = 7,
+      useDHash: Boolean = true): DataFrame =
+    BqIndex.hammingNearDupPairs(
+      imageHashes(assets).select(col("asset_id").as("id"),
+        (if (useDHash) col("dhash_bits") else col("ahash_bits"))
+          .as("bits")),
+      maxHd)
+
   /** Content-defined chunking over a text payload column — the
     * rsync/LBFS-style blob-dedup primitive a multimodal data lake needs:
     * chunk boundaries fall where a sliding window's fingerprint hits a

@@ -165,4 +165,60 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_._3.length === 8))
     assert(new String(frames.head._3) === "a much l")
   }
+
+  test("perceptual hashes: re-encoded/upscaled clones pair at small " +
+      "Hamming distance, unrelated images don't; undecodable payloads " +
+      "fall back without crashing") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // a diagonal luminance gradient — structured, crop/scale-stable
+    def gradient(sz: Int): BufferedImage = {
+      val img = new BufferedImage(sz, sz, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until sz; x <- 0 until sz) {
+        val v = ((x + y) * 255) / (2 * sz - 2)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // checkerboard — structurally unlike the gradient
+    def checker(sz: Int): BufferedImage = {
+      val img = new BufferedImage(sz, sz, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until sz; x <- 0 until sz)
+        img.setRGB(x, y, if ((x / 4 + y / 4) % 2 == 0) 0xFFFFFF else 0)
+      img
+    }
+    val orig = png(gradient(64))
+    val upscaled = png(gradient(128)) // same content, 2x the pixels
+    val other = png(checker(64))
+    def hd(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Long.bitCount(
+        Multimodal.dHash64(a) ^ Multimodal.dHash64(b))
+    assert(hd(orig, upscaled) <= 4,
+      s"upscale moved dHash by ${hd(orig, upscaled)} bits")
+    assert(hd(orig, other) > 10,
+      s"unrelated images only ${hd(orig, other)} bits apart")
+    // distributed pairing through the Hamming multi-index: only the
+    // clone pair survives maxHd
+    val assets = Seq((1L, orig), (2L, upscaled), (3L, other))
+      .toDF("asset_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(assets, maxHd = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    // aHash orders the same way (a smooth gradient sits AT the mean, so
+    // aHash bits are less scale-stable than dHash gradients — assert the
+    // relative ordering, which is the property near-dup thresholds use)
+    def ahd(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Long.bitCount(
+        Multimodal.aHash64(a) ^ Multimodal.aHash64(b))
+    assert(ahd(orig, upscaled) < ahd(orig, other),
+      s"aHash: clone ${ahd(orig, upscaled)} vs unrelated ${ahd(orig, other)}")
+    // undecodable payloads hash via the stub and don't crash the stage
+    val junk = Seq((9L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    assert(Multimodal.imageHashes(junk).count() === 1)
+  }
 }

@@ -24,6 +24,7 @@ object AdaptiveSearch {
   case object UseExact extends Strategy
   case object UseLsh extends Strategy
   case object UseGraphSeeded extends Strategy
+  case object UseGraphSeededIvf extends Strategy
   case object UseIvf extends Strategy
   case object UsePq extends Strategy
 
@@ -144,7 +145,21 @@ object AdaptiveSearch {
       case UseIvf =>
         val cells = math.min(ivfCells, math.max(16, math.sqrt(n.toDouble).toInt))
         val centroids = IvfIndex.train(nodes, cells, iters = 3)
-        (UseIvf, IvfIndex.search(nodes, centroids, queries, k, minSim, nProbe))
+        // with a persisted graph at hand the IVF arm upgrades to the
+        // IVF-SEEDED hybrid (the UseLsh-arm rule applied to the skew
+        // regime): same bounded coarse-probe seeding, plus expansions
+        // that can only improve on the seeds — measured at 500 k:
+        // 4.1 s / recall 0.654 vs plain-LSH seeding's 87.7 s / 0.635
+        // (SCALING.md, hot-bucket section)
+        prebuiltGraph match {
+          case Some((gn, ge)) if params.metric == "cosine" =>
+            (UseGraphSeededIvf, AnnSearch.searchGraphSeededIvf(gn, ge,
+              queries, k, minSim, params, centroids,
+              ef = math.max(64, k), nProbe = nProbe))
+          case _ =>
+            (UseIvf, IvfIndex.search(nodes, centroids, queries, k, minSim,
+              nProbe))
+        }
       case UsePq =>
         // residual IVF-PQ shortlist + exact re-rank: the one path whose
         // scanned bytes do not grow with dim × n (coarse cells cut the

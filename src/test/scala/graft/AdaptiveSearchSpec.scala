@@ -70,6 +70,29 @@ class AdaptiveSearchSpec extends SparkSpec {
     assert(exact.intersect(hybrid).size >= exact.intersect(lsh).size)
   }
 
+  test("IVF arm upgrades to the IVF-seeded hybrid when a prebuilt graph " +
+      "is provided under skew; without one it stays plain IVF") {
+    import graft.operators.IndexBuild
+    val emb = Tables.embeddings(spark, sf001)
+    val nodesDf = VectorQueries.asVectorTable(emb)
+    val queriesDf = VectorQueries.querySet(emb)
+    val p = IndexParams(m = 12, bucketBits = 4, nBands = 4)
+    // force the skew branch: every corpus lands in SOME bucket, so
+    // skewCutoff=0 makes maxBucketShare >= cutoff always true
+    val (sIvf, _) = AdaptiveSearch.search(nodesDf, queriesDf, k = 5,
+      minSim = 0.2, p, exactCutoff = 0L, skewCutoff = 0.0)
+    assert(sIvf === AdaptiveSearch.UseIvf)
+    val (gn, ge) = IndexBuild.build(nodesDf, p)
+    val (sG, res) = AdaptiveSearch.search(nodesDf, queriesDf, k = 5,
+      minSim = 0.2, p, exactCutoff = 0L, skewCutoff = 0.0,
+      prebuiltGraph = Some((gn.localCheckpoint(), ge.localCheckpoint())))
+    assert(sG === AdaptiveSearch.UseGraphSeededIvf)
+    // contract parity with every other arm
+    assert(res.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    assert(res.filter(col("score") <= 0.2).isEmpty)
+    assert(res.select("query_id").distinct().count() === queriesDf.count())
+  }
+
   test("PQ arm accepts a prebuilt residual index and matches the in-line " +
       "build") {
     val emb = Tables.embeddings(spark, sf001)

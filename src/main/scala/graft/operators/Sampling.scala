@@ -128,6 +128,27 @@ object Sampling {
       .withColumn("n_negatives", count(col("neg_id")).over(w))
   }
 
+  /** HARD negatives from a search result — the other half of
+    * contrastive-pair construction ([[negativeSample]] draws RANDOM
+    * negatives; retrieval/reranker training also wants negatives that
+    * are CLOSE but wrong, the standard hard-negative mining step): keep
+    * the rank band [lo, hi] of each query's hits, excluding the query's
+    * own row. The band's lower edge skips the top ranks (likely true
+    * positives or duplicates of the query); its upper edge bounds the
+    * set. Works over ANY search arm's output — exact, LSH, PQ, seeded —
+    * because every arm shares the (query_id, id, score, rn) contract;
+    * the operator itself is one codegen filter, zero shuffle, so mining
+    * cost IS the search cost. Output (query_id, neg_id, score, rn). */
+  def hardNegativeBand(hits: DataFrame, lo: Int, hi: Int,
+      queryIdCol: String = "query_id", idCol: String = "id"): DataFrame = {
+    require(1 <= lo && lo <= hi, s"need 1 <= lo <= hi; got [$lo, $hi]")
+    hits
+      .filter(col(idCol) =!= col(queryIdCol) &&
+        col("rn").between(lo, hi))
+      .select(col(queryIdCol), col(idCol).as("neg_id"), col("score"),
+        col("rn"))
+  }
+
   /** Assign each row a named split by consecutive bucket ranges, e.g.
     * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. Weights must
     * sum to ≤ 1; any remainder falls into the LAST split (so a full

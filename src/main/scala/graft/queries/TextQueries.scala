@@ -684,6 +684,24 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_pieces"), col("seg_md5"))
     }),
 
+    // HARD-negative mining (the second half of contrastive-pair
+    // construction — t25 draws random negatives; retrieval training
+    // also wants CLOSE-but-wrong ones): embed the corpus (e01's
+    // kernel), exact cosine top-8 per query doc, keep the rank band
+    // [2, 6] minus the query itself. One codegen filter over the
+    // search contract — works identically over any ANN arm's output.
+    "e07_hard_negatives" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val emb = graft.operators.TextFeaturizer.featureHash(docs, dim = 32)
+      val q = emb.filter(col("id") % 100 === 0)
+        .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      graft.operators.Sampling.hardNegativeBand(
+          graft.operators.KnnSearch.knnExact(emb, q, k = 8, minSim = 0.0),
+          lo = 2, hi = 6)
+        .select(col("query_id"), col("neg_id"), col("rn"))
+    }),
+
     // Deterministic negative sampling (contrastive-pair construction):
     // 4 hashed-rendezvous negatives per query doc — never a cross join,
     // never the query itself, reproducible on any engine/partitioning.
@@ -1590,6 +1608,43 @@ object TextQueries {
         |      THEN 'en' ELSE 'unknown' END AS pred_lang
         |  FROM documents)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "e07_hard_negatives" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS INT)
+        |      AS bucket,
+        |    count(*)::DOUBLE AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0 GROUP BY 1, 2),
+        |nrm AS (
+        |  SELECT id, sqrt(SUM(cnt * cnt)) AS n FROM w GROUP BY id),
+        |dv AS (
+        |  SELECT id, list_transform(rawl, x -> (x / n)::FLOAT)::DOUBLE[]
+        |    AS v
+        |  FROM (
+        |    SELECT i.id, list(COALESCE(ww.cnt, 0.0) ORDER BY b.b) AS rawl,
+        |      any_value(nr.n) AS n
+        |    FROM (SELECT DISTINCT id FROM w) i
+        |    CROSS JOIN range(0, 32) b(b)
+        |    LEFT JOIN w ww ON ww.id = i.id AND ww.bucket = b.b
+        |    JOIN nrm nr ON nr.id = i.id
+        |    GROUP BY i.id)),
+        |q AS (SELECT id AS query_id, v AS qv FROM dv WHERE id % 100 = 0),
+        |ranked AS (
+        |  SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |    SELECT query_id, id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, id) AS rn
+        |    FROM (
+        |      SELECT c.query_id, c.id, score FROM (
+        |        SELECT q.query_id, d.id,
+        |          list_cosine_similarity(d.v, q.qv) AS score
+        |        FROM dv d CROSS JOIN q) c
+        |      WHERE score > 0.0))
+        |  WHERE rn <= 8)
+        |SELECT query_id, id AS neg_id, rn
+        |FROM ranked WHERE rn BETWEEN 2 AND 6 AND id <> query_id""".stripMargin,
     "t29_bpe_train" -> bpeTrainOracle(8),
     "t30_bpe_segment" -> bpeSegmentOracle(8),
     "e06_chunk_store_search" ->

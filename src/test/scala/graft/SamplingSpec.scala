@@ -122,6 +122,26 @@ class SamplingSpec extends SparkSpec {
     assert(got.exists { case (_, _, _, c) => c < 8L })
   }
 
+  test("hardNegativeBand: keeps exactly the [lo, hi] rank band minus the " +
+      "query's own row, over any search arm's contract") {
+    import graft.operators.KnnSearch
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+    val vecs = graft.queries.VectorQueries.asVectorTable(emb)
+    val q = graft.queries.VectorQueries.querySet(emb)
+    val hits = KnnSearch.knnExact(vecs, q, k = 10, minSim = -2.0)
+    val band = Sampling.hardNegativeBand(hits, lo = 2, hi = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(band.nonEmpty)
+    assert(band.forall(r => r._4 >= 2 && r._4 <= 5))
+    assert(band.forall(r => r._1 != r._2))
+    // every query contributes at most hi-lo+1 negatives
+    assert(band.groupBy(_._1).values.forall(_.length <= 4))
+    intercept[IllegalArgumentException] {
+      Sampling.hardNegativeBand(hits, lo = 0, hi = 5)
+    }
+  }
+
   test("DSIR: docs made of target-style tokens outweigh off-target docs; " +
       "weights are partitioning-invariant exact integers") {
     import graft.operators.ImportanceResampling

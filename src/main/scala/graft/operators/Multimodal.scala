@@ -247,6 +247,46 @@ object Multimodal {
     h
   }
 
+  /** 64-bit audio fingerprint — the audio axis of near-dup detection
+    * (the energy-contour core of the public Haitsma–Kalker fingerprint,
+    * reduced to one band): real WAV decode ([[decodeAudio]],
+    * [[decodeStub]] fallback), 65 equal-time RMS windows, bit per
+    * energy-gradient sign between consecutive windows. Time-proportional
+    * windows make the fingerprint invariant to sample rate and bit
+    * depth (same contour, different sampling); NOT to trimming/offset —
+    * the standard trade at one band. */
+  def audioHash64(payload: Array[Byte]): Long = {
+    val rms = decodeAudio(payload, 65)
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (rms(i) < rms(i + 1)) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** Audio fingerprints packed as two 32-bit words (the [[imageHashes]]
+    * shape) — feeds [[BqIndex.hammingNearDupPairs]] unchanged. */
+  def audioHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val h = audioHash64(payload)
+          (id, Seq(h & 0xFFFFFFFFL, h >>> 32))
+        }
+      }
+      .toDF("asset_id", "fp_bits")
+  }
+
+  /** Audio near-duplicate pairs by fingerprint Hamming distance — the
+    * [[imageNearDupPairs]] pattern over [[audioHash64]]. */
+  def audioNearDupPairs(assets: DataFrame, maxHd: Int = 7): DataFrame =
+    BqIndex.hammingNearDupPairs(
+      audioHashes(assets).select(col("asset_id").as("id"),
+        col("fp_bits").as("bits")),
+      maxHd)
+
   /** Perceptual hashes of every asset, packed as two 32-bit words each —
     * exactly [[BqIndex.hammingNearDupPairs]]' input shape, so image
     * near-dup pairing rides the existing pigeonhole-exact multi-index

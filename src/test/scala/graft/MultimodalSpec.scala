@@ -221,4 +221,39 @@ class MultimodalSpec extends SparkSpec {
       .toDF("asset_id", "payload")
     assert(Multimodal.imageHashes(junk).count() === 1)
   }
+
+  test("audio fingerprints: the same signal at a different sample rate " +
+      "pairs near-exactly; an unrelated envelope doesn't") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(rate: Float, env: Int => Double, frames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val amp = (env(i * 1000 / frames) * 8192).toInt
+        val v = if (i % 2 == 0) amp else -amp
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // a rising-then-falling loudness envelope, as a fn of time in 0..999
+    val hill = (t: Int) => if (t < 500) t / 500.0 else (1000 - t) / 500.0
+    val saw = (t: Int) => (t % 200) / 200.0 // unrelated periodic envelope
+    val a = wav(8000f, hill, 4000)
+    val b = wav(16000f, hill, 8000) // same contour, twice the rate
+    val c = wav(8000f, saw, 4000)
+    def hd(x: Array[Byte], y: Array[Byte]): Int =
+      java.lang.Long.bitCount(
+        Multimodal.audioHash64(x) ^ Multimodal.audioHash64(y))
+    assert(hd(a, b) <= 4, s"resampled clone moved fp by ${hd(a, b)} bits")
+    assert(hd(a, c) > 10, s"unrelated envelope only ${hd(a, c)} apart")
+    val assets = Seq((1L, a), (2L, b), (3L, c)).toDF("asset_id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(assets, maxHd = 7)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+  }
 }

@@ -52,6 +52,21 @@ object AnalyticQueries {
         .select(col("event_id"), col("err_event_id"), col("err_value"))
     }),
 
+    // Z-ORDER layout kernel: the Morton z-value of every lineitem over
+    // (l_partkey, l_suppkey) — the data-skipping sort key whose
+    // contiguous ranges are rectangles in BOTH columns (Delta/Hudi's
+    // OPTIMIZE ZORDER BY technique). Exact integer bucket arithmetic
+    // (div truncation identical in both engines) + shift/mask
+    // interleave ⇒ the oracle re-derives every z bit; ZOrderSpec proves
+    // the locality property the value buys.
+    "q44_zorder" -> ((s, d) =>
+      graft.operators.ZOrder.zValues(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")),
+          Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"))),
+
     // Banded interval join: (error, click) pairs of the same user with the
     // click 0..10 minutes after the error.
     "q25_range_join" -> ((s, d) => {
@@ -389,7 +404,26 @@ object AnalyticQueries {
     }),
   )
 
+  /** The Morton interleave as SQL bit terms: bit i of bucket column j
+    * lands at position i·2 + j (mirrors [[graft.operators.ZOrder]]). */
+  private val zorderTerms: String = (0 until 8).flatMap(i => Seq(
+    s"(((bp >> $i) & 1) << ${2 * i})",
+    s"(((bs >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "q44_zorder" ->
+      s"""WITH st AS (
+        |  SELECT min(l_partkey)::BIGINT AS mnp, max(l_partkey)::BIGINT AS mxp,
+        |         min(l_suppkey)::BIGINT AS mns, max(l_suppkey)::BIGINT AS mxs
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    ((l_partkey::BIGINT - mnp) * 256) // (mxp - mnp + 1) AS bp,
+        |    ((l_suppkey::BIGINT - mns) * 256) // (mxs - mns + 1) AS bs
+        |  FROM lineitem, st)
+        |SELECT l_orderkey, l_linenumber,
+        |  ($zorderTerms)::BIGINT AS z
+        |FROM b""".stripMargin,
     "q42_lateral_topk" ->
       """SELECT r.r_name, l.c_custkey, l.c_acctbal
         |FROM region r,

@@ -69,4 +69,57 @@ object Sketches {
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame =
     kmvEstimate(kmvSketch(df, groupCols, valueCol, k), k)
+
+  /** EXACT heavy hitters over unbounded key cardinality — the two-pass
+    * Misra–Gries scheme (the classic frequency-sketch answer at scale;
+    * MG is the deterministic summary behind "find every token above
+    * 0.x% of a 100 TB corpus" without shuffling the full vocabulary):
+    *
+    *  1. each partition runs MG with k = ⌈1e6/shareMicro⌉ counters and
+    *     emits only its ≤ k candidate KEYS — O(k) state and O(k) output
+    *     per partition, no shuffle of the key universe. MG's undercount
+    *     bound (≤ nᵢ/(k+1) per partition) makes the union a guaranteed
+    *     SUPERSET of every key with global share ≥ shareMicro/1e6.
+    *  2. the corpus recounts ONLY candidate rows (broadcast semi-join,
+    *     bounded by partitions × k keys) and filters on the exact
+    *     integer threshold — so the OUTPUT is exact and deterministic
+    *     (the sketch's order-dependence dies in pass 2; only candidate
+    *     membership, a superset either way, ever depended on order).
+    *
+    * The threshold is integer-exact: minCount =
+    * ⌈n · shareMicro / 1e6⌉ in BIGINT arithmetic — no float share
+    * boundary for an oracle to disagree on. NULL keys are not values
+    * (the [[kmvSketch]] rule). Output: (keyCol, cnt). */
+  def heavyHitters(df: DataFrame, keyCol: String,
+      shareMicro: Long): DataFrame = {
+    require(shareMicro > 0 && shareMicro <= 1000000L,
+      s"shareMicro $shareMicro must be in (0, 1e6]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val n = keys.count()
+    val k = math.max(1L, (1000000L + shareMicro - 1) / shareMicro).toInt
+    val candidates = keys.as[String].mapPartitions { rows =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { v =>
+        counters.get(v) match {
+          case Some(c) => counters(v) = c + 1
+          case None if counters.size < k => counters(v) = 1L
+          case None => // decrement-all; evict zeros
+            counters.keys.toArray.foreach { key =>
+              val c = counters(key) - 1
+              if (c == 0L) counters.remove(key) else counters(key) = c
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("k").distinct()
+    val minCount = (n * shareMicro + 999999L) / 1000000L
+    keys.join(broadcast(candidates), Seq("k"), "left_semi")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("k").as(keyCol), col("cnt"))
+  }
 }

@@ -684,6 +684,19 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_pieces"), col("seg_md5"))
     }),
 
+    // EXACT heavy hitters via two-pass Misra-Gries (the frequency-sketch
+    // scale answer: O(k) per-partition candidate state, candidate-only
+    // recount — never a full-vocabulary shuffle): every token holding
+    // >= 0.2% of all token occurrences, with its exact count. The
+    // threshold is integer-micro ceil arithmetic, so the oracle's plain
+    // exact GROUP BY/HAVING must agree key-for-key, count-for-count.
+    "t31_heavy_hitters" -> ((s, d) =>
+      graft.functions.Sketches.heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0),
+        "token", shareMicro = 2000L)),
+
     // HARD-negative mining (the second half of contrastive-pair
     // construction — t25 draws random negatives; retrieval training
     // also wants CLOSE-but-wrong ones): embed the corpus (e01's
@@ -1608,6 +1621,16 @@ object TextQueries {
         |      THEN 'en' ELSE 'unknown' END AS pred_lang
         |  FROM documents)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin,
+    "t31_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |n AS (SELECT count(*)::BIGINT AS n FROM toks)
+        |SELECT tok AS token, count(*)::BIGINT AS cnt
+        |FROM toks, n
+        |GROUP BY tok, n.n
+        |HAVING count(*) >= (n.n * 2000 + 999999) // 1000000""".stripMargin,
     "e07_hard_negatives" ->
       """WITH w AS (
         |  SELECT doc_id AS id,

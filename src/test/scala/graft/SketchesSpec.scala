@@ -51,4 +51,32 @@ class SketchesSpec extends SparkSpec {
       .as[Long].head()
     assert(math.abs(est - 50000.0) / 50000 < 0.1, s"est=$est")
   }
+
+  test("heavyHitters: exact output equal to the full groupBy answer, " +
+      "invariant to partitioning, empty when nothing clears the share") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val n = toks.count()
+    val shareMicro = 2000L // 0.2%
+    val minCount = (n * shareMicro + 999999L) / 1000000L
+    val exact = toks.groupBy("token").count()
+      .filter(col("count") >= minCount)
+      .as[(String, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should have 0.2% tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.heavyHitters(df, "token", shareMicro)
+        .as[(String, Long)].collect().toSet
+    assert(run(toks) === exact)
+    assert(run(toks.repartition(17)) === exact)
+    assert(run(toks.repartition(1)) === exact)
+    // nothing clears 60%: empty, not an error
+    assert(Sketches.heavyHitters(toks, "token", 600000L).isEmpty)
+    // boundary: a key at EXACTLY the threshold is kept (>= contract)
+    val tiny = (Seq.fill(2)("hot") ++ Seq("a", "b")).toDF("k")
+    // n=4, share 500000 micro -> minCount = 2; "hot" has exactly 2
+    assert(Sketches.heavyHitters(tiny, "k", 500000L)
+      .as[(String, Long)].collect().toSet === Set(("hot", 2L)))
+  }
 }

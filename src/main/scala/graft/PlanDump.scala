@@ -61,7 +61,10 @@ object PlanDump {
       "t29_bpe_train" -> "BPE training: word-TYPE table aggs (vocab-sized), per-step literal replace projections, driver argmax of ONE row per merge",
       "t30_bpe_segment" -> "BPE segmentation: 8 chained literal replaces inside one codegen stage, zero shuffle before the per-doc agg",
       "e06_chunk_store_search" -> "chunk store serving: persisted chunk+vector generation scanned once, broadcast query embed, WindowGroupLimit top-k, Qxk metadata join-back",
-      "a19_ivf_seeded_search" -> "IVF-seeded hybrid: broadcast coarse probe bounds seeding at O(Q*nProbe*n/cells), then the two bounded expansions")
+      "a19_ivf_seeded_search" -> "IVF-seeded hybrid: broadcast coarse probe bounds seeding at O(Q*nProbe*n/cells), then the two bounded expansions",
+      "q44_zorder" -> "z-order kernel: 1-row stats broadcast + pure map-side shift/mask interleave, zero extra shuffle",
+      "t31_heavy_hitters" -> "two-pass Misra-Gries: O(k)-state candidate partials, broadcast semi-join recount - never a full-vocab shuffle",
+      "e07_hard_negatives" -> "hard-negative band: one codegen filter over the shared search contract, mining cost IS the search cost")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of flagship queries\n\n")

@@ -255,10 +255,63 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     val gen = old.getOrElse(-1L) + 1
     assigned.write.mode("overwrite").parquet(s"${trainDir(gen)}/docs")
     seqs.write.mode("overwrite").parquet(s"${trainDir(gen)}/sequences")
+    writeManifest(gen, p, src)
     Fs.writeStringAtomic(spark, s"$path/TRAIN", gen.toString)
     // old generation is unreferenced now; best-effort cleanup (a crash
     // here leaks a directory, never correctness)
     old.foreach(g => Fs.deleteRecursive(spark, trainDir(g)))
+  }
+
+  /** The generation's data card — the reproducibility manifest a
+    * training run records next to its data (what went in, what came
+    * out, under which knobs): input size and docs-chain position,
+    * per-split survivor counts and token totals, packed-sequence count,
+    * and the assembly params. Derived ONLY from the already-written
+    * generation plus one input count (two small jobs — no stage
+    * re-execution), written INSIDE the generation directory before the
+    * pointer flip, so a manifest is exactly as atomic as its data. */
+  private def writeManifest(gen: Long, p: AssemblyParams,
+      src: DataFrame): Unit = {
+    val docsState = Snapshots.currentWithDeltas(spark, path, "DOCS")
+      .map { case (v, k) => s""""docs_version": $v, "docs_deltas": $k""" }
+      .getOrElse(""""docs_version": -1, "docs_deltas": 0""")
+    val nIn = src.count()
+    val out = spark.read.parquet(s"${trainDir(gen)}/docs")
+    val bySplit = out.groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("toks"))
+      .collect()
+      .map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, """ +
+        s""""n_toks": ${r.getLong(2)}}""")
+      .sorted.mkString(", ")
+    val nSeqs = spark.read.parquet(s"${trainDir(gen)}/sequences").count()
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json =
+      s"""{"generation": $gen, $docsState,
+         |"n_input_docs": $nIn, "n_output_docs": ${out.count()},
+         |"n_sequences": $nSeqs,
+         |"splits": {$bySplit},
+         |"params": {"clean": ${p.clean}, "min_tokens": ${p.minTokens},
+         |"min_quality": ${p.minQuality}, "max_per_source": ${p.maxPerSource},
+         |"blocklist": [${p.blocklist.map(q).mkString(", ")}],
+         |"near_dup_jaccard": ${p.nearDupJaccard}, "n_hashes": ${p.nHashes},
+         |"decontaminate": ${p.benchmark.isDefined},
+         |"max_shared_ngrams": ${p.maxSharedNgrams},
+         |"semantic_dedup": ${p.embeddings.isDefined},
+         |"semantic_tau": ${p.semanticTau},
+         |"dsir": ${p.dsirTarget.isDefined}, "dsir_k": ${p.dsirK},
+         |"mixture_targets": {${p.targets.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${q(k)}: $v" }.mkString(", ")}},
+         |"splits_spec": {${p.splits
+            .map { case (n, w) => s"${q(n)}: $w" }.mkString(", ")}},
+         |"pack_split": ${q(p.packSplit)}, "seq_tokens": ${p.seqTokens}}}
+         |""".stripMargin.replace("\n", " ").trim
+    Fs.writeStringAtomic(spark, s"${trainDir(gen)}/manifest.json", json)
+  }
+
+  /** The current generation's data-card JSON ([[assemble]] writes it). */
+  def manifest: String = {
+    val gen = currentTrainGen
+    Fs.readString(spark, s"${trainDir(gen)}/manifest.json")
   }
 
   private def currentTrainGen: Long =

@@ -308,6 +308,38 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("assemble writes an atomic data-card manifest consistent with " +
+      "the generation it describes") {
+    val store = newStore()
+    store.putDocuments(docs)
+    store.assemble(AssemblyParams(minTokens = 5, seqTokens = 128,
+      blocklist = Seq("spam")))
+    val m = store.manifest
+    // valid JSON by construction: Spark's parser must see no corruption
+    val parsed = spark.read.json(Seq(m).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), m)
+    val row = parsed.selectExpr("generation", "n_input_docs",
+      "n_output_docs", "n_sequences", "params.min_tokens",
+      "params.seq_tokens", "params.blocklist").head()
+    assert(row.getLong(0) === 0L)
+    assert(row.getLong(1) === docs.count())
+    assert(row.getLong(2) === store.trainingDocs.count())
+    assert(row.getLong(3) === store.trainingSequences.count())
+    assert(row.getLong(4) === 5L)
+    assert(row.getLong(5) === 128L)
+    assert(row.getSeq[String](6) === Seq("spam"))
+    // split counts in the manifest sum to the output doc count
+    val splitN = parsed.selectExpr(
+        "splits.train.n_docs", "splits.val.n_docs", "splits.test.n_docs")
+      .head()
+    assert((0 until 3).map(splitN.getLong).sum === row.getLong(2))
+    // re-assemble: the new generation carries its own manifest
+    store.assemble(AssemblyParams(minTokens = 5, seqTokens = 128))
+    assert(spark.read.json(Seq(store.manifest).toDS)
+      .selectExpr("generation").head().getLong(0) === 1L)
+    store.delete()
+  }
+
   test("chunk index lifecycle: build persists a generation, searchChunks " +
       "serves with provenance, rebuild flips and deletes the old gen") {
     val store = newStore()

@@ -330,6 +330,33 @@ class CorpusStore private (val spark: SparkSession, val path: String,
   def trainingSequences: DataFrame =
     spark.read.parquet(s"${trainDir(currentTrainGen)}/sequences")
 
+  // ---- tokenizer lifecycle -------------------------------------------
+
+  /** Train + persist a BPE vocabulary from the current corpus snapshot
+    * ([[operators.TextFeaturizer.bpeTrain]]) as an atomic `tok_v{N}`
+    * generation behind the `TOKENIZER` pointer — build-once/serve-many
+    * for the merge table the way the chunk/PQ/SQ/BQ tiers persist
+    * theirs. The merge table is tiny (nMerges rows) but EXPENSIVE to
+    * derive (nMerges passes over the word-type table) and must be
+    * BIT-STABLE across the corpus jobs that share it — exactly what the
+    * snapshot chain guarantees. */
+  def buildTokenizer(nMerges: Int = 256): Unit = {
+    val old = Snapshots.currentWithDeltas(spark, path, "TOKENIZER")
+    Snapshots.persist(spark, path, "tok", "TOKENIZER",
+      TextFeaturizer.bpeTrain(documents, nMerges))
+    old.foreach { case (v, k) => Snapshots.prune(spark, path, "tok", v, k) }
+  }
+
+  /** The persisted merge table (step, left, right, merged, pair_count). */
+  def tokenizerMerges: DataFrame =
+    Snapshots.load(spark, path, "tok", "TOKENIZER", "tokenizer")
+
+  /** Segment the current corpus with the persisted vocabulary —
+    * [[operators.TextFeaturizer.bpeSegment]]'s zero-shuffle replay.
+    * Output (id, wpos, pos, piece). */
+  def segmentDocuments(): DataFrame =
+    TextFeaturizer.bpeSegment(documents, tokenizerMerges)
+
   // ---- RAG chunk index lifecycle -------------------------------------
 
   /** Chunk + embed `docs` into the combined index-row shape: chunk

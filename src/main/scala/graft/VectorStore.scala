@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.operators._
@@ -95,6 +95,25 @@ class VectorStore private (
     // would otherwise silently truncate to min(len) and score garbage
     validate(queries, "query_id", "query_vec")
     KnnSearch.knnExact(nodes, queries, k,
+      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
+  /** FILTERED exact search — the WHERE clause of a vector store (the
+    * feature every production vector DB pairs with kNN): the predicate
+    * restricts the live node table BEFORE any scoring, so results are
+    * exact top-k OVER THE FILTERED SUBSET (pre-filtering semantics — a
+    * post-filter of an unfiltered top-k can return < k rows or miss
+    * matches entirely when the filter is selective; pre-filtering never
+    * does). The predicate lands in the scan (Catalyst pushes it to
+    * parquet where the node columns allow), so a selective filter also
+    * SHRINKS the scored set — filtered search is cheaper, not costlier.
+    * Predicates may reference any column the node table carries
+    * (id, level, deleted, payload columns that rode in via addBatch). */
+  def searchWhere(queries: DataFrame, k: Int, predicate: Column,
+      strengthSetting: Double = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    KnnSearch.knnExact(nodes.filter(predicate), queries, k,
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
 

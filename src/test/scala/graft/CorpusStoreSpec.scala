@@ -340,6 +340,37 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("tokenizer lifecycle: build persists the merge table atomically, " +
+      "segmentDocuments replays it losslessly, rebuild flips") {
+    val store = newStore()
+    intercept[IllegalStateException] { store.tokenizerMerges }
+    store.putDocuments(docs.select(col("doc_id"), col("text")).limit(50))
+    store.buildTokenizer(nMerges = 6)
+    assert(graft.util.Fs.exists(spark, s"${store.path}/tok_v0"))
+    val merges = store.tokenizerMerges
+    assert(merges.count() === 6)
+    assert(merges.columns.toSeq ===
+      Seq("step", "left", "right", "merged", "pair_count"))
+    // pieces of every word concatenate back to the word
+    val seg = store.segmentDocuments()
+    val rebuilt = seg.groupBy(col("id"), col("wpos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        x => x.getField("piece")), "").as("w"))
+    val orig = store.documents
+      .select(col("doc_id").as("id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "ow")))
+      .filter(length(col("ow")) > 0)
+    assert(rebuilt.join(orig, Seq("id", "wpos"))
+      .filter(col("w") =!= col("ow")).count() === 0)
+    // rebuild at a different size: generation flips, old dir pruned
+    store.buildTokenizer(nMerges = 3)
+    assert(store.tokenizerMerges.count() === 3)
+    assert(graft.util.Fs.exists(spark, s"${store.path}/tok_v1"))
+    assert(!graft.util.Fs.exists(spark, s"${store.path}/tok_v0"))
+    store.delete()
+  }
+
   test("chunk index lifecycle: build persists a generation, searchChunks " +
       "serves with provenance, rebuild flips and deletes the old gen") {
     val store = newStore()

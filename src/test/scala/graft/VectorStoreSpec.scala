@@ -62,6 +62,29 @@ class VectorStoreSpec extends SparkSpec {
     assert(!new java.io.File(path).exists())
   }
 
+  test("searchWhere: pre-filtering semantics — exact top-k over the " +
+      "filtered subset, never a post-filtered short set") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-where").toString,
+      IndexParams(dim = 4, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    val rows = (0L until 30L).map { i =>
+      (i, Seq(1f, (i % 7).toFloat / 7f, (i % 3).toFloat / 3f, 0.5f))
+    }
+    store.addBatch(rows.toDF("id", "vector"))
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0.5f))).toDF("query_id", "query_vec")
+    val got = store.searchWhere(q, k = 5, col("id") % 2 === 0,
+        strengthSetting = 0)
+      .select("id").as[Long].collect().toSet
+    assert(got.size === 5)
+    assert(got.forall(_ % 2 == 0))
+    // equals exact search over the hand-filtered subset
+    val expect = graft.operators.KnnSearch.knnExact(
+        rows.filter(_._1 % 2 == 0).toDF("id", "vector"), q, 5, 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(got === expect)
+    store.delete()
+  }
+
   test("validation: null id and wrong dimension are rejected (hnsw.ts:155-160)") {
     val store = freshStore()
     intercept[IllegalArgumentException] {

@@ -214,6 +214,28 @@ object TextQueries {
     // (Derived once per process via nearDupPairsFor; d08/d11 reuse it.)
     "d03_minhash_lsh_pairs" -> ((s, d) => nearDupPairsFor(s, d)),
 
+    // Train/test NEAR-DUP LEAKAGE audit — the eval-hygiene complement
+    // to t06's benchmark decontamination: exact-duplicate splits are
+    // caught by d10-style dedup, but a near-duplicate of a test doc
+    // sitting in train inflates eval silently. Composes the memoized
+    // d03 pair table with t05's stable split buckets and reports every
+    // pair straddling two splits — at scale this is ONE pair-table
+    // derivation (already banded, never all-pairs) plus two broadcast
+    // split attaches.
+    "d15_split_leakage" -> ((s, d) => {
+      val splits = graft.operators.Sampling.splitAssign(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      nearDupPairsFor(s, d)
+        .join(splits.select(col("doc_id").as("a_id"),
+          col("split").as("split_a")), Seq("a_id"))
+        .join(splits.select(col("doc_id").as("b_id"),
+          col("split").as("split_b")), Seq("b_id"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("a_id"), col("b_id"), col("split_a"), col("split_b"))
+    }),
+
     // Exact word-trigram Jaccard near-dups, blocked by source.
     "d04_ngram_jaccard" -> ((s, d) => {
       TextDedup.ngramJaccardPairs(Tables.documents(s, d),
@@ -1068,6 +1090,21 @@ object TextQueries {
          |FROM documents""".stripMargin,
     "d03_minhash_lsh_pairs" ->
       s"WITH $d03PairsCtes\nSELECT a_id, b_id, jacc FROM pairs",
+    "d15_split_leakage" ->
+      s"""WITH $d03PairsCtes,
+         |sp AS (
+         |  SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+         |    WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+         |        1, 15))::BIGINT % 10000 AS b
+         |    FROM documents))
+         |SELECT p.a_id, p.b_id, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p
+         |JOIN sp sa ON sa.doc_id = p.a_id
+         |JOIN sp sb ON sb.doc_id = p.b_id
+         |WHERE sa.split <> sb.split""".stripMargin,
     "d08_dedup_components" ->
       s"""WITH RECURSIVE $d03PairsCtes,
          |edges AS (

@@ -86,10 +86,29 @@ class CorpusStore private (val spark: SparkSession, val path: String,
 
   /** Fold the delta chain into a fresh base snapshot and delete the
     * superseded directories. Called automatically by [[appendDocuments]];
-    * public for callers that want to compact before a heavy read phase. */
+    * public for callers that want to compact before a heavy read phase.
+    *
+    * Chunk-index aware: folding moves the docs BASE version, which
+    * would strand [[refreshChunkIndex]]'s coverage watermark and force
+    * a FULL chunk rebuild every `compactEvery` appends — the exact
+    * write amplification the delta chains exist to avoid. So when a
+    * chunk index exists, compaction first catches it up against the
+    * still-live delta chain (O(|pending deltas|)), folds, then carries
+    * the watermark to the new base. A crash between the fold and the
+    * watermark write degrades to the full-rebuild path — slower, never
+    * wrong. */
   def compactDocuments(): Unit =
-    if (Snapshots.currentWithDeltas(spark, path, "DOCS")
-        .exists(_._2 > 0)) putDocuments(documents)
+    Snapshots.currentWithDeltas(spark, path, "DOCS") match {
+      case Some((_, k)) if k > 0 =>
+        val chunked = Fs.exists(spark, s"$path/CHUNK_DOCS_STATE")
+        if (chunked) refreshChunkIndex()
+        putDocuments(documents)
+        if (chunked) {
+          val nv = Snapshots.current(spark, path, "DOCS").get
+          Fs.writeStringAtomic(spark, s"$path/CHUNK_DOCS_STATE", s"$nv 0")
+        }
+      case _ => ()
+    }
 
   /** Current corpus snapshot: the base version overlaid by any pending
     * ingest deltas — per doc_id, rows of the LATEST delta carrying that

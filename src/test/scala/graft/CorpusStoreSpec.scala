@@ -238,6 +238,38 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("doc compaction carries the chunk watermark: no full chunk " +
+      "rebuild every compactEvery appends") {
+    val store = CorpusStore.openOrCreate(spark,
+      graft.util.Fs.tempDirDeletedOnExit("graft-corpus-store-spec"),
+      compactEvery = 2)
+    store.putDocuments(docs.select(col("doc_id"), col("text")).limit(50))
+    store.buildChunkIndex(window = 32, stride = 16, dim = 16)
+    store.appendDocuments(Seq((80001L, "first streamed doc"))
+      .toDF("doc_id", "text"))
+    store.refreshChunkIndex()
+    // second append hits compactEvery: docs fold to a new base, and the
+    // chunk index must be caught up + watermark-carried, not stranded
+    store.appendDocuments(Seq((80002L, "second streamed doc"))
+      .toDF("doc_id", "text"))
+    val docsState = graft.util.Fs.readString(spark,
+      s"${store.path}/DOCS").trim
+    assert(docsState === "1", s"docs should have compacted: $docsState")
+    assert(graft.util.Fs.readString(spark,
+      s"${store.path}/CHUNK_DOCS_STATE").trim === "1 0")
+    // both streamed docs are searchable through the chunk tier
+    assert(store.chunkTable.filter(col("doc_id").isin(80001L, 80002L))
+      .count() === 2)
+    // and the watermark really prevents the stale-base full rebuild: a
+    // refresh is now a no-op (no new chunk generation appears)
+    val gen = graft.util.Fs.readString(spark, s"${store.path}/CHUNKS")
+      .trim
+    store.refreshChunkIndex()
+    assert(graft.util.Fs.readString(spark, s"${store.path}/CHUNKS")
+      .trim === gen)
+    store.delete()
+  }
+
   test("streaming ingest with refreshChunks: the RAG tier stays " +
       "searchable as documents stream in, each batch an O(batch) delta") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -67,6 +67,37 @@ object AnalyticQueries {
           Seq("l_partkey", "l_suppkey"), bits = 8)
         .select(col("l_orderkey"), col("l_linenumber"), col("z"))),
 
+    // Windowed FUNNEL analysis (view → click → purchase, each step
+    // within 1 hour of the previous) — the product-analytics staple,
+    // with deterministic GREEDY-ANCHORED semantics: the funnel anchors
+    // at each user's FIRST view, advances to the earliest qualifying
+    // next step, and reports how far it got plus the step times as
+    // epoch micros. Three stage tables, each one hash-agg + one
+    // user-keyed join — no window over the event stream, no
+    // match_recognize state machine; at scale each stage shuffles only
+    // its event type's rows on user_id.
+    "q45_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def stage(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts"))
+      val v = stage("view").groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = stage("click").join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = stage("purchase").join(c, Seq("user_id"))
+        .filter(col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + when(col("c_ts").isNotNull, 1).otherwise(0) +
+            when(col("p_ts").isNotNull, 1).otherwise(0)).as("n_stages"),
+          expr("unix_micros(v_ts)").as("v_us"),
+          expr("unix_micros(c_ts)").as("c_us"),
+          expr("unix_micros(p_ts)").as("p_us"))
+    }),
+
     // Banded interval join: (error, click) pairs of the same user with the
     // click 0..10 minutes after the error.
     "q25_range_join" -> ((s, d) => {
@@ -411,6 +442,30 @@ object AnalyticQueries {
     s"(((bs >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q45_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |    AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  (1 + CASE WHEN c.c_ts IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END) AS n_stages,
+        |  epoch_us(v.v_ts) AS v_us, epoch_us(c.c_ts) AS c_us,
+        |  epoch_us(p.p_ts) AS p_us
+        |FROM v
+        |LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin,
     "q44_zorder" ->
       s"""WITH st AS (
         |  SELECT min(l_partkey)::BIGINT AS mnp, max(l_partkey)::BIGINT AS mxp,

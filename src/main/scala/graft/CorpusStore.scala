@@ -303,7 +303,18 @@ class CorpusStore private (val spark: SparkSession, val path: String,
         s""""n_toks": ${r.getLong(2)}}""")
       .sorted.mkString(", ")
     val nSeqs = spark.read.parquet(s"${trainDir(gen)}/sequences").count()
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape control chars too (the Verify.q rule) — a tab or newline
+    // inside a blocklist entry must not corrupt the manifest JSON or be
+    // eaten by the layout-newline flattening below
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val json =
       s"""{"generation": $gen, $docsState,
          |"n_input_docs": $nIn, "n_output_docs": ${out.count()},
@@ -394,11 +405,22 @@ class CorpusStore private (val spark: SparkSession, val path: String,
       Seq("chunk_uid"))
   }
 
+  /** Params ride INSIDE the generation directory (`_PARAMS` — the
+    * leading underscore keeps parquet readers away), so the atomic
+    * CHUNKS pointer flip publishes data and params together: a crash
+    * mid-build can never leave a new generation served with the old
+    * dim (the silent-truncation garbage-ranking hazard). */
   private def chunkParams: (Int, Int, Int) = {
-    val p = Fs.readString(spark, s"$path/CHUNK_PARAMS").trim
+    val gen = currentChunkGen.getOrElse(throw new IllegalStateException(
+      s"no chunk index under $path — call buildChunkIndex() first"))
+    val p = Fs.readString(spark,
+        s"${Snapshots.versionPath(path, "chunks", gen)}/_PARAMS").trim
       .split("\\s+").map(_.toInt)
     (p(0), p(1), p(2))
   }
+
+  private def currentChunkGen: Option[Long] =
+    Snapshots.current(spark, path, "CHUNKS")
 
   /** Build + persist the RAG chunk index from the current corpus
     * snapshot — the e04 pipeline (slide-chunk → feature-hash embed)
@@ -426,14 +448,21 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     val docsState = Snapshots.currentWithDeltas(spark, path, "DOCS")
       .getOrElse(throw new IllegalStateException(
         s"no documents under $path — load them first"))
-    Snapshots.persist(spark, path, "chunks", "CHUNKS",
-      chunkRows(documents, window, stride, dim))
-    Fs.writeStringAtomic(spark, s"$path/CHUNK_PARAMS",
-      s"$window $stride $dim")
+    // data AND params land in the generation dir BEFORE the pointer
+    // flip (the chunkParams atomicity note) — so the persist is inlined
+    // rather than delegated to Snapshots.persist (which flips itself)
+    val v = old.map(_._1 + 1).getOrElse(0L)
+    val dir = Snapshots.versionPath(path, "chunks", v)
+    chunkRows(documents, window, stride, dim)
+      .write.mode("overwrite").parquet(dir)
+    Fs.writeStringAtomic(spark, s"$dir/_PARAMS", s"$window $stride $dim")
+    Fs.writeStringAtomic(spark, s"$path/CHUNKS", v.toString)
+    // a crash before this write leaves a stale watermark → the next
+    // refresh degrades to a full rebuild (slower, never wrong)
     Fs.writeStringAtomic(spark, s"$path/CHUNK_DOCS_STATE",
       s"${docsState._1} ${docsState._2}")
-    old.foreach { case (v, k) =>
-      Snapshots.prune(spark, path, "chunks", v, k) }
+    old.foreach { case (ov, k) =>
+      Snapshots.prune(spark, path, "chunks", ov, k) }
   }
 
   /** Fold pending ingest deltas into the chunk index at O(|Δ|) cost:
@@ -465,19 +494,40 @@ class CorpusStore private (val spark: SparkSession, val path: String,
       // latest content of the touched docs (documents already resolves
       // cross-delta latest-wins)
       val touchedDocs = documents.join(touched, Seq("doc_id"), "left_semi")
+      val rows = chunkRows(touchedDocs, window, stride, dim)
+      // a touched doc yielding ZERO chunks (replaced with empty or
+      // token-less text) must still appear in the delta or the overlay
+      // cannot retire its base chunks — emit a tombstone row
+      // (chunk_id = -1, filtered out of the served view) so
+      // delete-then-insert holds for every touched doc
+      val tomb = touched
+        .join(rows.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_anti")
+        .select(concat(col("doc_id").cast("string"), lit("#tomb"))
+            .as("chunk_uid"),
+          col("doc_id"), lit(-1L).as("chunk_id"), lit(0L).as("start_tok"),
+          lit(0L).as("n_chunk_toks"), lit("").as("chunk_text"),
+          expr("CAST(array() AS array<float>)").as("vector"))
       val (_, ck) = Snapshots.appendDelta(spark, path, "chunks", "CHUNKS",
-        chunkRows(touchedDocs, window, stride, dim))
+        rows.unionByName(
+          tomb.select(rows.columns.map(col).toIndexedSeq: _*)))
       Fs.writeStringAtomic(spark, s"$path/CHUNK_DOCS_STATE", s"$dv $dk")
       if (ck >= compactEvery) compactChunkIndex()
     }
   }
 
   /** Fold the chunk delta chain into a fresh base and prune superseded
-    * directories (the [[compactDocuments]] analog). */
+    * directories (the [[compactDocuments]] analog). The generation's
+    * `_PARAMS` carries over into the folded base — same
+    * publish-together rule as [[buildChunkIndex]]. */
   def compactChunkIndex(): Unit =
     Snapshots.currentWithDeltas(spark, path, "CHUNKS").foreach {
       case (v, k) if k > 0 =>
-        Snapshots.persist(spark, path, "chunks", "CHUNKS", chunkTable)
+        val (w, st, dm) = chunkParams
+        val dir = Snapshots.versionPath(path, "chunks", v + 1)
+        chunkTable.write.mode("overwrite").parquet(dir)
+        Fs.writeStringAtomic(spark, s"$dir/_PARAMS", s"$w $st $dm")
+        Fs.writeStringAtomic(spark, s"$path/CHUNKS", (v + 1).toString)
         Snapshots.prune(spark, path, "chunks", v, k)
       case _ => ()
     }
@@ -507,7 +557,10 @@ class CorpusStore private (val spark: SparkSession, val path: String,
       base
         .join(resolved.select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-        .unionByName(resolved.select(base.columns.map(col).toIndexedSeq: _*))
+        // tombstones (chunk_id = -1) retire base chunks via the
+        // anti-join above but never serve
+        .unionByName(resolved.filter(col("chunk_id") >= 0)
+          .select(base.columns.map(col).toIndexedSeq: _*))
     }
   }
 
@@ -526,7 +579,11 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     require(queries.columns.contains("query_id") &&
       queries.columns.contains("text"),
       s"queries need (query_id, text); got ${queries.columns.mkString(",")}")
-    val view = chunkTable
+    // the overlay subtree feeds BOTH the scoring scan and the
+    // provenance join-back — checkpoint it so a non-empty delta chain
+    // resolves once per call, not twice (the load-bearing-checkpoint
+    // rule)
+    val view = chunkTable.localCheckpoint()
     val dim = chunkParams._3
     val qvec = TextFeaturizer.featureHash(queries, dim,
         idCol = "query_id", textCol = "text")

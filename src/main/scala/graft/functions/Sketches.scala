@@ -115,7 +115,11 @@ object Sketches {
       }
       counters.keysIterator
     }.toDF("k").distinct()
-    val minCount = (n * shareMicro + 999999L) / 1000000L
+    // BigInt: n * shareMicro wraps Long past ~9.2e18 (a 100 TB corpus
+    // at high shareMicro), which would turn the threshold negative and
+    // pass every candidate
+    val minCount =
+      ((BigInt(n) * shareMicro + 999999L) / 1000000L).toLong
     keys.join(broadcast(candidates), Seq("k"), "left_semi")
       .groupBy(col("k"))
       .agg(count(lit(1)).as("cnt"))

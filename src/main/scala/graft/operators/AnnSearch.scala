@@ -190,6 +190,11 @@ object AnnSearch {
       assignments: Option[DataFrame] = None,
       broadcastBytes: Long = 64L << 20): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
+    // the coarse quantizer AND the final rank are cosine — silently
+    // serving a euclidean index would change both the top-k and the
+    // threshold semantics vs every sibling search path
+    require(params.metric == "cosine",
+      s"IVF-seeded search is cosine-only; index metric is ${params.metric}")
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
       else nodes.withColumn("deleted", lit(false))

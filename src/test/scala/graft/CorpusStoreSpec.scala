@@ -238,6 +238,29 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("refreshChunkIndex retires chunks of a doc replaced with " +
+      "token-less text (the tombstone path)") {
+    val store = CorpusStore.openOrCreate(spark,
+      graft.util.Fs.tempDirDeletedOnExit("graft-corpus-store-spec"),
+      compactEvery = 100)
+    store.putDocuments(docs.select(col("doc_id"), col("text")).limit(20))
+    store.buildChunkIndex(window = 32, stride = 16, dim = 16)
+    assert(store.chunkTable.filter(col("doc_id") === 3L).count() > 0)
+    // replace doc 3 with EMPTY text: it yields zero chunks, so without
+    // a tombstone the overlay could never retire its base chunks
+    store.appendDocuments(Seq((3L, "")).toDF("doc_id", "text"))
+    store.refreshChunkIndex()
+    assert(store.chunkTable.filter(col("doc_id") === 3L).count() === 0)
+    // the tombstone never serves and compaction bakes the deletion in
+    val probe = Seq((1L, "anything at all")).toDF("query_id", "text")
+    assert(store.searchChunks(probe, k = 50)
+      .filter(col("doc_id") === 3L).count() === 0)
+    store.compactChunkIndex()
+    assert(store.chunkTable.filter(col("doc_id") === 3L).count() === 0)
+    assert(store.chunkTable.filter(col("chunk_id") < 0).count() === 0)
+    store.delete()
+  }
+
   test("doc compaction carries the chunk watermark: no full chunk " +
       "rebuild every compactEvery appends") {
     val store = CorpusStore.openOrCreate(spark,

@@ -64,7 +64,9 @@ object PlanDump {
       "a19_ivf_seeded_search" -> "IVF-seeded hybrid: broadcast coarse probe bounds seeding at O(Q*nProbe*n/cells), then the two bounded expansions",
       "q44_zorder" -> "z-order kernel: 1-row stats broadcast + pure map-side shift/mask interleave, zero extra shuffle",
       "t31_heavy_hitters" -> "two-pass Misra-Gries: O(k)-state candidate partials, broadcast semi-join recount - never a full-vocab shuffle",
-      "e07_hard_negatives" -> "hard-negative band: one codegen filter over the shared search contract, mining cost IS the search cost")
+      "e07_hard_negatives" -> "hard-negative band: one codegen filter over the shared search contract, mining cost IS the search cost",
+      "q45_funnel" -> "windowed funnel: three per-type hash aggs + user-keyed joins, no event-stream window or state machine",
+      "d15_split_leakage" -> "leakage audit: ONE banded pair derivation + two broadcast split attaches, never all-pairs")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of flagship queries\n\n")

@@ -533,6 +533,77 @@ object TextDedup {
     blockedJaccardPairs(ex, minJaccard)
   }
 
+  /** EXACT token-set Jaccard self-join via PREFIX FILTERING (the public
+    * PPJoin family — Xiao et al. 2008, "Efficient Similarity Joins for
+    * Near Duplicate Detection"): unlike MinHash-LSH (d03 — probabilistic
+    * recall) or block-restricted n-gram Jaccard (d04 — exact only
+    * within a block), this finds EVERY pair with token-set Jaccard ≥ τ
+    * across the whole corpus, with two lossless prunes doing the work
+    * an all-pairs join can't afford:
+    *
+    *  - PREFIX filter: order each doc's distinct tokens globally by
+    *    (ascending corpus frequency, token); two sets with Jaccard ≥ τ
+    *    MUST share a token among each one's first
+    *    `|x| − ⌈τ·|x|⌉ + 1` tokens — so candidates come from an
+    *    equi-join on PREFIX tokens only, and because prefixes hold the
+    *    RAREST tokens, hot-token join keys are structurally excluded.
+    *  - LENGTH filter: Jaccard ≥ τ forces τ·max(|x|,|y|) ≤ min(|x|,|y|)
+    *    — applied inside the candidate join.
+    *
+    * Verification is exact integer arithmetic end-to-end: τ enters as
+    * `tauMicro` (parts per million), intersections count shared tokens,
+    * and the accept test is `inter · 1e6 ≥ tauMicro · union` — no float
+    * threshold for an oracle to disagree on. Output
+    * (a_id, b_id, inter, n_union) — all BIGINT.
+    *
+    * Scale: one tokenize pass; the frequency table is vocab-sized; the
+    * per-doc rank window partitions by doc (bounded groups); candidate
+    * volume is Σ prefix-token collisions (rare tokens ⇒ small buckets);
+    * the verify join touches candidate pairs' tokens only.
+    *
+    * `tokenFn` picks the set elements: the default distinct-unigram set,
+    * or [[shingles]] for n-gram-set Jaccard — prefix filtering thrives
+    * on RARE elements, so on corpora with a small shared vocabulary
+    * (where every unigram is hot) shingle sets restore the pruning
+    * power AND measure the more meaningful near-dup signal. */
+  def prefixJaccardPairs(docs: DataFrame, tauMicro: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenFn: Column => Column = tokenSet): DataFrame = {
+    require(tauMicro > 0 && tauMicro <= 1000000L, s"tauMicro $tauMicro")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokenFn(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("tok").asc)
+    val ranked = toks.join(freq, Seq("tok"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("id"))
+    // prefix length = n − ceil(τ·n) + 1, integer-exact ceil
+    val prefix = ranked.filter(col("pos") <=
+      col("n") - expr(s"(n * $tauMicro + 999999) div 1000000") + 1)
+    val cand = prefix.select(col("tok"), col("id").as("a_id"),
+        col("n").as("n_a"))
+      .join(prefix.select(col("tok"), col("id").as("b_id"),
+        col("n").as("n_b")), Seq("tok"))
+      .filter(col("a_id") < col("b_id") &&
+        col("n_a") * tauMicro <= col("n_b") * 1000000L &&
+        col("n_b") * tauMicro <= col("n_a") * 1000000L)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
+      .distinct()
+    cand
+      .join(toks.select(col("id").as("a_id"), col("tok")), Seq("a_id"))
+      .join(toks.select(col("id").as("b_id"), col("tok")),
+        Seq("b_id", "tok"))
+      .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * 1000000L >= col("n_union") * tauMicro)
+      .select(col("a_id"), col("b_id"), col("inter"), col("n_union"))
+  }
+
   /** 16-bit SimHash signatures over the distinct token set: bit i is the
     * sign of the vote sum where each token votes +1/−1 by the top bit of hex
     * digit i of its md5. Signature is a 16-char '0'/'1' string (portable; no

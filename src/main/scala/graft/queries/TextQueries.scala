@@ -214,6 +214,23 @@ object TextQueries {
     // (Derived once per process via nearDupPairsFor; d08/d11 reuse it.)
     "d03_minhash_lsh_pairs" -> ((s, d) => nearDupPairsFor(s, d)),
 
+    // EXACT corpus-wide Jaccard similarity self-join via PPJoin-style
+    // prefix filtering (Xiao et al. 2008) — the lossless counterpart to
+    // d03's probabilistic LSH and d04's block-restricted exactness:
+    // EVERY pair at word-TRIGRAM-set Jaccard >= 0.5, found through
+    // rare-shingle prefix candidates + length pruning, verified in
+    // exact integer arithmetic. The ORACLE is the brute-force all-pairs
+    // join — a hash match proves the prunes drop nothing, end to end.
+    // Shingle sets (not unigrams) are the load-bearing choice at scale:
+    // prefix filtering thrives on rare elements, and on this
+    // shared-vocabulary fixture every unigram is hot (measured: the
+    // unigram variant's candidate mass made the query ~100x slower at
+    // sf0.1 while answering a less meaningful question).
+    "d16_prefix_jaccard_join" -> ((s, d) =>
+      TextDedup.prefixJaccardPairs(Tables.documents(s, d),
+        tauMicro = 500000L,
+        tokenFn = t => TextDedup.shingles(t, 3))),
+
     // Train/test NEAR-DUP LEAKAGE audit — the eval-hygiene complement
     // to t06's benchmark decontamination: exact-duplicate splits are
     // caught by d10-style dedup, but a near-duplicate of a test doc
@@ -1090,6 +1107,22 @@ object TextQueries {
          |FROM documents""".stripMargin,
     "d03_minhash_lsh_pairs" ->
       s"WITH $d03PairsCtes\nSELECT a_id, b_id, jacc FROM pairs",
+    "d16_prefix_jaccard_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS ts
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.ts, b.ts))::BIGINT AS inter,
+        |  (len(a.ts) + len(b.ts)
+        |    - len(list_intersect(a.ts, b.ts)))::BIGINT AS n_union
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ts, b.ts)) * 1000000 >=
+        |  (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |    * 500000""".stripMargin,
     "d15_split_leakage" ->
       s"""WITH $d03PairsCtes,
          |sp AS (

@@ -339,4 +339,32 @@ class TextDedupSpec extends SparkSpec {
     // assert the conservative floor that the scheme itself guarantees
     assert(pairs.forall(_ >= 0.5), s"low-similarity candidate leaked")
   }
+
+  test("prefixJaccardPairs: EXACTLY the brute-force pair set (prefix + " +
+      "length filters are lossless), partitioning-invariant") {
+    val docs = Tables.documents(spark, sf001).limit(120)
+      .select(col("doc_id"), col("text"))
+    val tauMicro = 500000L // τ = 0.5
+    val got = TextDedup.prefixJaccardPairs(docs, tauMicro)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force over token sets: every pair, exact integer test
+    val sets = docs
+      .select(col("doc_id"),
+        array_distinct(filter(split(col("text"), " "),
+          t => length(t) > 0)).as("s"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (i, s) => i -> s.toSet }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size.toLong
+      uni = (sets(a).size + sets(b).size).toLong - inter
+      if inter * 1000000L >= uni * tauMicro
+    } yield (a, b, inter, uni)).toSet
+    assert(brute.nonEmpty, "fixture clones should produce pairs")
+    assert(got === brute)
+    // same answer at a different parallelism
+    val got2 = TextDedup.prefixJaccardPairs(docs.repartition(13), tauMicro)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 === brute)
+  }
 }

@@ -69,6 +69,26 @@ object TextScaleProbe {
           s""""test_docs":$nTest,"matched_docs":$nHinted,""" +
           s""""hinted_broadcast_sec":$tHinted,"gated_unhinted_sec":$tGated}""")
 
+      case "prefixjoin" =>
+        // exact PPJoin-style similarity join at realistic vocabulary
+        // sparsity (50 k types): every 20th doc gets a truncated clone
+        // (trigram Jaccard ≈ 0.9), the join must find exactly those
+        // pairs at τ = 0.5 with sub-quadratic wall
+        val n = if (args.length > 1) args(1).toLong else 100000L
+        val base = syntheticDocs(spark, n, salt = 3)
+        val clones = base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 38)).as("text"))
+        val docs = base.unionByName(clones).localCheckpoint()
+        docs.count()
+        val (pairs, t) = timed {
+          TextDedup.prefixJaccardPairs(docs, tauMicro = 500000L,
+            tokenFn = tx => TextDedup.shingles(tx, 3)).count()
+        }
+        println(s"""{"mode":"prefixjoin","docs":${n + n / 20},""" +
+          s""""clone_pairs_expected":${n / 20},"pairs":$pairs,""" +
+          s""""wall_sec":$t}""")
+
       case "cc" =>
         val len = if (args.length > 1) args(1).toLong else 100000L
         // worst-case shape: one chain of `len` nodes (diameter len−1).

@@ -66,7 +66,8 @@ object PlanDump {
       "t31_heavy_hitters" -> "two-pass Misra-Gries: O(k)-state candidate partials, broadcast semi-join recount - never a full-vocab shuffle",
       "e07_hard_negatives" -> "hard-negative band: one codegen filter over the shared search contract, mining cost IS the search cost",
       "q45_funnel" -> "windowed funnel: three per-type hash aggs + user-keyed joins, no event-stream window or state machine",
-      "d15_split_leakage" -> "leakage audit: ONE banded pair derivation + two broadcast split attaches, never all-pairs")
+      "d15_split_leakage" -> "leakage audit: ONE banded pair derivation + two broadcast split attaches, never all-pairs",
+      "d16_prefix_jaccard_join" -> "exact PPJoin: rare-shingle prefix equi-join + length prune, verify touches candidate pairs only")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of flagship queries\n\n")

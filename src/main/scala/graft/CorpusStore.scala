@@ -479,6 +479,13 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     * ([[compactChunkIndex]]) so serving overlays stay bounded. */
   def refreshChunkIndex(): Unit = {
     val (window, stride, dim) = chunkParams
+    // a missing watermark (crash between the CHUNKS flip and the state
+    // write, or a lost file) is the documented degrade-to-full-rebuild
+    // case — not an error that leaves the tier unrefreshable
+    if (!Fs.exists(spark, s"$path/CHUNK_DOCS_STATE")) {
+      buildChunkIndex(window, stride, dim)
+      return
+    }
     val covered = Fs.readString(spark, s"$path/CHUNK_DOCS_STATE").trim
       .split("\\s+").map(_.toLong)
     val (dv, dk) = Snapshots.currentWithDeltas(spark, path, "DOCS")

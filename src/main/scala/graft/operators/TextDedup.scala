@@ -571,8 +571,14 @@ object TextDedup {
       tokenFn: Column => Column = tokenSet): DataFrame = {
     require(tauMicro > 0 && tauMicro <= 1000000L, s"tauMicro $tauMicro")
     import org.apache.spark.sql.expressions.Window
+    // exactness depends on SET semantics: sizes and the verify-join
+    // intersection are counts over these rows, so a non-distinct tokenFn
+    // would silently turn them into multiset counts and corrupt every
+    // accept/reject. array_distinct here makes the contract hold for ANY
+    // caller-supplied tokenizer (a no-op for the built-in set-valued ones).
     val toks = docs
-      .select(col(idCol).as("id"), explode(tokenFn(col(textCol))).as("tok"))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(tokenFn(col(textCol)))).as("tok"))
       .filter(length(col("tok")) > 0)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))

@@ -225,6 +225,20 @@ object TextFeaturizer {
     * control); [[bpeTrain]] requires it absent. */
   private val D = "\u001F"
 
+  /** Words the symbol-delimiting step can't represent faithfully: the
+    * per-char `regexp_replace(w, "(.)", DcD)` uses `.`, and Java's `.`
+    * skips LINE TERMINATORS (LF, CR, NEL, LS, PS) -- a word containing
+    * one would come out partially delimited, producing corrupted
+    * multi-char symbols holding raw U+001F. Worse, DuckDB's RE2 `.`
+    * excludes only LF, so a CR-bearing word would silently DIVERGE
+    * between the operator and its t29/t30 oracle. Such words are
+    * excluded from training and segmentation (the same exclusion rule
+    * as the existing U+001F guard; a real corpus normalizes line
+    * breaks before tokenization anyway; the oracle applies the
+    * identical character-class filter). */
+  private def delimitable(word: Column): Column =
+    !word.rlike("[\\n\\r\\u0085\\u2028\\u2029]")
+
   /** Distributed BPE vocabulary training (Sennrich et al. 2016, "Neural
     * Machine Translation of Rare Words with Subword Units" — the public
     * algorithm behind GPT-2/RoBERTa vocabularies): starting from
@@ -258,7 +272,8 @@ object TextFeaturizer {
     // word-type table: (delimited symbol string, count)
     var words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0 && !col("word").contains(D))
+      .filter(length(col("word")) > 0 && !col("word").contains(D) &&
+        delimitable(col("word")))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("word"), "(.)", s"$D$$1$D").as("w"),
         col("cnt"))
@@ -311,7 +326,8 @@ object TextFeaturizer {
     val delimited = docs
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
-      .filter(length(col("word")) > 0 && !col("word").contains(D))
+      .filter(length(col("word")) > 0 && !col("word").contains(D) &&
+        delimitable(col("word")))
       .select(col("id"), col("wpos"),
         regexp_replace(col("word"), "(.)", s"$D$$1$D").as("w"))
     val replayed = ms.foldLeft(delimited) { case (df, (l, r)) =>

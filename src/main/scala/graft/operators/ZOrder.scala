@@ -44,11 +44,20 @@ object ZOrder {
 
   /** The z-value of `cols` (integral columns), each min/max-scaled to a
     * `bits`-bit bucket against the broadcast per-column stats the caller
-    * attaches as `__mn_<col>` / `__mx_<col>`. */
+    * attaches as `__mn_<col>` / `__mx_<col>`.
+    *
+    * Bucket arithmetic runs in DECIMAL(38,0): a BIGINT formulation
+    * overflows once the column RANGE exceeds ~2^(63−bits) (hash-valued
+    * or full-range long columns — `(x−mn)·2^bits` wraps, and even
+    * `mx−mn+1` can), silently yielding negative/garbage z-values and a
+    * meaningless layout. DECIMAL(38,0) holds 2^64·2^8 < 10^26 with
+    * headroom; `div` truncates toward zero on decimals exactly as on
+    * bigints in both Spark and DuckDB, so in-range values are
+    * bit-identical to the old path (the q44 oracle pins this). */
   private def zCol(cols: Seq[String], bits: Int): Column =
     interleave(cols.map { c =>
-      expr(s"((CAST(`$c` AS BIGINT) - `__mn_$c`) * ${1L << bits}) div " +
-        s"(`__mx_$c` - `__mn_$c` + 1)")
+      expr(s"((CAST(`$c` AS DECIMAL(38,0)) - `__mn_$c`) * ${1L << bits})" +
+        s" div (CAST(`__mx_$c` AS DECIMAL(38,0)) - `__mn_$c` + 1)")
     }, bits)
 
   /** Attach the z-value column `zOut` (no re-layout — the verifiable

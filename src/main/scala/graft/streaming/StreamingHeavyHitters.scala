@@ -30,8 +30,11 @@ case class HhOut(source: String, item: String, mg_count: Long,
   * re-encoding the rest, and state is bounded at k entries per source
   * BY THE ALGORITHM (the sketch's defining property), not by TTL or
   * eviction policy. Emits the source's full candidate set each batch it
-  * receives rows (Update-mode semantics downstream: latest per
-  * (source, item) wins). */
+  * receives rows, DECLARED as OutputMode.Update — the honest label for
+  * re-emitting rows keyed by (source, item): latest wins, and an
+  * update-aware sink replaces instead of accumulating. (The previous
+  * Append declaration forced every consumer to implement the
+  * latest-per-key dedup itself or silently double-count.) */
 object StreamingHeavyHitters {
 
   class HhProcessor(k: Int)
@@ -76,13 +79,19 @@ object StreamingHeavyHitters {
 
   /** Candidate stream keyed by source; `k` counters per source bound
     * both state and the no-false-negative share at 1/(k+1). Requires
-    * the RocksDB state store provider (state v2). */
+    * the RocksDB state store provider (state v2).
+    *
+    * CONTRACT: rows are UPDATES keyed by (source, item) — the operator
+    * re-emits a source's current candidate set every batch that touches
+    * it, declared OutputMode.Update. Write the query with
+    * `outputMode("update")`; a consumer that must read an append log
+    * anyway takes the latest row per (source, item) (max `n_total`). */
   def track(in: Dataset[HhIn], k: Int)(
       implicit spark: SparkSession): Dataset[HhOut] = {
     require(k >= 1, s"k $k")
     import spark.implicits._
     in.groupByKey(_.source)
       .transformWithState(new HhProcessor(k),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Update())
   }
 }

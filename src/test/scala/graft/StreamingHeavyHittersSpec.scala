@@ -17,8 +17,11 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val stream = MemoryStream[HhIn]
+      // update mode — the operator's declared contract (rows are updates
+      // keyed by (source, item)); the memory sink appends each batch's
+      // updates, so reading it still takes latest-per-key below
       val q = StreamingHeavyHitters.track(stream.toDS(), k = 3)
-        .writeStream.outputMode("append")
+        .writeStream.outputMode("update")
         .format("memory").queryName("hh_out").start()
       try {
         // batch 0: srcA: 6×hot, 5 distinct cold; srcB: 3×warm only

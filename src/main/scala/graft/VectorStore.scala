@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.operators._
+import graft.util.{Fs, Snapshots}
 
 /** The user-facing store API — a drop-in functional replacement for the
   * reference's driver facade (`driver/driver.ts`): open-or-create
@@ -345,16 +346,33 @@ class VectorStore private (
   }
 
   // ---- residual IVF-PQ index lifecycle -------------------------------
+  //
+  // The compressed generations (PQ / SQ / BQ) are build-once artifacts
+  // whose EXPENSIVE part — codebooks, bounds — freezes at build time.
+  // Vector churn folds in as O(|Δ|) deltas on the Snapshots chain:
+  // append = encode the delta with the FROZEN artifacts (the scale form
+  // of the reference's updatePoint, hnsw.ts:497-517 — re-link the
+  // changed point, never rebuild the structure), behind the same atomic
+  // pointer the base generation uses. A drift gate (quantization-error
+  // ratio vs build time) flags when frozen artifacts have decayed and a
+  // retrain is due — without it, silent distribution drift would erode
+  // recall with no signal. At 100 TB this is the difference between
+  // paying O(batch) per ingest and a full retrain + re-encode of the
+  // corpus for 0.1% daily churn.
 
   private def currentPqGen: Option[Long] =
     currentAux("PQINDEX")
-  private def pqDir(gen: Long): String = s"$path/pq_g$gen"
+  private def pqDir(gen: Long): String =
+    Snapshots.versionPath(path, "pq", gen)
 
   /** Build + persist the residual IVF-PQ index from the current table
     * (coarse centroids, cell assignments, residual codebooks, codes —
-    * the [[operators.AdaptiveSearch.PqPrebuilt]] artifact), then
-    * atomically flip the PQINDEX pointer. Build-once: [[searchPq]] serves
-    * from the persisted generation without re-training. */
+    * the [[operators.AdaptiveSearch.PqPrebuilt]] artifact) plus the
+    * build-time mean quantization error (`_STATS` — the
+    * [[appendPqIndex]] drift gate's baseline), then atomically flip the
+    * PQINDEX pointer (single-token: any delta chain of the previous
+    * generation is dereferenced and pruned). [[searchPq]] serves from
+    * the persisted generation without re-training. */
   def buildPqIndex(cells: Int = 256, iters: Int = 3): Unit = {
     graft.functions.VectorFunctions.register(spark)
     val mSub = 8
@@ -372,29 +390,151 @@ class VectorStore private (
     val rcb = PqIndex.trainCodebooks(res, mSub, subLen, ksub = 256,
       iters = 1)
     val codes = PqIndex.encode(res, rcb, mSub, subLen)
-    val old = currentPqGen
-    val gen = old.getOrElse(-1L) + 1
+    val old = Snapshots.currentWithDeltas(spark, path, "PQINDEX")
+    val gen = old.map(_._1).getOrElse(-1L) + 1
     val dir = pqDir(gen)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     asg.write.mode("overwrite").parquet(s"$dir/assignments")
     rcb.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
-    graft.util.Fs.writeStringAtomic(spark, s"$path/PQINDEX", gen.toString)
-    old.foreach(g => graft.util.Fs.deleteRecursive(spark, pqDir(g)))
+    // drift baseline from the WRITTEN artifacts (cheap reloads — no
+    // re-derivation of the lazy build lineage)
+    val qe = PqIndex.meanQeMicro(res,
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"), mSub, subLen)
+    Fs.writeStringAtomic(spark, s"$dir/_STATS", qe.toString)
+    Fs.writeStringAtomic(spark, s"$path/PQINDEX", gen.toString)
+    old.foreach { case (g, dk) => Snapshots.prune(spark, path, "pq", g, dk) }
+  }
+
+  /** The PQ generation's served (assignments, codes) pair: base overlaid
+    * by pending append deltas, latest-wins BY ID. Delta rows are
+    * (id, cell, sub, code); `sub = -1` marks a tombstone, which retires
+    * the id's base rows via the anti-join and never serves. Overlay work
+    * is proportional to delta rows — the base-sized side is one
+    * anti-join probe. */
+  private def pqOverlay(): (DataFrame, DataFrame, String) = {
+    val (v, k) = Snapshots.currentWithDeltas(spark, path, "PQINDEX")
+      .getOrElse(throw new IllegalStateException(
+        s"no PQ index under $path — call buildPqIndex() first"))
+    val dir = pqDir(v)
+    val baseAsg = spark.read.parquet(s"$dir/assignments")
+    val baseCodes = spark.read.parquet(s"$dir/codes")
+    if (k == 0L) (baseAsg, baseCodes, dir)
+    else {
+      val wMax = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+      val resolved = (1L to k).map(i =>
+          spark.read.parquet(Snapshots.deltaPath(path, "pq", v, i))
+            .withColumn("__ds", lit(i)))
+        .reduce(_.unionByName(_))
+        .withColumn("__mx", max(col("__ds")).over(wMax))
+        .filter(col("__ds") === col("__mx"))
+        .drop("__ds", "__mx")
+      val ids = resolved.select(col("id")).distinct()
+      val liveRows = resolved.filter(col("sub") >= 0)
+      (baseAsg.join(ids, Seq("id"), "left_anti")
+         .unionByName(liveRows.select(col("id"), col("cell")).distinct()),
+       baseCodes.join(ids, Seq("id"), "left_anti")
+         .unionByName(liveRows.select(col("id"), col("sub"), col("code"))),
+       dir)
+    }
   }
 
   /** Load the persisted residual IVF-PQ index as the dispatcher's
-    * prebuilt artifact. */
+    * prebuilt artifact (assignments/codes overlaid with any pending
+    * append deltas). */
   def loadPqIndex(): AdaptiveSearch.PqPrebuilt = {
-    val gen = currentPqGen.getOrElse(throw new IllegalStateException(
-      s"no PQ index under $path — call buildPqIndex() first"))
-    val dir = pqDir(gen)
+    val (asg, codes, dir) = pqOverlay()
     AdaptiveSearch.PqPrebuilt(
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/assignments"),
-      spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"))
+      spark.read.parquet(s"$dir/centroids"), asg,
+      spark.read.parquet(s"$dir/codebooks"), codes)
   }
+
+  /** Fold `delta` (id, vector[, deleted]) into the persisted PQ
+    * generation at O(|Δ|) cost: upsert the node table (searches re-rank
+    * against full vectors, so codes and vectors move in lockstep — the
+    * [[mergeIndex]] rule), assign the delta to its coarse cells and
+    * encode its residuals with the generation's FROZEN centroids and
+    * codebooks ([[operators.PqIndex.encode]] /
+    * [[operators.PqIndex.residuals]] already take them as arguments —
+    * this is the lifecycle around those primitives), and append ONE
+    * (id, cell, sub, code) delta behind the atomic PQINDEX pointer
+    * (`sub = -1` tombstones for deleted ids). Every `compactEvery`
+    * appends the chain folds ([[compactPqIndex]]).
+    *
+    * Returns the drift gate's verdict: the delta's mean quantization
+    * error under the frozen codebooks vs the build-time baseline —
+    * `retrainRecommended` when the ratio exceeds `driftRatioMax`
+    * (frozen codebooks no longer fit the incoming distribution; callers
+    * schedule [[buildPqIndex]]). The baseline enters the ratio floored
+    * at `qeFloorMicro`: a degenerate build whose corpus the codebooks
+    * memorize exactly (QE 0 — possible when the corpus is no larger
+    * than ksub) must not make EVERY nonzero-QE delta read as infinite
+    * drift. Appending is retryable: re-running with the same delta is
+    * idempotent (latest-wins by id on both the node table and the
+    * chain). */
+  def appendPqIndex(delta: DataFrame, driftRatioMax: Double = 2.0,
+      compactEvery: Int = 8,
+      qeFloorMicro: Long = 1000L): VectorStore.CompressedAppendStats = {
+    graft.functions.VectorFunctions.register(spark)
+    val (v, k) = Snapshots.currentWithDeltas(spark, path, "PQINDEX")
+      .getOrElse(throw new IllegalStateException(
+        s"no PQ index under $path — call buildPqIndex() first"))
+    val dir = pqDir(v)
+    val mSub = 8
+    val subLen = params.dim / mSub
+    val dd = (if (delta.columns.contains("deleted")) delta
+              else delta.withColumn("deleted", lit(false)))
+      .localCheckpoint()
+    validate(dd.filter(!col("deleted")))
+    persist(Mutations.upsert(nodes, dd))
+    val liveD = dd.filter(!col("deleted")).select(col("id"), col("vector"))
+    val tombD = dd.filter(col("deleted")).select(col("id"))
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val rcb = spark.read.parquet(s"$dir/codebooks")
+    val asg = IvfIndex.assign(liveD, centroids)
+      .select(col("id"), col("cell"))
+    val res = PqIndex.residuals(liveD, asg, centroids)
+      .select(col("id"), col("vector")).localCheckpoint()
+    val codes = PqIndex.encode(res, rcb, mSub, subLen).localCheckpoint()
+    val combined = codes
+      .join(asg, Seq("id"))
+      .select(col("id"), col("cell"), col("sub"), col("code"))
+      .unionByName(tombD.select(col("id"), lit(-1).as("cell"),
+        lit(-1).as("sub"), lit(-1).as("code")))
+    Snapshots.appendDelta(spark, path, "pq", "PQINDEX", combined)
+    val buildQe = Fs.readString(spark, s"$dir/_STATS").trim.toLong
+    val deltaQe = PqIndex.meanQeMicro(res, rcb, codes, mSub, subLen)
+    val stats = VectorStore.CompressedAppendStats(
+      liveD.count(), tombD.count(), buildQe, deltaQe,
+      deltaQe.toDouble >
+        math.max(buildQe, qeFloorMicro).toDouble * driftRatioMax)
+    if (k + 1 >= compactEvery) compactPqIndex()
+    stats
+  }
+
+  /** Fold the PQ delta chain into a fresh base generation (frozen
+    * centroids/codebooks/_STATS carry over unchanged) and prune the
+    * superseded directories — the [[graft.CorpusStore.compactChunkIndex]]
+    * analog. */
+  def compactPqIndex(): Unit =
+    Snapshots.currentWithDeltas(spark, path, "PQINDEX").foreach {
+      case (v, k) if k > 0 =>
+        val (asg, codes, oldDir) = pqOverlay()
+        val dir = pqDir(v + 1)
+        spark.read.parquet(s"$oldDir/centroids")
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+        spark.read.parquet(s"$oldDir/codebooks")
+          .write.mode("overwrite").parquet(s"$dir/codebooks")
+        asg.write.mode("overwrite").parquet(s"$dir/assignments")
+        codes.write.mode("overwrite").parquet(s"$dir/codes")
+        Fs.writeStringAtomic(spark, s"$dir/_STATS",
+          Fs.readString(spark, s"$oldDir/_STATS"))
+        Fs.writeStringAtomic(spark, s"$path/PQINDEX", (v + 1).toString)
+        Snapshots.prune(spark, path, "pq", v, k)
+      case _ => ()
+    }
 
   /** Compressed-index search against the persisted residual IVF-PQ
     * generation: residual ADC shortlist + exact true-metric re-rank,
@@ -416,39 +556,139 @@ class VectorStore private (
 
   // ---- SQ8 index lifecycle -------------------------------------------
 
-  private def sqDir(gen: Long): String = s"$path/sq_g$gen"
+  private def sqDir(gen: Long): String =
+    Snapshots.versionPath(path, "sq", gen)
+  private def bqDir(gen: Long): String =
+    Snapshots.versionPath(path, "bq", gen)
+
+  /** Shared overlay for an id-keyed packed-row generation (SQ codes / BQ
+    * bits): base rows minus delta-touched ids, plus the LATEST delta's
+    * live rows per id. Delta rows carry a `deleted` flag; a tombstone
+    * retires the id's base row via the anti-join and never serves.
+    * Returns (servedRows, baseDir). */
+  private def packedOverlay(prefix: String, pointer: String, sub: String,
+      buildHint: String): (DataFrame, String) = {
+    val (v, k) = Snapshots.currentWithDeltas(spark, path, pointer)
+      .getOrElse(throw new IllegalStateException(
+        s"no $prefix index under $path — call $buildHint first"))
+    val dir = Snapshots.versionPath(path, prefix, v)
+    val base = spark.read.parquet(s"$dir/$sub")
+    if (k == 0L) (base, dir)
+    else {
+      val wMax = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+      val resolved = (1L to k).map(i =>
+          spark.read.parquet(Snapshots.deltaPath(path, prefix, v, i))
+            .withColumn("__ds", lit(i)))
+        .reduce(_.unionByName(_))
+        .withColumn("__mx", max(col("__ds")).over(wMax))
+        .filter(col("__ds") === col("__mx"))
+        .drop("__ds", "__mx")
+      (base.join(resolved.select(col("id")), Seq("id"), "left_anti")
+         .unionByName(resolved.filter(!col("deleted"))
+           .select(base.columns.map(col).toIndexedSeq: _*)),
+       dir)
+    }
+  }
+
+  /** Shared append for the bounds-frozen families (SQ / BQ): upsert the
+    * node table, encode the live delta rows with the generation's FROZEN
+    * bounds via `encodeFn`, append one (id, <packed>, deleted) delta
+    * behind the atomic pointer, and report the out-of-bounds drift
+    * fraction ([[operators.SqIndex.outOfBoundsMicro]] — build-time OOB
+    * is 0 by construction, so the gate is absolute: retrain when the
+    * delta's fraction exceeds `oobMicroMax`). */
+  private def appendPacked(prefix: String, pointer: String,
+      delta: DataFrame, encodeFn: (DataFrame, DataFrame) => DataFrame,
+      packedCol: String, packedType: String, oobMicroMax: Long,
+      compactEvery: Int,
+      compactFn: () => Unit): VectorStore.CompressedAppendStats = {
+    val (v, k) = Snapshots.currentWithDeltas(spark, path, pointer)
+      .getOrElse(throw new IllegalStateException(
+        s"no $prefix index under $path — build it first"))
+    val dir = Snapshots.versionPath(path, prefix, v)
+    val dd = (if (delta.columns.contains("deleted")) delta
+              else delta.withColumn("deleted", lit(false)))
+      .localCheckpoint()
+    validate(dd.filter(!col("deleted")))
+    persist(Mutations.upsert(nodes, dd))
+    val liveD = dd.filter(!col("deleted")).select(col("id"), col("vector"))
+    val tombD = dd.filter(col("deleted")).select(col("id"))
+    val bounds = spark.read.parquet(s"$dir/bounds")
+    val combined = encodeFn(liveD, bounds)
+      .withColumn("deleted", lit(false))
+      .unionByName(tombD.select(col("id"),
+        expr(s"CAST(array() AS $packedType)").as(packedCol),
+        lit(true).as("deleted")))
+    Snapshots.appendDelta(spark, path, prefix, pointer, combined)
+    val oob = SqIndex.outOfBoundsMicro(liveD, bounds)
+    val stats = VectorStore.CompressedAppendStats(
+      liveD.count(), tombD.count(), 0L, oob, oob > oobMicroMax)
+    if (k + 1 >= compactEvery) compactFn()
+    stats
+  }
+
+  /** Shared chain fold for the bounds-frozen families: overlaid packed
+    * rows become the next base; frozen bounds carry over. */
+  private def compactPacked(prefix: String, pointer: String, sub: String,
+      buildHint: String): Unit =
+    Snapshots.currentWithDeltas(spark, path, pointer).foreach {
+      case (v, k) if k > 0 =>
+        val (served, oldDir) = packedOverlay(prefix, pointer, sub, buildHint)
+        val dir = Snapshots.versionPath(path, prefix, v + 1)
+        spark.read.parquet(s"$oldDir/bounds")
+          .write.mode("overwrite").parquet(s"$dir/bounds")
+        served.write.mode("overwrite").parquet(s"$dir/$sub")
+        Fs.writeStringAtomic(spark, s"$path/$pointer", (v + 1).toString)
+        Snapshots.prune(spark, path, prefix, v, k)
+      case _ => ()
+    }
 
   /** Build + persist the SQ8 index from the current table (per-dimension
     * bounds + packed int codes — [[operators.SqIndex]]), then atomically
-    * flip the SQINDEX pointer. The quality-first compressed path: 4×
-    * smaller rows, exact-integer symmetric distance, near-exact recall
-    * with a shallow re-rank (SCALING.md's 200 k ladder measurement) —
-    * and a build that is one min/max pass + one encode, no training. */
+    * flip the SQINDEX pointer (single-token — dereferences and prunes
+    * any delta chain). The quality-first compressed path: 4× smaller
+    * rows, exact-integer symmetric distance, near-exact recall with a
+    * shallow re-rank (SCALING.md's 200 k ladder measurement) — and a
+    * build that is one min/max pass + one encode, no training. */
   def buildSqIndex(): Unit = {
     val live = Mutations.compact(nodes)
     val bounds = SqIndex.trainBounds(live)
     val codes = SqIndex.encode(live, bounds)
-    val old = currentAux("SQINDEX")
-    val gen = old.getOrElse(-1L) + 1
+    val old = Snapshots.currentWithDeltas(spark, path, "SQINDEX")
+    val gen = old.map(_._1).getOrElse(-1L) + 1
     val dir = sqDir(gen)
     bounds.write.mode("overwrite").parquet(s"$dir/bounds")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
-    graft.util.Fs.writeStringAtomic(spark, s"$path/SQINDEX", gen.toString)
-    old.foreach(g => graft.util.Fs.deleteRecursive(spark, sqDir(g)))
+    Fs.writeStringAtomic(spark, s"$path/SQINDEX", gen.toString)
+    old.foreach { case (g, dk) => Snapshots.prune(spark, path, "sq", g, dk) }
   }
 
-  /** SQ8 shortlist + exact re-rank against the persisted generation,
-    * threshold on the 0–100 strength scale. Output
-    * (query_id, id, score, rn) — the same contract as [[search]]. */
+  /** Fold `delta` (id, vector[, deleted]) into the persisted SQ8
+    * generation at O(|Δ|) cost — encode with the FROZEN bounds, append
+    * behind the atomic pointer, tombstones retire. Returns the
+    * out-of-bounds drift verdict (see [[appendPacked]]'s contract). */
+  def appendSqIndex(delta: DataFrame, oobMicroMax: Long = 10000L,
+      compactEvery: Int = 8): VectorStore.CompressedAppendStats =
+    appendPacked("sq", "SQINDEX", delta,
+      (d, b) => SqIndex.encode(d, b), "codes", "array<int>",
+      oobMicroMax, compactEvery, () => compactSqIndex())
+
+  /** Fold the SQ delta chain into a fresh base generation. */
+  def compactSqIndex(): Unit =
+    compactPacked("sq", "SQINDEX", "codes", "buildSqIndex()")
+
+  /** SQ8 shortlist + exact re-rank against the persisted generation
+    * (codes overlaid with any pending append deltas), threshold on the
+    * 0–100 strength scale. Output (query_id, id, score, rn) — the same
+    * contract as [[search]]. */
   def searchSq(queries: DataFrame, k: Int, strengthSetting: Double = 50,
       shortlist: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
-    val gen = currentAux("SQINDEX").getOrElse(throw new IllegalStateException(
-      s"no SQ index under $path — call buildSqIndex() first"))
-    val dir = sqDir(gen)
-    SqIndex.searchSqRerankScored(nodes,
-      spark.read.parquet(s"$dir/codes"),
+    val (codes, dir) = packedOverlay("sq", "SQINDEX", "codes",
+      "buildSqIndex()")
+    SqIndex.searchSqRerankScored(nodes, codes,
       spark.read.parquet(s"$dir/bounds"),
       queries, k,
       shortlist = if (shortlist > 0) shortlist else math.max(100, 10 * k),
@@ -456,8 +696,6 @@ class VectorStore private (
   }
 
   // ---- BQ (1-bit) index lifecycle ------------------------------------
-
-  private def bqDir(gen: Long): String = s"$path/bq_g$gen"
 
   /** Build + persist the binary-quantization index (per-dimension bounds
     * + packed sign bits — [[operators.BqIndex]]) as an atomic generation.
@@ -469,27 +707,38 @@ class VectorStore private (
     val live = Mutations.compact(nodes)
     val bounds = SqIndex.trainBounds(live)
     val bits = BqIndex.encode(live, bounds)
-    val old = currentAux("BQINDEX")
-    val gen = old.getOrElse(-1L) + 1
+    val old = Snapshots.currentWithDeltas(spark, path, "BQINDEX")
+    val gen = old.map(_._1).getOrElse(-1L) + 1
     val dir = bqDir(gen)
     bounds.write.mode("overwrite").parquet(s"$dir/bounds")
     bits.write.mode("overwrite").parquet(s"$dir/bits")
-    graft.util.Fs.writeStringAtomic(spark, s"$path/BQINDEX", gen.toString)
-    old.foreach(g => graft.util.Fs.deleteRecursive(spark, bqDir(g)))
+    Fs.writeStringAtomic(spark, s"$path/BQINDEX", gen.toString)
+    old.foreach { case (g, dk) => Snapshots.prune(spark, path, "bq", g, dk) }
   }
 
+  /** Fold `delta` (id, vector[, deleted]) into the persisted BQ
+    * generation at O(|Δ|) cost — the [[appendSqIndex]] contract over
+    * sign bits. */
+  def appendBqIndex(delta: DataFrame, oobMicroMax: Long = 10000L,
+      compactEvery: Int = 8): VectorStore.CompressedAppendStats =
+    appendPacked("bq", "BQINDEX", delta,
+      (d, b) => BqIndex.encode(d, b), "bits", "array<bigint>",
+      oobMicroMax, compactEvery, () => compactBqIndex())
+
+  /** Fold the BQ delta chain into a fresh base generation. */
+  def compactBqIndex(): Unit =
+    compactPacked("bq", "BQINDEX", "bits", "buildBqIndex()")
+
   /** Hamming shortlist + exact re-rank against the persisted BQ
-    * generation. Output (query_id, id, score, rn) — the [[search]]
-    * contract. */
+    * generation (bits overlaid with any pending append deltas). Output
+    * (query_id, id, score, rn) — the [[search]] contract. */
   def searchBqStore(queries: DataFrame, k: Int,
       strengthSetting: Double = 50, shortlist: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
-    val gen = currentAux("BQINDEX").getOrElse(throw new IllegalStateException(
-      s"no BQ index under $path — call buildBqIndex() first"))
-    val dir = bqDir(gen)
-    BqIndex.searchBqRerankScored(nodes,
-      spark.read.parquet(s"$dir/bits"),
+    val (bits, dir) = packedOverlay("bq", "BQINDEX", "bits",
+      "buildBqIndex()")
+    BqIndex.searchBqRerankScored(nodes, bits,
       spark.read.parquet(s"$dir/bounds"),
       queries, k,
       shortlist = if (shortlist > 0) shortlist else math.max(200, 20 * k),
@@ -501,6 +750,21 @@ class VectorStore private (
 }
 
 object VectorStore {
+
+  /** Outcome of a compressed-index append ([[VectorStore.appendPqIndex]]
+    * and the SQ/BQ analogs): row counts plus the drift gate. For PQ,
+    * `buildStatMicro`/`deltaStatMicro` are mean quantization errors
+    * (micro units) and the gate is their ratio; for SQ/BQ,
+    * `buildStatMicro` is 0 (bounds cover the build corpus by
+    * construction) and `deltaStatMicro` is the delta's out-of-bounds
+    * component fraction against an absolute threshold.
+    * `retrainRecommended = true` means the frozen artifacts no longer
+    * fit the incoming distribution — schedule a full rebuild; appends
+    * remain correct meanwhile (codes just quantize more coarsely). */
+  case class CompressedAppendStats(nAppended: Long, nTombstoned: Long,
+      buildStatMicro: Long, deltaStatMicro: Long,
+      retrainRecommended: Boolean)
+
   private[graft] def emptyTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, Seq[Float], Boolean)].toDF("id", "vector", "deleted")

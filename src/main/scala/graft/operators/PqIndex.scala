@@ -311,6 +311,31 @@ object PqIndex {
       .select(col("query_id"), col("id"), col("rn"))
   }
 
+  /** Mean squared quantization error of `codes` against `codebooks` over
+    * the vectors they encode, in MICRO units (⌊avg·10⁶⌋) — the drift
+    * statistic behind the compressed-index append lifecycle
+    * ([[graft.VectorStore.appendPqIndex]]): codes produced by FROZEN
+    * codebooks degrade as the data distribution drifts away from the
+    * build-time one, and the ratio delta-QE / build-QE is the standard
+    * retrain gate. `vectors` must be the table `codes` encodes (raw or
+    * residual space — whichever the codebooks live in). One narrow
+    * join pass (codebooks broadcast), map-side squared distances,
+    * single avg — O(n·m) slim rows, no corpus shuffle. Float-mean
+    * accumulation is engine-internal (a GATE statistic, not an
+    * oracle-checked column). */
+  def meanQeMicro(vectors: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, m: Int, subLen: Int): Long = {
+    val sl = subSlices(vectors, m, subLen)
+    val row = sl.join(codes.select(col("id"), col("sub"), col("code")),
+        Seq("id", "sub"))
+      .join(broadcast(codebooks), Seq("sub", "code"))
+      .select((VectorFunctions.euclideanDist(col("subvec"), col("centroid"))
+        * VectorFunctions.euclideanDist(col("subvec"), col("centroid")))
+        .as("e"))
+      .agg(avg(col("e"))).head()
+    if (row.isNullAt(0)) 0L else math.floor(row.getDouble(0) * 1e6).toLong
+  }
+
   /** Residual table for IVF-PQ: v − coarse_centroid[cell], per live
     * vector. Subtraction stays in FLOAT — Spark float-minus-float and
     * DuckDB FLOAT−FLOAT produce the identical float (verified: both

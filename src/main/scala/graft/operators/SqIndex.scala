@@ -70,6 +70,26 @@ object SqIndex {
         array_sort(collect_list(struct(col("pos"), col("c")))),
         e => e.getField("c")).as("codes"))
 
+  /** Fraction of vector components lying OUTSIDE the frozen [lo, hi]
+    * bounds, in MICRO units (⌊frac·10⁶⌋) — the drift statistic for the
+    * SQ/BQ append lifecycle ([[graft.VectorStore.appendSqIndex]]):
+    * out-of-range components CLIP to code 0/255, so a rising
+    * out-of-bounds fraction means the frozen bounds no longer cover the
+    * data and quantization error grows one-sidedly — the retrain
+    * signal. One narrow posexplode + broadcast-bounds join, two counts;
+    * O(n·dim) slim rows, map-side combinable. */
+  def outOfBoundsMicro(df: DataFrame, bounds: DataFrame,
+      vecCol: String = "vector"): Long = {
+    val row = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .join(broadcast(bounds), Seq("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("lo") || col("x") > col("hi"), 1L)
+          .otherwise(0L)).as("oob"))
+      .head()
+    val n = row.getLong(0)
+    if (n == 0L) 0L else row.getLong(1) * 1000000L / n
+  }
+
   /** Symmetric SQ top-k: quantize the queries with the corpus bounds,
     * rank by the exact integer squared-L2 over codes (asc, ties id asc).
     * Output (query_id, id, d2 BIGINT, rn) — d2 is exact, so the score

@@ -304,6 +304,43 @@ object AnnQueries {
     // in the ANN family. Oracle re-derives bounds, every code (the
     // (x−lo)/(hi−lo)·256 double arithmetic is mirrored token for token)
     // and every rank.
+    // Delta fold-in for the compressed index families (the
+    // VectorStore.appendPqIndex operator content): encode a DELTA with
+    // the FROZEN coarse centroids + residual codebooks derived from the
+    // BASE corpus only — assignment, residual subtraction and code
+    // argmin all run against build-time artifacts, never retraining.
+    // The ORACLE derives the same base artifacts and encodes EVERYTHING
+    // in one pass: a hash match proves append-encoded codes are
+    // IDENTICAL to full-rebuild codes for the same frozen artifacts —
+    // the contract that makes O(|delta|) ingest sound at 100 TB (0.1%
+    // daily churn costs O(batch), not a corpus re-encode).
+    "a20_pq_append_encode" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val base = nodesDf.filter(col("id") % 10 =!= 0)
+      val delta = nodesDf.filter(col("id") % 10 === 0)
+      val coarse = graft.operators.IvfIndex.sampleCodebook(base, k = 10)
+      val asgB = graft.operators.IvfIndex.assign(base, coarse)
+        .select(col("id"), col("cell"))
+      val resB = graft.operators.PqIndex.residuals(base, asgB, coarse)
+        .select(col("id"), col("vector"))
+      val rcb = graft.operators.PqIndex.sampleCodebooks(resB,
+        m = 8, subLen = 8, ksub = 16)
+      val codesB = graft.operators.PqIndex.encode(resB, rcb,
+        m = 8, subLen = 8)
+      // the append path: delta encoded against the FROZEN artifacts
+      val asgD = graft.operators.IvfIndex.assign(delta, coarse)
+        .select(col("id"), col("cell"))
+      val resD = graft.operators.PqIndex.residuals(delta, asgD, coarse)
+        .select(col("id"), col("vector"))
+      val codesD = graft.operators.PqIndex.encode(resD, rcb,
+        m = 8, subLen = 8)
+      codesB.join(asgB, Seq("id"))
+        .unionByName(codesD.join(asgD, Seq("id")))
+        .select(col("id"), col("cell"), col("sub"), col("code"))
+    }),
+
     "a15_sq8_search" -> ((s, d) => {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -846,6 +883,44 @@ object AnnQueries {
         |                       ORDER BY adc ASC, id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
+    "a20_pq_append_encode" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding AS vf, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |ccb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding AS cvf, embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 10 <> 0
+        |        ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN ccb c)
+        |  WHERE rn = 1),
+        |res AS (
+        |  SELECT n.id,
+        |    list_transform(list_zip(n.vf, c.cvf), x -> x[1] - x[2]) AS rf
+        |  FROM nodes n JOIN asg a ON a.id = n.id JOIN ccb c ON c.cell = a.cell),
+        |rcb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS code, rf
+        |  FROM (SELECT * FROM res WHERE id % 10 <> 0 ORDER BY id LIMIT 16)),
+        |rcb AS (
+        |  SELECT CAST(s.sub AS INT) AS sub, r.code,
+        |    list_slice(r.rf, s.sub * 8 + 1, s.sub * 8 + 8)::DOUBLE[] AS cen
+        |  FROM rcb0 r CROSS JOIN range(0, 8) s(sub)),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT r.id, rcb.sub, rcb.code,
+        |      row_number() OVER (PARTITION BY r.id, rcb.sub
+        |        ORDER BY list_distance(
+        |          list_slice(r.rf, rcb.sub * 8 + 1, rcb.sub * 8 + 8)::DOUBLE[],
+        |          rcb.cen) ASC, rcb.code) AS rn
+        |    FROM res r CROSS JOIN rcb) WHERE rn = 1)
+        |SELECT e.id, a.cell, CAST(e.sub AS INT) AS sub,
+        |  CAST(e.code AS INT) AS code
+        |FROM enc e JOIN asg a ON a.id = e.id""".stripMargin,
     "a11_pq_rerank" ->
       """WITH nodes AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -397,6 +397,18 @@ object Multimodal {
       .unionByName(assets.filter(n > 0)
         .select(col("asset_id"), n.cast("int").as("__e")))
       .dropDuplicates("asset_id", "__e")
+    assembleChunks(assets, ends, payloadCol)
+  }
+
+  /** Shared CDC tail: boundary-end rows (asset_id, __e) → per-asset chunk
+    * specs (lag window over NARROW rows), chunk content hashes (payload
+    * joined back ONCE), and cross-asset sharing counts (separate hash-agg
+    * + equi-join — NOT a window over chunk_md5: a hot chunk shared by
+    * millions of assets would hold a per-row distinct set; the agg is
+    * two-phase map-side). */
+  private def assembleChunks(assets: DataFrame, ends: DataFrame,
+      payloadCol: String): DataFrame = {
+    val p = col(payloadCol).cast("binary")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("asset_id")).orderBy(col("__e").asc)
     val specs = ends
@@ -411,14 +423,104 @@ object Multimodal {
       .join(assets.select(col("asset_id"), p.as("__p")), Seq("asset_id"))
       .withColumn("chunk_md5",
         md5(col("__p").substr(col("start"), col("chunk_len"))))
-    // sharing counts via a separate hash-agg + equi-join (NOT a window
-    // over chunk_md5: a hot chunk shared by millions of assets would
-    // hold a per-row distinct set; the agg is two-phase map-side)
     val sharing = chunks.groupBy(col("chunk_md5"))
       .agg(countDistinct(col("asset_id")).as("n_assets_sharing"))
     chunks.join(sharing, Seq("chunk_md5"))
       .select(col("asset_id"), col("chunk_idx"), col("start"),
         col("chunk_len"), col("chunk_md5"), col("n_assets_sharing"))
+  }
+
+  /** The 256-entry Gear table: gear(b) = the first 10 hex chars of the
+    * md5 of the single byte b, as a 40-bit Long. md5-derived so an
+    * external engine re-derives every entry (DuckDB:
+    * `('0x'||substr(md5(chr(b)),1,10))::BIGINT` — identical for ASCII
+    * bytes, where a one-char string IS its byte). */
+  private[graft] lazy val gearTable: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 256).map { b =>
+      md.reset()
+      val hex = md.digest(Array(b.toByte))
+        .map(x => f"$x%02x").mkString.substring(0, 10)
+      java.lang.Long.parseLong(hex, 16)
+    }.toArray
+  }
+
+  /** Reference (non-rolling) windowed Gear hash at 1-based end position
+    * `e` — the driver-side mirror the spec pins [[cdcChunksGear]]'s
+    * rolling recurrence against, and the exact formula the m05 oracle
+    * re-derives per position: H(e) = Σ_{j=0}^{W−1} gear(b_{e−j}) · 2^j.
+    * All terms < 2^40 · 2^{W−1} with W ≤ 8 ⇒ the sum fits a Long
+    * EXACTLY (< 2^50) — no wraparound anywhere, which is what makes the
+    * per-position SQL formulation equal to the rolling one. */
+  private[graft] def gearHashAt(bytes: Array[Byte], e: Int,
+      windowBytes: Int): Long = {
+    var h = 0L
+    var j = 0
+    while (j < windowBytes) {
+      h += gearTable(bytes(e - 1 - j) & 0xff) << j
+      j += 1
+    }
+    h
+  }
+
+  /** [[cdcChunks]] with a TRUE rolling hash — the Gear family
+    * (public CDC literature: Xia et al., FastCDC, USENIX ATC 2016): the
+    * window fingerprint updates in O(1) Long ops per byte
+    * (H' = 2·(H − 2^{W−1}·gear(oldest)) + gear(newest)) instead of one
+    * md5 digest per position — ~windowBytes× less hashing plus the
+    * digest-vs-arithmetic constant, on the CPU-bound path of blob-scale
+    * dedup (ScaleProbe measures the wall drop at ≥ 100 MB of assets).
+    * Boundary rule: end position e (1-based, e ≥ windowBytes) is a cut
+    * iff H(e) % boundaryMod == 0, H over the window's bytes with the
+    * NEWEST byte at coefficient 2^0; the asset end always cuts. Same
+    * insertion-resynchronization property, chunk/sharing output and
+    * downstream dataflow as [[cdcChunks]] ([[assembleChunks]]).
+    *
+    * Spark shape: ONE `mapPartitions` pass over (asset_id, payload)
+    * emitting NARROW (asset_id, end) rows — the file's established idiom
+    * for imperative byte work (the decode family); everything after the
+    * scan is the shared declarative tail. Per-row memory is O(1) beyond
+    * the payload itself (no position arrays). Engine parity: gear
+    * values are md5-derived ([[gearTable]]) and every sum fits a Long
+    * exactly, so DuckDB re-derives each boundary per position from the
+    * same parquet (ASCII payloads — the [[cdcChunks]] byte/char
+    * contract). */
+  def cdcChunksGear(assets: DataFrame, windowBytes: Int = 8,
+      boundaryMod: Int = 64, payloadCol: String = "payload_text")
+      : DataFrame = {
+    require(windowBytes > 0 && windowBytes <= 8 && boundaryMod > 0,
+      s"windowBytes $windowBytes (1..8) boundaryMod $boundaryMod")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val gear = gearTable // serialized once into the closure (2 KB)
+    val ends = assets
+      .select(col("asset_id").cast("long"),
+        col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          if (n >= windowBytes) {
+            var h = 0L
+            var e = 0
+            while (e < windowBytes) {
+              h = (h << 1) + gear(bytes(e) & 0xff); e += 1
+            }
+            if (h % boundaryMod == 0) out += ((id, e))
+            while (e < n) {
+              h = ((h - (gear(bytes(e - windowBytes) & 0xff)
+                << (windowBytes - 1))) << 1) + gear(bytes(e) & 0xff)
+              e += 1
+              if (h % boundaryMod == 0) out += ((id, e))
+            }
+          }
+          if (n > 0 && (out.isEmpty || out.last._2 != n)) out += ((id, n))
+          out.iterator
+        }
+      }
+      .toDF("asset_id", "__e")
+    assembleChunks(assets, ends, payloadCol)
   }
 
   /** Video frame sampling stub: treat the payload as fixed-size frames and

@@ -156,6 +156,51 @@ class MultimodalSpec extends SparkSpec {
     assert(run(9) === ref)
   }
 
+  test("cdcChunksGear: rolling recurrence == per-position reference " +
+      "mirror; chunks tile; insertion re-syncs; short assets") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, base),
+      (2L, "inserted junk bytes " + base),
+      (3L, "completely different words here entirely"),
+      (4L, "tiny"),            // shorter than the window → 1 whole chunk
+      (5L, "exactly8!"))       // window-and-a-byte edge
+    val assets = rows.toDF("asset_id", "payload_text")
+    val W = 8; val mod = 32
+    val got = Multimodal.cdcChunksGear(assets, windowBytes = W,
+        boundaryMod = mod)
+      .orderBy("asset_id", "chunk_idx")
+      .select("asset_id", "chunk_idx", "start", "chunk_len", "chunk_md5")
+      .as[(Long, Int, Int, Int, String)].collect()
+    // DRIVER MIRROR: boundary ends from the NON-rolling windowed-sum
+    // formula (gearHashAt) — the rolling recurrence must agree at every
+    // position of every asset
+    for ((id, text) <- rows) {
+      val bytes = text.getBytes("UTF-8")
+      val expectEnds = ((W to bytes.length)
+        .filter(e => Multimodal.gearHashAt(bytes, e, W) % mod == 0)
+        .toSet + bytes.length).filter(_ > 0)
+      val gotEnds = got.filter(_._1 == id)
+        .map(c => c._3 + c._4 - 1).toSet
+      assert(gotEnds === expectEnds, s"asset $id boundary mismatch")
+    }
+    // chunks tile each asset exactly
+    for ((a, text) <- rows) {
+      val cs = got.filter(_._1 == a).sortBy(_._2)
+      assert(cs.head._3 === 1)
+      for (Array(x, y) <- cs.sliding(2).map(_.toArray))
+        assert(y._3 === x._3 + x._4, s"gap in asset $a")
+      assert(cs.map(_._4).sum === text.length)
+    }
+    // the CDC property survives the rolling formulation: shifted clone
+    // re-synchronizes, unrelated content shares nothing
+    val m1 = got.filter(_._1 == 1L).map(_._5).toSet
+    val m2 = got.filter(_._1 == 2L).map(_._5).toSet
+    val m3 = got.filter(_._1 == 3L).map(_._5).toSet
+    assert(m1.intersect(m2).nonEmpty, "no re-sync after insertion")
+    assert(m1.intersect(m3).isEmpty)
+  }
+
   test("frame sampling: every stride-th fixed-size frame") {
     val frames = Multimodal.sampleFrames(
       assets.filter(col("asset_id") === 2L), frameBytes = 8, stride = 2)

@@ -185,20 +185,37 @@ class CorpusStore private (val spark: SparkSession, val path: String,
       else gated
 
     // 4. dedup: exact always (min-id representative per cleaned text);
-    //    near-dup optionally on top (MinHash-LSH pairs → components →
-    //    min-id keep)
+    //    near-dup optionally on top — EITHER probabilistic MinHash-LSH
+    //    (nearDupJaccard > 0) OR the exact PPJoin tier
+    //    (exactJaccardTauMicro > 0, [[operators.TextDedup.prefixJaccardPairs]]
+    //    — d16's operator): every pair at token/shingle-set Jaccard ≥ τ
+    //    found losslessly, the compliance-grade option where "we removed
+    //    all near-duplicates above τ" must be a theorem, not an
+    //    expectation. Both feed the same components → min-id-keep rule.
+    require(p.nearDupJaccard <= 0 || p.exactJaccardTauMicro <= 0,
+      "choose ONE near-dup mode: nearDupJaccard (MinHash-LSH) or " +
+        "exactJaccardTauMicro (exact PPJoin)")
     val exactKept = capped.join(
       TextDedup.exactDedup(capped).select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
+    def selectKeepers(pairs: DataFrame): DataFrame =
+      exactKept.join(
+        TextDedup.dedupSelect(exactKept, pairs)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
     val deduped =
-      if (p.nearDupJaccard > 0) {
-        val pairs = TextDedup.minhashNearDupPairs(exactKept, p.nHashes,
-          p.nearDupJaccard)
-        exactKept.join(
-          TextDedup.dedupSelect(exactKept, pairs)
-            .filter(col("keep")).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-      } else exactKept
+      if (p.exactJaccardTauMicro > 0) {
+        val tokenFn: org.apache.spark.sql.Column =>
+            org.apache.spark.sql.Column =
+          if (p.exactJaccardShingle > 1)
+            t => TextDedup.shingles(t, p.exactJaccardShingle)
+          else TextDedup.tokenSet _
+        selectKeepers(TextDedup.prefixJaccardPairs(exactKept,
+          p.exactJaccardTauMicro, tokenFn = tokenFn))
+      } else if (p.nearDupJaccard > 0)
+        selectKeepers(TextDedup.minhashNearDupPairs(exactKept, p.nHashes,
+          p.nearDupJaccard))
+      else exactKept
 
     // 4b. semantic dedup (SemDeDup, d14's operator) — when a doc-keyed
     //     embedding table is supplied, cluster-then-prune drops the
@@ -324,6 +341,8 @@ class CorpusStore private (val spark: SparkSession, val path: String,
          |"min_quality": ${p.minQuality}, "max_per_source": ${p.maxPerSource},
          |"blocklist": [${p.blocklist.map(q).mkString(", ")}],
          |"near_dup_jaccard": ${p.nearDupJaccard}, "n_hashes": ${p.nHashes},
+         |"exact_jaccard_tau_micro": ${p.exactJaccardTauMicro},
+         |"exact_jaccard_shingle": ${p.exactJaccardShingle},
          |"decontaminate": ${p.benchmark.isDefined},
          |"max_shared_ngrams": ${p.maxSharedNgrams},
          |"semantic_dedup": ${p.embeddings.isDefined},
@@ -662,6 +681,8 @@ object CorpusStore {
       blocklist: Seq[String] = Nil,
       nearDupJaccard: Double = 0.0,
       nHashes: Int = 16,
+      exactJaccardTauMicro: Long = 0L,
+      exactJaccardShingle: Int = 3,
       benchmark: Option[org.apache.spark.sql.DataFrame] = None,
       maxSharedNgrams: Int = 0,
       contaminationN: Int = 3,

@@ -8,12 +8,19 @@ import graft.operators.{AnnSearch, IndexBuild, IndexParams, KnnSearch}
   * driver harness): the routed frontier walk (a03's shape) vs the
   * LSH-seeded hybrid vs plain LSH, at N beyond the committed fixtures —
   * the full [[ScaleProbe]] measures every family and takes much longer.
-  * Usage: `sbt "runMain graft.GraphProbe 200000 64"`. */
+  * Usage: `sbt "runMain graft.GraphProbe 200000 64"`.
+  *
+  * A third arg `ivf` runs the FOCUSED multi-probe sweep instead: skip
+  * the expensive LSH arms and measure the IVF-seeded hybrid across
+  * (nProbe, iters) settings — the serving-recall lever (seed coverage
+  * grows with probed cells at O(Q × nProbe × n/cells) seeding cost,
+  * while expansions recover cross-cell neighbors). */
 object GraphProbe {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val dim = if (args.length > 1) args(1).toInt else 64
+    val ivfSweep = args.length > 2 && args(2) == "ivf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
     val spark = SparkSession.builder()
@@ -49,6 +56,36 @@ object GraphProbe {
       val ni = r._1.localCheckpoint(); val e = r._2.localCheckpoint()
       e.count(); (ni, e)
     }
+
+    if (ivfSweep) {
+      val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val (ivfPre, tIvfBuild) = timed {
+        val c = graft.operators.IvfIndex.train(nodes, cells, iters = 2)
+          .localCheckpoint()
+        val a = graft.operators.IvfIndex.assign(nodes, c)
+          .select(col("id"), col("vector"), col("cell")).localCheckpoint()
+        a.count(); (c, a)
+      }
+      val arms = for {
+        nProbe <- Seq(8, 16, 32, 48)
+        iters <- Seq(2, 3)
+      } yield {
+        val (rows, t) = timed {
+          AnnSearch.searchGraphSeededIvf(nodesIdx, edges, queries, 10,
+              minSim = -2.0, params, ivfPre._1, ef = 64, iters = iters,
+              nProbe = nProbe, assignments = Some(ivfPre._2))
+            .select("query_id", "id").collect()
+        }
+        s"""{"n_probe":$nProbe,"iters":$iters,"sec":$t,""" +
+          s""""recall_at_10":${recallOf(rows)}}"""
+      }
+      println(s"""{"n":$n,"dim":$dim,"build_sec":$tBuild,""" +
+        s""""cells":$cells,"ivf_build_sec":$tIvfBuild,""" +
+        s""""arms":[${arms.mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
     val (lshRows, tLsh) = timed {
       AnnSearch.searchLsh(nodes, queries, 10, minSim = -2.0, params)
         .select("query_id", "id").collect()

@@ -221,10 +221,12 @@ class VectorStore private (
     * [[searchAnnSeeded]]'s seeding scan grows with the hottest bucket;
     * this tier's seeding is O(Q × nProbe × n/cells) by construction
     * (SCALING.md measures the crossover at 500 k). Requires both the
-    * ANN graph generation and a PQ generation. */
+    * ANN graph generation and a PQ generation. nProbe default 32 — the
+    * measured knee of the 500 k multi-probe curve (recall@10 0.902 at
+    * 3.5–5.1 s serving; 8 probes gave only 0.654 — SCALING.md). */
   def searchAnnSeededIvf(queries: DataFrame, k: Int,
       strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2,
-      nProbe: Int = 8): DataFrame = {
+      nProbe: Int = 32): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
       s"no ANN index under $path — call rebuild() first"))

@@ -119,7 +119,8 @@ object AdaptiveSearch {
       exactCutoff: Long = 50000, skewCutoff: Double = 0.05,
       pqCutoff: Long = 5000000L,
       prebuiltPq: Option[PqPrebuilt] = None,
-      prebuiltGraph: Option[(DataFrame, DataFrame)] = None)
+      prebuiltGraph: Option[(DataFrame, DataFrame)] = None,
+      seededNProbe: Int = 32)
       : (Strategy, DataFrame) = {
     val mSub = 8
     val (n, share) = stats(nodes, params)
@@ -148,14 +149,16 @@ object AdaptiveSearch {
         // with a persisted graph at hand the IVF arm upgrades to the
         // IVF-SEEDED hybrid (the UseLsh-arm rule applied to the skew
         // regime): same bounded coarse-probe seeding, plus expansions
-        // that can only improve on the seeds — measured at 500 k:
-        // 4.1 s / recall 0.654 vs plain-LSH seeding's 87.7 s / 0.635
-        // (SCALING.md, hot-bucket section)
+        // that can only improve on the seeds. MULTI-PROBE seeding
+        // (`seededNProbe`, default 32 — deliberately separate from the
+        // plain-IVF/PQ arms' `nProbe`) is the measured knee at 500 k×64:
+        // recall@10 0.902 at 3.5-5.1 s serving vs 0.654 at 8 probes,
+        // vs plain-LSH seeding's 87.7 s / 0.635 (SCALING.md sweep)
         prebuiltGraph match {
           case Some((gn, ge)) if params.metric == "cosine" =>
             (UseGraphSeededIvf, AnnSearch.searchGraphSeededIvf(gn, ge,
               queries, k, minSim, params, centroids,
-              ef = math.max(64, k), nProbe = nProbe))
+              ef = math.max(64, k), nProbe = seededNProbe))
           case _ =>
             (UseIvf, IvfIndex.search(nodes, centroids, queries, k, minSim,
               nProbe))

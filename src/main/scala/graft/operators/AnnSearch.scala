@@ -183,10 +183,18 @@ object AnnSearch {
     * and the bounded level-0 expansions then recover neighbors outside
     * the probed cells exactly as in [[searchGraphSeeded]]. Pass the
     * build-time `assignments` to skip the O(n × cells) re-assignment
-    * (the [[AdaptiveSearch.PqPrebuilt]] rule). */
+    * (the [[AdaptiveSearch.PqPrebuilt]] rule).
+    *
+    * MULTI-PROBE is the recall lever (IVF's standard nprobe knob):
+    * seed coverage grows with probed cells while seeding cost stays
+    * O(Q × nProbe × n/cells) by construction. Measured on the 500 k×64
+    * ladder (GraphProbe ivf sweep, SCALING.md): nProbe 8 → recall@10
+    * 0.654; 16 → 0.756; **32 → 0.902 at 3.5–5.1 s serving**;
+    * 48 → 0.966 — past the LSH-seeded hybrid's 0.726 ceiling at ~1/20
+    * its cost. Default 32: the knee of that curve. */
   def searchGraphSeededIvf(nodes: DataFrame, edges: DataFrame,
       queries: DataFrame, k: Int, minSim: Double, params: IndexParams,
-      centroids: DataFrame, ef: Int = 64, iters: Int = 2, nProbe: Int = 8,
+      centroids: DataFrame, ef: Int = 64, iters: Int = 2, nProbe: Int = 32,
       assignments: Option[DataFrame] = None,
       broadcastBytes: Long = 64L << 20): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")

@@ -699,21 +699,54 @@ object TextDedup {
     * the pair scan is per-cell, O(Σ|cell|²) instead of O(n²) — k grows
     * with the corpus to hold |cell| ~constant; assignment is one
     * broadcast map-side pass (centroids ≤ k rows), the pair self-join
-    * shuffles on cell (one shuffle; a skewed hot cell is salt-splittable
-    * upstream like any hot join key), and the final keep flag is a
-    * left-join against the (small) duplicate-id set. */
+    * shuffles on cell, and the final keep flag is a left-join against
+    * the (small) duplicate-id set.
+    *
+    * HOT-CELL SALTING: the per-cell pair count O(|cell|²) is the
+    * algorithm (every within-cell pair must be examined), but without
+    * salting ONE task would own a hot cell's entire quadratic block — a
+    * single skewed cluster (adversarial or just a dense topic) turns
+    * into a straggler regardless of executor count. Cells above
+    * `maxCellSide` members therefore split into g = ⌈|cell|/maxCellSide⌉
+    * id-hash salt groups and the self-join decomposes into the full
+    * (sa, sb) grid — each side replicated g× with the OTHER side's salt
+    * as part of the key, so every pair is matched exactly once (at
+    * (sa(a), sb(b))) and the largest join group is bounded by
+    * maxCellSide² pairs independent of cell size. Unsalted cells
+    * (g = 1) degenerate to the plain equi-join. The pair SET — and
+    * therefore the output — is identical at any `maxCellSide`
+    * (TextDedupSpec pins this; d14 hash-checks the default). */
   def semanticDedup(vectors: DataFrame, centroids: DataFrame, tau: Double,
-      idCol: String = "id", vecCol: String = "vector"): DataFrame = {
+      idCol: String = "id", vecCol: String = "vector",
+      maxCellSide: Int = 65536): DataFrame = {
+    require(maxCellSide >= 1, s"maxCellSide $maxCellSide")
     val assigned = IvfIndex.assign(
       vectors.select(col(idCol).as("id"), col(vecCol).as("vector")),
       centroids)
+    // per-cell salt factor g (the sizes table is ≤ k rows — broadcast)
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__sz"))
+      .select(col("cell"),
+        ceil(col("__sz").cast("double") / maxCellSide).cast("int")
+          .as("__g"))
     val x = assigned.select(col("cell"), col("id"), col("vector"))
-    val dup = x.as("a")
-      .join(x.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") > col("b.id"))
+      .join(broadcast(sizes), Seq("cell"))
+      .withColumn("__s", pmod(xxhash64(col("id")), col("__g")).cast("int"))
+    // A carries (own salt, every B salt); B carries (every A salt, own
+    // salt): the (cell, sa, sb) key matches each pair exactly once and
+    // caps the group at maxCellSide² pairs
+    val a = x.select(col("cell"), col("__s").as("__sa"),
+        explode(sequence(lit(0), col("__g") - 1)).as("__sb"),
+        col("id").as("a_id"), col("vector").as("a_vec"))
+    val b = x.select(col("cell"),
+        explode(sequence(lit(0), col("__g") - 1)).as("__sa"),
+        col("__s").as("__sb"),
+        col("id").as("b_id"), col("vector").as("b_vec"))
+    val dup = a.join(b, Seq("cell", "__sa", "__sb"))
+      .filter(col("a_id") > col("b_id"))
       .filter(graft.functions.VectorFunctions.cosineSim(
-        col("a.vector"), col("b.vector")) > tau)
-      .select(col("a.id").as("id")).distinct()
+        col("a_vec"), col("b_vec")) > tau)
+      .select(col("a_id").as("id")).distinct()
     assigned.select(col("id"), col("cell"))
       .join(dup.withColumn("__dup", lit(true)), Seq("id"), "left")
       .withColumn("keep", col("__dup").isNull)

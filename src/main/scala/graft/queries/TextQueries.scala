@@ -94,6 +94,33 @@ object TextQueries {
       store
     })
 
+  /** One exact-mode [[graft.CorpusStore]] per process per data dir (the
+    * [[corpusStoreFor]] shape) exercising assemble()'s COMPLIANCE-GRADE
+    * near-dup stage: `exactJaccardTauMicro` wires d16's PPJoin
+    * (lossless corpus-wide Jaccard self-join) into stage 4 in place of
+    * probabilistic MinHash. Every 20th doc re-enters with two appended
+    * sentinel tokens — trigram-set Jaccard (L−2)/L for an L-token doc,
+    * so clones of docs with ≥ 4 tokens sit AT/ABOVE τ = 0.5 and must
+    * drop, while very short docs' clones fall below and must survive:
+    * the threshold is exercised from both sides and the oracle
+    * re-derives which side each pair lands on (the d10 rule). */
+  private val exactStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.CorpusStore]
+  private def exactStoreFor(s: SparkSession, d: String): graft.CorpusStore =
+    exactStores.getOrElseUpdate(d, {
+      val store = graft.CorpusStore.openOrCreate(s,
+        graft.util.Fs.tempDirDeletedOnExit("graft-exact-store"))
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" zzqx1 zzqx2")).as("text"))
+      store.putDocuments(base.unionByName(clones))
+      store.assemble(graft.CorpusStore.AssemblyParams(
+        clean = false, exactJaccardTauMicro = 500000L,
+        exactJaccardShingle = 3))
+      store
+    })
+
   /** Memoized per-dir BPE merge table (the `indexFor` build-once shape):
     * t29 reports it, t30 replays it — one training pass per process. The
     * returned frame is a driver-local literal (built from the collected
@@ -249,6 +276,15 @@ object TextQueries {
     // unigram variant's candidate mass made the query ~100x slower at
     // sf0.1 while answering a less meaningful question).
     "d16_prefix_jaccard_join" -> ((s, d) => prefixJaccardPairsFor(s, d)),
+
+    // assemble()'s EXACT near-dup mode end-to-end (the facade
+    // composition of d16): survivors of exact-dedup → PPJoin pairs →
+    // components → min-id keep, through ONE assemble() into a persisted
+    // generation. The oracle re-derives the whole chain — injected
+    // near-threshold clones survive/drop exactly as brute-force
+    // all-pairs Jaccard + recursive components say.
+    "t32_assemble_exact_dedup" -> ((s, d) =>
+      exactStoreFor(s, d).trainingDocs.select(col("doc_id"))),
 
     // Train/test NEAR-DUP LEAKAGE audit — the eval-hygiene complement
     // to t06's benchmark decontamination: exact-duplicate splits are
@@ -1131,6 +1167,43 @@ object TextQueries {
          |FROM documents""".stripMargin,
     "d03_minhash_lsh_pairs" ->
       s"WITH $d03PairsCtes\nSELECT a_id, b_id, jacc FROM pairs",
+    "t32_assemble_exact_dedup" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' zzqx1 zzqx2' AS text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |exk AS (
+        |  SELECT a.doc_id, a.text FROM all_docs a
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS kid
+        |        FROM all_docs GROUP BY 1) k
+        |    ON md5(a.text) = k.h AND a.doc_id = k.kid),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM exk),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS ts
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ts, b.ts)) * 1000000 >=
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |      * 500000),
+        |edges AS (
+        |  SELECT a_id AS sv, b_id AS dv FROM pairs
+        |  UNION
+        |  SELECT b_id AS sv, a_id AS dv FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT sv AS node, sv AS lab FROM edges
+        |  UNION
+        |  SELECT e.sv AS node, r.lab FROM edges e JOIN reach r
+        |    ON r.node = e.dv),
+        |lab AS (SELECT node, min(lab) AS cluster_id FROM reach
+        |        GROUP BY node)
+        |SELECT k.doc_id
+        |FROM exk k LEFT JOIN lab l ON l.node = k.doc_id
+        |WHERE k.doc_id = coalesce(l.cluster_id, k.doc_id)""".stripMargin,
     "d16_prefix_jaccard_join" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

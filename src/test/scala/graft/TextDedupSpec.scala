@@ -331,6 +331,41 @@ class TextDedupSpec extends SparkSpec {
       s"unexpected non-clone drops: ${a -- cloneIds}")
   }
 
+  test("semanticDedup: hot-cell salting is output-invariant — one " +
+      "adversarial all-in-one-cluster cell, every salt factor agrees") {
+    graft.functions.VectorFunctions.register(spark)
+    // ADVERSARIAL: every vector points the same general direction, so
+    // the assignment puts ALL of them in one cell — the skew case the
+    // salted (sa, sb)-grid join exists for. 60 vectors with ids chosen
+    // so clones (id+1000, x2 scale) interleave with originals.
+    // direction grid spaced so the CLOSEST distinct pair stays below
+    // cos 0.997 — comfortably under the tau=0.999 clone threshold
+    val base = (0L until 30L).map { i =>
+      (i, Array(1.0f, (i % 7).toFloat / 7f, (i % 5).toFloat / 5f))
+    }
+    val clones = base.map { case (i, v) => (i + 1000L, v.map(_ * 2f)) }
+    val vecs = (base ++ clones).toDF("id", "vector")
+    // one centroid = one cell for everything
+    val cb = Seq((0, Array(1.0f, 0.0f, 0.0f))).toDF("cell", "centroid")
+    def run(maxCellSide: Int) =
+      TextDedup.semanticDedup(vecs, cb, tau = 0.999,
+          maxCellSide = maxCellSide)
+        .select("id", "cell", "keep").as[(Long, Int, Boolean)]
+        .collect().toSet
+    // maxCellSide 60 → g=1 (the plain join); 7 → g=9 grid; 1 → g=60:
+    // the pair SET is identical, so the keep set must be too
+    val plain = run(60)
+    assert(run(7) === plain)
+    assert(run(1) === plain)
+    // and the semantics are right: every x2 clone dropped against its
+    // original, every original kept (tau .999 separates the directions)
+    val keeps = plain.map(r => r._1 -> r._3).toMap
+    assert(base.forall { case (i, _) => keeps(i) },
+      "an original was dropped")
+    assert(clones.forall { case (i, _) => !keeps(i) },
+      "a clone survived")
+  }
+
   test("deletion neighborhood: jaccard bound (m−1)/(m+1) holds for all pairs") {
     val pairs = TextDedup.deletionNeighborhoodPairs(
       Tables.documents(spark, sf001).limit(200))

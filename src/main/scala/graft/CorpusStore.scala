@@ -159,6 +159,28 @@ class CorpusStore private (val spark: SparkSession, val path: String,
       s"packSplit ${p.packSplit} not among splits ${p.splits.map(_._1)}")
     require(p.dsirTarget.isEmpty || p.dsirK > 0,
       s"dsirTarget set but dsirK ${p.dsirK} is not positive")
+    // Stage-boundary caching: the optional drop stages (near-dup,
+    // semantic, decontaminate, DSIR) each run SEVERAL internal actions
+    // (pair persists, component iterations, model aggregations,
+    // Gumbel-top-k) over their input — left lazy, every such action
+    // re-executes the ENTIRE upstream chain, and with all stages on the
+    // composition went super-additive (measured at 100 k docs: stages
+    // individually +8/+33/+8/+12 s over an 18 s base, but 533 s
+    // composed — ~7× pure recomputation). A stage output is therefore
+    // persisted exactly when a LATER optional stage will traverse it
+    // again; everything unpersists before return. At cluster scale the
+    // same rule holds with MEMORY_AND_DISK: the cached frame is the
+    // surviving corpus, the facade's own working set.
+    val cachedStages =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame, reusedLater: Boolean): DataFrame =
+      if (!reusedLater) df
+      else { val c = df.persist(); cachedStages += c; c }
+    val nearDupOn = p.nearDupJaccard > 0 || p.exactJaccardTauMicro > 0
+    val semOn = p.embeddings.isDefined
+    val contamOn = p.benchmark.isDefined
+    val dsirOn = p.dsirTarget.isDefined
+    try {
     val src = documents
 
     // 1. clean — in-place text transform, payload columns preserved
@@ -195,27 +217,31 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     require(p.nearDupJaccard <= 0 || p.exactJaccardTauMicro <= 0,
       "choose ONE near-dup mode: nearDupJaccard (MinHash-LSH) or " +
         "exactJaccardTauMicro (exact PPJoin)")
-    val exactKept = capped.join(
+    val exactKept = staged(capped.join(
       TextDedup.exactDedup(capped).select(col("keep_id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"),
+      nearDupOn || semOn || contamOn || dsirOn)
     def selectKeepers(pairs: DataFrame): DataFrame =
       exactKept.join(
         TextDedup.dedupSelect(exactKept, pairs)
           .filter(col("keep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-    val deduped =
-      if (p.exactJaccardTauMicro > 0) {
-        val tokenFn: org.apache.spark.sql.Column =>
-            org.apache.spark.sql.Column =
-          if (p.exactJaccardShingle > 1)
-            t => TextDedup.shingles(t, p.exactJaccardShingle)
-          else TextDedup.tokenSet _
-        selectKeepers(TextDedup.prefixJaccardPairs(exactKept,
-          p.exactJaccardTauMicro, tokenFn = tokenFn))
-      } else if (p.nearDupJaccard > 0)
-        selectKeepers(TextDedup.minhashNearDupPairs(exactKept, p.nHashes,
-          p.nearDupJaccard))
-      else exactKept
+    val deduped = {
+      val d0 =
+        if (p.exactJaccardTauMicro > 0) {
+          val tokenFn: org.apache.spark.sql.Column =>
+              org.apache.spark.sql.Column =
+            if (p.exactJaccardShingle > 1)
+              t => TextDedup.shingles(t, p.exactJaccardShingle)
+            else TextDedup.tokenSet _
+          selectKeepers(TextDedup.prefixJaccardPairs(exactKept,
+            p.exactJaccardTauMicro, tokenFn = tokenFn))
+        } else if (p.nearDupJaccard > 0)
+          selectKeepers(TextDedup.minhashNearDupPairs(exactKept, p.nHashes,
+            p.nearDupJaccard))
+        else exactKept
+      if (d0 eq exactKept) d0 else staged(d0, semOn || contamOn || dsirOn)
+    }
 
     // 4b. semantic dedup (SemDeDup, d14's operator) — when a doc-keyed
     //     embedding table is supplied, cluster-then-prune drops the
@@ -232,7 +258,8 @@ class CorpusStore private (val spark: SparkSession, val path: String,
         val dropIds = TextDedup.semanticDedup(vecs,
             IvfIndex.sampleCodebook(vecs, p.semanticK), p.semanticTau)
           .filter(!col("keep")).select(col("id").as("doc_id"))
-        deduped.join(dropIds, Seq("doc_id"), "left_anti")
+        staged(deduped.join(dropIds, Seq("doc_id"), "left_anti"),
+          contamOn || dsirOn)
       case None => deduped
     }
 
@@ -248,7 +275,7 @@ class CorpusStore private (val spark: SparkSession, val path: String,
             p.contaminationN)
           .filter(col("n_shared_ngrams") > p.maxSharedNgrams)
           .select(col("id").as("doc_id"))
-        semDeduped.join(dirty, Seq("doc_id"), "left_anti")
+        staged(semDeduped.join(dirty, Seq("doc_id"), "left_anti"), dsirOn)
       case None => semDeduped
     }
 
@@ -259,10 +286,13 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     //     docs that already survived dedup + decontamination.
     val decontaminated = p.dsirTarget match {
       case Some(target) =>
-        decontTmp.join(
+        // the DSIR semi-join's OUTPUT persists: the Gumbel-top-k scoring
+        // plan sits in its lineage, and stages 5-7 plus the two
+        // generation writes would each re-run it otherwise
+        staged(decontTmp.join(
           ImportanceResampling.resample(decontTmp, target, p.dsirK)
             .select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
+          Seq("doc_id"), "left_semi"), reusedLater = true)
       case None => decontTmp
     }
 
@@ -279,9 +309,13 @@ class CorpusStore private (val spark: SparkSession, val path: String,
         .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
         .withColumn("rate_micro", lit(1000000L))
 
-    // 6. split assignment (stable salted buckets)
-    val assigned = Sampling.splitAssign(mixed, "doc_id", p.splits,
-      p.splitSalt)
+    // 6. split assignment (stable salted buckets). The assigned table
+    //    feeds BOTH generation writes (docs + packed sequences) — with
+    //    any optional drop stage in its lineage, cache it so the second
+    //    write replays a cached scan, not the chain.
+    val assigned = staged(
+      Sampling.splitAssign(mixed, "doc_id", p.splits, p.splitSalt),
+      nearDupOn || semOn || contamOn || dsirOn)
 
     // 7. sequence packing over the training split only
     val seqs = CorpusOps.packSequences(
@@ -296,6 +330,7 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     // old generation is unreferenced now; best-effort cleanup (a crash
     // here leaks a directory, never correctness)
     old.foreach(g => Fs.deleteRecursive(spark, trainDir(g)))
+    } finally cachedStages.foreach { c => c.unpersist(); () }
   }
 
   /** The generation's data card — the reproducibility manifest a

@@ -152,6 +152,67 @@ object TextScaleProbe {
           s""""assemble_sec":$tAssemble,"kept_docs":$kept,""" +
           s""""fragments":$frags}""")
 
+      case "storefull" =>
+        // the FULL-STAGE assemble: every optional drop stage enabled at
+        // once — gate, cap, exact dedup, MinHash near-dup, SEMANTIC
+        // dedup (4b, over synthetic embeddings), decontamination (4c),
+        // DSIR selection (4d), resample, split, pack — the composition
+        // the "store" mode leaves partly off. Semantic dedup's k grows
+        // as √n (the SemDeDup contract: k must grow with the corpus;
+        // with the broadcast-argmax assign this stage is Θ(n·k + n²/k)
+        // = Θ(n^1.5) at k = √n — the honest cost of the operator at
+        // probe scale; a 100 TB deployment amortizes assignment through
+        // the persisted IVF artifacts instead).
+        val n = if (args.length > 1) args(1).toLong else 300000L
+        // optional third arg: comma-set of stages to enable (default all)
+        // — nd (MinHash near-dup), sem (semantic), contam, dsir
+        val stages: Set[String] =
+          if (args.length > 2) args(2).split(",").toSet
+          else Set("nd", "sem", "contam", "dsir")
+        val docs = syntheticDocs(spark, n, salt = 4)
+          .withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20))))
+          .localCheckpoint()
+        val emb = spark.range(n).select(col("id").as("doc_id"),
+            transform(sequence(lit(0), lit(31)),
+              j => ((pmod(hash(col("id"), j), lit(1000)).cast("float") /
+                lit(1000.0f)) + lit(0.05f)).cast("float")).as("vector"))
+          .localCheckpoint()
+        val bench = syntheticDocs(spark, 2000L, salt = 9).localCheckpoint()
+        val target = syntheticDocs(spark, 20000L, salt = 4)
+          .filter(col("doc_id") % 7 === 0).localCheckpoint()
+        docs.count(); emb.count(); bench.count(); target.count()
+        val store = CorpusStore.openOrCreate(spark,
+          graft.util.Fs.tempDirDeletedOnExit("graft-storefull-probe"))
+        val (_, tPut) = timed { store.putDocuments(docs) }
+        val semK = math.max(64, math.sqrt(n.toDouble).toInt)
+        val (_, tAssemble) = timed {
+          store.assemble(CorpusStore.AssemblyParams(
+            minTokens = 5, minQuality = 0.1,
+            maxPerSource = (n / 25).toInt,
+            nearDupJaccard = if (stages("nd")) 0.9 else 0.0, nHashes = 8,
+            benchmark = if (stages("contam")) Some(bench) else None,
+            maxSharedNgrams = 10,
+            embeddings = if (stages("sem")) Some(emb) else None,
+            semanticTau = 0.95, semanticK = semK,
+            dsirTarget = if (stages("dsir")) Some(target) else None,
+            dsirK = (n / 4).toInt,
+            targets = Map("src1" -> 3L, "src2" -> 1L, "src3" -> 2L),
+            seqTokens = 2048))
+        }
+        val kept = store.trainingDocs.count()
+        val frags = store.trainingSequences.count()
+        // manifest cross-check: the data card's output count must equal
+        // the served generation's
+        val manifestN = """"n_output_docs":\s*(\d+)""".r
+          .findFirstMatchIn(store.manifest).map(_.group(1).toLong)
+          .getOrElse(-1L)
+        println(s"""{"mode":"storefull","docs":$n,"sem_k":$semK,""" +
+          s""""put_sec":$tPut,"assemble_sec":$tAssemble,""" +
+          s""""kept_docs":$kept,"fragments":$frags,""" +
+          s""""manifest_output_docs":$manifestN,""" +
+          s""""manifest_matches":${manifestN == kept}}""")
+
       case "ingest" =>
         // delta-chain ingest cost: per-batch appendDocuments time must be
         // ~flat in CORPUS size (O(batch) deltas) until the compactEvery-th

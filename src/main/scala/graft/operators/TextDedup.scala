@@ -720,9 +720,14 @@ object TextDedup {
       idCol: String = "id", vecCol: String = "vector",
       maxCellSide: Int = 65536): DataFrame = {
     require(maxCellSide >= 1, s"maxCellSide $maxCellSide")
+    // checkpointed: the assignment (a real n×k argmax aggregation) feeds
+    // FOUR consumers — the size/salt table, both sides of the pair
+    // self-join, and the final keep attach. Left lazy, Catalyst treats
+    // each as an independent subtree and the argmax re-executes per
+    // consumer (measured 4× the stage cost inside assemble()).
     val assigned = IvfIndex.assign(
       vectors.select(col(idCol).as("id"), col(vecCol).as("vector")),
-      centroids)
+      centroids).localCheckpoint()
     // per-cell salt factor g (the sizes table is ≤ k rows — broadcast)
     val sizes = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__sz"))

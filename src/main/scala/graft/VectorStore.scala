@@ -479,6 +479,21 @@ class VectorStore private (
   def appendPqIndex(delta: DataFrame, driftRatioMax: Double = 2.0,
       compactEvery: Int = 8,
       qeFloorMicro: Long = 1000L): VectorStore.CompressedAppendStats = {
+    val dd = (if (delta.columns.contains("deleted")) delta
+              else delta.withColumn("deleted", lit(false)))
+      .localCheckpoint()
+    validate(dd.filter(!col("deleted")))
+    persist(Mutations.upsert(nodes, dd))
+    appendPqCodes(dd, driftRatioMax, compactEvery, qeFloorMicro)
+  }
+
+  /** The codes-only half of [[appendPqIndex]] — `dd` (id, vector,
+    * deleted) must ALREADY be reflected in the node table (the
+    * streaming ingest path applies the batch to the table once, then
+    * folds the same delta into every existing compressed tier). */
+  private def appendPqCodes(dd: DataFrame, driftRatioMax: Double,
+      compactEvery: Int, qeFloorMicro: Long)
+      : VectorStore.CompressedAppendStats = {
     graft.functions.VectorFunctions.register(spark)
     val (v, k) = Snapshots.currentWithDeltas(spark, path, "PQINDEX")
       .getOrElse(throw new IllegalStateException(
@@ -486,11 +501,6 @@ class VectorStore private (
     val dir = pqDir(v)
     val mSub = 8
     val subLen = params.dim / mSub
-    val dd = (if (delta.columns.contains("deleted")) delta
-              else delta.withColumn("deleted", lit(false)))
-      .localCheckpoint()
-    validate(dd.filter(!col("deleted")))
-    persist(Mutations.upsert(nodes, dd))
     val liveD = dd.filter(!col("deleted")).select(col("id"), col("vector"))
     val tombD = dd.filter(col("deleted")).select(col("id"))
     val centroids = spark.read.parquet(s"$dir/centroids")
@@ -605,15 +615,26 @@ class VectorStore private (
       packedCol: String, packedType: String, oobMicroMax: Long,
       compactEvery: Int,
       compactFn: () => Unit): VectorStore.CompressedAppendStats = {
-    val (v, k) = Snapshots.currentWithDeltas(spark, path, pointer)
-      .getOrElse(throw new IllegalStateException(
-        s"no $prefix index under $path — build it first"))
-    val dir = Snapshots.versionPath(path, prefix, v)
     val dd = (if (delta.columns.contains("deleted")) delta
               else delta.withColumn("deleted", lit(false)))
       .localCheckpoint()
     validate(dd.filter(!col("deleted")))
     persist(Mutations.upsert(nodes, dd))
+    appendPackedCodes(prefix, pointer, dd, encodeFn, packedCol,
+      packedType, oobMicroMax, compactEvery, compactFn)
+  }
+
+  /** The codes-only half of [[appendPacked]] ([[appendPqCodes]]'
+    * contract: `dd` already applied to the node table). */
+  private def appendPackedCodes(prefix: String, pointer: String,
+      dd: DataFrame, encodeFn: (DataFrame, DataFrame) => DataFrame,
+      packedCol: String, packedType: String, oobMicroMax: Long,
+      compactEvery: Int,
+      compactFn: () => Unit): VectorStore.CompressedAppendStats = {
+    val (v, k) = Snapshots.currentWithDeltas(spark, path, pointer)
+      .getOrElse(throw new IllegalStateException(
+        s"no $prefix index under $path — build it first"))
+    val dir = Snapshots.versionPath(path, prefix, v)
     val liveD = dd.filter(!col("deleted")).select(col("id"), col("vector"))
     val tombD = dd.filter(col("deleted")).select(col("id"))
     val bounds = spark.read.parquet(s"$dir/bounds")
@@ -745,6 +766,68 @@ class VectorStore private (
       queries, k,
       shortlist = if (shortlist > 0) shortlist else math.max(200, 20 * k),
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
+  // ---- streaming ingest keeping the compressed tiers fresh -----------
+
+  /** Streaming ingest that keeps the COMPRESSED serving tiers fresh —
+    * the vector-side analog of
+    * [[graft.CorpusStore.startIngest]]`(refreshChunks = true)`: events
+    * (id, vector, op ∈ upsert|delete, seq) apply to the node table ONCE
+    * per micro-batch ([[graft.streaming.StreamingIngest.applyBatch]]'s
+    * seq-ordered semantics), then the SAME resolved delta folds into
+    * every compressed generation that exists (PQ / SQ / BQ — absent
+    * tiers are skipped), all at O(batch). Drift verdicts stream out
+    * through `onAppend(tier, stats)` — the hook a production
+    * deployment wires to alerting / retrain scheduling (appends stay
+    * correct under drift; the gate is a quality signal, not a
+    * correctness one). Requires the respective build* to have run once
+    * for each tier that should stay fresh. Single-writer contract: one
+    * running ingest query (or one batch writer) owns a store path at a
+    * time. */
+  def startIngestCompressed(events: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      onAppend: (String, VectorStore.CompressedAppendStats) => Unit =
+        (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Seq("id", "vector", "op", "seq")
+        .forall(events.columns.contains),
+      s"ingest events need (id, vector, op, seq); got " +
+        events.columns.mkString(","))
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$path/_ingest_compressed_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.VectorFunctions.register(spark)
+          val touched = batch.select(col("id")).distinct()
+          val next = graft.streaming.StreamingIngest
+            .applyBatch(nodes, batch).localCheckpoint()
+          persist(next)
+          // the touched ids' FINAL state this batch: live rows encode,
+          // tombstoned rows retire their codes. A delete for an id the
+          // store never held resolves to no row at all — nothing to
+          // retire (applyBatch's no-op rule carries through).
+          val dd = next.join(touched, Seq("id"), "left_semi")
+            .select(col("id"), col("vector"), col("deleted"))
+            .localCheckpoint()
+          if (Fs.exists(spark, s"$path/PQINDEX"))
+            onAppend("pq", appendPqCodes(dd, driftRatioMax = 2.0,
+              compactEvery = 8, qeFloorMicro = 1000L))
+          if (Fs.exists(spark, s"$path/SQINDEX"))
+            onAppend("sq", appendPackedCodes("sq", "SQINDEX", dd,
+              (d, b) => SqIndex.encode(d, b), "codes", "array<int>",
+              10000L, 8, () => compactSqIndex()))
+          if (Fs.exists(spark, s"$path/BQINDEX"))
+            onAppend("bq", appendPackedCodes("bq", "BQINDEX", dd,
+              (d, b) => BqIndex.encode(d, b), "bits", "array<bigint>",
+              10000L, 8, () => compactBqIndex()))
+        }
+        ()
+      }
+      .start()
   }
 
   /** Drop the store (astrovault.ts:134-146). */

@@ -417,6 +417,55 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("startIngestCompressed: streamed upserts/deletes keep the " +
+      "PQ and SQ tiers fresh at O(batch); drift verdicts surface") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-sic").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 40L).map(i => (i, vec(i))).toDF("id", "vector"))
+    store.buildPqIndex(cells = 4)
+    store.buildSqIndex()
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(String, VectorStore.CompressedAppendStats)]
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = store.startIngestCompressed(
+      stream.toDF().toDF("id", "vector", "op", "seq"),
+      onAppend = (t, s) => { seen.synchronized { seen += ((t, s)) }; () })
+    try {
+      // one batch: new vector 500 arrives, vector 3 is deleted, and id
+      // 501 gets upsert-then-delete (seq order must resolve to delete)
+      stream.addData(
+        (500L, vec(500L), "upsert", 1L),
+        (3L, Seq.empty[Float], "delete", 2L),
+        (501L, vec(501L), "upsert", 3L),
+        (501L, Seq.empty[Float], "delete", 4L))
+      q.processAllAvailable()
+      // both existing tiers got an append with the right counts
+      assert(seen.map(_._1).sorted === Seq("pq", "sq"), s"tiers: $seen")
+      assert(seen.forall { case (_, s) =>
+        s.nAppended === 1L && s.nTombstoned === 2L }, s"stats: $seen")
+      // PQ serves the new id at rank 1; deleted ids are gone
+      val q500 = Seq((500L, vec(500L))).toDF("query_id", "query_vec")
+      assert(store.searchPq(q500, 1, 0).select("id").as[Long]
+        .head() === 500L)
+      assert(store.loadPqIndex().codes
+        .filter(col("id").isin(3L, 501L)).count() === 0)
+      assert(store.searchSq(q500, 1, 0).select("id").as[Long]
+        .head() === 500L)
+      // a second, out-of-distribution batch trips the drift gate
+      seen.clear()
+      stream.addData((600L, vec(600L).map(_ * 100f), "upsert", 5L))
+      q.processAllAvailable()
+      assert(seen.exists { case (t, s) => t === "sq" && s.retrainRecommended },
+        s"x100 batch must trip the SQ out-of-bounds gate: $seen")
+    } finally q.stop()
+    store.delete()
+  }
+
   test("compressed searches without an index fail with a clear message") {
     val store = VectorStore.openOrCreate(spark,
       java.nio.file.Files.createTempDirectory("graft-store-noidx").toString,

@@ -38,6 +38,31 @@ class ZOrderSpec extends SparkSpec {
     assert(z1.map(_._3).size === 4096)
   }
 
+  test("zValues: full-range and hash-valued long columns stay sane " +
+      "(the BIGINT formulation overflowed past 2^(63-bits) ranges)") {
+    // extremes + hash-like values: range = 2^64-ish, where
+    // (x - mn) * 2^bits wrapped under BIGINT arithmetic and produced
+    // negative/garbage z-values; the DECIMAL(38,0) path must bucket
+    // them monotonically into [0, 2^bits)
+    val rows = Seq(
+      (Long.MinValue, 0L), (Long.MaxValue, 1L), (-1L, 2L), (0L, 3L),
+      (7730967624485223907L, 4L), (-8913761212898315023L, 5L))
+    val df = rows.toDF("h", "i")
+    val z = ZOrder.zValues(df, Seq("h", "i"), bits = 4)
+      .select("h", "z").as[(Long, Long)].collect().toMap
+    assert(z.values.forall(v => v >= 0 && v < (1L << 8)),
+      s"z out of range: $z")
+    // bucketing must be monotone in the column value
+    val ordered = rows.map(_._1).sorted.map(z)
+    // extract h's bucket (even bit positions of z, j=0 of 2 cols)
+    def hBucket(zv: Long): Long =
+      (0 until 4).map(b => ((zv >> (2 * b)) & 1L) << b).sum
+    val hb = ordered.map(hBucket)
+    assert(hb === hb.sorted, s"non-monotone buckets: $hb")
+    assert(hb.head === 0L && hb.last === (1L << 4) - 1,
+      s"extremes must land in the first/last bucket: $hb")
+  }
+
   test("locality: z-order keeps per-partition min/max narrow in BOTH " +
       "columns; a linear sort only in its leading key") {
     val grid = for { x <- 0 until 64; y <- 0 until 64 }

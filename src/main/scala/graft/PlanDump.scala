@@ -67,7 +67,10 @@ object PlanDump {
       "e07_hard_negatives" -> "hard-negative band: one codegen filter over the shared search contract, mining cost IS the search cost",
       "q45_funnel" -> "windowed funnel: three per-type hash aggs + user-keyed joins, no event-stream window or state machine",
       "d15_split_leakage" -> "leakage audit: ONE banded pair derivation + two broadcast split attaches, never all-pairs",
-      "d16_prefix_jaccard_join" -> "exact PPJoin: rare-shingle prefix equi-join + length prune, verify touches candidate pairs only")
+      "d16_prefix_jaccard_join" -> "exact PPJoin: rare-shingle prefix equi-join + length prune, verify touches candidate pairs only",
+      "a20_pq_append_encode" -> "compressed append: frozen broadcast centroids/codebooks, map-side assign+residual+argmin encode on BOTH base and delta, union of narrow code rows",
+      "m05_cdc_gear" -> "Gear CDC: one mapPartitions boundary scan emitting narrow (asset,end) rows, shared declarative chunk/sharing tail",
+      "t32_assemble_exact_dedup" -> "assemble exact-dedup mode: persisted generation scanned once (the whole PPJoin+CC chain ran at build, not per query)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of flagship queries\n\n")

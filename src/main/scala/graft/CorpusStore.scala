@@ -255,8 +255,13 @@ class CorpusStore private (val spark: SparkSession, val path: String,
           .select(col("doc_id").as("id"), col("vector"))
           .join(deduped.select(col("doc_id").as("id")), Seq("id"),
             "left_semi")
+        // a persisted (id, cell) assignment skips semanticDedup's
+        // O(n × k) argmax — the >1 M-vector lever; extra ids in the
+        // prebuilt table are restricted by the inner join, and the
+        // caller owns centroid/assignment consistency
         val dropIds = TextDedup.semanticDedup(vecs,
-            IvfIndex.sampleCodebook(vecs, p.semanticK), p.semanticTau)
+            IvfIndex.sampleCodebook(vecs, p.semanticK), p.semanticTau,
+            assignments = p.semanticAssignments)
           .filter(!col("keep")).select(col("id").as("doc_id"))
         staged(deduped.join(dropIds, Seq("doc_id"), "left_anti"),
           contamOn || dsirOn)
@@ -724,6 +729,7 @@ object CorpusStore {
       embeddings: Option[org.apache.spark.sql.DataFrame] = None,
       semanticTau: Double = 0.9,
       semanticK: Int = 64,
+      semanticAssignments: Option[org.apache.spark.sql.DataFrame] = None,
       dsirTarget: Option[org.apache.spark.sql.DataFrame] = None,
       dsirK: Int = 0,
       targets: Map[String, Long] = Map.empty,

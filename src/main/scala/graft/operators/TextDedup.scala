@@ -718,16 +718,25 @@ object TextDedup {
     * (TextDedupSpec pins this; d14 hash-checks the default). */
   def semanticDedup(vectors: DataFrame, centroids: DataFrame, tau: Double,
       idCol: String = "id", vecCol: String = "vector",
-      maxCellSide: Int = 65536): DataFrame = {
+      maxCellSide: Int = 65536,
+      assignments: Option[DataFrame] = None): DataFrame = {
     require(maxCellSide >= 1, s"maxCellSide $maxCellSide")
-    // checkpointed: the assignment (a real n×k argmax aggregation) feeds
-    // FOUR consumers — the size/salt table, both sides of the pair
-    // self-join, and the final keep attach. Left lazy, Catalyst treats
-    // each as an independent subtree and the argmax re-executes per
+    // `assignments` (id, cell — the [[IvfIndex.search]] pattern): a
+    // persisted build-time assignment skips the O(n × k) argmax
+    // entirely — the scale lever past ~1 M vectors, where assignment
+    // (not the per-cell pair scan) dominates at the k-grows-with-n
+    // contract. Without one, the in-line assignment is checkpointed:
+    // it feeds FOUR consumers (size/salt table, both pair self-join
+    // sides, keep attach) and Catalyst would re-execute the argmax per
     // consumer (measured 4× the stage cost inside assemble()).
-    val assigned = IvfIndex.assign(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("vector")),
-      centroids).localCheckpoint()
+    val assigned = (assignments match {
+      case Some(a) =>
+        vectors.select(col(idCol).as("id"), col(vecCol).as("vector"))
+          .join(a.select(col("id"), col("cell")), Seq("id"))
+      case None => IvfIndex.assign(
+        vectors.select(col(idCol).as("id"), col(vecCol).as("vector")),
+        centroids)
+    }).localCheckpoint()
     // per-cell salt factor g (the sizes table is ≤ k rows — broadcast)
     val sizes = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__sz"))

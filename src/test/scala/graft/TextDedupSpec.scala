@@ -364,6 +364,15 @@ class TextDedupSpec extends SparkSpec {
       "an original was dropped")
     assert(clones.forall { case (i, _) => !keeps(i) },
       "a clone survived")
+    // prebuilt-assignments path (the scale lever that skips the n x k
+    // argmax): feeding the in-line assignment back in must reproduce
+    // the exact output
+    val prebuilt = graft.operators.IvfIndex.assign(
+      vecs.select(col("id"), col("vector")), cb).select("id", "cell")
+    assert(TextDedup.semanticDedup(vecs, cb, tau = 0.999,
+        assignments = Some(prebuilt))
+      .select("id", "cell", "keep").as[(Long, Int, Boolean)]
+      .collect().toSet === plain)
   }
 
   test("deletion neighborhood: jaccard bound (m−1)/(m+1) holds for all pairs") {

@@ -186,6 +186,27 @@ object TextScaleProbe {
           graft.util.Fs.tempDirDeletedOnExit("graft-storefull-probe"))
         val (_, tPut) = timed { store.putDocuments(docs) }
         val semK = math.max(64, math.sqrt(n.toDouble).toInt)
+        // `sempre`: pre-assign the embeddings ONCE (the persisted-IVF-
+        // artifact pattern) and hand assemble the (id, cell) table —
+        // measures the semanticAssignments lever that skips the O(n·k)
+        // in-line argmax. Cells differ from the in-line run's
+        // (codebook over all ids vs survivors) — the keep rule is
+        // partition-relative either way; this measures WALL, not a
+        // fixed output.
+        val (semPre, tPreAssign) =
+          if (!stages("sempre")) (None, 0.0)
+          else {
+            graft.functions.VectorFunctions.register(spark)
+            val (a, t) = timed {
+              val cb = graft.operators.IvfIndex.sampleCodebook(
+                emb.select(col("doc_id").as("id"), col("vector")), semK)
+              val asg = graft.operators.IvfIndex.assign(
+                  emb.select(col("doc_id").as("id"), col("vector")), cb)
+                .select(col("id"), col("cell")).localCheckpoint()
+              asg.count(); asg
+            }
+            (Some(t -> a), t)
+          }
         val (_, tAssemble) = timed {
           store.assemble(CorpusStore.AssemblyParams(
             minTokens = 5, minQuality = 0.1,
@@ -195,6 +216,7 @@ object TextScaleProbe {
             maxSharedNgrams = 10,
             embeddings = if (stages("sem")) Some(emb) else None,
             semanticTau = 0.95, semanticK = semK,
+            semanticAssignments = semPre.map(_._2),
             dsirTarget = if (stages("dsir")) Some(target) else None,
             dsirK = (n / 4).toInt,
             targets = Map("src1" -> 3L, "src2" -> 1L, "src3" -> 2L),
@@ -208,7 +230,8 @@ object TextScaleProbe {
           .findFirstMatchIn(store.manifest).map(_.group(1).toLong)
           .getOrElse(-1L)
         println(s"""{"mode":"storefull","docs":$n,"sem_k":$semK,""" +
-          s""""put_sec":$tPut,"assemble_sec":$tAssemble,""" +
+          s""""put_sec":$tPut,"pre_assign_sec":$tPreAssign,""" +
+          s""""assemble_sec":$tAssemble,""" +
           s""""kept_docs":$kept,"fragments":$frags,""" +
           s""""manifest_output_docs":$manifestN,""" +
           s""""manifest_matches":${manifestN == kept}}""")

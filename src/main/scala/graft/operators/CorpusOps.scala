@@ -94,15 +94,32 @@ object CorpusOps {
     * is NULL, excluded in both engines). */
   def packSequences(docs: DataFrame, seqTokens: Int,
       idCol: String = "doc_id", textCol: String = "text",
+      partitions: Int = 0): DataFrame =
+    packSequencesByCounts(
+      docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks")),
+      seqTokens, partitions)
+
+  /** [[packSequences]] over a CALLER-SUPPLIED per-doc token-count table
+    * (doc_id, n_toks) — the tokenizer-aware variant: a pretraining
+    * sequence budget is measured in MODEL tokens, and whitespace fields
+    * are only a proxy for them. Feed counts from a real tokenizer — the
+    * persisted BPE vocabulary's segmentation
+    * ([[TextFeaturizer.bpeSegment]] grouped per doc, the t33 harness
+    * composition) — and the packed fragments line up with what the
+    * training loader actually materializes. Same two-level prefix sum,
+    * all-BIGINT arithmetic, partitioning-invariant output; docs with
+    * non-positive counts drop (the NULL-text rule generalized). */
+  def packSequencesByCounts(counts: DataFrame, seqTokens: Int,
       partitions: Int = 0): DataFrame = {
     require(seqTokens > 0, s"seqTokens $seqTokens")
     val b = seqTokens.toLong
-    val toks = docs.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).cast("long").as("n_toks"))
+    val toks = counts.select(col("doc_id"),
+        col("n_toks").cast("long").as("n_toks"))
       .filter(col("n_toks") > 0)
     val nPart =
       if (partitions > 0) partitions
-      else docs.sparkSession.sessionState.conf.numShufflePartitions
+      else counts.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = toks.repartitionByRange(nPart, col("doc_id"))
       .withColumn("pid", spark_partition_id())
     val local = ranged.withColumn("local_cum",

@@ -778,6 +778,24 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_pieces"), col("seg_md5"))
     }),
 
+    // TOKENIZER-AWARE sequence packing (t15's concat-and-chunk layout
+    // with the budget measured in MODEL tokens): per-doc piece counts
+    // come from replaying the memoized BPE vocabulary (t30's
+    // segmentation), then the same two-level-prefix-sum packing
+    // arithmetic chunks the PIECE stream into 512-piece training
+    // sequences. The oracle re-learns all 8 merges, re-segments every
+    // word, and re-derives every fragment — a regression in training,
+    // segmentation, or packing arithmetic fails the hash.
+    "t33_bpe_packing" -> ((s, d) => {
+      val counts = graft.operators.TextFeaturizer
+        .bpeSegment(Tables.documents(s, d), bpeMergesFor(s, d))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_toks"))
+        .select(col("id").as("doc_id"), col("n_toks"))
+      graft.operators.CorpusOps.packSequencesByCounts(counts,
+        seqTokens = 512)
+    }),
+
     // EXACT heavy hitters via two-pass Misra-Gries (the frequency-sketch
     // scale answer: O(k) per-partition candidate state, candidate-only
     // recount — never a full-vocabulary shuffle): every token holding
@@ -893,10 +911,10 @@ object TextQueries {
     bpeOracleCtes(n) + "\nSELECT * FROM " +
       (1 to n).map(i => s"m$i").mkString(" UNION ALL SELECT * FROM ")
 
-  /** t30: replay the learned merges over EVERY corpus word (scalar
-    * subqueries against the m_i CTEs), split to pieces, and aggregate
-    * per doc — piece count + md5 of pieces in (wpos, pos) order. */
-  private def bpeSegmentOracle(n: Int): String = {
+  /** CTE chain through `seg` (per-doc ordered BPE pieces after replaying
+    * every learned merge) — shared by the t30 segmentation oracle and
+    * the t33 tokenizer-aware packing oracle. */
+  private def bpeSegCtes(n: Int): String = {
     val applied = (1 to n).foldLeft("dw") { (acc, i) =>
       s"""replace($acc,
          |  (SELECT chr(31)||left_sym||chr(31)||chr(31)||right_sym||chr(31)
@@ -917,11 +935,44 @@ object TextQueries {
       |  FROM (SELECT doc_id, wpos,
       |          string_split(($applied)[2:-2], chr(31)||chr(31)) AS pieces
       |        FROM dwords),
-      |       LATERAL unnest(generate_series(1, len(pieces))) AS p(i))
+      |       LATERAL unnest(generate_series(1, len(pieces))) AS p(i))""".stripMargin
+  }
+
+  /** t30: replay the learned merges over EVERY corpus word (scalar
+    * subqueries against the m_i CTEs), split to pieces, and aggregate
+    * per doc — piece count + md5 of pieces in (wpos, pos) order. */
+  private def bpeSegmentOracle(n: Int): String =
+    bpeSegCtes(n) + """
       |SELECT doc_id, count(*)::BIGINT AS n_pieces,
       |  md5(array_to_string(list(piece ORDER BY wpos, pos), ' ')) AS seg_md5
       |FROM seg GROUP BY doc_id""".stripMargin
-  }
+
+  /** t33: the t15 concat-and-chunk packing arithmetic over BPE PIECE
+    * counts instead of whitespace fields — the oracle re-learns the
+    * vocabulary, re-segments every word, counts pieces per doc, and
+    * re-derives every fragment of the packed stream. */
+  private def bpePackOracle(n: Int, b: Int): String =
+    bpeSegCtes(n) + s""",
+      |toks AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_toks FROM seg GROUP BY doc_id),
+      |cum AS (
+      |  SELECT doc_id, n_toks,
+      |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS off
+      |  FROM toks WHERE n_toks > 0),
+      |frag AS (
+      |  SELECT doc_id, n_toks, off,
+      |    unnest(generate_series(off // $b, (off + n_toks - 1) // $b))
+      |      AS seq
+      |  FROM cum)
+      |SELECT seq AS seq_id, doc_id,
+      |  GREATEST(0, seq * $b - off)::BIGINT AS start_tok,
+      |  (LEAST(n_toks, (seq + 1) * $b - off)
+      |    - GREATEST(0, seq * $b - off))::BIGINT AS frag_tokens,
+      |  (off + GREATEST(0, seq * $b - off) - seq * $b)::BIGINT
+      |    AS pos_in_seq
+      |FROM frag""".stripMargin
 
   private val tokSetSql = "list_distinct(string_split(text, ' '))"
   private def mhSql(seed: Int) =
@@ -1837,6 +1888,7 @@ object TextQueries {
         |FROM ranked WHERE rn BETWEEN 2 AND 6 AND id <> query_id""".stripMargin,
     "t29_bpe_train" -> bpeTrainOracle(8),
     "t30_bpe_segment" -> bpeSegmentOracle(8),
+    "t33_bpe_packing" -> bpePackOracle(8, 512),
     "e06_chunk_store_search" ->
       """WITH ctoks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

@@ -361,6 +361,15 @@ class VectorStore private (
   // recall with no signal. At 100 TB this is the difference between
   // paying O(batch) per ingest and a full retrain + re-encode of the
   // corpus for 0.1% daily churn.
+  //
+  // Read contract across flips: every search call RE-RESOLVES the
+  // pointer, so a call sees one complete generation end-to-end. A
+  // DataFrame planned before a rebuild/compaction and executed after it
+  // can race the best-effort prune of the superseded directories (same
+  // caveat as the graph-index flip); long-lived readers should either
+  // re-plan per call (what every facade method does) or deploy with a
+  // retention window (the StreamingIngest retainVersions pattern) —
+  // crash-safety is unaffected either way, the pointer flip is atomic.
 
   private def currentPqGen: Option[Long] =
     currentAux("PQINDEX")

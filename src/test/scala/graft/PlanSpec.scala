@@ -86,6 +86,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("term"), p)
   }
 
+  test("a20: frozen artifacts broadcast; the append encode never " +
+      "shuffles the corpus into a cartesian") {
+    val p = plan("a20_pq_append_encode")
+    // centroids + codebooks are broadcast side tables on both the base
+    // and the delta encode paths; no all-pairs join anywhere
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("v01: query side broadcasts; kernel stays in whole-stage codegen") {
     val p = plan("v01_knn_exact")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -47,6 +47,8 @@ object CompressedAppendProbe {
     val (pqStats, tPqAppend) = timed(store.appendPqIndex(delta))
     val (_, tSqBuild) = timed(store.buildSqIndex())
     val (sqStats, tSqAppend) = timed(store.appendSqIndex(delta))
+    val (_, tBqBuild) = timed(store.buildBqIndex())
+    val (bqStats, tBqAppend) = timed(store.appendBqIndex(delta))
     // serving sanity through the overlaid view: self-queries from the
     // appended delta must be servable (counts only — recall is the
     // ScaleProbe ladder's job)
@@ -64,6 +66,8 @@ object CompressedAppendProbe {
       s""""pq_retrain":${pqStats.retrainRecommended},""" +
       s""""sq_build_sec":$tSqBuild,"sq_append_sec":$tSqAppend,""" +
       s""""sq_oob_micro":${sqStats.deltaStatMicro},""" +
+      s""""bq_build_sec":$tBqBuild,"bq_append_sec":$tBqAppend,""" +
+      s""""bq_oob_micro":${bqStats.deltaStatMicro},""" +
       s""""pq_search_sec":$tPqSearch,"pq_search_rows":$nPqHits}""")
     spark.stop()
   }

@@ -236,6 +236,35 @@ object TextScaleProbe {
           s""""manifest_output_docs":$manifestN,""" +
           s""""manifest_matches":${manifestN == kept}}""")
 
+      case "semscan" =>
+        // the semantic-dedup PAIR SCAN in isolation at |cell| held
+        // constant (the SemDeDup contract: k grows with n so cells stay
+        // bounded): assignments are synthesized hash-cells of ~256
+        // members — exactly what a persisted coarse quantizer provides
+        // at scale — so the measured wall is the per-cell O(Σ|cell|²)
+        // pair join + keep attach alone, which must stay NEAR-LINEAR in
+        // n when |cell| is fixed (pairs = n·|cell|).
+        val n = if (args.length > 1) args(1).toLong else 1000000L
+        graft.functions.VectorFunctions.register(spark)
+        val vecs = ScaleProbe.syntheticVectors(spark, n, 32)
+          .localCheckpoint()
+        val cells = math.max(16L, n / 256L)
+        val asg = vecs.select(col("id"),
+            pmod(xxhash64(col("id")), lit(cells)).cast("int").as("cell"))
+          .localCheckpoint()
+        vecs.count(); asg.count()
+        val dummyCb = {
+          import spark.implicits._
+          Seq((0, Seq(0f))).toDF("cell", "centroid")
+        }
+        val (nDropped, tScan) = timed {
+          TextDedup.semanticDedup(vecs, dummyCb, tau = 0.95,
+              assignments = Some(asg))
+            .filter(!col("keep")).count()
+        }
+        println(s"""{"mode":"semscan","n":$n,"cells":$cells,""" +
+          s""""scan_sec":$tScan,"n_dropped":$nDropped}""")
+
       case "ingest" =>
         // delta-chain ingest cost: per-batch appendDocuments time must be
         // ~flat in CORPUS size (O(batch) deltas) until the compactEvery-th

@@ -294,8 +294,15 @@ object TextDedup {
     * touched by exactly one left join against that small table (AQE
     * broadcasts it when it fits). The corpus never shuffles. */
   def dedupSelect(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val labels = connectedComponents(pairs)
+      idCol: String = "doc_id",
+      precomputedLabels: Option[DataFrame] = None): DataFrame = {
+    // `precomputedLabels` (node, cluster_id): a persisted
+    // [[connectedComponents]] run over the SAME pair table — the
+    // pair-labeling is one batch job whose output every consumer
+    // (component reporting, keep/drop selection, audits) reloads, so a
+    // caller that already materialized it must not pay the iterative
+    // propagation twice
+    val labels = precomputedLabels.getOrElse(connectedComponents(pairs))
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("__sz"))
     val labeled = labels.join(sizes, Seq("cluster_id"))

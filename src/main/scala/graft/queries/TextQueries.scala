@@ -47,6 +47,22 @@ object TextQueries {
     s.read.parquet(path)
   }
 
+  /** The component labels over [[nearDupPairsFor]]'s pair table, derived
+    * once per process per data dir (the same memo shape): d08 reports
+    * them, d11's keep/drop selection consumes them — the iterative
+    * min-label propagation runs ONCE instead of per consumer. */
+  private val labelPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def nearDupLabelsFor(s: SparkSession, d: String): DataFrame = {
+    val path = labelPaths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-neardup-labels")
+      TextDedup.connectedComponents(nearDupPairsFor(s, d))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** d16's exact PPJoin pair table, derived once per process per data
     * dir (the [[nearDupPairsFor]] memo shape — same contract: fixture
     * dirs are immutable within a process). The derivation is the single
@@ -368,15 +384,15 @@ object TextQueries {
     // transitive-closure step dedup needs after pairs (near-dup is not
     // transitive; the unit of retention is the component). cluster_id = min
     // reachable doc id.
-    "d08_dedup_components" -> ((s, d) =>
-      TextDedup.connectedComponents(nearDupPairsFor(s, d))),
+    "d08_dedup_components" -> ((s, d) => nearDupLabelsFor(s, d)),
 
     // The dedup ACTION over the whole corpus: near-dup components → one
     // deterministic keep/drop decision per document (min-id representative
     // per cluster; unpaired docs are kept singletons). Completes the
     // d03→d08 chain into what a pipeline actually applies.
     "d11_dedup_select" -> ((s, d) =>
-      TextDedup.dedupSelect(Tables.documents(s, d), nearDupPairsFor(s, d))),
+      TextDedup.dedupSelect(Tables.documents(s, d), nearDupPairsFor(s, d),
+        precomputedLabels = Some(nearDupLabelsFor(s, d)))),
 
     // Per-source quota + blocklist (C4/RefinedWeb-style anti-dominance
     // caps): drop src13, keep ≤ 15 docs per source by salted-hash rank.

@@ -239,6 +239,34 @@ class VectorStore private (
         .join(n.select(col("id"), col("vector")), Seq("id"))))
   }
 
+  /** One-call adaptive serving — the production entry point that wires
+    * [[operators.AdaptiveSearch]] to THIS store's persisted artifacts:
+    * corpus stats (size + hot-bucket share) pick the arm, the saved ANN
+    * graph upgrades the LSH/IVF arms to their seeded hybrids, and a
+    * persisted PQ generation serves the past-the-memory-cutoff arm —
+    * all without the caller naming a strategy. Returns the chosen
+    * strategy alongside the result (observability); every arm honors
+    * the (query_id, id, score, rn) + threshold contract, so consumers
+    * never branch. Cutoffs are exposed for tuning/testing; defaults are
+    * the measured SCALING.md crossovers. */
+  def searchAuto(queries: DataFrame, k: Int, strengthSetting: Double = 50,
+      exactCutoff: Long = 50000, skewCutoff: Double = 0.05,
+      pqCutoff: Long = 5000000L)
+      : (AdaptiveSearch.Strategy, DataFrame) = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    val graph = currentIndexGen.map { gen =>
+      val (n, e, _) = IndexBuild.load(spark, indexDir(gen))
+      (n, e)
+    }
+    val pq =
+      if (Fs.exists(spark, s"$path/PQINDEX")) Some(loadPqIndex()) else None
+    AdaptiveSearch.search(nodes, queries, k,
+      KnnSearch.scaleThreshold(strengthSetting), params,
+      exactCutoff = exactCutoff, skewCutoff = skewCutoff,
+      pqCutoff = pqCutoff, prebuiltPq = pq, prebuiltGraph = graph)
+  }
+
   // ---- auxiliary snapshot chains (documents / token vectors) ----------
   // Same versioned-parquet + atomic-pointer layout as the node table, one
   // chain per table kind — readers always see a complete snapshot.

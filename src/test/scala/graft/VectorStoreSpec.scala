@@ -417,6 +417,45 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("searchAuto: dispatches on store stats + persisted artifacts; " +
+      "every arm honors the search contract") {
+    import graft.operators.AdaptiveSearch
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-auto").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 40L).map(i => (i, vec(i))).toDF("id", "vector"))
+    val qv = Seq(1L, 5L).map(i => (i, vec(i))).toDF("query_id", "query_vec")
+    // small corpus → exact, no artifacts needed
+    val (s1, r1) = store.searchAuto(qv, k = 3, strengthSetting = 0)
+    assert(s1 === AdaptiveSearch.UseExact)
+    assert(r1.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    assert(r1.filter(col("query_id") === col("id") && col("rn") === 1)
+      .count() === 2)
+    // force past the exact cutoff WITHOUT artifacts → LSH arm
+    val (s2, r2) = store.searchAuto(qv, k = 3, strengthSetting = 0,
+      exactCutoff = 10)
+    assert(s2 === AdaptiveSearch.UseLsh || s2 === AdaptiveSearch.UseIvf, s2)
+    assert(r2.columns.toSeq === Seq("query_id", "id", "score", "rn"))
+    // with the saved graph, the same regime upgrades to a seeded hybrid
+    store.rebuild()
+    val (s3, r3) = store.searchAuto(qv, k = 3, strengthSetting = 0,
+      exactCutoff = 10)
+    assert(s3 === AdaptiveSearch.UseGraphSeeded ||
+      s3 === AdaptiveSearch.UseGraphSeededIvf, s3)
+    assert(r3.filter(col("query_id") === col("id") && col("rn") === 1)
+      .count() === 2)
+    // past the PQ cutoff with a persisted PQ generation → the PQ arm
+    store.buildPqIndex(cells = 4)
+    val (s4, r4) = store.searchAuto(qv, k = 3, strengthSetting = 0,
+      exactCutoff = 10, pqCutoff = 10)
+    assert(s4 === AdaptiveSearch.UsePq, s4)
+    assert(r4.filter(col("query_id") === col("id") && col("rn") === 1)
+      .count() === 2)
+    store.delete()
+  }
+
   test("startIngestCompressed: streamed upserts/deletes keep the " +
       "PQ and SQ tiers fresh at O(batch); drift verdicts surface") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

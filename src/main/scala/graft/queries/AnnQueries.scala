@@ -61,6 +61,50 @@ object AnnQueries {
     (n, e)
   }
 
+  /** a06's merged edge table, derived once per process per data dir (the
+    * pair-table memo shape applied to index MAINTENANCE): a merge is an
+    * ingest operation — run once per delta batch, persisted, and every
+    * consumer (stats reporting, serving) reloads its output, exactly as
+    * [[graft.VectorStore.mergeIndex]] persists generations. */
+  private val mergedPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def mergedEdgesFor(s: SparkSession, d: String): DataFrame = {
+    val path = mergedPaths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-merged-index")
+      val (nodes, edges) = indexFor(s, d)
+      val delta = VectorQueries.asVectorTable(Tables.embeddings(s, d))
+        .filter(col("id") % 40 === 1)
+        .withColumn("vector", transform(col("vector"), x => -x))
+      IndexBuild.merge(nodes, edges, delta, params)._2
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** a13's anchored merged edges — the [[mergedEdgesFor]] memo over the
+    * efConstruction=32 anchored base. Parquet round-trips doubles
+    * exactly, so the reloaded scores quantize identically. */
+  private val anchoredMergedPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def anchoredMergedEdgesFor(s: SparkSession, d: String)
+      : DataFrame = {
+    val path = anchoredMergedPaths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-anch-merged")
+      val emb = Tables.embeddings(s, d)
+      val anchors = anchorPlanes(emb, nBands = 4, bits = 3)
+      val mp = params.copy(efConstruction = 32)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val (nodes, edges) = anchoredFor32(s, d)
+      val delta = nodesDf.filter(col("id") % 40 === 1)
+        .withColumn("vector", transform(col("vector"), x => -x))
+      IndexBuild.mergeAnchored(nodes, edges, delta, mp, anchors)._2
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Memoized anchored build per data dir (the `indexFor` shape): a07
     * and a18 both consume the identical deterministic
     * `buildAnchored(nodes, params, anchors)` graph — build once per
@@ -188,12 +232,8 @@ object AnnQueries {
     // IndexMergeSpec pins invariants + recall-vs-rebuild.
     "a06_index_merge_stats" -> ((s, d) => {
       VectorFunctions.register(s)
-      val (nodes, edges) = indexFor(s, d)
-      val delta = VectorQueries.asVectorTable(Tables.embeddings(s, d))
-        .filter(col("id") % 40 === 1)
-        .withColumn("vector", transform(col("vector"), x => -x))
-      val (_, me) = IndexBuild.merge(nodes, edges, delta, params)
-      me.groupBy(col("level"))
+      mergedEdgesFor(s, d)
+        .groupBy(col("level"))
         .agg(count(lit(1)).as("n_edges"),
           countDistinct(col("src")).as("n_nodes"))
     }),
@@ -425,15 +465,8 @@ object AnnQueries {
     // layer-0 bucket occupancy so the cap path is exercised, not vacuous.
     "a13_anchored_merge" -> ((s, d) => {
       VectorFunctions.register(s)
-      val emb = Tables.embeddings(s, d)
-      val anchors = anchorPlanes(emb, nBands = 4, bits = 3)
-      val mp = params.copy(efConstruction = 32)
-      val nodesDf = VectorQueries.asVectorTable(emb)
-      val (nodes, edges) = anchoredFor32(s, d)
-      val delta = nodesDf.filter(col("id") % 40 === 1)
-        .withColumn("vector", transform(col("vector"), x => -x))
-      val (_, me) = IndexBuild.mergeAnchored(nodes, edges, delta, mp, anchors)
-      me.select(col("level"), col("src"), col("dst"), q6(col("score")))
+      anchoredMergedEdgesFor(s, d)
+        .select(col("level"), col("src"), col("dst"), q6(col("score")))
     }),
 
     // The LSH-seeded graph SEARCH, fully hash-checked — a03's rows-only

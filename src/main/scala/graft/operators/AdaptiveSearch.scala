@@ -130,17 +130,28 @@ object AdaptiveSearch {
       case UseExact =>
         (UseExact, KnnSearch.knnExact(nodes, queries, k, minSim, params.metric))
       case UseLsh =>
-        // with a persisted graph index at hand, the LSH arm upgrades to
-        // the seeded hybrid: identical candidate generation plus bounded
-        // frontier expansions that can only improve on the seeds
-        // (measured +10 recall points at 200 k for ~equal cost —
-        // SCALING.md). Without one, building a graph per dispatch would
-        // dwarf the search; plain LSH stays the no-index answer.
-        prebuiltGraph match {
-          case Some((gn, ge)) =>
+        // With a persisted graph index at hand, this arm upgrades to a
+        // SEEDED hybrid (expansions can only improve on the seeds). The
+        // SEEDING choice follows the r10 multi-probe measurement: with a
+        // coarse quantizer ALSO at hand (the prebuilt PQ generation's
+        // centroids + assignments), multi-probe IVF seeding now
+        // DOMINATES LSH seeding on the uniform fixture too (200 k×64:
+        // 0.994 recall @ 3.8 s at nProbe=32 vs the LSH hybrid's 0.871 @
+        // 4.3 s — SCALING.md), refuting the old uniform-keeps-LSH
+        // crossover at multi-probe settings. LSH seeding remains the
+        // ZERO-TRAINING fallback (graph but no quantizer); plain LSH
+        // the no-index answer.
+        (prebuiltGraph, prebuiltPq) match {
+          case (Some((gn, ge)), Some(pre)) if params.metric == "cosine" =>
+            (UseGraphSeededIvf, AnnSearch.searchGraphSeededIvf(gn, ge,
+              queries, k, minSim, params, pre.centroids,
+              ef = math.max(64, k), nProbe = seededNProbe,
+              assignments = Some(pre.assignments
+                .join(gn.select(col("id"), col("vector")), Seq("id")))))
+          case (Some((gn, ge)), _) =>
             (UseGraphSeeded, AnnSearch.searchGraphSeeded(gn, ge, queries,
               k, minSim, params, ef = math.max(64, k)))
-          case None =>
+          case _ =>
             (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params))
         }
       case UseIvf =>

@@ -317,7 +317,16 @@ object TextFeaturizer {
     * chained literal-replace projections inside ONE codegen stage —
     * zero shuffle, zero joins; the corpus streams through map-side.
     * Output: (id, wpos, pos, piece) — word position in the doc, piece
-    * position within the word. */
+    * position within the word.
+    *
+    * Words the per-char delimiting step can't represent
+    * (line-terminator-bearing — see [[delimitable]]) are NOT dropped:
+    * they encode as ONE opaque symbol (`D word D`), which no merge
+    * pattern can match (merge patterns contain interior delimiters and
+    * words never contain `D`), so they emerge as a single unsegmented
+    * piece — token counts downstream (t33 packing) stay faithful to the
+    * corpus. Training ([[bpeTrain]]) still excludes them: a
+    * single-symbol word contributes zero adjacent pairs either way. */
   def bpeSegment(docs: DataFrame, merges: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ms = merges.select(col("step"), col("left"), col("right"))
@@ -326,10 +335,11 @@ object TextFeaturizer {
     val delimited = docs
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
-      .filter(length(col("word")) > 0 && !col("word").contains(D) &&
-        delimitable(col("word")))
+      .filter(length(col("word")) > 0 && !col("word").contains(D))
       .select(col("id"), col("wpos"),
-        regexp_replace(col("word"), "(.)", s"$D$$1$D").as("w"))
+        when(delimitable(col("word")),
+            regexp_replace(col("word"), "(.)", s"$D$$1$D"))
+          .otherwise(concat(lit(D), col("word"), lit(D))).as("w"))
     val replayed = ms.foldLeft(delimited) { case (df, (l, r)) =>
       df.withColumn("w",
         replace(col("w"), lit(s"$D$l$D$D$r$D"), lit(s"$D$l$r$D")))

@@ -940,12 +940,14 @@ object TextQueries {
     bpeOracleCtes(n) + s""",
       |dwords AS (
       |  SELECT doc_id, u.i - 1 AS wpos,
-      |    regexp_replace(t[u.i], '(.)', chr(31)||'\\1'||chr(31), 'g') AS dw
+      |    CASE WHEN regexp_matches(t[u.i],
+      |        '['||chr(10)||chr(13)||chr(133)||chr(8232)||chr(8233)||']')
+      |      THEN chr(31)||t[u.i]||chr(31)
+      |      ELSE regexp_replace(t[u.i], '(.)', chr(31)||'\\1'||chr(31), 'g')
+      |    END AS dw
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |       LATERAL unnest(generate_series(1, len(t))) AS u(i)
-      |  WHERE length(t[u.i]) > 0 AND NOT contains(t[u.i], chr(31))
-      |    AND NOT regexp_matches(t[u.i],
-      |      '['||chr(10)||chr(13)||chr(133)||chr(8232)||chr(8233)||']')),
+      |  WHERE length(t[u.i]) > 0 AND NOT contains(t[u.i], chr(31))),
       |seg AS (
       |  SELECT doc_id, wpos, p.i AS pos, pieces[p.i] AS piece
       |  FROM (SELECT doc_id, wpos,

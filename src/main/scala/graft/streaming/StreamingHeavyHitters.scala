@@ -85,7 +85,15 @@ object StreamingHeavyHitters {
     * re-emits a source's current candidate set every batch that touches
     * it, declared OutputMode.Update. Write the query with
     * `outputMode("update")`; a consumer that must read an append log
-    * anyway takes the latest row per (source, item) (max `n_total`). */
+    * anyway takes the latest row per (source, item) (max `n_total`).
+    *
+    * MIGRATION (r10): this operator was declared `OutputMode.Append`
+    * through round 9 — a mis-declaration (re-emitted candidate rows are
+    * updates, not appends). Compiled consumer queries still starting
+    * with `outputMode("append")` now FAIL AT QUERY START with an
+    * analysis error rather than degrading: switch them to
+    * `outputMode("update")`. The emitted rows themselves are
+    * unchanged. */
   def track(in: Dataset[HhIn], k: Int)(
       implicit spark: SparkSession): Dataset[HhOut] = {
     require(k >= 1, s"k $k")

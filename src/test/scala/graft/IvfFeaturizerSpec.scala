@@ -193,4 +193,19 @@ class IvfFeaturizerSpec extends SparkSpec {
     val nChars = orig.agg(sum(length(col("orig_word")))).head().getLong(0)
     assert(seg.count() < nChars)
   }
+
+  test("bpeSegment: line-terminator-bearing words emerge as ONE " +
+      "unsegmented piece (not dropped) — token counts stay faithful") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab a\nb ab"))
+      .toDF("doc_id", "text")
+    val merges = TextFeaturizer.bpeTrain(docs, nMerges = 3)
+    val seg = TextFeaturizer.bpeSegment(docs, merges)
+    val odd = seg.filter(col("id") === 2L && col("wpos") === 1)
+      .select(col("pos"), col("piece"))
+      .as[(Int, String)].collect().toSeq
+    assert(odd === Seq((0, "a\nb"))) // single piece, original bytes intact
+    // every whitespace word of doc 2 is represented
+    assert(seg.filter(col("id") === 2L)
+      .select(col("wpos")).distinct().count() === 3)
+  }
 }

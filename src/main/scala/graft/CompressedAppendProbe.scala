@@ -57,6 +57,18 @@ object CompressedAppendProbe {
       .localCheckpoint()
     val (nPqHits, tPqSearch) = timed(
       store.searchPq(qv, k = 10, strengthSetting = 0).count())
+    // recall parity vs exact — the sample-trained-codebook quality check
+    // (build trains on <= maxTrain hashed rows past 100 k; recall must
+    // hold vs the full-corpus-trained numbers in SCALING.md)
+    val exact = graft.operators.KnnSearch
+      .knnExact(store.nodes, qv, 10, minSim = -2.0)
+      .select(col("query_id"), col("id"))
+    val got = store.searchPq(qv, k = 10, strengthSetting = 0)
+      .select(col("query_id").as("gq"), col("id").as("gid"))
+    val inter = exact.join(got,
+      exact("query_id") === got("gq") && exact("id") === got("gid"))
+      .count()
+    val recall = inter.toDouble / exact.count()
 
     println(s"""{"n":$n,"delta":$dDelta,"dim":$dim,""" +
       s""""load_sec":$tLoad,""" +
@@ -68,7 +80,8 @@ object CompressedAppendProbe {
       s""""sq_oob_micro":${sqStats.deltaStatMicro},""" +
       s""""bq_build_sec":$tBqBuild,"bq_append_sec":$tBqAppend,""" +
       s""""bq_oob_micro":${bqStats.deltaStatMicro},""" +
-      s""""pq_search_sec":$tPqSearch,"pq_search_rows":$nPqHits}""")
+      s""""pq_search_sec":$tPqSearch,"pq_search_rows":$nPqHits,""" +
+      s""""pq_recall10":$recall}""")
     spark.stop()
   }
 }

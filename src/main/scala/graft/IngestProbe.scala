@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.IndexParams
+
+/** Manual scale probe for the UNIFIED streaming ingest
+  * ([[VectorStore.startIngest]]): build every serving tier (ANN graph +
+  * PQ + SQ) over N vectors, then stream B-row micro-batches through the
+  * one ingest query and report the per-batch wall — the evidence for
+  * SCALING.md's claim that a batch folds into EVERY tier at O(batch),
+  * not O(corpus): per-batch wall must stay flat across batches and
+  * across N (job overhead + |Δ| work), far below any tier's build wall.
+  *
+  * Usage: `sbt "runMain graft.IngestProbe 100000 64 1000 5"`
+  * (n, dim, batchRows, nBatches).
+  */
+object IngestProbe {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val batchRows = if (args.length > 2) args(2).toLong else 1000L
+    val nBatches = if (args.length > 3) args(3).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val base = ScaleProbe.syntheticVectors(spark, n, dim).localCheckpoint()
+    val store = VectorStore.openOrCreate(spark,
+      graft.util.Fs.tempDirDeletedOnExit("graft-ingest-probe"),
+      IndexParams(dim = dim))
+    val (_, tLoad) = timed(store.addBatch(base))
+    val (_, tGraph) = timed(store.rebuild())
+    val (_, tPq) = timed(store.buildPqIndex())
+    val (_, tSq) = timed(store.buildSqIndex())
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = store.startIngest(stream.toDF().toDF("id", "vector", "op", "seq"))
+    val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      for (b <- 0 until nBatches) {
+        val rows = ScaleProbe
+          .syntheticVectors(spark, batchRows, dim)
+          .select((col("id") + n + b * batchRows).as("id"), col("vector"))
+          .as[(Long, Seq[Float])].collect()
+          .map { case (id, v) => (id, v, "upsert", id) }
+        stream.addData(rows.toIndexedSeq)
+        val (_, t) = timed(q.processAllAvailable())
+        batchWalls += t
+      }
+    } finally q.stop()
+    // serving sanity: the last batch's rows are visible on every arm
+    val lastId = n + nBatches.toLong * batchRows - 1L
+    val qv = store.getNode(lastId).map { case (id, v, _) =>
+      Seq((id, v)).toDF("query_id", "query_vec")
+    }.getOrElse(sys.error(s"ingested id $lastId missing from node table"))
+    val seededOk = store.searchAnnSeededIvf(qv, k = 1, strengthSetting = 0)
+      .select("id").as[Long].head() == lastId
+    val pqOk = store.searchPq(qv, k = 1, strengthSetting = 0)
+      .select("id").as[Long].head() == lastId
+
+    val walls = batchWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
+    println(s"""{"n":$n,"dim":$dim,"batch_rows":$batchRows,""" +
+      s""""load_sec":$tLoad,"graph_build_sec":$tGraph,""" +
+      s""""pq_build_sec":$tPq,"sq_build_sec":$tSq,""" +
+      s""""batch_walls_sec":$walls,""" +
+      s""""seeded_serves_new":$seededOk,"pq_serves_new":$pqOk}""")
+    spark.stop()
+  }
+}

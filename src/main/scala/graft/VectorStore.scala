@@ -109,7 +109,15 @@ class VectorStore private (
     * parquet where the node columns allow), so a selective filter also
     * SHRINKS the scored set — filtered search is cheaper, not costlier.
     * Predicates may reference any column the node table carries
-    * (id, level, deleted, payload columns that rode in via addBatch). */
+    * (id, level, deleted, payload columns that rode in via addBatch).
+    *
+    * This is the EXACT arm. Every index arm takes the same predicate —
+    * [[searchPq]]/[[searchSq]]/[[searchBqStore]]/[[searchAnnSeededIvf]]
+    * semi-join their id-keyed index tables against the filtered id set
+    * BEFORE probing/ranking ([[operators.KnnSearch.restrictIds]]), and
+    * [[searchAuto]] dispatches on the FILTERED size — so past the exact
+    * cutoff a filtered query still serves from an index at
+    * filtered-fraction cost. */
   def searchWhere(queries: DataFrame, k: Int, predicate: Column,
       strengthSetting: Double = 50): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
@@ -117,6 +125,13 @@ class VectorStore private (
     KnnSearch.knnExact(nodes.filter(predicate), queries, k,
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
+
+  /** The live ids matching `predicate` — the narrow (id) relation every
+    * index arm semi-joins its candidate tables against. One projection
+    * over the node snapshot; the predicate reaches the parquet scan. */
+  private def filteredIds(predicate: Option[Column]): Option[DataFrame] =
+    predicate.map(p =>
+      nodes.filter(!col("deleted") && p).select(col("id")))
 
   /** One-vector convenience search returning (id, score) rows. */
   def search(vector: Seq[Float], k: Int, strengthSetting: Double): DataFrame = {
@@ -203,14 +218,15 @@ class VectorStore private (
     * improve on the LSH seeds, and the hybrid needs no cross-graph
     * routing, the property that survives scale — SCALING.md). */
   def searchAnnSeeded(queries: DataFrame, k: Int,
-      strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2)
-      : DataFrame = {
+      strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2,
+      predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
       s"no ANN index under $path — call rebuild() first"))
     val (n, e, p) = IndexBuild.load(spark, indexDir(gen))
     AnnSearch.searchGraphSeeded(n, e, queries, k,
-      KnnSearch.scaleThreshold(strengthSetting), p, ef, iters)
+      KnnSearch.scaleThreshold(strengthSetting), p, ef, iters,
+      idFilter = filteredIds(predicate))
   }
 
   /** The hot-bucket seeded tier: graph expansions seeded from the
@@ -226,7 +242,7 @@ class VectorStore private (
     * 3.5–5.1 s serving; 8 probes gave only 0.654 — SCALING.md). */
   def searchAnnSeededIvf(queries: DataFrame, k: Int,
       strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2,
-      nProbe: Int = 32): DataFrame = {
+      nProbe: Int = 32, predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
       s"no ANN index under $path — call rebuild() first"))
@@ -236,7 +252,8 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), p, pre.centroids,
       ef, iters, nProbe,
       assignments = Some(pre.assignments
-        .join(n.select(col("id"), col("vector")), Seq("id"))))
+        .join(n.select(col("id"), col("vector")), Seq("id"))),
+      idFilter = filteredIds(predicate))
   }
 
   /** One-call adaptive serving — the production entry point that wires
@@ -251,7 +268,7 @@ class VectorStore private (
     * the measured SCALING.md crossovers. */
   def searchAuto(queries: DataFrame, k: Int, strengthSetting: Double = 50,
       exactCutoff: Long = 50000, skewCutoff: Double = 0.05,
-      pqCutoff: Long = 5000000L)
+      pqCutoff: Long = 5000000L, predicate: Option[Column] = None)
       : (AdaptiveSearch.Strategy, DataFrame) = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
@@ -264,7 +281,8 @@ class VectorStore private (
     AdaptiveSearch.search(nodes, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), params,
       exactCutoff = exactCutoff, skewCutoff = skewCutoff,
-      pqCutoff = pqCutoff, prebuiltPq = pq, prebuiltGraph = graph)
+      pqCutoff = pqCutoff, prebuiltPq = pq, prebuiltGraph = graph,
+      idFilter = filteredIds(predicate))
   }
 
   // ---- auxiliary snapshot chains (documents / token vectors) ----------
@@ -411,23 +429,64 @@ class VectorStore private (
     * [[appendPqIndex]] drift gate's baseline), then atomically flip the
     * PQINDEX pointer (single-token: any delta chain of the previous
     * generation is dereferenced and pruned). [[searchPq]] serves from
-    * the persisted generation without re-training. */
-  def buildPqIndex(cells: Int = 256, iters: Int = 3): Unit = {
+    * the persisted generation without re-training.
+    *
+    * SAMPLE-BOUNDED TRAINING (`maxTrain`): coarse centroids and
+    * residual codebooks train on a deterministic lowest-salted-hash
+    * sample of at most ~`maxTrain` live rows (the [[operators.Sampling]]
+    * hash idiom — partitioning-invariant, reproducible), then the FULL
+    * corpus is assigned and encoded against the trained artifacts. The
+    * expensive part of a quantizer build is the Lloyd iterations, whose
+    * quality saturates far below corpus size (k·ksub centroids fit a
+    * bounded sample) — so build cost past `maxTrain` rows grows only
+    * with the one assign+encode pass, not with iters × corpus
+    * (SCALING.md measures the 200 k/500 k drop and recall parity).
+    *
+    * `codebookMode = "sample"` replaces TRAINED artifacts with plain
+    * data selection ([[operators.IvfIndex.sampleCodebook]] +
+    * [[operators.PqIndex.sampleCodebooks]], `ksub` entries): the
+    * externally-reproducible bootstrap — an external engine re-derives
+    * every artifact, assignment and code from the same parquet (the a23
+    * facade-lifecycle oracle requires it). "trained" (default) is the
+    * quality path. */
+  def buildPqIndex(cells: Int = 256, iters: Int = 3,
+      maxTrain: Int = 100000, codebookMode: String = "trained",
+      ksub: Int = 256): Unit = {
     graft.functions.VectorFunctions.register(spark)
     val mSub = 8
     require(params.dim % mSub == 0,
       s"dim ${params.dim} not divisible by $mSub subspaces")
+    require(codebookMode == "trained" || codebookMode == "sample",
+      s"codebookMode $codebookMode (trained|sample)")
     val subLen = params.dim / mSub
-    val live = Mutations.compact(nodes)
+    val live = Mutations.compact(nodes).localCheckpoint()
     val nLive = live.count()
     val k = math.min(cells, math.max(16, math.sqrt(nLive.toDouble).toInt))
-    val centroids = IvfIndex.train(live, k, iters)
+    val trainSet =
+      if (nLive <= maxTrain) live
+      else live.filter(
+        pmod(xxhash64(col("id"), lit(0x5EEDL)), lit(1000000L))
+          < lit(math.ceil(maxTrain.toDouble / nLive * 1000000L).toLong))
+    val centroids =
+      if (codebookMode == "sample") IvfIndex.sampleCodebook(live, k)
+      else IvfIndex.train(trainSet, k, iters)
     val asg = IvfIndex.assign(live, centroids)
       .select(col("id"), col("cell")).localCheckpoint()
+    // localCheckpoint: `res` feeds codebook training, encode AND the QE
+    // baseline below — without it the corpus-wide residual derivation
+    // (compact → assign → residuals) re-executes per consumer, the
+    // lazy-chain recompute pattern assemble() was fixed for
     val res = PqIndex.residuals(live, asg, centroids)
-      .select(col("id"), col("vector"))
-    val rcb = PqIndex.trainCodebooks(res, mSub, subLen, ksub = 256,
-      iters = 1)
+      .select(col("id"), col("vector")).localCheckpoint()
+    // codebooks train on the SAMPLE's residuals only (every id in
+    // trainSet is in live, so the semi-join restricts res to the sample)
+    val resTrain =
+      if (nLive <= maxTrain) res
+      else res.join(trainSet.select(col("id")), Seq("id"), "left_semi")
+    val rcb =
+      if (codebookMode == "sample")
+        PqIndex.sampleCodebooks(res, mSub, subLen, ksub)
+      else PqIndex.trainCodebooks(resTrain, mSub, subLen, ksub, iters = 1)
     val codes = PqIndex.encode(res, rcb, mSub, subLen)
     val old = Snapshots.currentWithDeltas(spark, path, "PQINDEX")
     val gen = old.map(_._1).getOrElse(-1L) + 1
@@ -436,22 +495,65 @@ class VectorStore private (
     asg.write.mode("overwrite").parquet(s"$dir/assignments")
     rcb.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
-    // drift baseline from the WRITTEN artifacts (cheap reloads — no
-    // re-derivation of the lazy build lineage)
+    // drift baseline: checkpointed residuals + the WRITTEN codebook/code
+    // artifacts — every corpus-sized input is a cached-block or parquet
+    // reload, nothing re-derives the build lineage
     val qe = PqIndex.meanQeMicro(res,
       spark.read.parquet(s"$dir/codebooks"),
       spark.read.parquet(s"$dir/codes"), mSub, subLen)
     Fs.writeStringAtomic(spark, s"$dir/_STATS", qe.toString)
+    // build args ride the generation so a drift-triggered retrain
+    // ([[startIngest]] autoRetrain) replays THIS build's parameters
+    Fs.writeStringAtomic(spark, s"$dir/_ARGS",
+      s"$cells $iters $maxTrain $codebookMode $ksub")
     Fs.writeStringAtomic(spark, s"$path/PQINDEX", gen.toString)
     old.foreach { case (g, dk) => Snapshots.prune(spark, path, "pq", g, dk) }
+    live.unpersist()
+    ()
   }
 
+  /** Rebuild the PQ generation with the CURRENT generation's recorded
+    * build args (falls back to defaults when the generation predates
+    * arg recording) — the autoRetrain action: a full retrain + flip;
+    * appends continue serving the old generation until the flip. */
+  private def retrainPq(): Unit = {
+    val args = currentPqGen.map(pqDir).filter(d =>
+        Fs.exists(spark, s"$d/_ARGS"))
+      .map(d => Fs.readString(spark, s"$d/_ARGS").trim.split("\\s+"))
+    args match {
+      case Some(Array(c, i, mt, mode, ks)) =>
+        buildPqIndex(c.toInt, i.toInt, mt.toInt, mode, ks.toInt)
+      case _ => buildPqIndex()
+    }
+  }
+
+  /** ONE delta schema for every compressed family (PQ / SQ / BQ): each
+    * delta row carries the served columns plus a `deleted` BOOLEAN —
+    * tombstone rows have `deleted = true` (placeholder values in the
+    * served columns, never read). [[resolvedDelta]] collapses a chain to
+    * each id's rows from its LATEST delta; the per-family overlays then
+    * anti-join the base on touched ids and union the live rows back in —
+    * overlay work proportional to delta rows, the base-sized side one
+    * anti-join probe. A single schema + a single resolver means the
+    * latest-wins and tombstone semantics cannot drift between families. */
+  private def resolvedDelta(prefix: String, v: Long, k: Long)
+      : Option[DataFrame] =
+    if (k == 0L) None
+    else Some {
+      val wMax = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+      (1L to k).map(i =>
+          spark.read.parquet(Snapshots.deltaPath(path, prefix, v, i))
+            .withColumn("__ds", lit(i)))
+        .reduce(_.unionByName(_))
+        .withColumn("__mx", max(col("__ds")).over(wMax))
+        .filter(col("__ds") === col("__mx"))
+        .drop("__ds", "__mx")
+    }
+
   /** The PQ generation's served (assignments, codes) pair: base overlaid
-    * by pending append deltas, latest-wins BY ID. Delta rows are
-    * (id, cell, sub, code); `sub = -1` marks a tombstone, which retires
-    * the id's base rows via the anti-join and never serves. Overlay work
-    * is proportional to delta rows — the base-sized side is one
-    * anti-join probe. */
+    * by pending append deltas ([[resolvedDelta]] semantics — a tombstone
+    * retires the id's base rows via the anti-join and never serves). */
   private def pqOverlay(): (DataFrame, DataFrame, String) = {
     val (v, k) = Snapshots.currentWithDeltas(spark, path, "PQINDEX")
       .getOrElse(throw new IllegalStateException(
@@ -459,24 +561,16 @@ class VectorStore private (
     val dir = pqDir(v)
     val baseAsg = spark.read.parquet(s"$dir/assignments")
     val baseCodes = spark.read.parquet(s"$dir/codes")
-    if (k == 0L) (baseAsg, baseCodes, dir)
-    else {
-      val wMax = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id"))
-      val resolved = (1L to k).map(i =>
-          spark.read.parquet(Snapshots.deltaPath(path, "pq", v, i))
-            .withColumn("__ds", lit(i)))
-        .reduce(_.unionByName(_))
-        .withColumn("__mx", max(col("__ds")).over(wMax))
-        .filter(col("__ds") === col("__mx"))
-        .drop("__ds", "__mx")
-      val ids = resolved.select(col("id")).distinct()
-      val liveRows = resolved.filter(col("sub") >= 0)
-      (baseAsg.join(ids, Seq("id"), "left_anti")
-         .unionByName(liveRows.select(col("id"), col("cell")).distinct()),
-       baseCodes.join(ids, Seq("id"), "left_anti")
-         .unionByName(liveRows.select(col("id"), col("sub"), col("code"))),
-       dir)
+    resolvedDelta("pq", v, k) match {
+      case None => (baseAsg, baseCodes, dir)
+      case Some(resolved) =>
+        val ids = resolved.select(col("id")).distinct()
+        val liveRows = resolved.filter(!col("deleted"))
+        (baseAsg.join(ids, Seq("id"), "left_anti")
+           .unionByName(liveRows.select(col("id"), col("cell")).distinct()),
+         baseCodes.join(ids, Seq("id"), "left_anti")
+           .unionByName(liveRows.select(col("id"), col("sub"), col("code"))),
+         dir)
     }
   }
 
@@ -498,9 +592,10 @@ class VectorStore private (
     * codebooks ([[operators.PqIndex.encode]] /
     * [[operators.PqIndex.residuals]] already take them as arguments —
     * this is the lifecycle around those primitives), and append ONE
-    * (id, cell, sub, code) delta behind the atomic PQINDEX pointer
-    * (`sub = -1` tombstones for deleted ids). Every `compactEvery`
-    * appends the chain folds ([[compactPqIndex]]).
+    * (id, cell, sub, code, deleted) delta behind the atomic PQINDEX
+    * pointer (`deleted = true` rows tombstone their ids — the shared
+    * delta schema, [[resolvedDelta]]). Every `compactEvery` appends the
+    * chain folds ([[compactPqIndex]]).
     *
     * Returns the drift gate's verdict: the delta's mean quantization
     * error under the frozen codebooks vs the build-time baseline —
@@ -549,9 +644,10 @@ class VectorStore private (
     val codes = PqIndex.encode(res, rcb, mSub, subLen).localCheckpoint()
     val combined = codes
       .join(asg, Seq("id"))
-      .select(col("id"), col("cell"), col("sub"), col("code"))
+      .select(col("id"), col("cell"), col("sub"), col("code"),
+        lit(false).as("deleted"))
       .unionByName(tombD.select(col("id"), lit(-1).as("cell"),
-        lit(-1).as("sub"), lit(-1).as("code")))
+        lit(-1).as("sub"), lit(-1).as("code"), lit(true).as("deleted")))
     Snapshots.appendDelta(spark, path, "pq", "PQINDEX", combined)
     val buildQe = Fs.readString(spark, s"$dir/_STATS").trim.toLong
     val deltaQe = PqIndex.meanQeMicro(res, rcb, codes, mSub, subLen)
@@ -592,7 +688,7 @@ class VectorStore private (
     * longer fit the scan budget. Output (query_id, id, score, rn) —
     * the same contract as [[search]]/[[searchAnn]]. */
   def searchPq(queries: DataFrame, k: Int, strengthSetting: Double = 50,
-      nProbe: Int = 8): DataFrame = {
+      nProbe: Int = 8, predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
     val pre = loadPqIndex()
@@ -600,7 +696,8 @@ class VectorStore private (
     PqIndex.searchIvfPqResidualScored(nodes, pre.codes, pre.assignments,
       pre.centroids, pre.codebooks, queries, k,
       shortlist = math.max(100, 50 * k), nProbe, mSub, params.dim / mSub,
-      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+      KnnSearch.scaleThreshold(strengthSetting), params.metric,
+      idFilter = filteredIds(predicate))
   }
 
   // ---- SQ8 index lifecycle -------------------------------------------
@@ -610,11 +707,10 @@ class VectorStore private (
   private def bqDir(gen: Long): String =
     Snapshots.versionPath(path, "bq", gen)
 
-  /** Shared overlay for an id-keyed packed-row generation (SQ codes / BQ
-    * bits): base rows minus delta-touched ids, plus the LATEST delta's
-    * live rows per id. Delta rows carry a `deleted` flag; a tombstone
-    * retires the id's base row via the anti-join and never serves.
-    * Returns (servedRows, baseDir). */
+  /** Overlay for an id-keyed packed-row generation (SQ codes / BQ bits):
+    * base rows minus delta-touched ids, plus the LATEST delta's live rows
+    * per id ([[resolvedDelta]] — the one shared delta schema). Returns
+    * (servedRows, baseDir). */
   private def packedOverlay(prefix: String, pointer: String, sub: String,
       buildHint: String): (DataFrame, String) = {
     val (v, k) = Snapshots.currentWithDeltas(spark, path, pointer)
@@ -622,21 +718,13 @@ class VectorStore private (
         s"no $prefix index under $path — call $buildHint first"))
     val dir = Snapshots.versionPath(path, prefix, v)
     val base = spark.read.parquet(s"$dir/$sub")
-    if (k == 0L) (base, dir)
-    else {
-      val wMax = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id"))
-      val resolved = (1L to k).map(i =>
-          spark.read.parquet(Snapshots.deltaPath(path, prefix, v, i))
-            .withColumn("__ds", lit(i)))
-        .reduce(_.unionByName(_))
-        .withColumn("__mx", max(col("__ds")).over(wMax))
-        .filter(col("__ds") === col("__mx"))
-        .drop("__ds", "__mx")
-      (base.join(resolved.select(col("id")), Seq("id"), "left_anti")
-         .unionByName(resolved.filter(!col("deleted"))
-           .select(base.columns.map(col).toIndexedSeq: _*)),
-       dir)
+    resolvedDelta(prefix, v, k) match {
+      case None => (base, dir)
+      case Some(resolved) =>
+        (base.join(resolved.select(col("id")), Seq("id"), "left_anti")
+           .unionByName(resolved.filter(!col("deleted"))
+             .select(base.columns.map(col).toIndexedSeq: _*)),
+         dir)
     }
   }
 
@@ -743,7 +831,7 @@ class VectorStore private (
     * 0–100 strength scale. Output (query_id, id, score, rn) — the same
     * contract as [[search]]. */
   def searchSq(queries: DataFrame, k: Int, strengthSetting: Double = 50,
-      shortlist: Int = 0): DataFrame = {
+      shortlist: Int = 0, predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
     val (codes, dir) = packedOverlay("sq", "SQINDEX", "codes",
@@ -752,7 +840,8 @@ class VectorStore private (
       spark.read.parquet(s"$dir/bounds"),
       queries, k,
       shortlist = if (shortlist > 0) shortlist else math.max(100, 10 * k),
-      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+      KnnSearch.scaleThreshold(strengthSetting), params.metric,
+      idFilter = filteredIds(predicate))
   }
 
   // ---- BQ (1-bit) index lifecycle ------------------------------------
@@ -793,7 +882,8 @@ class VectorStore private (
     * generation (bits overlaid with any pending append deltas). Output
     * (query_id, id, score, rn) — the [[search]] contract. */
   def searchBqStore(queries: DataFrame, k: Int,
-      strengthSetting: Double = 50, shortlist: Int = 0): DataFrame = {
+      strengthSetting: Double = 50, shortlist: Int = 0,
+      predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
     val (bits, dir) = packedOverlay("bq", "BQINDEX", "bits",
@@ -802,29 +892,96 @@ class VectorStore private (
       spark.read.parquet(s"$dir/bounds"),
       queries, k,
       shortlist = if (shortlist > 0) shortlist else math.max(200, 20 * k),
-      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+      KnnSearch.scaleThreshold(strengthSetting), params.metric,
+      idFilter = filteredIds(predicate))
   }
 
-  // ---- streaming ingest keeping the compressed tiers fresh -----------
+  // ---- streaming ingest keeping EVERY serving tier fresh -------------
 
-  /** Streaming ingest that keeps the COMPRESSED serving tiers fresh —
-    * the vector-side analog of
-    * [[graft.CorpusStore.startIngest]]`(refreshChunks = true)`: events
+  /** The graph half of a streamed merge ([[appendPqCodes]]' contract:
+    * `dd` already reflected in the node table): fold into the saved ANN
+    * generation and flip — [[mergeIndex]] without the table upsert. */
+  private def mergeIndexGraphCodes(dd: DataFrame): Unit = {
+    val old = currentIndexGen.getOrElse(throw new IllegalStateException(
+      s"no ANN index under $path — call rebuild() first"))
+    val (n0, e0, p) = IndexBuild.load(spark, indexDir(old))
+    val (n1, e1) = IndexBuild.merge(n0, e0, dd, p)
+    IndexBuild.save(n1, e1, p, indexDir(old + 1))
+    flipIndexPointer(old + 1, Some(old))
+  }
+
+  /** One ingest micro-batch against every serving tier — the shared body
+    * of [[startIngest]]: apply the node table once, then fold the SAME
+    * resolved delta into each tier that exists, all at O(batch). */
+  private def ingestBatch(batch: DataFrame,
+      config: VectorStore.IngestConfig,
+      onAppend: (String, VectorStore.CompressedAppendStats) => Unit)
+      : Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val touched = batch.select(col("id")).distinct()
+    val next = graft.streaming.StreamingIngest
+      .applyBatch(nodes, batch).localCheckpoint()
+    persist(next)
+    // the touched ids' FINAL state this batch: live rows encode,
+    // tombstoned rows retire their codes. A delete for an id the
+    // store never held resolves to no row at all — nothing to
+    // retire (applyBatch's no-op rule carries through).
+    val dd = next.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), col("vector"), col("deleted"))
+      .localCheckpoint()
+    if (Fs.exists(spark, s"$path/INDEX"))
+      mergeIndexGraphCodes(dd)
+    if (Fs.exists(spark, s"$path/PQINDEX")) {
+      val st = appendPqCodes(dd, config.driftRatioMax,
+        config.compactEvery, config.qeFloorMicro)
+      onAppend("pq", st)
+      if (st.retrainRecommended && config.autoRetrain) retrainPq()
+    }
+    if (Fs.exists(spark, s"$path/SQINDEX")) {
+      val st = appendPackedCodes("sq", "SQINDEX", dd,
+        (d, b) => SqIndex.encode(d, b), "codes", "array<int>",
+        config.oobMicroMax, config.compactEvery, () => compactSqIndex())
+      onAppend("sq", st)
+      if (st.retrainRecommended && config.autoRetrain) buildSqIndex()
+    }
+    if (Fs.exists(spark, s"$path/BQINDEX")) {
+      val st = appendPackedCodes("bq", "BQINDEX", dd,
+        (d, b) => BqIndex.encode(d, b), "bits", "array<bigint>",
+        config.oobMicroMax, config.compactEvery, () => compactBqIndex())
+      onAppend("bq", st)
+      if (st.retrainRecommended && config.autoRetrain) buildBqIndex()
+    }
+  }
+
+  /** Streaming ingest that keeps EVERY serving tier fresh — the
+    * reference's single-writer mutation queue (`driver/driver.ts:51-80`)
+    * completed across the whole serving surface: events
     * (id, vector, op ∈ upsert|delete, seq) apply to the node table ONCE
     * per micro-batch ([[graft.streaming.StreamingIngest.applyBatch]]'s
     * seq-ordered semantics), then the SAME resolved delta folds into
-    * every compressed generation that exists (PQ / SQ / BQ — absent
-    * tiers are skipped), all at O(batch). Drift verdicts stream out
-    * through `onAppend(tier, stats)` — the hook a production
-    * deployment wires to alerting / retrain scheduling (appends stay
-    * correct under drift; the gate is a quality signal, not a
-    * correctness one). Requires the respective build* to have run once
-    * for each tier that should stay fresh. Single-writer contract: one
-    * running ingest query (or one batch writer) owns a store path at a
-    * time. */
-  def startIngestCompressed(events: DataFrame,
+    * every tier that exists — the ANN graph generation
+    * ([[mergeIndex]]'s O(|Δ|) fold + atomic flip) and the compressed
+    * generations (PQ / SQ / BQ appends behind their pointers) — so a
+    * search on ANY arm ([[searchAnnSeededIvf]], [[searchPq]],
+    * [[searchSq]], [[searchBqStore]], [[searchAuto]]) sees the ingested
+    * rows after the batch commits. Absent tiers are skipped; per-batch
+    * cost is O(batch) against each present tier (SCALING.md measures
+    * it).
+    *
+    * `config` carries the drift gates and compaction cadence
+    * ([[VectorStore.IngestConfig]] — the same knobs the batch-path
+    * appends expose). With `autoRetrain = true`, a tripped drift gate
+    * triggers a full rebuild of THAT tier inside the batch (the
+    * single-writer slot — serving reads continue against the old
+    * generation until the atomic flip; the stream simply takes one long
+    * batch). Default is report-only via `onAppend`.
+    *
+    * Single-writer contract: one running ingest query (or one batch
+    * writer) owns a store path at a time. */
+  def startIngest(events: DataFrame,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      config: VectorStore.IngestConfig = VectorStore.IngestConfig(),
       onAppend: (String, VectorStore.CompressedAppendStats) => Unit =
         (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -834,38 +991,27 @@ class VectorStore private (
         events.columns.mkString(","))
     events.writeStream
       .outputMode("append")
-      .option("checkpointLocation", s"$path/_ingest_compressed_checkpoint")
+      .option("checkpointLocation", s"$path/_ingest_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          graft.functions.VectorFunctions.register(spark)
-          val touched = batch.select(col("id")).distinct()
-          val next = graft.streaming.StreamingIngest
-            .applyBatch(nodes, batch).localCheckpoint()
-          persist(next)
-          // the touched ids' FINAL state this batch: live rows encode,
-          // tombstoned rows retire their codes. A delete for an id the
-          // store never held resolves to no row at all — nothing to
-          // retire (applyBatch's no-op rule carries through).
-          val dd = next.join(touched, Seq("id"), "left_semi")
-            .select(col("id"), col("vector"), col("deleted"))
-            .localCheckpoint()
-          if (Fs.exists(spark, s"$path/PQINDEX"))
-            onAppend("pq", appendPqCodes(dd, driftRatioMax = 2.0,
-              compactEvery = 8, qeFloorMicro = 1000L))
-          if (Fs.exists(spark, s"$path/SQINDEX"))
-            onAppend("sq", appendPackedCodes("sq", "SQINDEX", dd,
-              (d, b) => SqIndex.encode(d, b), "codes", "array<int>",
-              10000L, 8, () => compactSqIndex()))
-          if (Fs.exists(spark, s"$path/BQINDEX"))
-            onAppend("bq", appendPackedCodes("bq", "BQINDEX", dd,
-              (d, b) => BqIndex.encode(d, b), "bits", "array<bigint>",
-              10000L, 8, () => compactBqIndex()))
-        }
+        if (!batch.isEmpty) ingestBatch(batch, config, onAppend)
         ()
       }
       .start()
   }
+
+  /** [[startIngest]] restricted by construction to stores without a
+    * graph generation (kept for source compatibility — same unified
+    * body, the graph fold is a no-op when no INDEX pointer exists).
+    * New callers use [[startIngest]]. */
+  def startIngestCompressed(events: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      onAppend: (String, VectorStore.CompressedAppendStats) => Unit =
+        (_, _) => (),
+      config: VectorStore.IngestConfig = VectorStore.IngestConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startIngest(events, trigger, config, onAppend)
 
   /** Drop the store (astrovault.ts:134-146). */
   def delete(): Unit = graft.util.Fs.deleteRecursive(spark, path)
@@ -886,6 +1032,26 @@ object VectorStore {
   case class CompressedAppendStats(nAppended: Long, nTombstoned: Long,
       buildStatMicro: Long, deltaStatMicro: Long,
       retrainRecommended: Boolean)
+
+  /** Streaming-ingest tuning ([[VectorStore.startIngest]]): the drift
+    * gates and compaction cadence of the per-batch tier folds — the
+    * same knobs the batch-path appends ([[VectorStore.appendPqIndex]] /
+    * [[VectorStore.appendSqIndex]]) expose, applied to every tier the
+    * stream maintains. `compactEvery` defaults HIGHER than the batch
+    * default (64 vs 8): a chain fold rewrites the tier's base —
+    * O(corpus), not O(batch) — and a streaming trigger fires
+    * continuously, so folding every 8 one-second batches would pay a
+    * base rewrite roughly every 8 s of ingest; at 64 the amortized cost
+    * stays delta-dominated while the overlay chain stays short enough
+    * to serve. `autoRetrain = true` turns a tripped drift gate into an
+    * in-batch full rebuild + atomic flip of that tier (otherwise the
+    * verdict only surfaces through `onAppend`). */
+  case class IngestConfig(
+      driftRatioMax: Double = 2.0,
+      qeFloorMicro: Long = 1000L,
+      oobMicroMax: Long = 10000L,
+      compactEvery: Int = 64,
+      autoRetrain: Boolean = false)
 
   private[graft] def emptyTable(spark: SparkSession): DataFrame = {
     import spark.implicits._

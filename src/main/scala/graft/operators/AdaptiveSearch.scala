@@ -120,15 +120,25 @@ object AdaptiveSearch {
       pqCutoff: Long = 5000000L,
       prebuiltPq: Option[PqPrebuilt] = None,
       prebuiltGraph: Option[(DataFrame, DataFrame)] = None,
-      seededNProbe: Int = 32)
+      seededNProbe: Int = 32,
+      idFilter: Option[DataFrame] = None)
       : (Strategy, DataFrame) = {
     val mSub = 8
-    val (n, share) = stats(nodes, params)
+    val (nAll, share) = stats(nodes, params)
+    // the DECISION size is the work size: a selective predicate that
+    // leaves <= exactCutoff matching rows makes the exact scan over just
+    // those rows the cheapest correct plan, regardless of corpus size —
+    // filtered dispatch measures the filtered set, not the corpus.
+    // (Bucket-skew geometry stays corpus-derived: the index artifacts
+    // the arms serve from were built over the full corpus.)
+    val n = idFilter.map(f =>
+      KnnSearch.restrictIds(nodes, Some(f)).count()).getOrElse(nAll)
     decide(n, share, exactCutoff = exactCutoff, skewCutoff = skewCutoff,
         pqCutoff = pqCutoff,
         pqEligible = params.dim % mSub == 0) match {
       case UseExact =>
-        (UseExact, KnnSearch.knnExact(nodes, queries, k, minSim, params.metric))
+        (UseExact, KnnSearch.knnExact(KnnSearch.restrictIds(nodes, idFilter),
+          queries, k, minSim, params.metric))
       case UseLsh =>
         // With a persisted graph index at hand, this arm upgrades to a
         // SEEDED hybrid (expansions can only improve on the seeds). The
@@ -147,12 +157,14 @@ object AdaptiveSearch {
               queries, k, minSim, params, pre.centroids,
               ef = math.max(64, k), nProbe = seededNProbe,
               assignments = Some(pre.assignments
-                .join(gn.select(col("id"), col("vector")), Seq("id")))))
+                .join(gn.select(col("id"), col("vector")), Seq("id"))),
+              idFilter = idFilter))
           case (Some((gn, ge)), _) =>
             (UseGraphSeeded, AnnSearch.searchGraphSeeded(gn, ge, queries,
-              k, minSim, params, ef = math.max(64, k)))
+              k, minSim, params, ef = math.max(64, k), idFilter = idFilter))
           case _ =>
-            (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params))
+            (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params,
+              idFilter = idFilter))
         }
       case UseIvf =>
         val cells = math.min(ivfCells, math.max(16, math.sqrt(n.toDouble).toInt))
@@ -169,10 +181,11 @@ object AdaptiveSearch {
           case Some((gn, ge)) if params.metric == "cosine" =>
             (UseGraphSeededIvf, AnnSearch.searchGraphSeededIvf(gn, ge,
               queries, k, minSim, params, centroids,
-              ef = math.max(64, k), nProbe = seededNProbe))
+              ef = math.max(64, k), nProbe = seededNProbe,
+              idFilter = idFilter))
           case _ =>
             (UseIvf, IvfIndex.search(nodes, centroids, queries, k, minSim,
-              nProbe))
+              nProbe, idFilter = idFilter))
         }
       case UsePq =>
         // residual IVF-PQ shortlist + exact re-rank: the one path whose
@@ -202,7 +215,7 @@ object AdaptiveSearch {
         (UsePq, PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
           pre.assignments, pre.centroids, pre.codebooks, queries, k,
           shortlist = math.max(100, 50 * k), nProbe, mSub, subLen, minSim,
-          params.metric))
+          params.metric, idFilter = idFilter))
     }
   }
 }

@@ -42,9 +42,10 @@ object AnnSearch {
     * there from bucket-skew stats). */
   def searchLsh(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       params: IndexParams, broadcastBytes: Long = 64L << 20,
-      shortlist: Int = 0): DataFrame =
+      shortlist: Int = 0, idFilter: Option[DataFrame] = None): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, params.metric,
-      v => IndexBuild.bucketKeys(v, params), broadcastBytes, shortlist)
+      v => IndexBuild.bucketKeys(v, params), broadcastBytes, shortlist,
+      idFilter)
 
   /** [[searchLsh]] with data-derived anchor hyperplanes instead of the
     * seeded-random ones: bit p of band b = sign(vec · anchors(b)(p)).
@@ -58,9 +59,10 @@ object AnnSearch {
       minSim: Double, anchors: Seq[Seq[Array[Float]]],
       metric: String = "cosine",
       broadcastBytes: Long = 64L << 20,
-      shortlist: Int = 0): DataFrame =
+      shortlist: Int = 0, idFilter: Option[DataFrame] = None): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, metric,
-      v => anchorBucketKeys(v, anchors), broadcastBytes, shortlist)
+      v => anchorBucketKeys(v, anchors), broadcastBytes, shortlist,
+      idFilter)
 
   /** All band keys for anchor-hyperplane LSH in one projection (same
     * band-prefixed shape as [[IndexBuild.bucketKeys]]). */
@@ -86,12 +88,16 @@ object AnnSearch {
     * (the exact-within-buckets default all fixture oracles pin). */
   private def searchLshKeyed(nodes: DataFrame, queries: DataFrame, k: Int,
       minSim: Double, metric: String, keyFn: Column => Column,
-      broadcastBytes: Long = 64L << 20, shortlist: Int = 0): DataFrame = {
+      broadcastBytes: Long = 64L << 20, shortlist: Int = 0,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       KnnSearch.maybeBroadcast(df, broadcastBytes)
-    val live =
+    // pre-filter restriction on the NODE side, before bucketing — a
+    // selective predicate shrinks both the bucket join and the scoring
+    // pass ([[KnnSearch.restrictIds]] pre-filter semantics)
+    val live = KnnSearch.restrictIds(
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
-      else nodes
+      else nodes, idFilter)
     // one scan per side: all band keys in a single projection, exploded.
     // Candidates stay NARROW (query_id, id) through the multi-band dedup —
     // node vectors re-attach by one id join afterwards; shuffling them
@@ -149,7 +155,8 @@ object AnnSearch {
       ef: Int = 64, iters: Int = 2,
       anchors: Option[Seq[Seq[Array[Float]]]] = None,
       broadcastBytes: Long = 64L << 20,
-      seedShortlist: Int = 0): DataFrame = {
+      seedShortlist: Int = 0,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
@@ -161,15 +168,18 @@ object AnnSearch {
     // `seedShortlist` bounds the seeding scan on hot-bucket corpora (the
     // [[searchLshKeyed]] band-agreement shortlist); the expansions then
     // recover neighbors the truncated seed set missed via graph edges.
+    // `idFilter` pre-filters seeds AND expansion candidates (see
+    // [[expandAndRank]]'s filtered-walk contract).
     val seedSearch = anchors match {
       case Some(a) => searchLshAnchored(nodes, queries, ef,
         Double.NegativeInfinity, a, params.metric, broadcastBytes,
-        seedShortlist)
+        seedShortlist, idFilter)
       case None => searchLsh(nodes, queries, ef,
-        Double.NegativeInfinity, params, broadcastBytes, seedShortlist)
+        Double.NegativeInfinity, params, broadcastBytes, seedShortlist,
+        idFilter)
     }
     expandAndRank(withDel, edges, seedSearch, queries, k, minSim,
-      params.metric, ef, iters, broadcastBytes)
+      params.metric, ef, iters, broadcastBytes, idFilter)
   }
 
   /** IVF-seeded graph search — the seeded hybrid for HOT-BUCKET corpora
@@ -196,7 +206,8 @@ object AnnSearch {
       queries: DataFrame, k: Int, minSim: Double, params: IndexParams,
       centroids: DataFrame, ef: Int = 64, iters: Int = 2, nProbe: Int = 32,
       assignments: Option[DataFrame] = None,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
     // the coarse quantizer AND the final rank are cosine — silently
     // serving a euclidean index would change both the top-k and the
@@ -207,20 +218,33 @@ object AnnSearch {
       if (nodes.columns.contains("deleted")) nodes
       else nodes.withColumn("deleted", lit(false))
     val seeds = IvfIndex.search(withDel, centroids, queries, ef,
-      Double.NegativeInfinity, nProbe, assignments)
+      Double.NegativeInfinity, nProbe, assignments, idFilter)
     expandAndRank(withDel, edges, seeds, queries, k, minSim,
-      "cosine", ef, iters, broadcastBytes)
+      "cosine", ef, iters, broadcastBytes, idFilter)
   }
 
   /** The shared second half of every seeded hybrid: bounded level-0
     * frontier expansions from `seeds`, then one true-metric rank over
     * seeds ∪ expansions (so the hybrid can never do worse than its
     * seeds). `nodes` must carry `deleted` (tombstones routable mid-walk,
-    * filtered from results). */
+    * filtered from results).
+    *
+    * Filtered-walk contract (`idFilter`): expansion CANDIDATES restrict
+    * to the filtered set before scoring — the frontier holds only
+    * matching nodes, so a selective predicate can never crowd matching
+    * candidates out of the ef window with non-matching high scorers,
+    * results are provably ⊆ the filtered set, and per-hop work shrinks
+    * with the filtered fraction. The trade is that the walk does not
+    * route THROUGH non-matching nodes (their out-edges never fire); the
+    * filtered seed probe carries the recall — it lands in every probed
+    * cell/bucket independent of graph connectivity — and expansions add
+    * matching neighbors of matching seeds. Under very selective
+    * predicates raise nProbe/ef rather than relying on the walk. */
   private def expandAndRank(nodes: DataFrame, edges: DataFrame,
       seeds: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       metric: String, ef: Int, iters: Int,
-      broadcastBytes: Long): DataFrame = {
+      broadcastBytes: Long,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val sf = scoreFn(metric)
     val topW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
@@ -234,10 +258,10 @@ object AnnSearch {
       .select(col("query_id"), col("id"), col("score"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val expanded = frontier
+      val expanded = KnnSearch.restrictIds(frontier
         .join(e0, frontier("id") === e0("src"))
         .select(col("query_id"), col("dst").as("id"))
-        .dropDuplicates("query_id", "id")
+        .dropDuplicates("query_id", "id"), idFilter)
         .join(nodes.select(col("id"), col("vector")), Seq("id"))
         .join(qvs, Seq("query_id"))
         .withColumn("score", sf(col("query_vec"), col("vector")))

@@ -58,14 +58,17 @@ object BqIndex {
     * query-bit table broadcasts while it fits `broadcastBytes`; past
     * that both sides stay partitioned (SHUFFLE_REPLICATE_NL). */
   def searchBq(bits: DataFrame, bounds: DataFrame, queries: DataFrame,
-      k: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+      k: Int, broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
+    // restriction BEFORE the n x Q pairing ([[KnnSearch.restrictIds]])
+    val scanBits = KnnSearch.restrictIds(bits, idFilter)
     val qbits = encode(queries, bounds, "query_id", "query_vec")
       .select(col("query_id"), col("bits").as("qbits"))
     val small =
       qbits.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
     val paired =
-      if (small) bits.crossJoin(broadcast(qbits))
-      else bits.crossJoin(qbits.hint("SHUFFLE_REPLICATE_NL"))
+      if (small) scanBits.crossJoin(broadcast(qbits))
+      else scanBits.crossJoin(qbits.hint("SHUFFLE_REPLICATE_NL"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("hd").asc, col("id").asc)
     paired
@@ -87,7 +90,8 @@ object BqIndex {
     * contract. */
   def searchIvfBq(bits: DataFrame, assignments: DataFrame,
       centroids: DataFrame, bounds: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+      k: Int, nProbe: Int, broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("cell").asc)
     val probed = queries.join(broadcast(centroids))
@@ -96,7 +100,8 @@ object BqIndex {
       .withColumn("__crn", row_number().over(cw))
       .filter(col("__crn") <= nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = assignments.select(col("cell"), col("id"))
+    val cand = KnnSearch.restrictIds(
+        assignments.select(col("cell"), col("id")), idFilter)
       .join(KnnSearch.maybeBroadcast(probed, broadcastBytes), Seq("cell"))
       .select(col("query_id"), col("id"))
     val qbits = encode(queries, bounds, "query_id", "query_vec")
@@ -179,8 +184,10 @@ object BqIndex {
   def searchBqRerankScored(nodes: DataFrame, bits: DataFrame,
       bounds: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
       minSim: Double, metric: String = "cosine",
-      broadcastBytes: Long = 64L << 20): DataFrame = {
-    val cand = searchBq(bits, bounds, queries, shortlist, broadcastBytes)
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
+    val cand = searchBq(bits, bounds, queries, shortlist, broadcastBytes,
+        idFilter)
       .select(col("query_id"), col("id"))
     PqIndex.rerankScored(nodes, cand, queries, k, minSim, metric,
       broadcastBytes)

@@ -210,10 +210,15 @@ object IvfIndex {
   }
 
   /** ANN search: rank centroids per query, probe the top `nProbe` cells,
-    * exact-score only their members. Output shape matches knnExact. */
+    * exact-score only their members. Output shape matches knnExact.
+    * `idFilter` pre-filters the member table BEFORE the probe join
+    * ([[KnnSearch.restrictIds]] — selective predicates shrink the
+    * scored set; the probed cell ranking itself is filter-independent,
+    * so the same cells are probed and only matching members score). */
   def search(nodes: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, minSim: Double, nProbe: Int,
-      assignments: Option[DataFrame] = None): DataFrame = {
+      assignments: Option[DataFrame] = None,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     // tombstones excluded like every other search path (hnsw.ts:292)
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
@@ -227,8 +232,13 @@ object IvfIndex {
       .filter(col("__crn") <= nProbe)
       .select(col("query_id"), col("query_vec"), col("cell"))
     // cell assignment is O(n x cells): reuse a persisted assignment from
-    // build time when provided instead of recomputing per search
-    val members = assignments.getOrElse(assign(live, centroids))
+    // build time when provided instead of recomputing per search. The
+    // restriction lands on the member table (or, absent a persisted
+    // assignment, on the nodes BEFORE assigning — the filtered fraction
+    // never pays the O(n x cells) argmax either)
+    val members = assignments
+      .map(a => KnnSearch.restrictIds(a, idFilter))
+      .getOrElse(assign(KnnSearch.restrictIds(live, idFilter), centroids))
       .select(col("cell"), col("id"), col("vector"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)

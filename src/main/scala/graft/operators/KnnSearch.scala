@@ -38,6 +38,22 @@ object KnnSearch {
       broadcast(df)
     else df
 
+  /** THE filtered-search restriction, defined once: semi-join an
+    * id-keyed index table (`assignments`, `codes`, `bits`, node rows)
+    * against the caller's filtered id set (a one-column `id` relation)
+    * BEFORE probing/scoring — PRE-filter semantics, so a selective
+    * predicate SHRINKS index-arm work in proportion to the filtered
+    * fraction, and results are exact top-k OVER THE FILTERED SUBSET
+    * (a post-filter of an unfiltered top-k can return < k rows or miss
+    * matches entirely; this never does). No-op without a filter. The
+    * reference's tombstone result-filter (`hnsw.ts:292`) is the
+    * degenerate predicate `deleted = false`. */
+  def restrictIds(df: DataFrame, idFilter: Option[DataFrame],
+      idCol: String = "id"): DataFrame =
+    idFilter.map(f =>
+      df.join(f.select(col("id").as(idCol)), Seq(idCol), "left_semi"))
+      .getOrElse(df)
+
   /** Exact top-K per query vector with a similarity floor.
     *
     * The query side broadcasts only while its Catalyst size estimate fits

@@ -231,7 +231,9 @@ object PqIndex {
     * (query_id, id, rn) matches the other search paths. */
   def searchAdc(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       k: Int, m: Int, subLen: Int,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
+    val scanCodes = KnnSearch.restrictIds(codes, idFilter)
     val lutLong = queries
       .select(col("query_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("query_vec"))
@@ -251,8 +253,8 @@ object PqIndex {
     val lutSmall =
       lut.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
     val paired =
-      if (lutSmall) packCodes(codes).crossJoin(broadcast(lut))
-      else packCodes(codes).crossJoin(lut.hint("SHUFFLE_REPLICATE_NL"))
+      if (lutSmall) packCodes(scanCodes).crossJoin(broadcast(lut))
+      else packCodes(scanCodes).crossJoin(lut.hint("SHUFFLE_REPLICATE_NL"))
     paired
       .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
       .withColumn("rn", row_number().over(w))
@@ -275,7 +277,8 @@ object PqIndex {
   def searchIvfPq(codes: DataFrame, assignments: DataFrame,
       centroids: DataFrame, codebooks: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int, m: Int, subLen: Int,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("cell").asc)
     val probed = queries.join(broadcast(centroids))
@@ -284,7 +287,10 @@ object PqIndex {
       .withColumn("__crn", row_number().over(cw))
       .filter(col("__crn") <= nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = assignments.select(col("cell"), col("id"))
+    // the restriction lands on the assignment table BEFORE the probe
+    // join — candidate volume shrinks with the filtered fraction
+    val cand = KnnSearch.restrictIds(
+        assignments.select(col("cell"), col("id")), idFilter)
       .join(maybeBroadcast(probed, broadcastBytes), Seq("cell"))
       .select(col("query_id"), col("id"))
     val lutLong = queries
@@ -367,7 +373,8 @@ object PqIndex {
   def searchIvfPqResidual(codes: DataFrame, assignments: DataFrame,
       centroids: DataFrame, codebooks: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int, m: Int, subLen: Int,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("cell").asc)
     val probed = queries.join(broadcast(centroids))
@@ -395,7 +402,8 @@ object PqIndex {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
         e => e.getField("d")).as("lut"))
-    val cand = assignments.select(col("cell"), col("id"))
+    val cand = KnnSearch.restrictIds(
+        assignments.select(col("cell"), col("id")), idFilter)
       .join(maybeBroadcast(probed, broadcastBytes), Seq("cell"))
       .select(col("query_id"), col("cell"), col("id"))
     val w = Window.partitionBy(col("query_id"))
@@ -419,9 +427,10 @@ object PqIndex {
     * `broadcastBytes` gate — large query batches shuffle instead. */
   def searchAdcRerank(nodes: DataFrame, codes: DataFrame,
       codebooks: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
-      m: Int, subLen: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+      m: Int, subLen: Int, broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cand = searchAdc(codes, codebooks, queries, shortlist, m, subLen,
-        broadcastBytes)
+        broadcastBytes, idFilter)
       .select(col("query_id"), col("id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("id").asc)
@@ -447,9 +456,10 @@ object PqIndex {
   def searchAdcRerankScored(nodes: DataFrame, codes: DataFrame,
       codebooks: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
       m: Int, subLen: Int, minSim: Double, metric: String = "cosine",
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cand = searchAdc(codes, codebooks, queries, shortlist, m, subLen,
-        broadcastBytes)
+        broadcastBytes, idFilter)
       .select(col("query_id"), col("id"))
     rerankScored(nodes, cand, queries, k, minSim, metric, broadcastBytes)
   }
@@ -468,9 +478,10 @@ object PqIndex {
       assignments: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       queries: DataFrame, k: Int, shortlist: Int, nProbe: Int,
       m: Int, subLen: Int, minSim: Double, metric: String = "cosine",
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cand = searchIvfPqResidual(codes, assignments, centroids, codebooks,
-        queries, shortlist, nProbe, m, subLen, broadcastBytes)
+        queries, shortlist, nProbe, m, subLen, broadcastBytes, idFilter)
       .select(col("query_id"), col("id"))
     rerankScored(nodes, cand, queries, k, minSim, metric, broadcastBytes)
   }

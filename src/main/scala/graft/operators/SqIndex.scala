@@ -98,14 +98,18 @@ object SqIndex {
     * partitioned (SHUFFLE_REPLICATE_NL, the [[KnnSearch.knnExact]]
     * fallback shape). */
   def searchSq(codes: DataFrame, bounds: DataFrame, queries: DataFrame,
-      k: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+      k: Int, broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
+    // restriction BEFORE the n x Q pairing — the scanned row count
+    // shrinks with the filtered fraction ([[KnnSearch.restrictIds]])
+    val scanCodes = KnnSearch.restrictIds(codes, idFilter)
     val qcodes = encode(queries, bounds, "query_id", "query_vec")
       .select(col("query_id"), col("codes").as("qcodes"))
     val small =
       qcodes.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
     val paired =
-      if (small) codes.crossJoin(broadcast(qcodes))
-      else codes.crossJoin(qcodes.hint("SHUFFLE_REPLICATE_NL"))
+      if (small) scanCodes.crossJoin(broadcast(qcodes))
+      else scanCodes.crossJoin(qcodes.hint("SHUFFLE_REPLICATE_NL"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("id").asc)
     paired
@@ -125,7 +129,8 @@ object SqIndex {
     * exact-BIGINT contract as [[searchSq]]. */
   def searchIvfSq(codes: DataFrame, assignments: DataFrame,
       centroids: DataFrame, bounds: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int, broadcastBytes: Long = 64L << 20): DataFrame = {
+      k: Int, nProbe: Int, broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("cell").asc)
     val probed = queries.join(broadcast(centroids))
@@ -134,7 +139,8 @@ object SqIndex {
       .withColumn("__crn", row_number().over(cw))
       .filter(col("__crn") <= nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = assignments.select(col("cell"), col("id"))
+    val cand = KnnSearch.restrictIds(
+        assignments.select(col("cell"), col("id")), idFilter)
       .join(KnnSearch.maybeBroadcast(probed, broadcastBytes), Seq("cell"))
       .select(col("query_id"), col("id"))
     val qcodes = encode(queries, bounds, "query_id", "query_vec")
@@ -156,8 +162,10 @@ object SqIndex {
   def searchSqRerankScored(nodes: DataFrame, codes: DataFrame,
       bounds: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
       minSim: Double, metric: String = "cosine",
-      broadcastBytes: Long = 64L << 20): DataFrame = {
-    val cand = searchSq(codes, bounds, queries, shortlist, broadcastBytes)
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
+    val cand = searchSq(codes, bounds, queries, shortlist, broadcastBytes,
+        idFilter)
       .select(col("query_id"), col("id"))
     PqIndex.rerankScored(nodes, cand, queries, k, minSim, metric,
       broadcastBytes)

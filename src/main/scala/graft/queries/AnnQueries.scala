@@ -105,6 +105,34 @@ object AnnQueries {
     s.read.parquet(path)
   }
 
+  /** a23's store fixture, built once per process per data dir (the
+    * memo shape of [[indexFor]] applied to a FACADE lifecycle): base =
+    * every id not divisible by 10; one append delta upserting the
+    * id % 10 == 0 rows and tombstoning the id % 10 == 5 rows.
+    * `compactEvery = 100` keeps the delta chain live so the query reads
+    * the OVERLAY path, not a folded base. Re-opening by path is the
+    * production read pattern (state is the persisted snapshot chain). */
+  private val facadeStorePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def facadeAppendStore(s: SparkSession, d: String)
+      : graft.VectorStore = {
+    val path = facadeStorePaths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-pq-facade")
+      val nodesDf = VectorQueries.asVectorTable(Tables.embeddings(s, d))
+      val store = graft.VectorStore.openOrCreate(s, p, IndexParams(dim = 64))
+      store.addBatch(nodesDf.filter(col("id") % 10 =!= 0)
+        .select(col("id"), col("vector")))
+      store.buildPqIndex(cells = 10, codebookMode = "sample", ksub = 16)
+      val delta = nodesDf.filter(col("id") % 10 === 0)
+        .withColumn("deleted", lit(false))
+        .unionByName(nodesDf.filter(col("id") % 10 === 5)
+          .withColumn("deleted", lit(true)))
+      store.appendPqIndex(delta, compactEvery = 100)
+      p
+    })
+    graft.VectorStore.openOrCreate(s, path, IndexParams(dim = 64))
+  }
+
   /** Memoized anchored build per data dir (the `indexFor` shape): a07
     * and a18 both consume the identical deterministic
     * `buildAnchored(nodes, params, anchors)` graph — build once per
@@ -534,6 +562,64 @@ object AnnQueries {
         .agg(((count(col("id")).cast("double") / count(lit(1))) >= 0.9)
           .as("meets_floor"))
     }),
+
+    // FILTERED index-arm search (the WHERE clause pushed INTO the index,
+    // not post-filtered): the predicate's id set semi-joins the
+    // assignment table BEFORE the probe join, so only matching members
+    // are ever scored — results are exact top-k over the filtered
+    // members of the probed cells, and work shrinks with the filtered
+    // fraction. Fully hash-checked: the oracle re-derives codebook,
+    // assignments, probes AND applies the same pre-filter to the
+    // assignment table, so a post-filter regression (filter applied
+    // after the rank) changes ranks and fails the hash.
+    "a21_filtered_ivf" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      graft.operators.IvfIndex.search(nodesDf, centroids,
+          VectorQueries.querySet(emb), k = 10, minSim = -2.0, nProbe = 3,
+          idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
+            .select(col("id"))))
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // The PQ append LIFECYCLE through the production facade — a20's
+    // encode math driven end-to-end via [[graft.VectorStore]]: open a
+    // store, ingest the base, build the persisted generation (sample
+    // codebook mode — every artifact externally derivable), fold ONE
+    // append delta (new ids encoded against the FROZEN artifacts +
+    // tombstones) behind the atomic pointer, then read back what the
+    // store actually SERVES (the overlay: base minus touched ids plus
+    // the delta's live rows). The oracle derives the same frozen
+    // artifacts and encodes base ∪ delta in one pass minus tombstoned
+    // ids — a hash match proves pointer flip, delta chain, latest-wins
+    // overlay and tombstone retirement together serve exactly
+    // append-encode ≡ rebuild-encode (the t21/t22 composed-facade
+    // pattern applied to the vector side).
+    "a23_pq_append_facade" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val pre = facadeAppendStore(s, d).loadPqIndex()
+      pre.codes.join(pre.assignments, Seq("id"))
+        .select(col("id"), col("cell"), col("sub"), col("code"))
+    }),
+
+    // Filtered SQ8 — the compressed-arm variant of a21: the same
+    // pre-filter semi-joins the packed CODES table before the n x Q
+    // scan (bounds stay corpus-trained build artifacts). Exact-BIGINT
+    // d2 score column: zero float caveats, every code and rank
+    // re-derived by the oracle over the filtered subset.
+    "a22_filtered_sq" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
+      val codes = graft.operators.SqIndex.encode(nodesDf, bounds)
+      graft.operators.SqIndex.searchSq(codes, bounds,
+        VectorQueries.querySet(emb), k = 10,
+        idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
+          .select(col("id"))))
+    }),
   )
 
   /** The anchored graph build as a DuckDB CTE chain ending in `base` — the
@@ -954,6 +1040,48 @@ object AnnQueries {
         |SELECT e.id, a.cell, CAST(e.sub AS INT) AS sub,
         |  CAST(e.code AS INT) AS code
         |FROM enc e JOIN asg a ON a.id = e.id""".stripMargin,
+    // a20's one-pass derivation (identical frozen artifacts from the
+    // id % 10 <> 0 base) minus the tombstoned id % 10 = 5 rows — what
+    // the facade's overlay must serve after the append.
+    "a23_pq_append_facade" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding AS vf, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |ccb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding AS cvf, embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 10 <> 0
+        |        ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN ccb c)
+        |  WHERE rn = 1),
+        |res AS (
+        |  SELECT n.id,
+        |    list_transform(list_zip(n.vf, c.cvf), x -> x[1] - x[2]) AS rf
+        |  FROM nodes n JOIN asg a ON a.id = n.id JOIN ccb c ON c.cell = a.cell),
+        |rcb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS code, rf
+        |  FROM (SELECT * FROM res WHERE id % 10 <> 0 ORDER BY id LIMIT 16)),
+        |rcb AS (
+        |  SELECT CAST(s.sub AS INT) AS sub, r.code,
+        |    list_slice(r.rf, s.sub * 8 + 1, s.sub * 8 + 8)::DOUBLE[] AS cen
+        |  FROM rcb0 r CROSS JOIN range(0, 8) s(sub)),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT r.id, rcb.sub, rcb.code,
+        |      row_number() OVER (PARTITION BY r.id, rcb.sub
+        |        ORDER BY list_distance(
+        |          list_slice(r.rf, rcb.sub * 8 + 1, rcb.sub * 8 + 8)::DOUBLE[],
+        |          rcb.cen) ASC, rcb.code) AS rn
+        |    FROM res r CROSS JOIN rcb) WHERE rn = 1)
+        |SELECT e.id, a.cell, CAST(e.sub AS INT) AS sub,
+        |  CAST(e.code AS INT) AS code
+        |FROM enc e JOIN asg a ON a.id = e.id
+        |WHERE e.id % 10 <> 5""".stripMargin,
     "a11_pq_rerank" ->
       """WITH nodes AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1379,6 +1507,88 @@ object AnnQueries {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY score DESC, id) AS rn
         |  FROM scored WHERE score > -2.0)
+        |WHERE rn <= 10""".stripMargin,
+    // a04's oracle with the PRE-filter applied to the assignment table —
+    // the filter lands before the probe join (the semi-join placement),
+    // NOT on the ranked output: a post-filter implementation would rank
+    // non-matching members first and fail this hash.
+    "a21_filtered_ivf" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN cb c
+        |    WHERE n.id % 3 = 0)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN cb c)
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM probed p
+        |  JOIN asg a ON a.cell = p.cell
+        |  JOIN nodes n ON n.id = a.id
+        |  JOIN q ON q.query_id = p.query_id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM scored WHERE score > -2.0)
+        |WHERE rn <= 10""".stripMargin,
+    // a15's oracle with the PRE-filter applied to the encoded-codes
+    // table (bounds stay corpus-trained): ranks run over the filtered
+    // subset only.
+    "a22_filtered_sq" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bounds AS (
+        |  SELECT p.pos, min(list_extract(n.v, p.pos + 1)) AS lo,
+        |         max(list_extract(n.v, p.pos + 1)) AS hi
+        |  FROM nodes n CROSS JOIN range(0, 64) p(pos)
+        |  GROUP BY p.pos),
+        |enc AS (
+        |  SELECT n.id, b.pos,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(least(255, greatest(0,
+        |        floor((list_extract(n.v, b.pos + 1) - b.lo)
+        |          / (b.hi - b.lo) * 256.0))) AS BIGINT) END AS c
+        |  FROM nodes n CROSS JOIN bounds b
+        |  WHERE n.id % 3 = 0),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qenc AS (
+        |  SELECT q.query_id, b.pos,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(least(255, greatest(0,
+        |        floor((list_extract(q.qv, b.pos + 1) - b.lo)
+        |          / (b.hi - b.lo) * 256.0))) AS BIGINT) END AS c
+        |  FROM q CROSS JOIN bounds b),
+        |scored AS (
+        |  SELECT qe.query_id, e.id,
+        |    CAST(SUM((qe.c - e.c) * (qe.c - e.c)) AS BIGINT) AS d2
+        |  FROM enc e JOIN qenc qe ON qe.pos = e.pos
+        |  GROUP BY qe.query_id, e.id)
+        |SELECT query_id, id, d2, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id, d2,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY d2 ASC, id) AS rn
+        |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
   )
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.queries.VectorQueries
+
+/** Filtered (predicate-pushed) search across every index arm: PRE-filter
+  * semantics — the predicate's id set semi-joins the id-keyed index
+  * tables BEFORE probing/ranking, so results are exact top-k OVER THE
+  * FILTERED SUBSET and work shrinks with the filtered fraction. A
+  * post-filter implementation (rank first, filter after) returns < k
+  * rows and misses matches under selective predicates — the exactness
+  * tests here distinguish the two. */
+class FilteredSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val nodesDf = VectorQueries.asVectorTable(emb)
+  private lazy val queriesDf = VectorQueries.querySet(emb)
+  private val params = IndexParams(m = 8, levelMax = 3, bucketBits = 4,
+    nBands = 4)
+
+  private def pred: Column = col("id") % 3 === 0
+  private lazy val fIds = nodesDf.filter(pred).select(col("id"))
+
+  /** Exact top-k over the filtered subset — the ground truth every
+    * pre-filtering arm must be able to reach. */
+  private def exactFiltered(k: Int): Set[(Long, Long)] =
+    KnnSearch.knnExact(nodesDf.filter(pred), queriesDf, k, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "id").as[(Long, Long)].collect().toSet
+
+  test("filtered IVF with every cell probed EQUALS exact filtered top-k " +
+      "(pre-filter, not post-filter)") {
+    val centroids = IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val got = pairs(IvfIndex.search(nodesDf, centroids, queriesDf,
+      k = 10, minSim = -2.0, nProbe = 10, idFilter = Some(fIds)))
+    assert(got === exactFiltered(10))
+  }
+
+  test("filtered SQ rerank with corpus-deep shortlist EQUALS exact " +
+      "filtered top-k; plain filtered SQ stays inside the filter") {
+    val bounds = SqIndex.trainBounds(nodesDf)
+    val codes = SqIndex.encode(nodesDf, bounds)
+    val deep = pairs(SqIndex.searchSqRerankScored(nodesDf, codes, bounds,
+      queriesDf, k = 10, shortlist = 1000, minSim = -2.0,
+      idFilter = Some(fIds)))
+    assert(deep === exactFiltered(10))
+    val sq = SqIndex.searchSq(codes, bounds, queriesDf, k = 10,
+      idFilter = Some(fIds))
+    assert(sq.join(nodesDf.filter(!pred), Seq("id"), "left_semi")
+      .count() === 0L)
+  }
+
+  test("filtered BQ / PQ arms return only matching ids and full ranks " +
+      "(k results per query — a post-filter would return fewer)") {
+    val bounds = SqIndex.trainBounds(nodesDf)
+    val bits = BqIndex.encode(nodesDf, bounds)
+    val bq = BqIndex.searchBqRerankScored(nodesDf, bits, bounds, queriesDf,
+      k = 5, shortlist = 60, minSim = -2.0, idFilter = Some(fIds))
+    assert(bq.join(nodesDf.filter(!pred), Seq("id"), "left_semi")
+      .count() === 0L)
+    // 1/3 of 500 nodes match: every query must still fill k = 5 ranks
+    assert(bq.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L)
+    val cb = PqIndex.sampleCodebooks(nodesDf, m = 8, subLen = 8, ksub = 16)
+    val codes = PqIndex.encode(nodesDf, cb, m = 8, subLen = 8)
+    val pq = PqIndex.searchAdcRerankScored(nodesDf, codes, cb, queriesDf,
+      k = 5, shortlist = 60, m = 8, subLen = 8, minSim = -2.0,
+      idFilter = Some(fIds))
+    assert(pq.join(nodesDf.filter(!pred), Seq("id"), "left_semi")
+      .count() === 0L)
+    assert(pq.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L)
+  }
+
+  test("the restriction is a semi-join BELOW the pairing join — the " +
+      "filter reaches the scan side, shrinking scored rows") {
+    val bounds = SqIndex.trainBounds(nodesDf)
+    val codes = SqIndex.encode(nodesDf, bounds)
+    val df = SqIndex.searchSq(codes, bounds, queriesDf, k = 10,
+      idFilter = Some(fIds))
+    val p = df.queryExecution.executedPlan.toString
+    val semiAt = p.indexOf("LeftSemi")
+    val pairAt = math.max(p.indexOf("BroadcastNestedLoopJoin"),
+      p.indexOf("CartesianProduct"))
+    assert(semiAt >= 0, s"no semi-join in plan:\n$p")
+    // executed plans print top-down: the pairing join must appear ABOVE
+    // (= before) the semi-join feeding its scan side
+    assert(pairAt >= 0 && pairAt < semiAt,
+      s"semi-join not below the pairing join:\n$p")
+  }
+
+  test("searchGraphSeededIvf honors the filter: results ⊆ matching ids, " +
+      "recall vs exact filtered clears 0.8 at full probe") {
+    val (nodes, edges) = IndexBuild.build(nodesDf, params)
+    val centroids = IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val got = AnnSearch.searchGraphSeededIvf(nodes, edges, queriesDf,
+      k = 10, minSim = -2.0, params, centroids, ef = 48, iters = 2,
+      nProbe = 10, idFilter = Some(fIds))
+    assert(got.join(nodesDf.filter(!pred), Seq("id"), "left_semi")
+      .count() === 0L)
+    val exact = exactFiltered(10)
+    val r = exact.intersect(pairs(got)).size.toDouble / exact.size
+    assert(r > 0.8, s"filtered seeded recall@10 = $r")
+  }
+
+  test("AdaptiveSearch dispatches on the FILTERED size: a selective " +
+      "predicate under the cutoff serves exact over just the subset") {
+    val (sUnf, _) = AdaptiveSearch.search(nodesDf, queriesDf, k = 10,
+      minSim = -2.0, params, exactCutoff = 200)
+    assert(sUnf !== AdaptiveSearch.UseExact) // 500 nodes > 200
+    val (sF, res) = AdaptiveSearch.search(nodesDf, queriesDf, k = 10,
+      minSim = -2.0, params, exactCutoff = 200, idFilter = Some(fIds))
+    assert(sF === AdaptiveSearch.UseExact) // 167 matching < 200
+    assert(pairs(res) === exactFiltered(10))
+  }
+
+  test("VectorStore facade: searchWhere (exact) and the index arms " +
+      "agree on the filtered top-k through a persisted store") {
+    val dir = graft.util.Fs.tempDirDeletedOnExit("graft-filtered-store")
+    val store = VectorStore.openOrCreate(spark, dir,
+      IndexParams(dim = 64))
+    store.addBatch(nodesDf.select(col("id"), col("vector")))
+    store.buildPqIndex(cells = 10)
+    store.buildSqIndex()
+    val exact = pairs(store.searchWhere(queriesDf, k = 5, pred,
+      strengthSetting = 0))
+    val viaSq = pairs(store.searchSq(queriesDf, k = 5,
+      strengthSetting = 0, shortlist = 1000, predicate = Some(pred)))
+    assert(viaSq === exact)
+    val viaPq = store.searchPq(queriesDf, k = 5, strengthSetting = 0,
+      nProbe = 10, predicate = Some(pred))
+    assert(viaPq.join(nodesDf.filter(!pred), Seq("id"), "left_semi")
+      .count() === 0L)
+    // searchAuto with the predicate: filtered size (167) under the
+    // default exact cutoff → exact arm over the subset
+    val (strat, auto) = store.searchAuto(queriesDf, k = 5,
+      strengthSetting = 0, predicate = Some(pred))
+    assert(strat === AdaptiveSearch.UseExact)
+    assert(pairs(auto) === exact)
+  }
+}

@@ -505,6 +505,90 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("startIngest: ONE stream keeps the graph generation AND the " +
+      "compressed tiers fresh — search on any arm sees ingested rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-uni").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 40L).map(i => (i, vec(i))).toDF("id", "vector"))
+    store.rebuild()          // graph generation
+    store.buildPqIndex(cells = 4)
+    store.buildSqIndex()
+    val genBefore = graft.util.Fs.readString(spark,
+      store.path + "/INDEX").trim.toLong
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = store.startIngest(
+      stream.toDF().toDF("id", "vector", "op", "seq"))
+    try {
+      stream.addData((500L, vec(500L), "upsert", 1L),
+        (3L, Seq.empty[Float], "delete", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the graph generation advanced atomically
+    assert(graft.util.Fs.readString(spark, store.path + "/INDEX")
+      .trim.toLong === genBefore + 1)
+    val q500 = Seq((500L, vec(500L))).toDF("query_id", "query_vec")
+    val q3 = Seq((3L, vec(3L))).toDF("query_id", "query_vec")
+    // graph-seeded arm serves the new row, drops the tombstoned one
+    assert(store.searchAnnSeededIvf(q500, k = 1, strengthSetting = 0)
+      .select("id").as[Long].head() === 500L)
+    assert(store.searchAnnSeededIvf(q3, k = 3, strengthSetting = 0)
+      .filter(col("id") === 3L).count() === 0)
+    // compressed arms serve the same state
+    assert(store.searchPq(q500, 1, 0).select("id").as[Long].head() === 500L)
+    assert(store.searchSq(q500, 1, 0).select("id").as[Long].head() === 500L)
+    assert(store.count() === 40L) // 40 base + 1 new - 1 tombstoned
+    store.delete()
+  }
+
+  test("startIngest autoRetrain: a drifted batch triggers an in-batch " +
+      "rebuild + flip; the next batch's drift stat is back at baseline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-ar").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 40L).map(i => (i, vec(i))).toDF("id", "vector"))
+    store.buildSqIndex()
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(String, VectorStore.CompressedAppendStats)]
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = store.startIngest(
+      stream.toDF().toDF("id", "vector", "op", "seq"),
+      config = VectorStore.IngestConfig(autoRetrain = true),
+      onAppend = (t, s) => { seen.synchronized { seen += ((t, s)) }; () })
+    try {
+      // x100-scaled rows: every component far outside the frozen bounds
+      stream.addData((600L, vec(600L).map(_ * 100f), "upsert", 1L),
+        (601L, vec(601L).map(_ * 100f), "upsert", 2L))
+      q.processAllAvailable()
+      assert(seen.exists { case (t, s) => t == "sq" && s.retrainRecommended },
+        s"x100 batch must trip the gate: $seen")
+      // the rebuild flipped a NEW generation (append alone would leave
+      // the base at v0 with a delta chain)
+      assert(graft.util.Fs.readString(spark, store.path + "/SQINDEX")
+        .trim === "1")
+      // serving continuity: both old and new rows rank correctly
+      val qv = Seq((600L, vec(600L).map(_ * 100f))).toDF("query_id", "query_vec")
+      assert(store.searchSq(qv, 1, 0).select("id").as[Long].head() === 600L)
+      // post-retrain bounds COVER the new distribution: the next row
+      // from it (vec(600)-valued) has out-of-bounds stat back at baseline
+      seen.clear()
+      stream.addData((602L, vec(600L).map(_ * 100f), "upsert", 3L))
+      q.processAllAvailable()
+      val sq2 = seen.collectFirst { case ("sq", s) => s }.get
+      assert(!sq2.retrainRecommended,
+        s"post-retrain batch must NOT re-trip: $sq2")
+    } finally q.stop()
+    store.delete()
+  }
+
   test("compressed searches without an index fail with a clear message") {
     val store = VectorStore.openOrCreate(spark,
       java.nio.file.Files.createTempDirectory("graft-store-noidx").toString,

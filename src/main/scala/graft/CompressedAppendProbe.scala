@@ -19,6 +19,9 @@ object CompressedAppendProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000L
     val dim = if (args.length > 1) args(1).toInt else 64
+    // optional: cap on the PQ training sample (default = the facade's
+    // 100 k; pass n to force full-corpus training as the recall control)
+    val maxTrain = if (args.length > 2) args(2).toInt else 100000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
     val spark = SparkSession.builder()
@@ -43,7 +46,7 @@ object CompressedAppendProbe {
       graft.util.Fs.tempDirDeletedOnExit("graft-append-probe"),
       IndexParams(dim = dim))
     val (_, tLoad) = timed(store.addBatch(base))
-    val (_, tPqBuild) = timed(store.buildPqIndex())
+    val (_, tPqBuild) = timed(store.buildPqIndex(maxTrain = maxTrain))
     val (pqStats, tPqAppend) = timed(store.appendPqIndex(delta))
     val (_, tSqBuild) = timed(store.buildSqIndex())
     val (sqStats, tSqAppend) = timed(store.appendSqIndex(delta))

@@ -38,7 +38,13 @@ object IngestProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val base = ScaleProbe.syntheticVectors(spark, n, dim).localCheckpoint()
+    // ONE generator over base + all batch ids — a batch generated from
+    // its own 0-based range would DUPLICATE base vectors (the modular
+    // fixture-aliasing trap), making self-query ranks tie toward base ids
+    val all = ScaleProbe
+      .syntheticVectors(spark, n + nBatches * batchRows, dim)
+      .localCheckpoint()
+    val base = all.filter(col("id") < n).localCheckpoint()
     val store = VectorStore.openOrCreate(spark,
       graft.util.Fs.tempDirDeletedOnExit("graft-ingest-probe"),
       IndexParams(dim = dim))
@@ -54,9 +60,10 @@ object IngestProbe {
     val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     try {
       for (b <- 0 until nBatches) {
-        val rows = ScaleProbe
-          .syntheticVectors(spark, batchRows, dim)
-          .select((col("id") + n + b * batchRows).as("id"), col("vector"))
+        val lo = n + b * batchRows
+        val rows = all
+          .filter(col("id") >= lo && col("id") < lo + batchRows)
+          .select(col("id"), col("vector"))
           .as[(Long, Seq[Float])].collect()
           .map { case (id, v) => (id, v, "upsert", id) }
         stream.addData(rows.toIndexedSeq)

@@ -25,11 +25,53 @@ class VectorStore private (
     val spark: SparkSession,
     val path: String,
     val params: IndexParams) {
-  import graft.streaming.StreamingIngest.{currentVersion, loadState}
+  import graft.streaming.StreamingIngest.currentVersion
 
-  /** Current table snapshot (id, vector, deleted). */
+  /** Current table snapshot (id, vector, deleted[, payload…]): the base
+    * version overlaid by any STREAMED node deltas (`"N K"` CURRENT
+    * pointer, latest-wins by id — [[appendNodeDelta]]'s O(batch) node
+    * persistence). Batch-path mutations keep full-snapshot semantics:
+    * every [[persist]] input derives from THIS overlay, so a
+    * single-token flip folds any pending chain implicitly. */
   def nodes: DataFrame =
-    loadState(spark, path).getOrElse(VectorStore.emptyTable(spark))
+    Snapshots.currentWithDeltas(spark, path, "CURRENT") match {
+      case None => VectorStore.emptyTable(spark)
+      case Some((v, 0L)) => spark.read.parquet(s"$path/v$v")
+      case Some((v, k)) =>
+        val base = spark.read.parquet(s"$path/v$v")
+        val wMax = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))
+        val resolved = (1L to k).map(i =>
+            spark.read.parquet(nodeDeltaDir(v, i))
+              .withColumn("__ds", lit(i)))
+          .reduce(_.unionByName(_))
+          .withColumn("__mx", max(col("__ds")).over(wMax))
+          .filter(col("__ds") === col("__mx")).drop("__ds", "__mx")
+        base.join(resolved.select(col("id")).distinct(), Seq("id"),
+            "left_anti")
+          .unionByName(
+            resolved.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+
+  private def nodeDeltaDir(v: Long, k: Long): String = s"$path/v${v}_d$k"
+
+  /** O(batch) node persistence for the streaming path: the touched ids'
+    * FINAL rows this batch append as ONE delta directory behind the
+    * CURRENT pointer; [[nodes]] overlays latest-wins. Every
+    * `compactEvery` deltas the chain folds into a full snapshot — the
+    * same fold every batch-path [[persist]] performs implicitly. */
+  private def appendNodeDelta(rows: DataFrame, compactEvery: Int): Unit =
+    Snapshots.currentWithDeltas(spark, path, "CURRENT") match {
+      case None =>
+        // first-ever rows ARE the full state
+        rows.write.mode("overwrite").parquet(s"$path/v0")
+        graft.util.Fs.writeStringAtomic(spark, s"$path/CURRENT", "0")
+      case Some((v, k)) =>
+        rows.write.mode("overwrite").parquet(nodeDeltaDir(v, k + 1))
+        graft.util.Fs.writeStringAtomic(spark, s"$path/CURRENT",
+          s"$v ${k + 1}")
+        if (k + 1 >= compactEvery) persist(nodes)
+    }
 
   def count(): Long = nodes.filter(!col("deleted")).count()
 
@@ -151,17 +193,137 @@ class VectorStore private (
     * `index_g{N}` directory, then atomically flips the `INDEX` pointer
     * file (write-temp + rename-overwrite) — readers resolve the pointer
     * and always see a complete generation; there is never a moment with
-    * no live index during a swap. */
-  private def currentIndexGen: Option[Long] =
-    if (graft.util.Fs.exists(spark, s"$path/INDEX"))
-      Some(graft.util.Fs.readString(spark, s"$path/INDEX").trim.toLong)
-    else None
+    * no live index during a swap. The pointer uses the Snapshots
+    * two-token convention: `"N"` = base generation N; `"N K"` = base N
+    * overlaid by merge deltas 1..K (`index_g{N}_delta_{k}` dirs — the
+    * streaming ingest's O(|Δ|) graph fold, [[appendIndexGraphDelta]]). */
+  private def currentIndexState: Option[(Long, Long)] =
+    Snapshots.currentWithDeltas(spark, path, "INDEX")
+  private def currentIndexGen: Option[Long] = currentIndexState.map(_._1)
   private def indexDir(gen: Long): String = s"$path/index_g$gen"
-  private def flipIndexPointer(newGen: Long, oldGen: Option[Long]): Unit = {
+  private def graphDeltaDir(gen: Long, k: Long): String =
+    s"$path/index_g${gen}_delta_$k"
+  private def flipIndexPointer(newGen: Long,
+      old: Option[(Long, Long)]): Unit = {
     graft.util.Fs.writeStringAtomic(spark, s"$path/INDEX", newGen.toString)
-    // old generation is unreferenced now; best-effort cleanup (a crash
-    // here leaks a directory, never correctness)
-    oldGen.foreach(g => graft.util.Fs.deleteRecursive(spark, indexDir(g)))
+    // old generation + its delta chain are unreferenced now; best-effort
+    // cleanup (a crash here leaks a directory, never correctness)
+    old.foreach { case (g, dk) =>
+      (1L to dk).foreach(i =>
+        graft.util.Fs.deleteRecursive(spark, graphDeltaDir(g, i)))
+      graft.util.Fs.deleteRecursive(spark, indexDir(g))
+    }
+  }
+
+  /** The SERVED graph: base generation overlaid by any pending merge
+    * deltas — the graph analog of [[pqOverlay]]. Node rows resolve
+    * latest-wins by id. Edge rows resolve by the merge-delta contract
+    * ([[operators.IndexBuild.mergeDelta]]): a delta REPLACES the entire
+    * adjacency of its `replacedSrcs` (later version wins per source) and
+    * STALES every older edge pointing at a delta id (the node moved or
+    * died) — so the overlay reproduces exactly what sequential full
+    * merges would have produced, row for row (GraphDeltaSpec pins the
+    * equivalence). Overlay work is one narrow version-stamped pass;
+    * the delta-sized side tables broadcast. */
+  private def loadIndexOverlay(): (DataFrame, DataFrame, IndexParams) = {
+    val (v, k) = currentIndexState.getOrElse(
+      throw new IllegalStateException(
+        s"no ANN index under $path — call rebuild() first"))
+    val (n0, e0, p) = IndexBuild.load(spark, indexDir(v))
+    if (k == 0L) (n0, e0, p)
+    else {
+      val wMax = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+      val nodeDeltas = (1L to k).map(i =>
+          spark.read.parquet(s"${graphDeltaDir(v, i)}/nodes")
+            .withColumn("__v", lit(i)))
+        .reduce(_.unionByName(_))
+      val latestNodes = nodeDeltas
+        .withColumn("__mx", max(col("__v")).over(wMax))
+        .filter(col("__v") === col("__mx")).drop("__v", "__mx")
+      val nodes = n0
+        .join(broadcast(nodeDeltas.select(col("id")).distinct()),
+          Seq("id"), "left_anti")
+        .unionByName(latestNodes.select(n0.columns.map(col).toIndexedSeq: _*))
+      val eAll = e0
+        .select(col("level"), col("src"), col("dst"), col("score"))
+        .withColumn("__v", lit(0L))
+        .unionByName((1L to k).map(i =>
+            spark.read.parquet(s"${graphDeltaDir(v, i)}/edges")
+              .select(col("level"), col("src"), col("dst"), col("score"))
+              .withColumn("__v", lit(i)))
+          .reduce(_.unionByName(_)))
+      val repMax = (1L to k).map(i =>
+          spark.read.parquet(s"${graphDeltaDir(v, i)}/rsrc")
+            .withColumn("__rv", lit(i)))
+        .reduce(_.unionByName(_))
+        .groupBy(col("id")).agg(max(col("__rv")).as("__rv"))
+        .select(col("id").as("src"), col("__rv"))
+      val dMax = nodeDeltas.groupBy(col("id")).agg(max(col("__v")).as("__dv"))
+        .select(col("id").as("dst"), col("__dv"))
+      val edges = eAll
+        .join(broadcast(repMax), Seq("src"), "left_outer")
+        .filter(col("__rv").isNull || col("__rv") <= col("__v"))
+        .join(broadcast(dMax), Seq("dst"), "left_outer")
+        .filter(col("__dv").isNull || col("__dv") <= col("__v"))
+        .select(col("level"), col("src"), col("dst"), col("score"))
+      (nodes, edges, p)
+    }
+  }
+
+  /** Fold `dd` (already applied to the node table) into the graph
+    * generation as an O(|Δ|) DELTA: compute the merge's replacement
+    * parts against the SERVED overlay, write ONE
+    * `index_g{N}_delta_{k+1}` directory (delta nodes, replacement
+    * adjacency, replaced-source set) and flip the pointer to
+    * `"N k+1"` — per-batch graph I/O is delta-sized, never an
+    * O(index) generation rewrite. Every `compactEvery` deltas the
+    * chain folds into a fresh base ([[compactIndex]]). */
+  private def appendIndexGraphDelta(dd: DataFrame, compactEvery: Int)
+      : Unit = {
+    val (v, k) = currentIndexState.getOrElse(
+      throw new IllegalStateException(
+        s"no ANN index under $path — call rebuild() first"))
+    val (n0, e0, p) = loadIndexOverlay()
+    // checkpoint the overlay ONCE per batch: the merge-delta computation
+    // reads the node side several times (membership scan, two vector
+    // re-attach joins) and the edge side twice — left lazy, every read
+    // re-executes the k-branch chain plan, and per-batch wall GROWS with
+    // chain length (measured: 29 → 43 s across 4 batches at 50 k). The
+    // cached overlay is one pass over base + chain; everything after
+    // reads executor-cached blocks.
+    val n = n0.localCheckpoint()
+    val e = e0.localCheckpoint()
+    val (deltaN, rsrc, newE) = IndexBuild.mergeDelta(n, e, dd, p)
+    val dir = graphDeltaDir(v, k + 1)
+    deltaN.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$dir/nodes")
+    newE.select(col("layer").as("level"), col("src"), col("dst"),
+        col("score")).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    rsrc.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$dir/rsrc")
+    graft.util.Fs.writeStringAtomic(spark, s"$path/INDEX", s"$v ${k + 1}")
+    if (k + 1 >= compactEvery) compactIndex()
+  }
+
+  /** Test seam: the served graph (base ⊕ chain) — GraphDeltaSpec pins
+    * overlay ≡ sequential-full-merge row equality through it. */
+  private[graft] def servedIndex: (DataFrame, DataFrame, IndexParams) =
+    loadIndexOverlay()
+
+  /** The raw INDEX pointer ("N" or "N K") — test seam. */
+  private[graft] def indexPointer: String =
+    graft.util.Fs.readString(spark, s"$path/INDEX").trim
+
+  /** Materialize the graph overlay into a fresh base generation and
+    * prune the superseded chain — the [[compactPqIndex]] analog. */
+  def compactIndex(): Unit = currentIndexState.foreach { case (v, k) =>
+    if (k > 0) {
+      val (n, e, p) = loadIndexOverlay()
+      IndexBuild.save(n, e, p, indexDir(v + 1))
+      flipIndexPointer(v + 1, Some((v, k)))
+    }
   }
 
   /** Compaction (astrovault.ts:87-132): physically drop tombstones, then
@@ -171,8 +333,8 @@ class VectorStore private (
     val compacted = Mutations.compact(nodes)
     persist(compacted)
     val (n, e) = IndexBuild.build(compacted, params)
-    val old = currentIndexGen
-    val gen = old.getOrElse(-1L) + 1
+    val old = currentIndexState
+    val gen = old.map(_._1).getOrElse(-1L) + 1
     IndexBuild.save(n, e, params, indexDir(gen))
     flipIndexPointer(gen, old)
   }
@@ -189,24 +351,24 @@ class VectorStore private (
     * is idempotent) and never serves a partial index. */
   def mergeIndex(delta: DataFrame): Unit = {
     graft.functions.VectorFunctions.register(spark)
-    val old = currentIndexGen.getOrElse(throw new IllegalStateException(
+    val old = currentIndexState.getOrElse(throw new IllegalStateException(
       s"no ANN index under $path — call rebuild() first"))
     val d = validate(delta)
     val dd = if (d.columns.contains("deleted")) d
              else d.withColumn("deleted", lit(false))
-    val (n0, e0, p) = IndexBuild.load(spark, indexDir(old))
+    // merge against the SERVED state (any pending streamed delta chain
+    // folds into the new full generation here)
+    val (n0, e0, p) = loadIndexOverlay()
     val (n1, e1) = IndexBuild.merge(n0, e0, dd, p)
-    IndexBuild.save(n1, e1, p, indexDir(old + 1))
+    IndexBuild.save(n1, e1, p, indexDir(old._1 + 1))
     persist(Mutations.upsert(nodes, dd))
-    flipIndexPointer(old + 1, Some(old))
+    flipIndexPointer(old._1 + 1, Some(old))
   }
 
   /** ANN search against the last rebuilt/merged index (LSH path). */
   def searchAnn(queries: DataFrame, k: Int, strengthSetting: Double = 50): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
-      s"no ANN index under $path — call rebuild() first"))
-    val (n, _, p) = IndexBuild.load(spark, indexDir(gen))
+    val (n, _, p) = loadIndexOverlay()
     AnnSearch.searchLsh(n, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p)
   }
@@ -221,9 +383,7 @@ class VectorStore private (
       strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2,
       predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
-      s"no ANN index under $path — call rebuild() first"))
-    val (n, e, p) = IndexBuild.load(spark, indexDir(gen))
+    val (n, e, p) = loadIndexOverlay()
     AnnSearch.searchGraphSeeded(n, e, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p, ef, iters,
       idFilter = filteredIds(predicate))
@@ -244,9 +404,7 @@ class VectorStore private (
       strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2,
       nProbe: Int = 32, predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val gen = currentIndexGen.getOrElse(throw new IllegalStateException(
-      s"no ANN index under $path — call rebuild() first"))
-    val (n, e, p) = IndexBuild.load(spark, indexDir(gen))
+    val (n, e, p) = loadIndexOverlay()
     val pre = loadPqIndex()
     AnnSearch.searchGraphSeededIvf(n, e, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p, pre.centroids,
@@ -272,8 +430,8 @@ class VectorStore private (
       : (AdaptiveSearch.Strategy, DataFrame) = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
-    val graph = currentIndexGen.map { gen =>
-      val (n, e, _) = IndexBuild.load(spark, indexDir(gen))
+    val graph = currentIndexState.map { _ =>
+      val (n, e, _) = loadIndexOverlay()
       (n, e)
     }
     val pq =
@@ -898,18 +1056,6 @@ class VectorStore private (
 
   // ---- streaming ingest keeping EVERY serving tier fresh -------------
 
-  /** The graph half of a streamed merge ([[appendPqCodes]]' contract:
-    * `dd` already reflected in the node table): fold into the saved ANN
-    * generation and flip — [[mergeIndex]] without the table upsert. */
-  private def mergeIndexGraphCodes(dd: DataFrame): Unit = {
-    val old = currentIndexGen.getOrElse(throw new IllegalStateException(
-      s"no ANN index under $path — call rebuild() first"))
-    val (n0, e0, p) = IndexBuild.load(spark, indexDir(old))
-    val (n1, e1) = IndexBuild.merge(n0, e0, dd, p)
-    IndexBuild.save(n1, e1, p, indexDir(old + 1))
-    flipIndexPointer(old + 1, Some(old))
-  }
-
   /** One ingest micro-batch against every serving tier — the shared body
     * of [[startIngest]]: apply the node table once, then fold the SAME
     * resolved delta into each tier that exists, all at O(batch). */
@@ -919,18 +1065,20 @@ class VectorStore private (
       : Unit = {
     graft.functions.VectorFunctions.register(spark)
     val touched = batch.select(col("id")).distinct()
-    val next = graft.streaming.StreamingIngest
-      .applyBatch(nodes, batch).localCheckpoint()
-    persist(next)
-    // the touched ids' FINAL state this batch: live rows encode,
-    // tombstoned rows retire their codes. A delete for an id the
-    // store never held resolves to no row at all — nothing to
-    // retire (applyBatch's no-op rule carries through).
-    val dd = next.join(touched, Seq("id"), "left_semi")
-      .select(col("id"), col("vector"), col("deleted"))
+    // the touched ids' FINAL state this batch, computed against ONLY
+    // their prior rows (applyBatch semantics are per-id, so restricting
+    // the state input to the touched ids is exact) — O(batch) compute,
+    // O(batch) node persistence ([[appendNodeDelta]]). Live rows encode;
+    // tombstoned rows retire their codes; a delete for an id the store
+    // never held resolves to no row at all — nothing to retire.
+    val deltaRows = graft.streaming.StreamingIngest
+      .applyBatch(nodes.join(touched, Seq("id"), "left_semi"), batch)
       .localCheckpoint()
+    appendNodeDelta(deltaRows, config.compactEvery)
+    val dd = deltaRows
+      .select(col("id"), col("vector"), col("deleted"))
     if (Fs.exists(spark, s"$path/INDEX"))
-      mergeIndexGraphCodes(dd)
+      appendIndexGraphDelta(dd, config.compactEvery)
     if (Fs.exists(spark, s"$path/PQINDEX")) {
       val st = appendPqCodes(dd, config.driftRatioMax,
         config.compactEvery, config.qeFloorMicro)
@@ -960,7 +1108,8 @@ class VectorStore private (
     * per micro-batch ([[graft.streaming.StreamingIngest.applyBatch]]'s
     * seq-ordered semantics), then the SAME resolved delta folds into
     * every tier that exists — the ANN graph generation
-    * ([[mergeIndex]]'s O(|Δ|) fold + atomic flip) and the compressed
+    * ([[appendIndexGraphDelta]]: one delta-sized directory + pointer
+    * flip, NEVER an O(index) generation rewrite) and the compressed
     * generations (PQ / SQ / BQ appends behind their pointers) — so a
     * search on ANY arm ([[searchAnnSeededIvf]], [[searchPq]],
     * [[searchSq]], [[searchBqStore]], [[searchAuto]]) sees the ingested

@@ -289,9 +289,50 @@ object IndexBuild {
     mergeKeyed(nodes, edges, delta, params,
       v => AnnSearch.anchorBucketKeys(v, anchors), portableOrder = true)
 
+  /** The O(|Δ|) DELTA of a merge — what [[mergeKeyed]] composes into
+    * full tables, exposed so an ingest path can PERSIST just the delta
+    * (the [[graft.VectorStore]] graph delta chain) instead of rewriting
+    * the whole generation:
+    *  - `nodeDelta`: the delta's normalized node rows
+    *    (id, vector, level, deleted) — latest-wins by id over the base;
+    *  - `replacedSrcs`: every source whose ENTIRE adjacency this merge
+    *    replaces (delta ids ∪ touched neighbors) — base/earlier edge
+    *    rows of these sources must not serve;
+    *  - `newEdges`: the replacement adjacency (level, src, dst, score)
+    *    for exactly those sources.
+    * Additionally every pre-existing edge POINTING AT a delta id is
+    * stale (the node moved or died) — reconstruction drops base rows
+    * with dst ∈ nodeDelta ids. [[mergeKeyed]] and the chain overlay
+    * both build from these rules, so they cannot drift. */
+  def mergeDelta(nodes: DataFrame, edges: DataFrame, delta: DataFrame,
+      params: IndexParams): (DataFrame, DataFrame, DataFrame) =
+    mergeDeltaKeyed(nodes, edges, delta, params,
+      v => bucketKeys(v, params), portableOrder = false)
+
   private def mergeKeyed(nodes: DataFrame, edges: DataFrame, delta: DataFrame,
       params: IndexParams, keyFn: Column => Column, portableOrder: Boolean)
       : (DataFrame, DataFrame) = {
+    val (deltaN, replacedSrcs, newEdges) =
+      mergeDeltaKeyed(nodes, edges, delta, params, keyFn, portableOrder)
+    val deltaIds = deltaN.select(col("id")).distinct()
+    val mergedNodes = nodes
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .unionByName(deltaN)
+    val mergedEdges = edges
+      .join(broadcast(replacedSrcs.select(col("id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(deltaIds.select(col("id").as("dst"))),
+        Seq("dst"), "left_anti")
+      .select(col("level"), col("src"), col("dst"), col("score"))
+      .unionByName(newEdges
+        .select(col("layer").as("level"), col("src"), col("dst"),
+          col("score")))
+    (mergedNodes, mergedEdges)
+  }
+
+  private def mergeDeltaKeyed(nodes: DataFrame, edges: DataFrame,
+      delta: DataFrame, params: IndexParams, keyFn: Column => Column,
+      portableOrder: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val scoreFn: (Column, Column) => Column = params.metric match {
       case "euclidean" => VectorFunctions.euclideanSim
       case _ => VectorFunctions.cosineSim
@@ -363,13 +404,20 @@ object IndexBuild {
       .agg(max(col("score")).as("score"))
     val w = Window.partitionBy(col("layer"), col("src"))
       .orderBy(col("score").desc, col("dst").asc)
+    // localCheckpoint: outE is |Δ|-sized but its lineage holds the one
+    // corpus-wide membership scan — inE / touched / reWired / the
+    // replaced-source set all branch off it, and left lazy each branch
+    // re-executes that scan (the assemble() super-additive pattern)
     val outE = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= params.m).drop("rn")
+      .localCheckpoint()
     val inE = outE.select(col("layer"), col("dst").as("src"),
       col("src").as("dst"), col("score"))
     val touched = outE.select(col("dst").as("id")).distinct()
 
-    // stale edges out; adjacency of untouched nodes passes through verbatim
+    // stale edges out; the surviving old adjacency of TOUCHED neighbors
+    // joins their re-shrink (untouched sources never enter the delta —
+    // [[mergeKeyed]]/the chain overlay pass them through by anti-join)
     val aSrc = deltaIds.select(col("id").as("src"))
     val aDst = deltaIds.select(col("id").as("dst"))
     val cleanE = edges
@@ -378,7 +426,6 @@ object IndexBuild {
       .select(col("level").as("layer"), col("src"), col("dst"), col("score"))
     val tSrc = touched.select(col("id").as("src"))
     val touchedOld = cleanE.join(broadcast(tSrc), Seq("src"), "left_semi")
-    val untouched = cleanE.join(broadcast(tSrc), Seq("src"), "left_anti")
     // one unified re-shrink for every rewired source (delta ids AND touched
     // neighbors — the sets can overlap when two delta nodes pick each
     // other): directed ∪ reversed ∪ surviving-old, dedup, top-M. Exactly
@@ -388,9 +435,8 @@ object IndexBuild {
       .agg(max(col("score")).as("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= params.m).drop("rn")
-    val mergedEdges = untouched.unionByName(reWired)
-      .select(col("layer").as("level"), col("src"), col("dst"), col("score"))
-    (mergedNodes, mergedEdges)
+    val replacedSrcs = deltaIds.unionByName(touched).distinct()
+    (deltaN, replacedSrcs, reWired)
   }
 
   /** Persist nodes + edges as parquet plus a metadata sidecar (replaces the

@@ -604,6 +604,26 @@ object AnnQueries {
         .select(col("id"), col("cell"), col("sub"), col("code"))
     }),
 
+    // Filtered DISPATCH — a09's cost-based selection with a predicate:
+    // exactCutoff = 200 sits BETWEEN the corpus (500) and the filtered
+    // set (167), so deciding on the corpus size would pick the LSH arm
+    // while deciding on the FILTERED size picks exact-over-the-subset —
+    // the oracle pins the strategy literal AND the filtered-exact rows,
+    // so a corpus-size decision or a post-filtering arm each fail the
+    // hash.
+    "a24_filtered_dispatch" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val (strategy, res) = graft.operators.AdaptiveSearch.search(
+        nodesDf, VectorQueries.querySet(emb), k = 10, minSim = 0.5, params,
+        exactCutoff = 200,
+        idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
+          .select(col("id"))))
+      res.select(col("query_id"), col("id"), col("rn"))
+        .withColumn("strategy", lit(strategy.toString))
+    }),
+
     // Filtered SQ8 — the compressed-arm variant of a21: the same
     // pre-filter semi-joins the packed CODES table before the n x Q
     // scan (bounds stay corpus-trained build artifacts). Exact-BIGINT
@@ -1170,6 +1190,24 @@ object AnnQueries {
         |  SELECT q.query_id, e.vec_id AS id,
         |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
         |  FROM q CROSS JOIN embeddings e)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn,
+        |  'UseExact' AS strategy FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM scored WHERE score > 0.5)
+        |WHERE rn <= 10""".stripMargin,
+    // a09's oracle restricted to the predicate's rows BEFORE ranking —
+    // exact filtered top-k plus the pinned strategy literal.
+    "a24_filtered_dispatch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+        |  FROM q CROSS JOIN embeddings e
+        |  WHERE e.vec_id % 3 = 0)
         |SELECT query_id, id, CAST(rn AS INT) AS rn,
         |  'UseExact' AS strategy FROM (
         |  SELECT query_id, id,

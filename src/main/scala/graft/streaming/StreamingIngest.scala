@@ -32,10 +32,13 @@ import graft.util.Fs
 object StreamingIngest {
 
   /** Current state pointer (versioned snapshot directory), or None before
-    * the first batch. */
+    * the first batch. First token only: a [[graft.VectorStore]] streamed
+    * node-delta chain writes the two-token `"N K"` form — the base
+    * version is still token one. */
   def currentVersion(spark: SparkSession, statePath: String): Option[Long] = {
     val p = s"$statePath/CURRENT"
-    if (Fs.exists(spark, p)) Some(Fs.readString(spark, p).trim.toLong)
+    if (Fs.exists(spark, p))
+      Some(Fs.readString(spark, p).trim.split("\\s+")(0).toLong)
     else None
   }
 

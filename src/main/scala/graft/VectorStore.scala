@@ -482,9 +482,15 @@ class VectorStore private (
 
   /** BM25 lexical top-k over the stored documents. `queryDocs` is a
     * (query_id, text) bag-of-words relation; output
-    * (query_id, id, score, rn) — [[operators.Retrieval.bm25TopK]]. */
-  def searchBm25(queryDocs: DataFrame, topK: Int): DataFrame =
-    Retrieval.bm25TopK(documents, queryDocs, topK)
+    * (query_id, id, score, rn) — [[operators.Retrieval.bm25TopK]].
+    * `predicate` (over document columns) restricts the corpus BEFORE
+    * scoring — PRE-filter semantics: N, df, avgdl and every idf
+    * recompute on the subset ("search within this source"), the t34
+    * hash-checked contract; work shrinks with the filtered fraction. */
+  def searchBm25(queryDocs: DataFrame, topK: Int,
+      predicate: Option[Column] = None): DataFrame =
+    Retrieval.bm25TopK(
+      predicate.map(documents.filter).getOrElse(documents), queryDocs, topK)
 
   /** Hybrid retrieval: BM25 over the stored documents fused with exact
     * vector kNN over the store's vector table by reciprocal-rank fusion —
@@ -492,20 +498,33 @@ class VectorStore private (
     * and `queryVecs` (query_id, query_vec) must share query_ids; doc ids
     * and vector ids must share the id space for fusion to be meaningful.
     * Output (query_id, id, rrf_r, rn). */
+  /** `docPredicate` / `vecPredicate` pre-filter the lexical and dense
+    * sides respectively (each over its own table's columns — documents
+    * carry `doc_id`, the node table carries `id`); both sides keep the
+    * exact filtered-subset semantics of [[searchBm25]]/[[searchWhere]]. */
   def searchHybrid(queryDocs: DataFrame, queryVecs: DataFrame, topK: Int,
-      strengthSetting: Double = 0): DataFrame = {
+      strengthSetting: Double = 0,
+      docPredicate: Option[Column] = None,
+      vecPredicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val lexical = Retrieval.bm25TopK(documents, queryDocs, topK)
-    val dense = search(queryVecs, topK, strengthSetting)
+    val lexical = searchBm25(queryDocs, topK, docPredicate)
+    val dense = vecPredicate
+      .map(p => searchWhere(queryVecs, topK, p, strengthSetting))
+      .getOrElse(search(queryVecs, topK, strengthSetting))
     Retrieval.rrfFuse(lexical, dense, topK)
   }
 
   /** ColBERT-style late interaction over the stored token vectors —
     * exact MaxSim ([[operators.Retrieval.maxSimTopK]]). `queryVecs` =
-    * (query_id, qvec_id, query_vec). Output (query_id, doc_id, score, rn). */
-  def searchMaxSim(queryVecs: DataFrame, topK: Int): DataFrame = {
+    * (query_id, qvec_id, query_vec). Output (query_id, doc_id, score, rn).
+    * `predicate` (over token-vector columns, e.g. `doc_id`) restricts
+    * the scored corpus before any similarity work. */
+  def searchMaxSim(queryVecs: DataFrame, topK: Int,
+      predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    Retrieval.maxSimTopK(tokenVectors, queryVecs, topK)
+    Retrieval.maxSimTopK(
+      predicate.map(tokenVectors.filter).getOrElse(tokenVectors),
+      queryVecs, topK)
   }
 
   /** The serving-scale MaxSim: token-ANN shortlist then exact re-rank

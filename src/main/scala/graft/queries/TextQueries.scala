@@ -203,6 +203,18 @@ object TextQueries {
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
         retrievalQueryDocs(s, d), topK = 10)),
 
+    // FILTERED BM25 — the lexical side of the pushed-down WHERE clause
+    // (a21/a22/a24's contract on the retrieval tower): restrict the
+    // corpus BEFORE scoring, so N, df, avgdl and every idf RECOMPUTE on
+    // the subset ("search within this source" semantics). The oracle
+    // applies the same restriction to its stats CTEs — an implementation
+    // that post-filters a corpus-wide BM25 keeps corpus idf values and
+    // fails the hash.
+    "t34_filtered_bm25" -> ((s, d) =>
+      graft.operators.Retrieval.bm25TopK(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+        retrievalQueryDocs(s, d), topK = 10)),
+
     // Composed corpus pipeline — the operators chained the way a real
     // training-data job runs them: normalize+mask (TextClean) → token-count
     // quality gate → exact dedup on the CLEANED text (min-id
@@ -1029,17 +1041,20 @@ object TextQueries {
     * `topK`, score DOUBLE = micros/1e6. Terms with df > floor(0.9·N) are
     * pruned from the postings (the operator's stopword df ceiling) —
     * corpus stats still count every token. */
-  private def bm25OracleCte(topK: Int): String =
+  /** `docsWhere` restricts the CORPUS side (docs, df, avgdl, N — the
+    * t34 pre-filter semantics: BM25 over the subset recomputes its
+    * stats on the subset); the query set stays unrestricted. */
+  private def bm25OracleCte(topK: Int, docsWhere: String = ""): String =
     s"""WITH terms AS (
        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
-       |  FROM documents),
+       |  FROM documents $docsWhere),
        |tf AS (SELECT id, term, count(*) AS tf FROM terms
        |       WHERE length(term) > 0 GROUP BY 1, 2),
        |dl AS (SELECT id, count(*) AS dl FROM terms
        |       WHERE length(term) > 0 GROUP BY 1),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |stats AS (
-       |  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+       |  SELECT (SELECT count(DISTINCT doc_id) FROM documents $docsWhere) AS n,
        |         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
        |          FROM dl) AS avgdl),
        |idf6 AS (
@@ -1192,6 +1207,9 @@ object TextQueries {
         |FROM corpus""".stripMargin,
     "t09_bm25_search" ->
       s"""${bm25OracleCte(10)}
+         |SELECT query_id, id, score, CAST(rn AS INT) AS rn FROM lex""".stripMargin,
+    "t34_filtered_bm25" ->
+      s"""${bm25OracleCte(10, "WHERE doc_id % 3 = 0")}
          |SELECT query_id, id, score, CAST(rn AS INT) AS rn FROM lex""".stripMargin,
     "t10_hybrid_rrf" ->
       s"""${bm25OracleCte(20)},

@@ -119,6 +119,37 @@ class FilteredSearchSpec extends SparkSpec {
     assert(pairs(res) === exactFiltered(10))
   }
 
+  test("retrieval tower predicates: BM25 stats recompute on the subset " +
+      "(pre-filter), hybrid filters each side on its own columns") {
+    import spark.implicits._
+    val dir = graft.util.Fs.tempDirDeletedOnExit("graft-filtered-ret")
+    val store = VectorStore.openOrCreate(spark, dir, IndexParams(dim = 64))
+    // "rare" appears once among matching docs, in every non-matching doc:
+    // subset idf is high, corpus idf ~0 — pre-filter semantics rank doc 0
+    // first for the "rare" query; a post-filter of corpus-wide BM25 would
+    // score it near zero
+    store.putDocuments(Seq(
+      (0L, "rare alpha beta"), (3L, "alpha beta gamma"),
+      (6L, "beta gamma delta"),
+      (1L, "rare rare rare"), (2L, "rare rare"), (4L, "rare gamma"),
+      (5L, "rare beta")).toDF("doc_id", "text"))
+    val q = Seq((100L, "rare")).toDF("query_id", "text")
+    val hits = store.searchBm25(q, topK = 5,
+        predicate = Some(col("doc_id") % 3 === 0))
+      .select("id").as[Long].collect().toSet
+    assert(hits === Set(0L)) // only matching docs serve; doc 0 scores > 0
+    // hybrid: doc predicate on doc_id, vector predicate on id
+    store.addBatch(nodesDf.select(col("id"), col("vector")))
+    val qv = queriesDf.limit(1)
+    val fused = store.searchHybrid(q, qv, topK = 5,
+      docPredicate = Some(col("doc_id") % 3 === 0),
+      vecPredicate = Some(pred))
+    assert(fused.join(nodesDf.filter(!pred)
+        .select(col("id")), Seq("id"), "left_semi")
+      .filter(col("id") =!= 0L).count() === 0L)
+    store.delete()
+  }
+
   test("VectorStore facade: searchWhere (exact) and the index arms " +
       "agree on the filtered top-k through a persisted store") {
     val dir = graft.util.Fs.tempDirDeletedOnExit("graft-filtered-store")

@@ -1210,10 +1210,14 @@ object VectorStore {
     * O(corpus), not O(batch) — and a streaming trigger fires
     * continuously, so folding every 8 one-second batches would pay a
     * base rewrite roughly every 8 s of ingest; at 64 the amortized cost
-    * stays delta-dominated while the overlay chain stays short enough
-    * to serve. `autoRetrain = true` turns a tripped drift gate into an
-    * in-batch full rebuild + atomic flip of that tier (otherwise the
-    * verdict only surfaces through `onAppend`). */
+    * stays delta-dominated. The serve-side of the trade is measured
+    * (SCALING.md ChainServeProbe): graph serving costs ~+0.5 s per
+    * pending delta at 100 k and one `compactIndex()` (6.6 s there)
+    * restores the no-chain baseline — latency-sensitive deployments
+    * lower `compactEvery` or compact on their own cadence; the fold is
+    * safe any time (atomic flip). `autoRetrain = true` turns a tripped
+    * drift gate into an in-batch full rebuild + atomic flip of that
+    * tier (otherwise the verdict only surfaces through `onAppend`). */
   case class IngestConfig(
       driftRatioMax: Double = 2.0,
       qeFloorMicro: Long = 1000L,

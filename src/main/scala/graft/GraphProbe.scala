@@ -14,13 +14,23 @@ import graft.operators.{AnnSearch, IndexBuild, IndexParams, KnnSearch}
   * the expensive LSH arms and measure the IVF-seeded hybrid across
   * (nProbe, iters) settings — the serving-recall lever (seed coverage
   * grows with probed cells at O(Q × nProbe × n/cells) seeding cost,
-  * while expansions recover cross-cell neighbors). */
+  * while expansions recover cross-cell neighbors).
+  *
+  * A third arg `filtered` runs the FILTERED-recall sweep instead:
+  * recall@10 of the filtered IVF-seeded hybrid vs the filtered-exact
+  * ground truth at selectivities 1/10 and 1/100, at the default
+  * nProbe=32 AND at the escalated nProbe that keeps the MATCHING-seed
+  * candidate volume constant (nProbe × 1/selectivity, capped at
+  * cells) — the evidence behind selectivity-aware probe escalation:
+  * a pre-filter shrinks each probed cell's matching members by the
+  * filtered fraction, so fixed probes see proportionally fewer seeds. */
 object GraphProbe {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val dim = if (args.length > 1) args(1).toInt else 64
     val ivfSweep = args.length > 2 && args(2) == "ivf"
+    val filteredSweep = args.length > 2 && args(2) == "filtered"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
     val spark = SparkSession.builder()
@@ -82,6 +92,43 @@ object GraphProbe {
       println(s"""{"n":$n,"dim":$dim,"build_sec":$tBuild,""" +
         s""""cells":$cells,"ivf_build_sec":$tIvfBuild,""" +
         s""""arms":[${arms.mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
+    if (filteredSweep) {
+      val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val (ivfPre, tIvfBuild) = timed {
+        val c = graft.operators.IvfIndex.train(nodes, cells, iters = 2)
+          .localCheckpoint()
+        val a = graft.operators.IvfIndex.assign(nodes, c)
+          .select(col("id"), col("vector"), col("cell")).localCheckpoint()
+        a.count(); (c, a)
+      }
+      val arms = for (m <- Seq(10L, 100L)) yield {
+        val fnodes = nodes.filter(col("id") % m === 0L).localCheckpoint()
+        val idF = fnodes.select("id").localCheckpoint()
+        val fexact = KnnSearch.knnExact(fnodes, queries, 10, minSim = -2.0)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val probes = Seq(32, math.min(cells.toLong, 32L * m).toInt).distinct
+        val runs = for (nProbe <- probes) yield {
+          val (rows, t) = timed {
+            AnnSearch.searchGraphSeededIvf(nodesIdx, edges, queries, 10,
+                minSim = -2.0, params, ivfPre._1, ef = 64, iters = 2,
+                nProbe = nProbe, assignments = Some(ivfPre._2),
+                idFilter = Some(idF))
+              .select("query_id", "id").collect()
+          }
+          val rec = rows.map(r => (r.getLong(0), r.getLong(1)))
+            .count(fexact.contains).toDouble / fexact.size
+          s"""{"mod":$m,"n_probe":$nProbe,"sec":$t,"recall_at_10":$rec}"""
+        }
+        runs.mkString(",")
+      }
+      println(s"""{"n":$n,"dim":$dim,"build_sec":$tBuild,""" +
+        s""""cells":$cells,"ivf_build_sec":$tIvfBuild,""" +
+        s""""filtered_arms":[${arms.mkString(",")}]}""")
       spark.stop()
       return
     }

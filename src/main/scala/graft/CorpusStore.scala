@@ -123,10 +123,12 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     val base = spark.read.parquet(Snapshots.versionPath(path, "docs", v))
     if (k == 0L) base
     else {
-      val deltas = (1L to k).map(i =>
-        spark.read.parquet(Snapshots.deltaPath(path, "docs", v, i))
-          .withColumn("__ds", lit(i)))
-        .reduce(_.unionByName(_))
+      // ONE multi-path scan of the chain (Snapshots.readChain stamps the
+      // delta index from the file path) — overlay plan size stays FLAT
+      // in chain length instead of growing a branch per pending delta
+      val deltas = Snapshots.readChain(spark,
+        (1L to k).map(i => Snapshots.deltaPath(path, "docs", v, i)),
+        ".*_delta_(\\d+)/")
       // keep every row of the winning (max __ds) delta per doc_id — a
       // batch that carries an id twice keeps both rows, matching the
       // pre-delta union semantics; cross-delta the later append replaces
@@ -552,11 +554,10 @@ class CorpusStore private (val spark: SparkSession, val path: String,
         s"no documents under $path"))
     if (dv != covered(0)) buildChunkIndex(window, stride, dim)
     else if (dk > covered(1)) {
-      val touched = (covered(1) + 1 to dk)
-        .map(i => spark.read
-          .parquet(Snapshots.deltaPath(path, "docs", dv, i))
-          .select(col("doc_id")))
-        .reduce(_.unionByName(_)).distinct()
+      val touched = spark.read.parquet(
+          (covered(1) + 1 to dk)
+            .map(i => Snapshots.deltaPath(path, "docs", dv, i)): _*)
+        .select(col("doc_id")).distinct()
       // latest content of the touched docs (documents already resolves
       // cross-delta latest-wins)
       val touchedDocs = documents.join(touched, Seq("doc_id"), "left_semi")
@@ -610,10 +611,10 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     val base = spark.read.parquet(Snapshots.versionPath(path, "chunks", v))
     if (k == 0L) base
     else {
-      val deltas = (1L to k).map(i =>
-        spark.read.parquet(Snapshots.deltaPath(path, "chunks", v, i))
-          .withColumn("__ds", lit(i)))
-        .reduce(_.unionByName(_))
+      // one multi-path chain scan (the documents-overlay rule)
+      val deltas = Snapshots.readChain(spark,
+        (1L to k).map(i => Snapshots.deltaPath(path, "chunks", v, i)),
+        ".*_delta_(\\d+)/")
       val wMax = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
       val resolved = deltas

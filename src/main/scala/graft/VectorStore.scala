@@ -25,7 +25,6 @@ class VectorStore private (
     val spark: SparkSession,
     val path: String,
     val params: IndexParams) {
-  import graft.streaming.StreamingIngest.currentVersion
 
   /** Current table snapshot (id, vector, deleted[, payload…]): the base
     * version overlaid by any STREAMED node deltas (`"N K"` CURRENT
@@ -41,10 +40,8 @@ class VectorStore private (
         val base = spark.read.parquet(s"$path/v$v")
         val wMax = org.apache.spark.sql.expressions.Window
           .partitionBy(col("id"))
-        val resolved = (1L to k).map(i =>
-            spark.read.parquet(nodeDeltaDir(v, i))
-              .withColumn("__ds", lit(i)))
-          .reduce(_.unionByName(_))
+        val resolved = Snapshots.readChain(spark,
+            (1L to k).map(nodeDeltaDir(v, _)), ".*_d(\\d+)/")
           .withColumn("__mx", max(col("__ds")).over(wMax))
           .filter(col("__ds") === col("__mx")).drop("__ds", "__mx")
         base.join(resolved.select(col("id")).distinct(), Seq("id"),
@@ -76,9 +73,21 @@ class VectorStore private (
   def count(): Long = nodes.filter(!col("deleted")).count()
 
   private def persist(next: DataFrame): Unit = {
-    val v = currentVersion(spark, path).getOrElse(-1L) + 1
+    val old = Snapshots.currentWithDeltas(spark, path, "CURRENT")
+    val v = old.map(_._1).getOrElse(-1L) + 1
     next.write.mode("overwrite").parquet(s"$path/v$v")
     graft.util.Fs.writeStringAtomic(spark, s"$path/CURRENT", v.toString)
+    // the superseded base + its delta chain are dereferenced now — prune
+    // them ([[flipIndexPointer]]'s rule applied to the node table), or a
+    // long-running [[startIngest]] accretes a full copy of every streamed
+    // batch plus a folded base per compaction. The write above completes
+    // before the flip, so nothing still reads the old dirs; best-effort —
+    // a crash here leaks a directory, never correctness.
+    old.foreach { case (g, dk) =>
+      (1L to dk).foreach(i =>
+        graft.util.Fs.deleteRecursive(spark, nodeDeltaDir(g, i)))
+      graft.util.Fs.deleteRecursive(spark, s"$path/v$g")
+    }
   }
 
   /** Validation: non-null ids (driver.ts:124-129 rejects empty ids) and
@@ -175,6 +184,42 @@ class VectorStore private (
     predicate.map(p =>
       nodes.filter(!col("deleted") && p).select(col("id")))
 
+  /** Count memo for the dispatch/escalation inputs ([[searchAuto]]'s
+    * filtered decision size, [[searchAnnSeededIvf]]'s probe escalation):
+    * each is one narrow column-pruned job, but PER CALL — a serving
+    * deployment re-issuing the same predicate pays it once per table
+    * version instead. Keys carry the pointer state, so any mutation
+    * (new version OR new delta) invalidates by key change; entries are
+    * Longs, growth is bounded by distinct (version, predicate) pairs. */
+  private[graft] val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private[graft] def pointerStamp(pointer: String): String =
+    Snapshots.currentWithDeltas(spark, path, pointer)
+      .map { case (v, k) => s"$v $k" }.getOrElse("none")
+  private def memoCount(tag: String, df: => DataFrame): Long =
+    countMemo.getOrElseUpdate((pointerStamp("CURRENT"), tag), df.count())
+  private def liveCount: Long =
+    memoCount("__live", nodes.filter(!col("deleted")))
+  private def filteredCount(p: Column): Long =
+    memoCount("p:" + p.toString, filteredIds(Some(p)).get)
+
+  /** Selectivity-escalated probe count for the seeded-graph arm: probe
+    * ~nProbe/selectivity cells (capped at the generation's cell count) so
+    * the MATCHING-seed volume stays constant under a selective predicate
+    * — measured strictly better than fixed probes at 200 k / 1-in-100
+    * (recall@10 0.968 → 1.0 at LOWER wall — GraphProbe filtered sweep,
+    * SCALING.md). Seeding cost still tracks the filtered fraction. */
+  private def escalatedNProbe(nProbe: Int, predicate: Option[Column],
+      centroids: DataFrame): Int = predicate match {
+    case None => nProbe
+    case Some(p) =>
+      val sel = math.max(filteredCount(p).toDouble /
+        math.max(1L, liveCount).toDouble, 1e-9)
+      val cells = countMemo.getOrElseUpdate(
+        ("__cells", pointerStamp("PQINDEX")), centroids.count())
+      math.min(cells, math.ceil(nProbe / sel).toLong).toInt
+  }
+
   /** One-vector convenience search returning (id, score) rows. */
   def search(vector: Seq[Float], k: Int, strengthSetting: Double): DataFrame = {
     import spark.implicits._
@@ -226,18 +271,42 @@ class VectorStore private (
     * equivalence). Overlay work is one narrow version-stamped pass;
     * the delta-sized side tables broadcast. */
   private def loadIndexOverlay(): (DataFrame, DataFrame, IndexParams) = {
+    val (n, e, _, p) = loadIndexOverlayFull()
+    (n, e, p)
+  }
+
+  /** [[loadIndexOverlay]] plus the SERVED bucket-membership relation
+    * (layer, b, id) — the generation's `memb` table ⊕ per-delta memb
+    * rows, retired by the same latest-wins node-delta versions as the
+    * node overlay. The memb chain is what makes a streamed graph batch
+    * fully O(|Δ|): [[appendIndexGraphDelta]] hands it to
+    * [[operators.IndexBuild.mergeDelta]] instead of letting the merge
+    * recompute every live node's nBands × bucketBits hyperplane
+    * projections per batch. Generations/deltas written before the chain
+    * existed fall back to that recomputation (the pre-chain behavior);
+    * the next compaction writes the table and upgrades the store. */
+  private def loadIndexOverlayFull()
+      : (DataFrame, DataFrame, DataFrame, IndexParams) = {
     val (v, k) = currentIndexState.getOrElse(
       throw new IllegalStateException(
         s"no ANN index under $path — call rebuild() first"))
     val (n0, e0, p) = IndexBuild.load(spark, indexDir(v))
-    if (k == 0L) (n0, e0, p)
+    val membBase = s"${indexDir(v)}/memb"
+    if (k == 0L) {
+      val memb =
+        if (Fs.exists(spark, membBase)) spark.read.parquet(membBase)
+        else IndexBuild.membershipNarrow(n0, p)
+      (n0, e0, memb, p)
+    }
     else {
       val wMax = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id"))
-      val nodeDeltas = (1L to k).map(i =>
-          spark.read.parquet(s"${graphDeltaDir(v, i)}/nodes")
-            .withColumn("__v", lit(i)))
-        .reduce(_.unionByName(_))
+      // ONE multi-path scan per chain table ([[Snapshots.readChain]]) —
+      // overlay plan size, and serve latency, stay FLAT in chain length
+      val marker = ".*_delta_(\\d+)/"
+      val nodeDeltas = Snapshots.readChain(spark,
+          (1L to k).map(i => s"${graphDeltaDir(v, i)}/nodes"), marker)
+        .withColumnRenamed("__ds", "__v")
       val latestNodes = nodeDeltas
         .withColumn("__mx", max(col("__v")).over(wMax))
         .filter(col("__v") === col("__mx")).drop("__v", "__mx")
@@ -248,26 +317,41 @@ class VectorStore private (
       val eAll = e0
         .select(col("level"), col("src"), col("dst"), col("score"))
         .withColumn("__v", lit(0L))
-        .unionByName((1L to k).map(i =>
-            spark.read.parquet(s"${graphDeltaDir(v, i)}/edges")
-              .select(col("level"), col("src"), col("dst"), col("score"))
-              .withColumn("__v", lit(i)))
-          .reduce(_.unionByName(_)))
-      val repMax = (1L to k).map(i =>
-          spark.read.parquet(s"${graphDeltaDir(v, i)}/rsrc")
-            .withColumn("__rv", lit(i)))
-        .reduce(_.unionByName(_))
-        .groupBy(col("id")).agg(max(col("__rv")).as("__rv"))
+        .unionByName(Snapshots.readChain(spark,
+            (1L to k).map(i => s"${graphDeltaDir(v, i)}/edges"), marker)
+          .select(col("level"), col("src"), col("dst"), col("score"),
+            col("__ds").as("__v")))
+      val repMax = Snapshots.readChain(spark,
+          (1L to k).map(i => s"${graphDeltaDir(v, i)}/rsrc"), marker)
+        .groupBy(col("id")).agg(max(col("__ds")).as("__rv"))
         .select(col("id").as("src"), col("__rv"))
-      val dMax = nodeDeltas.groupBy(col("id")).agg(max(col("__v")).as("__dv"))
-        .select(col("id").as("dst"), col("__dv"))
+      val dMaxId = nodeDeltas.groupBy(col("id"))
+        .agg(max(col("__v")).as("__dv"))
+      val dMax = dMaxId.select(col("id").as("dst"), col("__dv"))
       val edges = eAll
         .join(broadcast(repMax), Seq("src"), "left_outer")
         .filter(col("__rv").isNull || col("__rv") <= col("__v"))
         .join(broadcast(dMax), Seq("dst"), "left_outer")
         .filter(col("__dv").isNull || col("__dv") <= col("__v"))
         .select(col("level"), col("src"), col("dst"), col("score"))
-      (nodes, edges, p)
+      // membership overlay: a touched id's rows come ONLY from its
+      // latest node delta (a tombstoning delta wrote none — the id
+      // vanishes), exactly the node table's latest-wins rule
+      val membOk = Fs.exists(spark, membBase) &&
+        (1L to k).forall(i =>
+          Fs.exists(spark, s"${graphDeltaDir(v, i)}/memb"))
+      val memb =
+        if (!membOk) IndexBuild.membershipNarrow(nodes, p)
+        else spark.read.parquet(membBase)
+          .select(col("layer"), col("b"), col("id"))
+          .join(broadcast(nodeDeltas.select(col("id")).distinct()),
+            Seq("id"), "left_anti")
+          .unionByName(Snapshots.readChain(spark,
+              (1L to k).map(i => s"${graphDeltaDir(v, i)}/memb"), marker)
+            .join(broadcast(dMaxId), Seq("id"))
+            .filter(col("__ds") === col("__dv"))
+            .select(col("layer"), col("b"), col("id")))
+      (nodes, edges, memb, p)
     }
   }
 
@@ -284,20 +368,26 @@ class VectorStore private (
     val (v, k) = currentIndexState.getOrElse(
       throw new IllegalStateException(
         s"no ANN index under $path — call rebuild() first"))
-    val (n0, e0, p) = loadIndexOverlay()
+    val (n0, e0, m0, p) = loadIndexOverlayFull()
     // checkpoint the overlay ONCE per batch: the merge-delta computation
-    // reads the node side several times (membership scan, two vector
-    // re-attach joins) and the edge side twice — left lazy, every read
-    // re-executes the k-branch chain plan, and per-batch wall GROWS with
-    // chain length (measured: 29 → 43 s across 4 batches at 50 k). The
-    // cached overlay is one pass over base + chain; everything after
-    // reads executor-cached blocks.
+    // reads the node side several times (the two vector re-attach joins)
+    // and the edge side twice — left lazy, every read re-executes the
+    // chain plan, and per-batch wall GROWS with chain length (measured:
+    // 29 → 43 s across 4 batches at 50 k). The cached overlay is one
+    // pass over base + chain; everything after reads executor-cached
+    // blocks. The membership side (m0) has a single consumer inside the
+    // merge and stays lazy — it is the persisted chain read that
+    // replaced the per-batch corpus-wide projection.
     val n = n0.localCheckpoint()
     val e = e0.localCheckpoint()
-    val (deltaN, rsrc, newE) = IndexBuild.mergeDelta(n, e, dd, p)
+    val (deltaN, rsrc, newE) = IndexBuild.mergeDelta(n, e, dd, p, Some(m0))
     val dir = graphDeltaDir(v, k + 1)
-    deltaN.localCheckpoint()
-      .write.mode("overwrite").parquet(s"$dir/nodes")
+    val dN = deltaN.localCheckpoint()
+    dN.write.mode("overwrite").parquet(s"$dir/nodes")
+    // the delta's own membership rows extend the chain — O(|Δ|) compute
+    // and I/O; the overlay retires superseded rows by node-delta version
+    IndexBuild.membershipNarrow(dN, p)
+      .write.mode("overwrite").parquet(s"$dir/memb")
     newE.select(col("layer").as("level"), col("src"), col("dst"),
         col("score")).localCheckpoint()
       .write.mode("overwrite").parquet(s"$dir/edges")
@@ -312,6 +402,13 @@ class VectorStore private (
   private[graft] def servedIndex: (DataFrame, DataFrame, IndexParams) =
     loadIndexOverlay()
 
+  /** The served membership overlay (layer, b, id) — test seam:
+    * MembershipChainSpec pins chain ≡ fresh-recompute row equality. */
+  private[graft] def servedMembership: DataFrame = {
+    val (_, _, m, _) = loadIndexOverlayFull()
+    m
+  }
+
   /** The raw INDEX pointer ("N" or "N K") — test seam. */
   private[graft] def indexPointer: String =
     graft.util.Fs.readString(spark, s"$path/INDEX").trim
@@ -320,8 +417,12 @@ class VectorStore private (
     * prune the superseded chain — the [[compactPqIndex]] analog. */
   def compactIndex(): Unit = currentIndexState.foreach { case (v, k) =>
     if (k > 0) {
-      val (n, e, p) = loadIndexOverlay()
+      val (n, e, m, p) = loadIndexOverlayFull()
       IndexBuild.save(n, e, p, indexDir(v + 1))
+      // fold the membership overlay into the new generation's base table
+      // (a chain read — or, for a pre-chain store, the one projection
+      // that upgrades it)
+      m.write.mode("overwrite").parquet(s"${indexDir(v + 1)}/memb")
       flipIndexPointer(v + 1, Some((v, k)))
     }
   }
@@ -330,12 +431,22 @@ class VectorStore private (
     * rebuild + save the ANN index from the compacted table. */
   def rebuild(): Unit = {
     graft.functions.VectorFunctions.register(spark)
+    persist(Mutations.compact(nodes))
+    // re-resolve AFTER the persist: the pre-persist lineage reads the
+    // superseded base dirs persist just pruned; the fresh read also makes
+    // the build scan materialized parquet instead of re-deriving the
+    // overlay
     val compacted = Mutations.compact(nodes)
-    persist(compacted)
     val (n, e) = IndexBuild.build(compacted, params)
     val old = currentIndexState
     val gen = old.map(_._1).getOrElse(-1L) + 1
     IndexBuild.save(n, e, params, indexDir(gen))
+    // the generation's bucket-membership table — read back from the
+    // just-written nodes so the build lineage doesn't re-execute; one
+    // narrow corpus projection at build time buys O(|Δ|) streamed batches
+    IndexBuild.membershipNarrow(
+        spark.read.parquet(s"${indexDir(gen)}/nodes"), params)
+      .write.mode("overwrite").parquet(s"${indexDir(gen)}/memb")
     flipIndexPointer(gen, old)
   }
 
@@ -361,6 +472,9 @@ class VectorStore private (
     val (n0, e0, p) = loadIndexOverlay()
     val (n1, e1) = IndexBuild.merge(n0, e0, dd, p)
     IndexBuild.save(n1, e1, p, indexDir(old._1 + 1))
+    IndexBuild.membershipNarrow(
+        spark.read.parquet(s"${indexDir(old._1 + 1)}/nodes"), p)
+      .write.mode("overwrite").parquet(s"${indexDir(old._1 + 1)}/memb")
     persist(Mutations.upsert(nodes, dd))
     flipIndexPointer(old._1 + 1, Some(old))
   }
@@ -408,7 +522,7 @@ class VectorStore private (
     val pre = loadPqIndex()
     AnnSearch.searchGraphSeededIvf(n, e, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p, pre.centroids,
-      ef, iters, nProbe,
+      ef, iters, escalatedNProbe(nProbe, predicate, pre.centroids),
       assignments = Some(pre.assignments
         .join(n.select(col("id"), col("vector")), Seq("id"))),
       idFilter = filteredIds(predicate))
@@ -440,7 +554,8 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), params,
       exactCutoff = exactCutoff, skewCutoff = skewCutoff,
       pqCutoff = pqCutoff, prebuiltPq = pq, prebuiltGraph = graph,
-      idFilter = filteredIds(predicate))
+      idFilter = filteredIds(predicate),
+      idFilterCount = predicate.map(filteredCount))
   }
 
   // ---- auxiliary snapshot chains (documents / token vectors) ----------
@@ -535,9 +650,17 @@ class VectorStore private (
     * places no dense/0-based/globally-unique contract on vec_ids (natural
     * per-doc token numbering and hashed ids work alike). */
   def searchMaxSimAnn(queryVecs: DataFrame, topK: Int,
-      tokenHitsPerQvec: Int = 8, nBands: Int = 4, bits: Int = 3): DataFrame = {
+      tokenHitsPerQvec: Int = 8, nBands: Int = 4, bits: Int = 3,
+      predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val tv = tokenVectors
+    // `predicate` (over token-vector columns, e.g. doc_id) restricts the
+    // token corpus BEFORE banding — the tower's subset-semantics rule
+    // ([[searchBm25]] recomputes idf on the filtered subset): the anchor
+    // planes derive from the FILTERED token vectors, so the shortlist
+    // geometry indexes exactly the subset the query searches within,
+    // results are ⊆ the filter by construction, and both the banding
+    // scan and the re-rank shrink with the filtered fraction.
+    val tv = predicate.map(tokenVectors.filter).getOrElse(tokenVectors)
     val anchors = graft.queries.AnnQueries.anchorPlanesPositional(
       tv, nBands, bits)
     Retrieval.maxSimRerank(tv, queryVecs, topK, tokenHitsPerQvec, anchors)
@@ -719,10 +842,21 @@ class VectorStore private (
     else Some {
       val wMax = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id"))
-      (1L to k).map(i =>
-          spark.read.parquet(Snapshots.deltaPath(path, prefix, v, i))
-            .withColumn("__ds", lit(i)))
-        .reduce(_.unionByName(_))
+      val raw = Snapshots.readChain(spark,
+        (1L to k).map(i => Snapshots.deltaPath(path, prefix, v, i)),
+        ".*_delta_(\\d+)/")
+      // pre-upgrade PQ chains carried the sub = -1 tombstone convention
+      // instead of the shared `deleted` column — synthesize it on read
+      // (in a mixed chain, mergeSchema null-fills the column for the old
+      // files and the coalesce falls back per row)
+      val withDel =
+        if (!raw.columns.contains("deleted"))
+          raw.withColumn("deleted", col("sub") === -1)
+        else if (raw.columns.contains("sub"))
+          raw.withColumn("deleted",
+            coalesce(col("deleted"), col("sub") === -1))
+        else raw
+      withDel
         .withColumn("__mx", max(col("__ds")).over(wMax))
         .filter(col("__ds") === col("__mx"))
         .drop("__ds", "__mx")
@@ -1157,12 +1291,34 @@ class VectorStore private (
         .forall(events.columns.contains),
       s"ingest events need (id, vector, op, seq); got " +
         events.columns.mkString(","))
+    // a store that streamed through the pre-unification shim keeps its
+    // source offsets: reuse its old checkpoint dir instead of silently
+    // restarting the source from scratch under the new name
+    val ckpt =
+      if (Fs.exists(spark, s"$path/_ingest_compressed_checkpoint"))
+        s"$path/_ingest_compressed_checkpoint"
+      else s"$path/_ingest_checkpoint"
     events.writeStream
       .outputMode("append")
-      .option("checkpointLocation", s"$path/_ingest_checkpoint")
+      .option("checkpointLocation", ckpt)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) ingestBatch(batch, config, onAppend)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard ([[graft.streaming.StreamingIngest.start]]'s rule):
+        // a crash between the tier appends and the checkpoint commit
+        // replays the batch — state would stay CORRECT (latest-wins by id
+        // everywhere) but every chain would grow a duplicate delta and the
+        // compaction/drift cadence would shift. The marker records the
+        // last APPLIED batch; it advances after the appends, so the
+        // crash-window replay is skipped on restart.
+        val applied =
+          if (Fs.exists(spark, s"$path/_INGEST_BATCH"))
+            Some(Fs.readString(spark, s"$path/_INGEST_BATCH").trim.toLong)
+          else None
+        if (!batch.isEmpty && !applied.exists(_ >= batchId)) {
+          ingestBatch(batch, config, onAppend)
+          Fs.writeStringAtomic(spark, s"$path/_INGEST_BATCH",
+            batchId.toString)
+        }
         ()
       }
       .start()

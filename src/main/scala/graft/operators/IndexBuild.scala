@@ -305,9 +305,29 @@ object IndexBuild {
     * with dst ∈ nodeDelta ids. [[mergeKeyed]] and the chain overlay
     * both build from these rules, so they cannot drift. */
   def mergeDelta(nodes: DataFrame, edges: DataFrame, delta: DataFrame,
-      params: IndexParams): (DataFrame, DataFrame, DataFrame) =
+      params: IndexParams, baseMembership: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) =
     mergeDeltaKeyed(nodes, edges, delta, params,
-      v => bucketKeys(v, params), portableOrder = false)
+      v => bucketKeys(v, params), portableOrder = false, baseMembership)
+
+  /** Narrow bucket membership (layer, b, id) of `nodes`' live rows under
+    * the production seeded-random keys — a pure function of
+    * (id, vector, level), which is what lets an ingest path PERSIST it as
+    * its own delta-chained table ([[graft.VectorStore]]'s memb chain) and
+    * hand it back to [[mergeDelta]] via `baseMembership`: the one
+    * remaining corpus-wide term of a streamed batch (recomputing every
+    * node's nBands × bucketBits hyperplane projections) becomes a narrow
+    * no-vector parquet chain read + an O(|Δ|) append. `nodes` must carry
+    * `level`. */
+  def membershipNarrow(nodes: DataFrame, params: IndexParams): DataFrame = {
+    val live =
+      if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
+      else nodes
+    live
+      .withColumn("layer", explode(sequence(lit(0), col("level"))))
+      .withColumn("b", explode(bucketKeys(col("vector"), params)))
+      .select(col("layer"), col("b"), col("id"))
+  }
 
   private def mergeKeyed(nodes: DataFrame, edges: DataFrame, delta: DataFrame,
       params: IndexParams, keyFn: Column => Column, portableOrder: Boolean)
@@ -332,7 +352,9 @@ object IndexBuild {
 
   private def mergeDeltaKeyed(nodes: DataFrame, edges: DataFrame,
       delta: DataFrame, params: IndexParams, keyFn: Column => Column,
-      portableOrder: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      portableOrder: Boolean,
+      baseMembership: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     val scoreFn: (Column, Column) => Column = params.metric match {
       case "euclidean" => VectorFunctions.euclideanSim
       case _ => VectorFunctions.cosineSim
@@ -376,10 +398,23 @@ object IndexBuild {
     // (layer, b, id) of the delta-touched buckets only; vectors re-attach
     // by id join afterwards. The delta side (small by contract) broadcasts,
     // so the index side never shuffles wide rows.
-    val liveNarrow = membership(live).select(col("layer"), col("b"), col("id"))
     val deltaM = membership(live.join(broadcast(deltaIds), Seq("id")))
       .select(col("layer"), col("b"), col("id").as("src"),
         col("vector").as("src_vec"))
+    // merged-state membership: recomputed over the whole live table by
+    // default, or — when the caller maintains the persisted memb chain
+    // ([[membershipNarrow]]'s contract; keys MUST match `keyFn`) —
+    // composed at O(|Δ|): pre-merge membership minus touched ids, plus
+    // the delta's own rows (deltaM already holds exactly those).
+    val liveNarrow = baseMembership match {
+      case Some(m) =>
+        m.select(col("layer"), col("b"), col("id"))
+          .join(broadcast(deltaIds), Seq("id"), "left_anti")
+          .unionByName(
+            deltaM.select(col("layer"), col("b"), col("src").as("id")))
+      case None =>
+        membership(live).select(col("layer"), col("b"), col("id"))
+    }
     val deltaBuckets = deltaM.select(col("layer"), col("b")).distinct()
     // cap rank order: hashed ids (uniform subsets) in production; plain id
     // order when an external oracle must re-derive the cap (buildKeyed's

@@ -32,12 +32,26 @@ object Mutations {
     val d =
       if (delta.columns.contains("batch_seq")) delta
       else delta.withColumn("batch_seq", lit(1L))
+    // Schema union: PAYLOAD columns may ride on either side — a store's
+    // first batch DEFINES its payload columns (the documented
+    // addBatch/searchWhere feature), and a later payload-less delta (a
+    // streamed upsert) REPLACES its row with null payload (latest-wins
+    // applies to the whole row). Rows from the side missing a column
+    // null-fill it; nothing is silently projected away.
+    val curA = d.schema.fields
+      .filterNot(f => cur.columns.contains(f.name))
+      .foldLeft(cur)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val dA = curA.schema.fields
+      .filterNot(f => d.columns.contains(f.name))
+      .foldLeft(d)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
     // secondary content-hash tie-break: several delta rows for one id with
     // equal batch_seq would otherwise pick a partitioning-dependent winner
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("batch_seq").desc,
         xxhash64(struct(current.columns.map(col).toIndexedSeq: _*)).desc)
-    cur.unionByName(d.select(cur.columns.map(col).toIndexedSeq: _*))
+    curA.unionByName(dA.select(curA.columns.map(col).toIndexedSeq: _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "batch_seq")

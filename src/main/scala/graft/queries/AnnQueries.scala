@@ -640,6 +640,31 @@ object AnnQueries {
         idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
           .select(col("id"))))
     }),
+
+    // Filtered IVF-PQ — a12 with the a21 pre-filter: the id set
+    // semi-joins the ASSIGNMENT table before the probe join, so only
+    // matching members enter the ADC scan; codebooks/centroids stay
+    // corpus-trained build artifacts (a predicate must not change the
+    // frozen geometry, only the scanned membership). The compressed
+    // production arm's filtered semantics, hash-pinned: a post-filter
+    // of the unfiltered ADC rank yields different rn values and fails.
+    "a25_filtered_pq" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+        .select(col("id"), col("cell"))
+      val cb = graft.operators.PqIndex.sampleCodebooks(nodesDf,
+        m = 8, subLen = 8, ksub = 16)
+      val codes = graft.operators.PqIndex.encode(nodesDf, cb,
+        m = 8, subLen = 8)
+      graft.operators.PqIndex.searchIvfPq(codes, asg, coarse, cb,
+        VectorQueries.querySet(emb), k = 10, nProbe = 3,
+        m = 8, subLen = 8,
+        idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
+          .select(col("id"))))
+    }),
   )
 
   /** The anchored graph build as a DuckDB CTE chain ending in `base` — the
@@ -1626,6 +1651,74 @@ object AnnQueries {
         |  SELECT query_id, id, d2,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY d2 ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    // a12's oracle with the PRE-filter applied to the assignment table
+    // (the a21 placement): the filter lands before the probe join, the
+    // frozen codebooks/centroids stay corpus-derived, and the ADC rank
+    // runs over the filtered members only — a post-filter implementation
+    // ranks non-matching members first and fails this hash.
+    "a25_filtered_pq" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ccb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN ccb c
+        |    WHERE n.id % 3 = 0)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN ccb c)
+        |  WHERE rn <= 3),
+        |cb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (
+        |  SELECT CAST(s.sub AS INT) AS sub, c.code,
+        |    list_slice(c.cv, s.sub * 8 + 1, s.sub * 8 + 8) AS cen
+        |  FROM cb0 c CROSS JOIN range(0, 8) s(sub)),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT n.id, cb.sub, cb.code,
+        |      row_number() OVER (PARTITION BY n.id, cb.sub
+        |        ORDER BY list_distance(
+        |          list_slice(n.v, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen)
+        |          ASC, cb.code) AS rn
+        |    FROM nodes n CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.query_id, cb.sub, cb.code,
+        |    floor(list_distance(
+        |      list_slice(q.qv, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cen)
+        |      * 100000000.0 + 0.5) / 100000000.0 AS d
+        |  FROM q CROSS JOIN cb),
+        |cand AS (
+        |  SELECT p.query_id, a.id FROM probed p JOIN asg a ON a.cell = p.cell),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b) AS adc
+        |  FROM cand c
+        |  JOIN enc e ON e.id = c.id
+        |  JOIN lut l ON l.query_id = c.query_id
+        |    AND l.sub = e.sub AND l.code = e.code
+        |  GROUP BY c.query_id, c.id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adc ASC, id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
   )

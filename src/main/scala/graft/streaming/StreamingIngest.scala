@@ -70,6 +70,11 @@ object StreamingIngest {
         lit(1L).as("batch_seq"))
     val deleteOnlyIds = lastDelete
       .join(lastUpsert, Seq("id"), "left_anti").select(col("id"))
+    // the state may carry payload columns beyond (id, vector, deleted) —
+    // the documented VectorStore.addBatch feature. Streamed events carry
+    // none; Mutations.upsert's schema union null-fills them on the
+    // upserted rows (a streamed upsert REPLACES its row, payload
+    // included — the latest-wins rule; untouched ids keep theirs).
     Mutations.tombstone(Mutations.upsert(state, upserted), deleteOnlyIds)
   }
 

@@ -119,6 +119,36 @@ class FilteredSearchSpec extends SparkSpec {
     assert(pairs(res) === exactFiltered(10))
   }
 
+  test("selectivity-aware probe escalation: a starved seed budget under " +
+      "a selective predicate is escalated to ~nProbe/selectivity and " +
+      "clears an exact-level recall floor") {
+    val (nodes, edges) = IndexBuild.build(nodesDf, params)
+    val centroids = IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = IvfIndex.assign(nodesDf, centroids)
+      .select(col("id"), col("cell"))
+    val cb = PqIndex.sampleCodebooks(nodesDf, m = 8, subLen = 8, ksub = 16)
+    val pre = AdaptiveSearch.PqPrebuilt(centroids, asg, cb,
+      PqIndex.encode(nodesDf, cb, m = 8, subLen = 8))
+    // 1/10 selectivity × seededNProbe 1 → escalated probe = all 10 cells;
+    // without escalation a single probed cell holds ~5 matching rows and
+    // the walk cannot recover the rest (expandAndRank's filtered-walk
+    // contract: expansions only reach matching neighbors of matching
+    // seeds)
+    val p10: Column = col("id") % 10 === 0
+    val f10 = nodesDf.filter(p10).select(col("id"))
+    val (strat, res) = AdaptiveSearch.search(nodesDf, queriesDf, k = 5,
+      minSim = -2.0, params, exactCutoff = 10, skewCutoff = 1.1,
+      seededNProbe = 1,
+      prebuiltPq = Some(pre), prebuiltGraph = Some((nodes, edges)),
+      idFilter = Some(f10))
+    assert(strat === AdaptiveSearch.UseGraphSeededIvf)
+    val exact = KnnSearch.knnExact(nodesDf.filter(p10), queriesDf, 5,
+        minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val r = exact.intersect(pairs(res)).size.toDouble / exact.size
+    assert(r >= 0.9, s"escalated filtered seeded recall@5 = $r")
+  }
+
   test("retrieval tower predicates: BM25 stats recompute on the subset " +
       "(pre-filter), hybrid filters each side on its own columns") {
     import spark.implicits._

@@ -84,6 +84,40 @@ class GraphDeltaSpec extends SparkSpec {
     a.delete(); b.delete()
   }
 
+  test("membership chain ≡ fresh recompute over the served nodes — the " +
+      "persisted memb table + O(|Δ|) delta rows replace the per-batch " +
+      "corpus-wide projection exactly (upsert, move, delete)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val s = freshStore("memb")
+    s.addBatch(baseRows.toDF("id", "vector"))
+    s.rebuild()
+    assert(graft.util.Fs.exists(spark, s.path + "/index_g0/memb"),
+      "rebuild must write the generation's membership table")
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = s.startIngest(stream.toDF().toDF("id", "vector", "op", "seq"))
+    try {
+      stream.addData(d1.map { case (i, v, _) => (i, v, "upsert", i) })
+      q.processAllAvailable()
+      stream.addData(d2.map { case (i, v, del) =>
+        (i, v, if (del) "delete" else "upsert", i) })
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.util.Fs.exists(spark, s.path + "/index_g0_delta_1/memb"))
+    def membSet(df: DataFrame): Set[(Int, String, Long)] =
+      df.select(col("layer").cast("int"), col("b"), col("id"))
+        .as[(Int, String, Long)].collect().toSet
+    val served = membSet(s.servedMembership)
+    val fresh = membSet(graft.operators.IndexBuild.membershipNarrow(
+      s.servedIndex._1, params))
+    assert(served === fresh)
+    // the delete actually retired id 5's rows and the moved id 7 serves
+    // its NEW vector's buckets only
+    assert(!served.exists(_._3 == 5L))
+    assert(served.exists(_._3 == 103L))
+    s.delete()
+  }
+
   test("compactIndex folds the chain into a fresh base that serves " +
       "identically; pointer resets single-token, chain dirs pruned") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -102,6 +136,8 @@ class GraphDeltaSpec extends SparkSpec {
     assert(s.indexPointer === "1")
     assert(edgeSet(s.servedIndex._2) === before)
     assert(!graft.util.Fs.exists(spark, s.path + "/index_g0_delta_1"))
+    // the fold materialized the membership overlay as the new base table
+    assert(graft.util.Fs.exists(spark, s.path + "/index_g1/memb"))
     s.delete()
   }
 

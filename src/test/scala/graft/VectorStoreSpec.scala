@@ -587,6 +587,179 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("searchMaxSimAnn predicate: anchors + shortlist derive from the " +
+      "filtered token corpus — results ⊆ filter, rank-1 parity with " +
+      "filtered-exact MaxSim") {
+    val store = freshStore()
+    // 6 docs × 4 tokens; doc 3 (NON-matching) is the best overall match,
+    // doc 4 the best matching one — an unfiltered shortlist would spend
+    // its band geometry and token hits around doc 3's tokens
+    val tv = (0L until 24L).map { v =>
+      val doc = v / 4 + 1
+      val vec =
+        if (doc == 3L) Seq(0f, 1f)
+        else if (doc == 4L) Seq(0.3f, 0.9f)
+        else Seq(1f, 0.05f * v)
+      (doc, v, vec)
+    }
+    store.putTokenVectors(tv.toDF("doc_id", "vec_id", "vector"))
+    val qv = Seq((0L, 0L, Seq(0f, 1f)))
+      .toDF("query_id", "qvec_id", "query_vec")
+    val p = Some(col("doc_id") % 2 === 0)
+    val exact = store.searchMaxSim(qv, topK = 3, predicate = p)
+    val ann = store.searchMaxSimAnn(qv, topK = 3, tokenHitsPerQvec = 12,
+      nBands = 2, bits = 2, predicate = p)
+    assert(ann.filter(col("doc_id") % 2 =!= 0).count() === 0L)
+    assert(ann.filter(col("rn") === 1).select("doc_id").as[Long].head()
+      === exact.filter(col("rn") === 1).select("doc_id").as[Long].head())
+    store.delete()
+  }
+
+  test("filtered-dispatch count memoizes per table version: repeated " +
+      "searchAuto reads the cache, a mutation invalidates by key") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-memo").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 40L).map(i => (i, vec(i))).toDF("id", "vector"))
+    val qv = Seq((0L, vec(0L))).toDF("query_id", "query_vec")
+    val pred = col("id") % 3 === 0
+    val (s1, _) = store.searchAuto(qv, k = 3, strengthSetting = 0,
+      predicate = Some(pred))
+    assert(s1 === graft.operators.AdaptiveSearch.UseExact) // 14 live < cutoff
+    val key = (store.pointerStamp("CURRENT"), "p:" + pred.toString)
+    assert(store.countMemo.contains(key), s"memo keys: ${store.countMemo.keys}")
+    // poison the cached size: a second call that RECOUNTED would still
+    // pick the exact arm; reading the cache it must dispatch past it
+    store.countMemo.update(key, 100000L)
+    val (s2, _) = store.searchAuto(qv, k = 3, strengthSetting = 0,
+      predicate = Some(pred))
+    assert(s2 !== graft.operators.AdaptiveSearch.UseExact)
+    // any mutation flips the pointer — the poisoned entry no longer keys
+    store.add(600L, vec(600L))
+    val (s3, _) = store.searchAuto(qv, k = 3, strengthSetting = 0,
+      predicate = Some(pred))
+    assert(s3 === graft.operators.AdaptiveSearch.UseExact)
+    store.delete()
+  }
+
+  test("persist prunes the superseded node base + delta chain — " +
+      "continuous ingest cannot accrete unbounded snapshot dirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-prune").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 10L).map(i => (i, vec(i))).toDF("id", "vector"))
+    assert(graft.util.Fs.exists(spark, store.path + "/v0"))
+    store.addBatch(Seq((20L, vec(20L))).toDF("id", "vector"))
+    assert(!graft.util.Fs.exists(spark, store.path + "/v0"),
+      "superseded base v0 must be pruned after the flip")
+    assert(graft.util.Fs.exists(spark, store.path + "/v1"))
+    // streamed chain: compactEvery = 1 folds every batch — the fold's
+    // persist must prune both the delta dir and the pre-fold base
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = store.startIngest(
+      stream.toDF().toDF("id", "vector", "op", "seq"),
+      config = VectorStore.IngestConfig(compactEvery = 1))
+    try {
+      stream.addData((21L, vec(21L), "upsert", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.util.Fs.readString(spark, store.path + "/CURRENT")
+      .trim === "2")
+    assert(!graft.util.Fs.exists(spark, store.path + "/v1"))
+    assert(!graft.util.Fs.exists(spark, store.path + "/v1_d1"))
+    assert(store.count() === 12L) // 10 + 1 batch-path + 1 streamed
+    store.delete()
+  }
+
+  test("pre-upgrade PQ delta chains (sub = -1 tombstones, no deleted " +
+      "column) still resolve through the overlay") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-compat").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 20L).map(i => (i, vec(i))).toDF("id", "vector"))
+    store.buildPqIndex(cells = 4)
+    // handcraft an OLD-schema pending delta: live id 100 (8 sub codes),
+    // tombstone for id 3 as the legacy all-minus-one row
+    val legacy = ((0 until 8).map(s => (100L, 0, s, 1)) :+ ((3L, -1, -1, -1)))
+      .toDF("id", "cell", "sub", "code")
+    legacy.write.mode("overwrite").parquet(
+      graft.util.Snapshots.deltaPath(store.path, "pq", 0L, 1L))
+    graft.util.Fs.writeStringAtomic(spark, store.path + "/PQINDEX", "0 1")
+    val pre = store.loadPqIndex()
+    assert(pre.codes.filter(col("id") === 100L).count() === 8L)
+    assert(pre.codes.filter(col("id") === 3L).count() === 0L,
+      "legacy sub = -1 row must tombstone id 3")
+    assert(pre.assignments.filter(col("id") === 3L).count() === 0L)
+    store.delete()
+  }
+
+  test("payload-column stores stream: upserted rows null-fill payload " +
+      "(latest-wins replace), untouched rows keep theirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-pay").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch(Seq((1L, vec(1L), "red"), (2L, vec(2L), "blue"))
+      .toDF("id", "vector", "tag"))
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = store.startIngest(
+      stream.toDF().toDF("id", "vector", "op", "seq"))
+    try {
+      stream.addData((2L, vec(50L), "upsert", 1L),
+        (50L, vec(51L), "upsert", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val qv = Seq((0L, vec(1L))).toDF("query_id", "query_vec")
+    assert(store.searchWhere(qv, k = 10, col("tag") === "red",
+        strengthSetting = 0)
+      .select("id").as[Long].collect().toSet === Set(1L))
+    assert(store.searchWhere(qv, k = 10, col("tag").isNull,
+        strengthSetting = 0)
+      .select("id").as[Long].collect().toSet === Set(2L, 50L))
+    store.delete()
+  }
+
+  test("startIngest replay guard: a batchId at-or-below the applied " +
+      "marker is skipped; applied batches advance the marker") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-replay").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 5L).map(i => (i, vec(i))).toDF("id", "vector"))
+    // simulate a crash AFTER batch 0 applied but BEFORE the checkpoint
+    // commit: the marker says 0, so the stream's replayed batch 0 must
+    // be a no-op instead of growing duplicate chain deltas
+    graft.util.Fs.writeStringAtomic(spark, store.path + "/_INGEST_BATCH", "0")
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = store.startIngest(
+      stream.toDF().toDF("id", "vector", "op", "seq"))
+    try {
+      stream.addData((100L, vec(100L), "upsert", 1L)) // batchId 0: replay
+      q.processAllAvailable()
+      assert(store.count() === 5L, "replayed batch must not re-apply")
+      stream.addData((101L, vec(101L), "upsert", 2L)) // batchId 1: fresh
+      q.processAllAvailable()
+      assert(store.count() === 6L)
+      assert(graft.util.Fs.readString(spark,
+        store.path + "/_INGEST_BATCH").trim === "1")
+    } finally q.stop()
+    store.delete()
+  }
+
   test("compressed searches without an index fail with a clear message") {
     val store = VectorStore.openOrCreate(spark,
       java.nio.file.Files.createTempDirectory("graft-store-noidx").toString,

@@ -57,10 +57,14 @@ object ChainServeProbe {
       stream.toDF().toDF("id", "vector", "op", "seq"),
       config = VectorStore.IngestConfig(compactEvery = 10000))
     val walls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    // warm once, then min-of-3 timed serves: single-shot walls swing
+    // ±5-10 s at deep chains from GC of the ingest batches' checkpointed
+    // overlay blocks — the min is the plan's cost, the swing is ambient
     def serveWall(): Double = {
       store.searchAnnSeededIvf(qv, k = 10, strengthSetting = 0).count()
-      timed(store.searchAnnSeededIvf(qv, k = 10, strengthSetting = 0)
-        .count())._2
+      (1 to 3).map(_ =>
+        timed(store.searchAnnSeededIvf(qv, k = 10, strengthSetting = 0)
+          .count())._2).min
     }
     walls += ((0, serveWall()))
     try {

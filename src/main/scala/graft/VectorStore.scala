@@ -40,10 +40,14 @@ class VectorStore private (
         val base = spark.read.parquet(s"$path/v$v")
         val wMax = org.apache.spark.sql.expressions.Window
           .partitionBy(col("id"))
+        // delta-sized → eager localCheckpoint (the resolvedDelta rule):
+        // consumed twice here and the whole overlay re-executes per
+        // downstream job left lazy
         val resolved = Snapshots.readChain(spark,
             (1L to k).map(nodeDeltaDir(v, _)), ".*_d(\\d+)/")
           .withColumn("__mx", max(col("__ds")).over(wMax))
           .filter(col("__ds") === col("__mx")).drop("__ds", "__mx")
+          .localCheckpoint()
         base.join(resolved.select(col("id")).distinct(), Seq("id"),
             "left_anti")
           .unionByName(
@@ -203,6 +207,16 @@ class VectorStore private (
   private def filteredCount(p: Column): Long =
     memoCount("p:" + p.toString, filteredIds(Some(p)).get)
 
+  /** The dispatch stats pair (corpus size, hot-bucket share) memoized per
+    * table version — [[searchAuto]]'s two remaining per-call decision
+    * jobs collapse to a map read on repeated calls against an unchanged
+    * table. */
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Double)]
+  private def memoStats(): (Long, Double) =
+    statsMemo.getOrElseUpdate(pointerStamp("CURRENT"),
+      AdaptiveSearch.stats(nodes, params))
+
   /** Selectivity-escalated probe count for the seeded-graph arm: probe
     * ~nProbe/selectivity cells (capped at the generation's cell count) so
     * the MATCHING-seed volume stays constant under a selective predicate
@@ -302,11 +316,19 @@ class VectorStore private (
       val wMax = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id"))
       // ONE multi-path scan per chain table ([[Snapshots.readChain]]) —
-      // overlay plan size, and serve latency, stay FLAT in chain length
+      // overlay plan size, and serve latency, stay FLAT in chain length.
+      // The chain-derived relations are DELTA-sized by contract, so they
+      // localCheckpoint eagerly (one small job per overlay load): a
+      // serving query's frontier walk executes the overlay plan several
+      // times per call, and left lazy each execution re-lists and
+      // re-reads the chain + re-derives the distinct/groupBy sides.
+      // The BASE side stays lazy — materializing the corpus per serve
+      // call is exactly what must not happen at scale.
       val marker = ".*_delta_(\\d+)/"
       val nodeDeltas = Snapshots.readChain(spark,
           (1L to k).map(i => s"${graphDeltaDir(v, i)}/nodes"), marker)
         .withColumnRenamed("__ds", "__v")
+        .localCheckpoint()
       val latestNodes = nodeDeltas
         .withColumn("__mx", max(col("__v")).over(wMax))
         .filter(col("__v") === col("__mx")).drop("__v", "__mx")
@@ -320,11 +342,13 @@ class VectorStore private (
         .unionByName(Snapshots.readChain(spark,
             (1L to k).map(i => s"${graphDeltaDir(v, i)}/edges"), marker)
           .select(col("level"), col("src"), col("dst"), col("score"),
-            col("__ds").as("__v")))
+            col("__ds").as("__v"))
+          .localCheckpoint())
       val repMax = Snapshots.readChain(spark,
           (1L to k).map(i => s"${graphDeltaDir(v, i)}/rsrc"), marker)
         .groupBy(col("id")).agg(max(col("__ds")).as("__rv"))
         .select(col("id").as("src"), col("__rv"))
+        .localCheckpoint()
       val dMaxId = nodeDeltas.groupBy(col("id"))
         .agg(max(col("__v")).as("__dv"))
       val dMax = dMaxId.select(col("id").as("dst"), col("__dv"))
@@ -555,7 +579,8 @@ class VectorStore private (
       exactCutoff = exactCutoff, skewCutoff = skewCutoff,
       pqCutoff = pqCutoff, prebuiltPq = pq, prebuiltGraph = graph,
       idFilter = filteredIds(predicate),
-      idFilterCount = predicate.map(filteredCount))
+      idFilterCount = predicate.map(filteredCount),
+      statsHint = Some(memoStats()))
   }
 
   // ---- auxiliary snapshot chains (documents / token vectors) ----------
@@ -856,10 +881,15 @@ class VectorStore private (
           raw.withColumn("deleted",
             coalesce(col("deleted"), col("sub") === -1))
         else raw
+      // delta-sized by contract → eager localCheckpoint: the per-family
+      // overlays read the resolved chain several times per serve call
+      // (touched-id anti-join + live-row union per table), and left lazy
+      // each read re-lists and re-resolves the chain
       withDel
         .withColumn("__mx", max(col("__ds")).over(wMax))
         .filter(col("__ds") === col("__mx"))
         .drop("__ds", "__mx")
+        .localCheckpoint()
     }
 
   /** The PQ generation's served (assignments, codes) pair: base overlaid

@@ -122,10 +122,14 @@ object AdaptiveSearch {
       prebuiltGraph: Option[(DataFrame, DataFrame)] = None,
       seededNProbe: Int = 32,
       idFilter: Option[DataFrame] = None,
-      idFilterCount: Option[Long] = None)
+      idFilterCount: Option[Long] = None,
+      statsHint: Option[(Long, Double)] = None)
       : (Strategy, DataFrame) = {
     val mSub = 8
-    val (nAll, share) = stats(nodes, params)
+    // `statsHint` skips the two per-call decision jobs (corpus count +
+    // sampled bucket histogram) when the caller already measured them —
+    // the VectorStore facade memoizes stats per table version
+    val (nAll, share) = statsHint.getOrElse(stats(nodes, params))
     // the DECISION size is the work size: a selective predicate that
     // leaves <= exactCutoff matching rows makes the exact scan over just
     // those rows the cheapest correct plan, regardless of corpus size —

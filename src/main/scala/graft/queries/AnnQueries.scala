@@ -665,6 +665,22 @@ object AnnQueries {
         idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
           .select(col("id"))))
     }),
+
+    // Filtered BQ — a16 with the a22 pre-filter placement: the id set
+    // semi-joins the packed BITS table before the n × Q Hamming scan;
+    // bounds stay corpus-trained. Exact-BIGINT hd column — every packed
+    // word and every filtered rank re-derived by the oracle.
+    "a26_filtered_bq" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
+      val bits = graft.operators.BqIndex.encode(nodesDf, bounds)
+      graft.operators.BqIndex.searchBq(bits, bounds,
+        VectorQueries.querySet(emb), k = 10,
+        idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
+          .select(col("id"))))
+    }),
   )
 
   /** The anchored graph build as a DuckDB CTE chain ending in `base` — the
@@ -1719,6 +1735,48 @@ object AnnQueries {
         |  SELECT query_id, id,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY adc ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    // a16's oracle with the PRE-filter applied to the packed-bits table
+    // (bounds stay corpus-trained): Hamming ranks run over the filtered
+    // subset only.
+    "a26_filtered_bq" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bounds AS (
+        |  SELECT p.pos, min(list_extract(n.v, p.pos + 1)) AS lo,
+        |         max(list_extract(n.v, p.pos + 1)) AS hi
+        |  FROM nodes n CROSS JOIN range(0, 64) p(pos)
+        |  GROUP BY p.pos),
+        |encw AS (
+        |  SELECT n.id, CAST(b.pos // 32 AS INT) AS word,
+        |    bit_or(CASE WHEN list_extract(n.v, b.pos + 1)
+        |        > (b.lo + b.hi) / 2.0
+        |      THEN CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS w
+        |  FROM nodes n CROSS JOIN bounds b
+        |  WHERE n.id % 3 = 0
+        |  GROUP BY n.id, b.pos // 32),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qencw AS (
+        |  SELECT q.query_id, CAST(b.pos // 32 AS INT) AS word,
+        |    bit_or(CASE WHEN list_extract(q.qv, b.pos + 1)
+        |        > (b.lo + b.hi) / 2.0
+        |      THEN CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS w
+        |  FROM q CROSS JOIN bounds b
+        |  GROUP BY q.query_id, b.pos // 32),
+        |scored AS (
+        |  SELECT qe.query_id, e.id,
+        |    CAST(SUM(bit_count(xor(qe.w, e.w))) AS BIGINT) AS hd
+        |  FROM encw e JOIN qencw qe ON qe.word = e.word
+        |  GROUP BY qe.query_id, e.id)
+        |SELECT query_id, id, hd, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id, hd,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY hd ASC, id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
   )

@@ -227,11 +227,9 @@ class VectorStore private (
       centroids: DataFrame): Int = predicate match {
     case None => nProbe
     case Some(p) =>
-      val sel = math.max(filteredCount(p).toDouble /
-        math.max(1L, liveCount).toDouble, 1e-9)
       val cells = countMemo.getOrElseUpdate(
         ("__cells", pointerStamp("PQINDEX")), centroids.count())
-      math.min(cells, math.ceil(nProbe / sel).toLong).toInt
+      AnnSearch.escalatedProbes(nProbe, filteredCount(p), liveCount, cells)
   }
 
   /** One-vector convenience search returning (id, score) rows. */
@@ -1034,9 +1032,13 @@ class VectorStore private (
     validate(queries, "query_id", "query_vec")
     val pre = loadPqIndex()
     val mSub = 8
+    // a selective predicate starves the coarse probe (probed cells may
+    // hold < k MATCHING rows) — escalate it like the seeded-graph arm
     PqIndex.searchIvfPqResidualScored(nodes, pre.codes, pre.assignments,
       pre.centroids, pre.codebooks, queries, k,
-      shortlist = math.max(100, 50 * k), nProbe, mSub, params.dim / mSub,
+      shortlist = math.max(100, 50 * k),
+      escalatedNProbe(nProbe, predicate, pre.centroids),
+      mSub, params.dim / mSub,
       KnnSearch.scaleThreshold(strengthSetting), params.metric,
       idFilter = filteredIds(predicate))
   }

@@ -150,22 +150,16 @@ object AdaptiveSearch {
       case Some(f) => idFilterCount.getOrElse(
         KnnSearch.restrictIds(live, Some(f)).count())
     }
-    // Selectivity-aware probe escalation for the seeded-graph arms: a
-    // pre-filter shrinks each probed cell's MATCHING members by the
-    // filtered fraction, so fixed probes see proportionally fewer seeds.
-    // Probing ~nProbe/selectivity cells (capped at the cell count) keeps
-    // the MATCHING-seed volume constant; seeding cost still tracks the
-    // filtered fraction because non-matching members are filtered before
-    // scoring. Measured (GraphProbe filtered sweep, SCALING.md): at 200 k
-    // / selectivity 1/100, escalation lifts recall@10 0.968 → 1.0 AND
-    // runs faster (2.8 s vs 3.1 s — the escalated probe replaces frontier
-    // work the starved fixed-probe walk paid anyway).
-    val selectivity =
-      if (idFilter.isEmpty || nAll == 0L) 1.0
-      else math.max(n.toDouble / nAll.toDouble, 1e-9)
+    // Selectivity-aware probe escalation for every probed arm — THE
+    // shared rule ([[AnnSearch.escalatedProbes]]): keep the MATCHING
+    // candidate volume constant under a selective filter. Measured
+    // (GraphProbe filtered sweep, SCALING.md): at 200 k / selectivity
+    // 1/100, escalation lifts recall@10 0.968 → 1.0 AND runs faster
+    // (2.8 s vs 3.1 s — the escalated probe replaces frontier work the
+    // starved fixed-probe walk paid anyway).
     def escalated(base: Int, cells: Long): Int =
-      if (idFilter.isEmpty) base
-      else math.min(cells, math.ceil(base / selectivity).toLong).toInt
+      if (idFilter.isEmpty || nAll == 0L) base
+      else AnnSearch.escalatedProbes(base, n, nAll, cells)
     decide(n, share, exactCutoff = exactCutoff, skewCutoff = skewCutoff,
         pqCutoff = pqCutoff,
         pqEligible = params.dim % mSub == 0) match {
@@ -221,8 +215,10 @@ object AdaptiveSearch {
               nProbe = escalated(seededNProbe, cells.toLong),
               idFilter = idFilter))
           case _ =>
+            // the plain-IVF probe starves under a selective filter the
+            // same way the seeded arm's seeding does — escalate it too
             (UseIvf, IvfIndex.search(nodes, centroids, queries, k, minSim,
-              nProbe, idFilter = idFilter))
+              escalated(nProbe, cells.toLong), idFilter = idFilter))
         }
       case UsePq =>
         // residual IVF-PQ shortlist + exact re-rank: the one path whose
@@ -249,9 +245,15 @@ object AdaptiveSearch {
         // only caller-provided indexes need the geometry gate — the
         // in-line build is correct by construction
         if (prebuiltPq.isDefined) validateGeometry(pre, mSub, subLen)
+        // filtered PQ: the coarse probe is the starvation point (probed
+        // cells may hold < k MATCHING rows) — escalate it with the same
+        // constant-matching-volume rule; the ADC scan still only touches
+        // filtered members, so cost tracks the filtered fraction
+        val np = if (idFilter.isEmpty) nProbe
+                 else escalated(nProbe, pre.centroids.count())
         (UsePq, PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
           pre.assignments, pre.centroids, pre.codebooks, queries, k,
-          shortlist = math.max(100, 50 * k), nProbe, mSub, subLen, minSim,
+          shortlist = math.max(100, 50 * k), np, mSub, subLen, minSim,
           params.metric, idFilter = idFilter))
     }
   }

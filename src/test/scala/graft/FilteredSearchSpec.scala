@@ -149,6 +149,25 @@ class FilteredSearchSpec extends SparkSpec {
     assert(r >= 0.9, s"escalated filtered seeded recall@5 = $r")
   }
 
+  test("filtered PQ probe escalation: a 1-probe budget under a 1/10 " +
+      "filter still fills k ranks (a starved fixed probe returns fewer)") {
+    val dir = graft.util.Fs.tempDirDeletedOnExit("graft-filtered-pqesc")
+    val store = VectorStore.openOrCreate(spark, dir, IndexParams(dim = 64))
+    store.addBatch(nodesDf.select(col("id"), col("vector")))
+    store.buildPqIndex(cells = 10)
+    val p10: Column = col("id") % 10 === 0 // 50 of 500 rows match
+    val got = store.searchPq(queriesDf, k = 10, strengthSetting = 0,
+      nProbe = 1, predicate = Some(p10))
+    assert(got.join(nodesDf.filter(!p10), Seq("id"), "left_semi")
+      .count() === 0L)
+    // escalation probes min(cells, 1/selectivity) = all 10 cells, so
+    // every query reaches the full 50-row matching set and fills k = 10;
+    // an unescalated single cell holds ~5 matching rows
+    assert(got.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0L)
+    store.delete()
+  }
+
   test("retrieval tower predicates: BM25 stats recompute on the subset " +
       "(pre-filter), hybrid filters each side on its own columns") {
     import spark.implicits._

@@ -106,4 +106,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(codes.filter(col("id") === 100L).count() === 8L)
     store.delete()
   }
+
+  test("readChain: ONE multi-path scan for the whole chain — delta " +
+      "index parses from the file path, plan holds a single file scan " +
+      "regardless of chain length, mixed schemas null-fill") {
+    val base = tmp()
+    Snapshots.persist(spark, base, "t", "PTR",
+      Seq((0L, "base")).toDF("id", "x"))
+    Snapshots.appendDelta(spark, base, "t", "PTR",
+      Seq((1L, "a")).toDF("id", "x"))
+    Snapshots.appendDelta(spark, base, "t", "PTR",
+      Seq((2L, "b")).toDF("id", "x"))
+    // third delta written across a schema upgrade: an extra column the
+    // earlier files lack (mergeSchema must surface it, null-filled)
+    Snapshots.appendDelta(spark, base, "t", "PTR",
+      Seq((3L, "c", true)).toDF("id", "x", "extra"))
+    val df = Snapshots.readChain(spark,
+      (1L to 3L).map(i => Snapshots.deltaPath(base, "t", 0L, i)),
+      ".*_delta_(\\d+)/")
+    assert(df.select(col("id"), col("__ds")).as[(Long, Long)]
+      .collect().toSet === Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(df.filter(col("id") === 1L).select("extra")
+      .collect().head.isNullAt(0))
+    assert(df.filter(col("id") === 3L).select("extra")
+      .as[Boolean].head())
+    // plan shape: the chain is ONE scan, not one branch per delta — the
+    // flat-overlay property ChainServeProbe measures
+    val scans = "Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans === 1, s"expected 1 chain scan, plan had $scans")
+  }
 }

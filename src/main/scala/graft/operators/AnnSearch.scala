@@ -182,6 +182,25 @@ object AnnSearch {
       params.metric, ef, iters, broadcastBytes, idFilter)
   }
 
+  /** THE selectivity-escalation rule, shared by every probed arm (the
+    * VectorStore facade and [[AdaptiveSearch]] both delegate here): a
+    * pre-filter shrinks each probed cell's MATCHING members by the
+    * filtered fraction, so a fixed probe budget sees proportionally
+    * fewer seeds/candidates — probing ~nProbe/selectivity cells (capped
+    * at the cell count) keeps the MATCHING candidate volume constant
+    * while per-cell work still tracks the filtered fraction (only
+    * matching members are ever scored). Measured strictly better than
+    * fixed probes (GraphProbe filtered sweep, SCALING.md): at 1 M /
+    * 1-in-100 selectivity, recall@10 0.776 → 1.0 at EQUAL OR LOWER
+    * wall. The reference's recall levers are ef/beam (hnsw.ts:244-246);
+    * probe volume is their coarse-quantizer analog. */
+  def escalatedProbes(nProbe: Int, filtered: Long, total: Long,
+      cells: Long): Int = {
+    val sel = math.max(filtered.toDouble / math.max(1L, total).toDouble,
+      1e-9)
+    math.min(cells, math.ceil(nProbe / sel).toLong).toInt
+  }
+
   /** IVF-seeded graph search — the seeded hybrid for HOT-BUCKET corpora
     * (cosine metric): clustered data keeps cluster-sized LSH buckets at
     * any bits setting, so LSH seeding pays O(Σ bucket overlap) in the

@@ -681,6 +681,45 @@ object AnnQueries {
         idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
           .select(col("id"))))
     }),
+
+    // Filtered SEEDED-GRAPH search under the SELECTIVITY-ESCALATED probe
+    // budget, recall-flag hash-checked (the a03 floor-contract pattern
+    // applied to the one filtered arm whose walk isn't SQL-derivable):
+    // a19's hybrid + the a21 pre-filter, with nProbe coming from the
+    // shared escalation rule ([[AnnSearch.escalatedProbes]] — exactly
+    // what `VectorStore.searchAnnSeededIvf(predicate=)` and
+    // [[graft.operators.AdaptiveSearch]] compute from their memoized
+    // counts). The base budget (4 probes of 10 cells) is deliberately
+    // STARVED at this 1-in-3 selectivity — un-escalated it sees ~40% of
+    // the matching corpus and drops below the floor; escalation probes
+    // ceil(4·3) → all 10 cells, so the seed stage alone carries the
+    // exact filtered top-ef and every query clears 0.9 recall@10 vs the
+    // filtered exact oracle. A broken rule (fixed probes) or a lost
+    // pre-filter (corpus-ranked seeds) fails the hash.
+    "a27_filtered_seeded_recall" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val (nodes, edges) = anchoredFor(s, d)
+      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val filt = nodesDf.filter(col("id") % 3 === 0).select(col("id"))
+      val np = AnnSearch.escalatedProbes(nProbe = 4,
+        filtered = filt.count(), total = nodesDf.count(), cells = 10)
+      val approx = AnnSearch.searchGraphSeededIvf(nodes, edges,
+          VectorQueries.querySet(emb), k = 10, minSim = -2.0, params,
+          centroids, ef = 48, iters = 2, nProbe = np,
+          idFilter = Some(filt))
+        .select(col("query_id"), col("id"))
+      val exact = KnnSearch.knnExact(nodesDf.filter(col("id") % 3 === 0),
+          VectorQueries.querySet(emb), 10, minSim = -2.0)
+        .select(col("query_id").as("eq"), col("id").as("eid"))
+      exact.join(approx,
+          exact("eq") === approx("query_id") && exact("eid") === approx("id"),
+          "left_outer")
+        .groupBy(col("eq").as("query_id"))
+        .agg(((count(col("id")).cast("double") / count(lit(1))) >= 0.9)
+          .as("meets_floor"))
+    }),
   )
 
   /** The anchored graph build as a DuckDB CTE chain ending in `base` — the
@@ -1779,5 +1818,13 @@ object AnnQueries {
         |                       ORDER BY hd ASC, id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
+    // The a03 floor CONTRACT applied to the filtered seeded arm: DuckDB
+    // can't re-derive the walk, but the escalated probe budget makes
+    // every query's filtered recall@10 clear the floor deterministically
+    // — a starved fixed probe or a lost pre-filter flips flags false and
+    // hash-mismatches instead of passing rows-only.
+    "a27_filtered_seeded_recall" ->
+      """SELECT vec_id AS query_id, true AS meets_floor
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
   )
 }

@@ -234,6 +234,43 @@ object VectorQueries {
         .filter(col("rn") <= 16)
         .select(col("src"), col("dst"), col("rn"))
     }),
+
+    // Filtered MaxSim-ANN serving — [[graft.VectorStore.searchMaxSimAnn]]'s
+    // predicate path (the tower's subset-semantics rule), flag-contract
+    // hash-checked (the a03 shape; the banded shortlist itself isn't
+    // SQL-derivable): token vectors filter BEFORE banding, the anchor
+    // planes derive POSITIONALLY from the FILTERED corpus, and per query
+    // the shortlist+rerank must (a) return only matching docs and
+    // (b) agree with filtered EXACT MaxSim on the rank-1 doc. A
+    // post-filter implementation (corpus-derived anchors, corpus-ranked
+    // shortlist) breaks (a) or flips a rank-1 and fails the hash.
+    "v15_filtered_maxsim_ann" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val docVecs = emb.select(expr("vec_id div 10").as("doc_id"),
+        col("vec_id"), col("embedding").as("vector"))
+      val queryVecs = docVecs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("query_id"), col("vec_id").as("qvec_id"),
+          col("vector").as("query_vec"))
+      val tv = docVecs.filter(col("doc_id") % 3 === 0)
+      val anchors = AnnQueries.anchorPlanesPositional(tv, nBands = 4, bits = 3)
+      val ann = graft.operators.Retrieval.maxSimRerank(tv, queryVecs,
+        topK = 5, tokenHitsPerQvec = 8, anchors = anchors)
+      val exact = graft.operators.Retrieval.maxSimTopK(tv, queryVecs,
+        topK = 5)
+      val subsetOk = ann.groupBy(col("query_id"))
+        .agg((sum(when(col("doc_id") % 3 =!= 0, 1).otherwise(0)) === 0)
+          .as("subset_ok"))
+      val annTop = ann.filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id").as("ann_doc"))
+      val exTop = exact.filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id").as("ex_doc"))
+      annTop.join(exTop, Seq("query_id"))
+        .join(subsetOk, Seq("query_id"))
+        .select(col("query_id"),
+          (col("ann_doc") === col("ex_doc") && col("subset_ok"))
+            .as("serves_filtered_top1"))
+    }),
   )
 
   val oracleSql: Map[String, String] = {
@@ -402,6 +439,14 @@ object VectorQueries {
           |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
           |  FROM undirected)
           |WHERE rn <= 16""".stripMargin,
+      // The flag CONTRACT (a03's shape) for the filtered MaxSim-ANN
+      // tower: DuckDB enumerates the query docs and asserts the expected
+      // all-true column — a subset leak or a rank-1 disagreement with
+      // filtered exact MaxSim then hash-mismatches.
+      "v15_filtered_maxsim_ann" ->
+        """SELECT DISTINCT vec_id // 10 AS query_id,
+          |  true AS serves_filtered_top1
+          |FROM embeddings WHERE (vec_id // 10) % 10 = 0""".stripMargin,
     )
   }
 }

@@ -40,11 +40,62 @@ object FilterProbe {
       graft.util.Fs.tempDirDeletedOnExit("graft-filter-probe"),
       IndexParams(dim = dim))
     store.addBatch(nodes)
-    store.buildPqIndex()
-    store.buildSqIndex()
     val qv = nodes.filter(col("id") % (n / 20) === 3).limit(20)
       .select(col("id").as("query_id"), col("vector").as("query_vec"))
       .localCheckpoint()
+
+    // `escalation` mode: fixed vs selectivity-escalated probes for the
+    // plain-IVF and residual-PQ arms — the measured basis for extending
+    // the seeded arm's escalation rule ([[graft.operators.AnnSearch
+    // .escalatedProbes]]) to the other two probed paths. Ground truth is
+    // the filtered exact top-10; walls are min-of-2 warm runs.
+    if (args.length > 2 && args(2) == "escalation") {
+      import graft.operators.{AnnSearch, IvfIndex, KnnSearch, PqIndex}
+      store.buildPqIndex(cells = 1024)
+      val pre = store.loadPqIndex()
+      val cells = pre.centroids.count()
+      val asgV = pre.assignments
+        .join(nodes.select(col("id"), col("vector")), Seq("id"))
+        .select(col("cell"), col("id"), col("vector")).localCheckpoint()
+      val arms = for (m <- Seq(10L, 100L)) yield {
+        val fnodes = nodes.filter(col("id") % m === 0L).localCheckpoint()
+        val idF = fnodes.select("id").localCheckpoint()
+        val fexact = KnnSearch.knnExact(fnodes, qv, 10, minSim = -2.0)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val probes = Seq(8,
+          AnnSearch.escalatedProbes(8, n / m, n, cells)).distinct
+        val runs = for (nProbe <- probes) yield {
+          def runIvf() = IvfIndex.search(nodes, pre.centroids, qv, 10,
+              minSim = -2.0, nProbe, assignments = Some(asgV),
+              idFilter = Some(idF))
+            .select("query_id", "id").collect()
+          def runPq() = PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
+              pre.assignments, pre.centroids, pre.codebooks, qv, 10,
+              shortlist = 500, nProbe, m = 8, subLen = dim / 8,
+              minSim = -2.0, idFilter = Some(idF))
+            .select("query_id", "id").collect()
+          def recallOf(rows: Array[org.apache.spark.sql.Row]) =
+            rows.map(r => (r.getLong(0), r.getLong(1)))
+              .count(fexact.contains).toDouble / fexact.size
+          val (ivfRows, tIvf1) = timed(runIvf())
+          val tIvf = math.min(tIvf1, timed(runIvf())._2)
+          val (pqRows, tPq1) = timed(runPq())
+          val tPq = math.min(tPq1, timed(runPq())._2)
+          s"""{"mod":$m,"n_probe":$nProbe,""" +
+            s""""ivf_sec":$tIvf,"ivf_recall_at_10":${recallOf(ivfRows)},""" +
+            s""""pq_sec":$tPq,"pq_recall_at_10":${recallOf(pqRows)}}"""
+        }
+        runs.mkString(",")
+      }
+      println(s"""{"n":$n,"dim":$dim,"cells":$cells,""" +
+        s""""escalation_arms":[${arms.mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
+    store.buildPqIndex()
+    store.buildSqIndex()
 
     val fracs = Seq(("all", None), ("mod10", Some(10L)), ("mod100", Some(100L)))
     val out = new StringBuilder(s"""{"n":$n,"dim":$dim""")

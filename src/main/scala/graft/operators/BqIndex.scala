@@ -92,16 +92,14 @@ object BqIndex {
       centroids: DataFrame, bounds: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int, broadcastBytes: Long = 64L << 20,
       idFilter: Option[DataFrame] = None): DataFrame = {
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = queries.join(broadcast(centroids))
-      .withColumn("__csim",
-        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
-      .withColumn("__crn", row_number().over(cw))
-      .filter(col("__crn") <= nProbe)
+    // probed ranking over the filtered members' cells only
+    // ([[IvfIndex.probeCells]] correlated-predicate guard)
+    val fasg = KnnSearch.restrictIds(
+      assignments.select(col("cell"), col("id")), idFilter)
+    val probed = IvfIndex.probeCells(queries, centroids, nProbe,
+        idFilter.map(_ => fasg))
       .select(col("query_id"), col("cell"))
-    val cand = KnnSearch.restrictIds(
-        assignments.select(col("cell"), col("id")), idFilter)
+    val cand = fasg
       .join(KnnSearch.maybeBroadcast(probed, broadcastBytes), Seq("cell"))
       .select(col("query_id"), col("id"))
     val qbits = encode(queries, bounds, "query_id", "query_vec")

@@ -209,12 +209,53 @@ object IvfIndex {
         (col("s") / col("cnt")).as("m"))
   }
 
+  /** Probed (query_id, query_vec, cell) rows — THE probe stage every
+    * IVF-probed arm shares (plain IVF, IVF-PQ raw/residual, IVF-SQ8,
+    * IVF-BQ, and the seeded-graph hybrid through [[IvfIndex.search]]):
+    * rank the centroids per query by cosine, keep the top `nProbe`.
+    *
+    * `matchingCells` (set when a pre-filter is at play) restricts the
+    * RANKED set to cells that still CONTAIN matching members — the
+    * CORRELATED-predicate guard. A predicate aligned with the data's
+    * cluster structure (search-within-source where sources are
+    * geometrically clustered — the common production shape) leaves the
+    * query's nearest cells EMPTY after filtering, and a rank over all
+    * cells then probes nothing but empty ones: measured recall 0.0 at
+    * ANY fixed budget, and still 0.0 at an 18%-of-cells escalated
+    * budget (FilterProbe escalation mode, 200 k×64 cluster fixture).
+    * Ranking only non-empty cells makes `nProbe` count cells that can
+    * contribute, and with selectivity escalation the two regimes BOTH
+    * serve: a uniform filter keeps every cell (identical plan to the
+    * unrestricted rank) and escalation fills the per-cell deficit; a
+    * cluster-aligned filter keeps ~cells × selectivity cells and the
+    * escalated budget covers them all — exact over the filtered set.
+    * The price is one narrow distinct over the ALREADY-restricted
+    * membership — O(filtered) rows, the scan the arm pays anyway. */
+  private[operators] def probeCells(queries: DataFrame,
+      centroids: DataFrame, nProbe: Int,
+      matchingCells: Option[DataFrame]): DataFrame = {
+    val ranked = matchingCells match {
+      case Some(mc) => centroids.join(
+        mc.select(col("cell")).distinct(), Seq("cell"), "left_semi")
+      case None => centroids
+    }
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    queries.join(broadcast(ranked))
+      .withColumn("__csim",
+        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
+      .withColumn("__crn", row_number().over(cw))
+      .filter(col("__crn") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("cell"))
+  }
+
   /** ANN search: rank centroids per query, probe the top `nProbe` cells,
     * exact-score only their members. Output shape matches knnExact.
     * `idFilter` pre-filters the member table BEFORE the probe join
     * ([[KnnSearch.restrictIds]] — selective predicates shrink the
-    * scored set; the probed cell ranking itself is filter-independent,
-    * so the same cells are probed and only matching members score). */
+    * scored set), and the probed ranking runs over the cells the
+    * filtered members actually occupy ([[probeCells]] — the
+    * correlated-predicate guard). */
   def search(nodes: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, minSim: Double, nProbe: Int,
       assignments: Option[DataFrame] = None,
@@ -223,14 +264,6 @@ object IvfIndex {
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = queries.join(broadcast(centroids))
-      .withColumn("__csim",
-        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
-      .withColumn("__crn", row_number().over(cw))
-      .filter(col("__crn") <= nProbe)
-      .select(col("query_id"), col("query_vec"), col("cell"))
     // cell assignment is O(n x cells): reuse a persisted assignment from
     // build time when provided instead of recomputing per search. The
     // restriction lands on the member table (or, absent a persisted
@@ -240,6 +273,8 @@ object IvfIndex {
       .map(a => KnnSearch.restrictIds(a, idFilter))
       .getOrElse(assign(KnnSearch.restrictIds(live, idFilter), centroids))
       .select(col("cell"), col("id"), col("vector"))
+    val probed = probeCells(queries, centroids, nProbe,
+      idFilter.map(_ => members))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
     members.join(broadcast(probed), Seq("cell"))

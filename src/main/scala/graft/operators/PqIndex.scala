@@ -279,18 +279,17 @@ object PqIndex {
       k: Int, nProbe: Int, m: Int, subLen: Int,
       broadcastBytes: Long = 64L << 20,
       idFilter: Option[DataFrame] = None): DataFrame = {
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = queries.join(broadcast(centroids))
-      .withColumn("__csim",
-        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
-      .withColumn("__crn", row_number().over(cw))
-      .filter(col("__crn") <= nProbe)
-      .select(col("query_id"), col("cell"))
     // the restriction lands on the assignment table BEFORE the probe
-    // join — candidate volume shrinks with the filtered fraction
-    val cand = KnnSearch.restrictIds(
-        assignments.select(col("cell"), col("id")), idFilter)
+    // join — candidate volume shrinks with the filtered fraction — and
+    // the probed ranking runs over the cells the filtered members
+    // actually occupy ([[IvfIndex.probeCells]] correlated-predicate
+    // guard)
+    val fasg = KnnSearch.restrictIds(
+      assignments.select(col("cell"), col("id")), idFilter)
+    val probed = IvfIndex.probeCells(queries, centroids, nProbe,
+        idFilter.map(_ => fasg))
+      .select(col("query_id"), col("cell"))
+    val cand = fasg
       .join(maybeBroadcast(probed, broadcastBytes), Seq("cell"))
       .select(col("query_id"), col("id"))
     val lutLong = queries
@@ -375,13 +374,13 @@ object PqIndex {
       k: Int, nProbe: Int, m: Int, subLen: Int,
       broadcastBytes: Long = 64L << 20,
       idFilter: Option[DataFrame] = None): DataFrame = {
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = queries.join(broadcast(centroids))
-      .withColumn("__csim",
-        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
-      .withColumn("__crn", row_number().over(cw))
-      .filter(col("__crn") <= nProbe)
+    // probed ranking over the filtered members' cells only
+    // ([[IvfIndex.probeCells]] correlated-predicate guard); the same
+    // restricted assignment table then bounds the candidate join below
+    val fasg = KnnSearch.restrictIds(
+      assignments.select(col("cell"), col("id")), idFilter)
+    val probed = IvfIndex.probeCells(queries, centroids, nProbe,
+        idFilter.map(_ => fasg))
       .select(col("query_id"), col("cell"))
     val qres = probed
       .join(broadcast(centroids), Seq("cell"))
@@ -402,8 +401,7 @@ object PqIndex {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
         e => e.getField("d")).as("lut"))
-    val cand = KnnSearch.restrictIds(
-        assignments.select(col("cell"), col("id")), idFilter)
+    val cand = fasg
       .join(maybeBroadcast(probed, broadcastBytes), Seq("cell"))
       .select(col("query_id"), col("cell"), col("id"))
     val w = Window.partitionBy(col("query_id"))

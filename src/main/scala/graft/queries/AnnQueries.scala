@@ -1653,7 +1653,8 @@ object AnnQueries {
         |    SELECT q.query_id, c.cell,
         |      row_number() OVER (PARTITION BY q.query_id
         |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
-        |    FROM q CROSS JOIN cb c)
+        |    FROM q CROSS JOIN cb c
+        |    WHERE c.cell IN (SELECT cell FROM asg))
         |  WHERE rn <= 3),
         |scored AS (
         |  SELECT p.query_id, a.id,
@@ -1736,7 +1737,8 @@ object AnnQueries {
         |    SELECT q.query_id, c.cell,
         |      row_number() OVER (PARTITION BY q.query_id
         |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
-        |    FROM q CROSS JOIN ccb c)
+        |    FROM q CROSS JOIN ccb c
+        |    WHERE c.cell IN (SELECT cell FROM asg))
         |  WHERE rn <= 3),
         |cb0 AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,

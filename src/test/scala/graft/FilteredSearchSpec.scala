@@ -223,4 +223,43 @@ class FilteredSearchSpec extends SparkSpec {
     assert(strat === AdaptiveSearch.UseExact)
     assert(pairs(auto) === exact)
   }
+
+  test("CORRELATED predicate (filter aligned with the cluster structure): " +
+      "the probed ranking runs over cells that CONTAIN matching members — " +
+      "an all-cells rank would probe only empty cells and return nothing") {
+    // two well-separated clusters: A on axis 0 (ids 0-199), B on axis 1
+    // (ids 200-399); the filter selects exactly cluster B, queries come
+    // from cluster A — the search-within-source worst case FilterProbe's
+    // escalation mode measured at recall 0.0 without the cell guard
+    def clustered(ids: Range, axis: Int): DataFrame =
+      ids.map { i =>
+        val v = Array.fill(16)(0.05f * ((i * 7 + axis) % 5 - 2))
+        v(axis) = 1.0f
+        (i.toLong, v.toSeq)
+      }.toDF("id", "vector")
+    val nodes = clustered(0 until 200, 0)
+      .unionByName(clustered(200 until 400, 1))
+      .withColumn("deleted", lit(false)).localCheckpoint()
+    val queries = clustered(0 until 3, 0)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val fB = nodes.filter(col("id") >= 200L).select(col("id"))
+    val centroids = IvfIndex.train(nodes, k = 8, iters = 2)
+    // nProbe = 2 << cells: under an all-cells rank the two most
+    // query-similar cells are cluster-A cells with ZERO matching members
+    val ivf = IvfIndex.search(nodes, centroids, queries, k = 5,
+      minSim = -2.0, nProbe = 2, idFilter = Some(fB))
+    assert(ivf.filter(col("id") < 200L).count() === 0L)
+    assert(ivf.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L,
+      "a query returned < k rows — the probe starved on empty cells")
+    // the compressed-arm probe shares the guard
+    val asg = IvfIndex.assign(nodes, centroids).select(col("id"), col("cell"))
+    val cb = PqIndex.sampleCodebooks(nodes, m = 8, subLen = 2, ksub = 16)
+    val codes = PqIndex.encode(nodes, cb, m = 8, subLen = 2)
+    val pq = PqIndex.searchIvfPq(codes, asg, centroids, cb, queries,
+      k = 5, nProbe = 2, m = 8, subLen = 2, idFilter = Some(fB))
+    assert(pq.filter(col("id") < 200L).count() === 0L)
+    assert(pq.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L)
+  }
 }

@@ -1025,7 +1025,14 @@ class VectorStore private (
     * threshold on the reference's 0–100 strength scale — the
     * memory-bounded serving path for corpora whose full vectors no
     * longer fit the scan budget. Output (query_id, id, score, rn) —
-    * the same contract as [[search]]/[[searchAnn]]. */
+    * the same contract as [[search]]/[[searchAnn]].
+    *
+    * Under a VERY selective `predicate`, prefer [[searchAuto]]: the
+    * residual LUT table is per (query, probed cell), so the escalated
+    * probe budget grows the one query-side structure that scales with
+    * probe count while recall stays shortlist-bound — the dispatcher
+    * serves small filtered sets from the exact/IVF arms instead
+    * (SCALING.md correlated-predicates 1 M table). */
   def searchPq(queries: DataFrame, k: Int, strengthSetting: Double = 50,
       nProbe: Int = 8, predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

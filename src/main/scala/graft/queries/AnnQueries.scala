@@ -217,6 +217,25 @@ object AnnQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // Filtered anchored-LSH — a01 with the a21 pre-filter placement: the
+    // id set restricts the NODE side BEFORE bucketing, so non-matching
+    // rows never enter the band join or the scoring pass; the anchor
+    // hyperplanes stay corpus-derived build artifacts (a predicate must
+    // not change frozen geometry, only scanned membership — the
+    // a25/a26 rule). Fully hash-checked: the oracle pre-filters the
+    // bucketed node CTE, so a post-filter implementation ranks
+    // non-matching members first and fails.
+    "a28_filtered_lsh" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      AnnSearch.searchLshAnchored(nodesDf, VectorQueries.querySet(emb),
+          k = 10, minSim = 0.0, anchorPlanes(emb, nBands = 4, bits = 3),
+          idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
+            .select(col("id"))))
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Index build structural summary: edge counts + node counts per level
     // (build runs once per process; see indexFor).
     "a02_index_build_stats" -> ((s, d) => {
@@ -1543,6 +1562,45 @@ object AnnQueries {
         |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
         |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bkey
         |  FROM nodes n CROSS JOIN anch a GROUP BY n.id, a.aid // 3),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qk AS (
+        |  SELECT q.query_id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(q.qv, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bkey
+        |  FROM q CROSS JOIN anch a GROUP BY q.query_id, a.aid // 3),
+        |cand AS (
+        |  SELECT DISTINCT qk.query_id, nk.id
+        |  FROM nk JOIN qk ON nk.band = qk.band AND nk.bkey = qk.bkey),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM cand c
+        |  JOIN nodes n ON n.id = c.id
+        |  JOIN q ON q.query_id = c.query_id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM scored WHERE score > 0.0)
+        |WHERE rn <= 10""".stripMargin,
+    // a01's oracle with the PRE-filter applied to the bucketed node CTE
+    // (anchors stay corpus-derived): candidates and ranks derive from
+    // filtered members only.
+    "a28_filtered_lsh" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+        |  FROM embeddings WHERE vec_id < 12),
+        |nk AS (
+        |  SELECT n.id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bkey
+        |  FROM nodes n CROSS JOIN anch a
+        |  WHERE n.id % 3 = 0
+        |  GROUP BY n.id, a.aid // 3),
         |q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),

@@ -44,6 +44,43 @@ object FilterProbe {
       .select(col("id").as("query_id"), col("vector").as("query_vec"))
       .localCheckpoint()
 
+    // `lsh` mode: the CORRELATED-predicate regime on the LSH arm —
+    // mod-10/mod-100 filters select (a slice of) cluster 0 while the
+    // queries live in cluster 3, so the exact-bucket equi-join starves
+    // at any band/bit setting. Measures probeBuckets = 1 (starved) vs
+    // the escalated occupied-bucket multi-probe
+    // ([[graft.operators.AnnSearch.searchLshKeyed]]); ground truth is
+    // the filtered exact top-10, walls min-of-2 warm runs.
+    if (args.length > 2 && args(2) == "lsh") {
+      import graft.operators.{AnnSearch, KnnSearch}
+      val p = IndexParams(dim = dim)
+      val arms = for (m <- Seq(10L, 100L)) yield {
+        val fnodes = nodes.filter(col("id") % m === 0L).localCheckpoint()
+        val idF = fnodes.select("id").localCheckpoint()
+        val fexact = KnnSearch.knnExact(fnodes, qv, 10, minSim = -2.0)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pbs = Seq(1,
+          AnnSearch.escalatedProbes(1, n / m, n, 1L << p.bucketBits))
+          .distinct
+        val runs = for (pb <- pbs) yield {
+          def run() = AnnSearch.searchLsh(nodes, qv, 10, minSim = -2.0, p,
+              idFilter = Some(idF), probeBuckets = pb)
+            .select("query_id", "id").collect()
+          val (rows, t1) = timed(run())
+          val t = math.min(t1, timed(run())._2)
+          val recall = rows.map(r => (r.getLong(0), r.getLong(1)))
+            .count(fexact.contains).toDouble / fexact.size
+          s"""{"mod":$m,"probe_buckets":$pb,"sec":$t,""" +
+            s""""recall_at_10":$recall}"""
+        }
+        runs.mkString(",")
+      }
+      println(s"""{"n":$n,"dim":$dim,"lsh_arms":[${arms.mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
     // `escalation` mode: fixed vs selectivity-escalated probes for the
     // plain-IVF and residual-PQ arms — the measured basis for extending
     // the seeded arm's escalation rule ([[graft.operators.AnnSearch

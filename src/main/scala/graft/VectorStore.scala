@@ -501,12 +501,24 @@ class VectorStore private (
     flipIndexPointer(old._1 + 1, Some(old))
   }
 
-  /** ANN search against the last rebuilt/merged index (LSH path). */
-  def searchAnn(queries: DataFrame, k: Int, strengthSetting: Double = 50): DataFrame = {
+  /** ANN search against the last rebuilt/merged index (LSH path). A
+    * `predicate` pre-filters the node side before bucketing (the a21
+    * placement rule) and escalates to occupied-bucket multi-probe
+    * ([[operators.AnnSearch.searchLshKeyed]]) from the memoized
+    * filtered/live counts — the LSH analog of [[searchAnnSeededIvf]]'s
+    * probe escalation, with 2^bucketBits buckets per band as the cap. */
+  def searchAnn(queries: DataFrame, k: Int, strengthSetting: Double = 50,
+      predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val (n, _, p) = loadIndexOverlay()
+    val pb = predicate match {
+      case None => 1
+      case Some(pr) => AnnSearch.escalatedProbes(1, filteredCount(pr),
+        liveCount, 1L << p.bucketBits)
+    }
     AnnSearch.searchLsh(n, queries, k,
-      KnnSearch.scaleThreshold(strengthSetting), p)
+      KnnSearch.scaleThreshold(strengthSetting), p,
+      idFilter = filteredIds(predicate), probeBuckets = pb)
   }
 
   /** LSH-seeded graph search against the saved index — the recall tier

@@ -193,8 +193,12 @@ object AdaptiveSearch {
             (UseGraphSeeded, AnnSearch.searchGraphSeeded(gn, ge, queries,
               k, minSim, params, ef = math.max(64, k), idFilter = idFilter))
           case _ =>
+            // the no-index arm's selectivity lever: occupied-bucket
+            // multi-probe (see [[AnnSearch.searchLshKeyed]]) — the same
+            // escalation rule, cells = 2^bits buckets per band
             (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params,
-              idFilter = idFilter))
+              idFilter = idFilter,
+              probeBuckets = escalated(1, 1L << params.bucketBits)))
         }
       case UseIvf =>
         val cells = math.min(ivfCells, math.max(16, math.sqrt(n.toDouble).toInt))

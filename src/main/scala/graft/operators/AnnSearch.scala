@@ -26,6 +26,34 @@ object AnnSearch {
       case _ => VectorFunctions.cosineSim
     }
 
+  /** Bucket-key distance for the occupied-bucket multi-probe ranking
+    * (see [[searchLshKeyed]]): sign-bit keys rank by character Hamming;
+    * p-stable euclidean keys ("band:,c1,c2,…",
+    * [[IndexBuild.euclideanBucketKey]]) by L1 over the integer cells —
+    * one cell step ≈ one `bucketWidth` in each projected coordinate.
+    * Both are deterministic and external-engine-derivable (DuckDB
+    * `hamming` / list arithmetic). */
+  private def bucketDist(metric: String)(a: Column, b: Column): Column =
+    metric match {
+      case "euclidean" =>
+        // "band:,c1,c2,…" → [c1, c2, …]; the first split token is the
+        // band prefix (equal within a band) and is sliced away before
+        // the cast, so the cast never sees a non-numeric string
+        def cells(c: Column) = {
+          val arr = split(c, ",")
+          // length = size(arr): slice caps at the array end (an
+          // Int.MaxValue literal overflows Slice's start+length int math)
+          transform(slice(arr, lit(2), size(arr)), x => x.cast("long"))
+        }
+        aggregate(zip_with(cells(a), cells(b), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v)
+      case _ =>
+        aggregate(
+          zip_with(split(a, ""), split(b, ""),
+            (x, y) => when(x <=> y, lit(0L)).otherwise(lit(1L))),
+          lit(0L), (acc, v) => acc + v)
+    }
+
   /** LSH-bucketed ANN: same output shape as [[KnnSearch.knnExact]]
     * (query_id, id, score, rn). Recall depends on nBands × bucketBits;
     * measured against the exact oracle in AnnSpec.
@@ -42,10 +70,11 @@ object AnnSearch {
     * there from bucket-skew stats). */
   def searchLsh(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       params: IndexParams, broadcastBytes: Long = 64L << 20,
-      shortlist: Int = 0, idFilter: Option[DataFrame] = None): DataFrame =
+      shortlist: Int = 0, idFilter: Option[DataFrame] = None,
+      probeBuckets: Int = 1): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, params.metric,
       v => IndexBuild.bucketKeys(v, params), broadcastBytes, shortlist,
-      idFilter)
+      idFilter, probeBuckets)
 
   /** [[searchLsh]] with data-derived anchor hyperplanes instead of the
     * seeded-random ones: bit p of band b = sign(vec · anchors(b)(p)).
@@ -59,10 +88,11 @@ object AnnSearch {
       minSim: Double, anchors: Seq[Seq[Array[Float]]],
       metric: String = "cosine",
       broadcastBytes: Long = 64L << 20,
-      shortlist: Int = 0, idFilter: Option[DataFrame] = None): DataFrame =
+      shortlist: Int = 0, idFilter: Option[DataFrame] = None,
+      probeBuckets: Int = 1): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, metric,
       v => anchorBucketKeys(v, anchors), broadcastBytes, shortlist,
-      idFilter)
+      idFilter, probeBuckets)
 
   /** All band keys for anchor-hyperplane LSH in one projection (same
     * band-prefixed shape as [[IndexBuild.bucketKeys]]). */
@@ -85,11 +115,27 @@ object AnnSearch {
     * the query-agnostic bucket cap SCALING.md refutes, every query keeps
     * its own most-agreeing candidates. Ties at equal agreement break by
     * id (deterministic, oracle-derivable). 0 = score every candidate
-    * (the exact-within-buckets default all fixture oracles pin). */
+    * (the exact-within-buckets default all fixture oracles pin).
+    *
+    * `probeBuckets` > 1 is the LSH arm's recall lever under CORRELATED
+    * predicates (the [[IvfIndex.probeCells]] analog): a filter aligned
+    * with the data's cluster structure leaves the query's OWN bucket
+    * with zero matching members, so the exact-bucket equi-join starves
+    * at any band/bit setting. Instead of enumerating blind bit flips
+    * (classic multi-probe LSH, Lv et al. VLDB'07), each query ranks the
+    * buckets the (already filtered) members ACTUALLY OCCUPY by Hamming
+    * distance from its own band key (tie: bucket key asc — deterministic,
+    * oracle-derivable via DuckDB's `hamming`) and probes the nearest
+    * `probeBuckets` per band. The occupied-bucket table is a distinct
+    * over the bucketing scan the arm already pays and SHRINKS with the
+    * filter — the ranking join costs O(Q × occupied) exactly when
+    * occupied is small. 1 = the plain equi-join (default; unfiltered
+    * plans untouched). Escalate with [[escalatedProbes]] (base 1, cells
+    * = 2^bits) — the shared selectivity rule. */
   private def searchLshKeyed(nodes: DataFrame, queries: DataFrame, k: Int,
       minSim: Double, metric: String, keyFn: Column => Column,
       broadcastBytes: Long = 64L << 20, shortlist: Int = 0,
-      idFilter: Option[DataFrame] = None): DataFrame = {
+      idFilter: Option[DataFrame] = None, probeBuckets: Int = 1): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       KnnSearch.maybeBroadcast(df, broadcastBytes)
     // pre-filter restriction on the NODE side, before bucketing — a
@@ -109,7 +155,31 @@ object AnnSearch {
     val q = queries
       .withColumn("b", explode(keyFn(col("query_vec"))))
       .select(col("b"), col("query_id"))
-    val joined = n.join(maybeBroadcast(q), Seq("b")).drop("b")
+    val joined =
+      if (probeBuckets <= 1) n.join(maybeBroadcast(q), Seq("b")).drop("b")
+      else {
+        // occupied-bucket multi-probe: rank the filtered members' actual
+        // buckets by distance to the query's band key, probe the nearest
+        // `probeBuckets` per band. Sign-bit keys rank by Hamming (both
+        // keys share the "band:" prefix — equal within a band — so
+        // whole-string Hamming equals bit Hamming); p-stable euclidean
+        // keys ("band:,c1,c2,…") rank by L1 cell distance (each cell
+        // step is one bucketWidth in the projected space).
+        // `occ` ≤ nBands × min(distinct buckets, filtered) rows.
+        val occ = n.select(col("b").as("nb")).distinct()
+          .withColumn("band", substring_index(col("nb"), ":", 1))
+        val pw = Window.partitionBy(col("query_id"), col("band"))
+          .orderBy(col("dist").asc, col("nb").asc)
+        val probes = q
+          .select(col("query_id"), col("b").as("qb"),
+            substring_index(col("b"), ":", 1).as("band"))
+          .join(maybeBroadcast(occ), Seq("band"))
+          .withColumn("dist", bucketDist(metric)(col("qb"), col("nb")))
+          .withColumn("prn", row_number().over(pw))
+          .filter(col("prn") <= probeBuckets)
+          .select(col("nb").as("b"), col("query_id"))
+        n.join(maybeBroadcast(probes), Seq("b")).drop("b")
+      }
     val candidates =
       if (shortlist <= 0) joined.dropDuplicates("query_id", "id")
       else {

@@ -26,15 +26,20 @@ object AnnQueries {
     * (Float→Double widening is value-preserving, Double.toString
     * round-trips), so floor((v·w + off)/r) lands in the same integer cell
     * in both engines — the kernels accumulate identically. */
-  private def pstableKeySql(vecExpr: String, p: IndexParams): Seq[String] =
+  private def pstableKeyCells(vecExpr: String, p: IndexParams)
+      : Seq[(String, Seq[String])] =
     (0 until p.nBands).map { b =>
       val (planes, offs) = IndexBuild.pstableProjections(p, b)
       val cells = planes.zip(offs).map { case (w, off) =>
         val arr = w.map(_.toDouble.toString).mkString("[", ", ", "]")
-        s"(floor((list_dot_product($vecExpr, $arr::DOUBLE[]) + $off) / ${p.bucketWidth}))::BIGINT::VARCHAR"
+        s"(floor((list_dot_product($vecExpr, $arr::DOUBLE[]) + $off) / ${p.bucketWidth}))::BIGINT"
       }
-      s"concat_ws(',', '$b:', ${cells.mkString(", ")})"
+      (s"concat_ws(',', '$b:', ${cells.map(c => s"$c::VARCHAR").mkString(", ")})",
+        cells.toSeq)
     }
+
+  private def pstableKeySql(vecExpr: String, p: IndexParams): Seq[String] =
+    pstableKeyCells(vecExpr, p).map(_._1)
 
   /** 6-dp score quantization for the hash-checked a07/a13 edge scores via
     * `floor(x·1e6 + 0.5)/1e6` — pure IEEE ops both engines evaluate
@@ -236,6 +241,27 @@ object AnnQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // Occupied-bucket MULTI-PROBE under a filter — the LSH arm's
+    // correlated-predicate lever (a28's filter placement plus the probe
+    // ranking): each query ranks the buckets the FILTERED members
+    // actually occupy by Hamming distance to its own band key (tie:
+    // bucket key asc) and probes the nearest 2 per band. Fully
+    // hash-checked — the oracle re-derives occupied buckets, the
+    // Hamming rank (DuckDB `hamming`) and every candidate; a blind
+    // bit-flip enumeration or an all-buckets rank probes differently
+    // and fails the hash.
+    "a29_lsh_multiprobe" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      AnnSearch.searchLshAnchored(nodesDf, VectorQueries.querySet(emb),
+          k = 10, minSim = 0.0, anchorPlanes(emb, nBands = 4, bits = 3),
+          idFilter = Some(nodesDf.filter(col("id") % 4 === 1)
+            .select(col("id"))),
+          probeBuckets = 2)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Index build structural summary: edge counts + node counts per level
     // (build runs once per process; see indexFor).
     "a02_index_build_stats" -> ((s, d) => {
@@ -302,6 +328,31 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"),
           scale(col("embedding"), col("vec_id")).as("query_vec"))
       AnnSearch.searchLsh(nodes, queriesDf, k = 10, minSim = 0.0, euclidParams)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // a08's p-stable fixture under a filter, with the occupied-cell
+    // multi-probe: per query and band the 2 nearest FILTERED-occupied
+    // cells by L1 cell distance (each step ≈ one bucketWidth in the
+    // projected space; tie: key asc) supply the candidates — the
+    // euclidean-family analog of a29's Hamming ranking. Fully
+    // hash-checked: the oracle inlines the Gaussian planes and
+    // re-derives cells, occupancy, the L1 rank and every candidate.
+    "a30_euclid_multiprobe" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      def scale(v: Column, id: Column): Column =
+        transform(v, x => (x * (lit(1.0) + id % 5)).cast("float"))
+      val nodes = emb.select(col("vec_id").as("id"),
+        scale(col("embedding"), col("vec_id")).as("vector"))
+      val queriesDf = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          scale(col("embedding"), col("vec_id")).as("query_vec"))
+      AnnSearch.searchLsh(nodes, queriesDf, k = 10, minSim = 0.0,
+          euclidParams,
+          idFilter = Some(nodes.filter(col("id") % 4 === 1)
+            .select(col("id"))),
+          probeBuckets = 2)
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
@@ -1281,6 +1332,59 @@ object AnnQueries {
          |  FROM scored WHERE score > 0.0)
          |WHERE rn <= 10""".stripMargin
     },
+    // a08's oracle + the nk pre-filter + the occupied-cell L1 rank: the
+    // Gaussian planes inline as double literals, cells surface as BIGINT
+    // columns so the rank's distance is static arithmetic in both engines.
+    "a30_euclid_multiprobe" -> {
+      val scaled = "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * (1 + vec_id % 5) AS FLOAT))::DOUBLE[]"
+      val bits = euclidParams.bucketBits
+      def cellCols(cells: Seq[String]) =
+        cells.zipWithIndex.map { case (c, i) => s"$c AS c$i" }.mkString(", ")
+      val nKeys = pstableKeyCells("n.v", euclidParams).zipWithIndex
+        .map { case ((k, cells), b) =>
+          s"SELECT id, $b AS band, $k AS bk, ${cellCols(cells)} " +
+            "FROM nodes n WHERE n.id % 4 = 1" }
+        .mkString("\n  UNION ALL ")
+      val qKeys = pstableKeyCells("q.qv", euclidParams).zipWithIndex
+        .map { case ((k, cells), b) =>
+          s"SELECT query_id, $b AS band, $k AS bk, ${cellCols(cells)} FROM q" }
+        .mkString("\n  UNION ALL ")
+      val cs = (0 until bits).map(i => s"c$i").mkString(", ")
+      val dist = (0 until bits).map(i => s"abs(qk.c$i - o.c$i)")
+        .mkString(" + ")
+      s"""WITH nodes AS (
+         |  SELECT vec_id AS id, $scaled AS v FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, $scaled AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |nk AS (
+         |  $nKeys),
+         |qk AS (
+         |  $qKeys),
+         |occ AS (SELECT DISTINCT band, bk, $cs FROM nk),
+         |probes AS (
+         |  SELECT query_id, band, bk FROM (
+         |    SELECT qk.query_id, o.band, o.bk,
+         |      row_number() OVER (PARTITION BY qk.query_id, o.band
+         |        ORDER BY $dist, o.bk) AS prn
+         |    FROM qk JOIN occ o ON o.band = qk.band)
+         |  WHERE prn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, nk.id
+         |  FROM probes p JOIN nk ON nk.band = p.band AND nk.bk = p.bk),
+         |scored AS (
+         |  SELECT c.query_id, c.id,
+         |    1.0 / (1.0 + list_distance(n.v, q.qv)) AS score
+         |  FROM cand c
+         |  JOIN nodes n ON n.id = c.id
+         |  JOIN q ON q.query_id = c.query_id)
+         |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+         |  SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, id) AS rn
+         |  FROM scored WHERE score > 0.0)
+         |WHERE rn <= 10""".stripMargin
+    },
     "a09_adaptive_search" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1612,6 +1716,53 @@ object AnnQueries {
         |cand AS (
         |  SELECT DISTINCT qk.query_id, nk.id
         |  FROM nk JOIN qk ON nk.band = qk.band AND nk.bkey = qk.bkey),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM cand c
+        |  JOIN nodes n ON n.id = c.id
+        |  JOIN q ON q.query_id = c.query_id)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM scored WHERE score > 0.0)
+        |WHERE rn <= 10""".stripMargin,
+    // a28's pre-filter plus the occupied-bucket multi-probe: per query
+    // and band, the 2 Hamming-nearest buckets that FILTERED members
+    // occupy (tie: bucket key asc) supply the candidates.
+    "a29_lsh_multiprobe" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+        |  FROM embeddings WHERE vec_id < 12),
+        |nk AS (
+        |  SELECT n.id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(n.v, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bkey
+        |  FROM nodes n CROSS JOIN anch a
+        |  WHERE n.id % 4 = 1
+        |  GROUP BY n.id, a.aid // 3),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qk AS (
+        |  SELECT q.query_id, CAST(a.aid // 3 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(q.qv, a.av) >= 0
+        |               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bkey
+        |  FROM q CROSS JOIN anch a GROUP BY q.query_id, a.aid // 3),
+        |occ AS (SELECT DISTINCT band, bkey FROM nk),
+        |probes AS (
+        |  SELECT query_id, band, bkey FROM (
+        |    SELECT qk.query_id, o.band, o.bkey,
+        |      row_number() OVER (PARTITION BY qk.query_id, o.band
+        |        ORDER BY hamming(qk.bkey, o.bkey), o.bkey) AS prn
+        |    FROM qk JOIN occ o ON o.band = qk.band)
+        |  WHERE prn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, nk.id
+        |  FROM probes p JOIN nk ON nk.band = p.band AND nk.bkey = p.bkey),
         |scored AS (
         |  SELECT c.query_id, c.id,
         |    list_cosine_similarity(n.v, q.qv) AS score

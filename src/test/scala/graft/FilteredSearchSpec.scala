@@ -262,4 +262,89 @@ class FilteredSearchSpec extends SparkSpec {
     assert(pq.groupBy("query_id").count()
       .filter(col("count") =!= 5).count() === 0L)
   }
+
+  test("CORRELATED predicate on the LSH arm: the exact-bucket equi-join " +
+      "starves (query buckets hold zero matching members); occupied-bucket " +
+      "multi-probe at full escalation EQUALS exact filtered top-k") {
+    // the IVF correlated fixture's shape: cluster A on axis 0 (ids
+    // 0-199), cluster B on axis 1 (ids 200-399), filter = cluster B,
+    // queries from cluster A — sign-bit buckets separate the axes, so
+    // the query's own bucket never contains a matching member
+    def clustered(ids: Range, axis: Int): DataFrame =
+      ids.map { i =>
+        val v = Array.fill(16)(0.05f * ((i * 7 + axis) % 5 - 2))
+        v(axis) = 1.0f
+        (i.toLong, v.toSeq)
+      }.toDF("id", "vector")
+    val nodes = clustered(0 until 200, 0)
+      .unionByName(clustered(200 until 400, 1)).localCheckpoint()
+    val queries = clustered(0 until 3, 0)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val fB = nodes.filter(col("id") >= 200L).select(col("id"))
+    val p = IndexParams(dim = 16, bucketBits = 4, nBands = 4)
+    val starved = AnnSearch.searchLsh(nodes, queries, k = 5,
+      minSim = -2.0, p, idFilter = Some(fB))
+    val truth = KnnSearch.knnExact(nodes.filter(col("id") >= 200L),
+      queries, k = 5, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    // probeBuckets ≥ occupied buckets per band ⇒ every filtered member
+    // is a candidate ⇒ exact top-k over the filtered subset by
+    // construction (scoring within probed buckets is exact)
+    val escalated = AnnSearch.searchLsh(nodes, queries, k = 5,
+      minSim = -2.0, p, idFilter = Some(fB),
+      probeBuckets = AnnSearch.escalatedProbes(1, 1, 100, 1L << 4))
+    assert(pairs(escalated) === truth)
+    assert(starved.count() < escalated.count(),
+      "the exact-bucket join should starve under the cluster-aligned " +
+        "filter — if it ever stops starving, tighten the fixture")
+    // facade: searchAnn(predicate=) escalates from the memoized counts
+    val dir = graft.util.Fs.tempDirDeletedOnExit("graft-filtered-lshmp")
+    val store = VectorStore.openOrCreate(spark, dir, p)
+    store.addBatch(nodes)
+    store.rebuild()
+    // strength -200 → threshold -2.0: cross-cluster cosines can be
+    // slightly negative and must not be threshold-dropped here
+    val got = store.searchAnn(queries, k = 5, strengthSetting = -200,
+      predicate = Some(col("id") >= 200L))
+    assert(got.join(nodes.filter(col("id") < 200L), Seq("id"),
+      "left_semi").count() === 0L)
+    assert(got.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L,
+      "a query returned < k rows through the facade — escalation " +
+        "did not engage")
+  }
+
+  test("CORRELATED predicate on the EUCLIDEAN p-stable arm: occupied-cell " +
+      "multi-probe ranks by L1 cell distance and at full escalation " +
+      "EQUALS exact filtered top-k") {
+    // clusters separated in DATA units (the p-stable family hashes raw
+    // L2 positions): A at 10·e0, B at 10·e1 — cells differ at the
+    // default bucketWidth 4, so the exact-cell equi-join starves
+    def clustered(ids: Range, axis: Int): DataFrame =
+      ids.map { i =>
+        val v = Array.fill(16)(0.2f * ((i * 7 + axis) % 5 - 2))
+        v(axis) = 10.0f
+        (i.toLong, v.toSeq)
+      }.toDF("id", "vector")
+    val nodes = clustered(0 until 200, 0)
+      .unionByName(clustered(200 until 400, 1)).localCheckpoint()
+    val queries = clustered(0 until 3, 0)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val fB = nodes.filter(col("id") >= 200L).select(col("id"))
+    val p = IndexParams(dim = 16, bucketBits = 4, nBands = 4,
+      metric = "euclidean")
+    val starved = AnnSearch.searchLsh(nodes, queries, k = 5,
+      minSim = -2.0, p, idFilter = Some(fB))
+    val truth = KnnSearch.knnExact(nodes.filter(col("id") >= 200L),
+      queries, k = 5, minSim = -2.0, metric = "euclidean")
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    // probeBuckets ≥ occupied cells per band (≤ 400 members) ⇒ every
+    // filtered member is a candidate ⇒ exact over the filtered subset
+    val escalated = AnnSearch.searchLsh(nodes, queries, k = 5,
+      minSim = -2.0, p, idFilter = Some(fB), probeBuckets = 400)
+    assert(pairs(escalated) === truth)
+    assert(starved.count() < escalated.count(),
+      "the exact-cell join should starve under the cluster-aligned " +
+        "filter — if it ever stops starving, tighten the fixture")
+  }
 }

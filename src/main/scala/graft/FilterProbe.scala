@@ -60,8 +60,11 @@ object FilterProbe {
         val fexact = KnnSearch.knnExact(fnodes, qv, 10, minSim = -2.0)
           .select("query_id", "id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val pbs = Seq(1,
-          AnnSearch.escalatedProbes(1, n / m, n, 1L << p.bucketBits))
+        // optional 4th arg: comma-separated probeBuckets overrides (the
+        // recall-vs-probes curve); default starved-vs-escalated pair
+        val pbs = (if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
+          else Seq(1,
+            AnnSearch.escalatedProbes(1, n / m, n, 1L << p.bucketBits)))
           .distinct
         val runs = for (pb <- pbs) yield {
           def run() = AnnSearch.searchLsh(nodes, qv, 10, minSim = -2.0, p,

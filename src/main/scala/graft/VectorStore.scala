@@ -24,7 +24,16 @@ import graft.util.{Fs, Snapshots}
 class VectorStore private (
     val spark: SparkSession,
     val path: String,
-    val params: IndexParams) {
+    val params: IndexParams,
+    /** How many SUPERSEDED node-table generations (base + their delta
+      * chains) survive each [[persist]] flip. 0 (default) prunes
+      * immediately — the streaming-ingest disk bound. > 0 opens a
+      * TIME-TRAVEL window: [[nodesAsOf]] reads any retained generation
+      * with full snapshot isolation (generations are immutable once
+      * superseded), and in-flight lazy readers of the previous
+      * generation survive a concurrent flip (the read-after-prune
+      * hazard [[rebuild]] had to re-resolve around). */
+    val retainBases: Int = 0) {
 
   /** Current table snapshot (id, vector, deleted[, payload…]): the base
     * version overlaid by any STREAMED node deltas (`"N K"` CURRENT
@@ -35,8 +44,16 @@ class VectorStore private (
   def nodes: DataFrame =
     Snapshots.currentWithDeltas(spark, path, "CURRENT") match {
       case None => VectorStore.emptyTable(spark)
-      case Some((v, 0L)) => spark.read.parquet(s"$path/v$v")
-      case Some((v, k)) =>
+      case Some((v, k)) => nodesAt(v, k)
+    }
+
+  /** Base generation `v` overlaid by its deltas 1..k (latest-wins by
+    * id) — the shared read path of [[nodes]] (the CURRENT pointer) and
+    * [[nodesAsOf]] (a retained historical generation). */
+  private def nodesAt(v: Long, k: Long): DataFrame =
+    k match {
+      case 0L => spark.read.parquet(s"$path/v$v")
+      case k =>
         val base = spark.read.parquet(s"$path/v$v")
         val wMax = org.apache.spark.sql.expressions.Window
           .partitionBy(col("id"))
@@ -81,17 +98,46 @@ class VectorStore private (
     val v = old.map(_._1).getOrElse(-1L) + 1
     next.write.mode("overwrite").parquet(s"$path/v$v")
     graft.util.Fs.writeStringAtomic(spark, s"$path/CURRENT", v.toString)
-    // the superseded base + its delta chain are dereferenced now — prune
-    // them ([[flipIndexPointer]]'s rule applied to the node table), or a
-    // long-running [[startIngest]] accretes a full copy of every streamed
-    // batch plus a folded base per compaction. The write above completes
-    // before the flip, so nothing still reads the old dirs; best-effort —
-    // a crash here leaks a directory, never correctness.
-    old.foreach { case (g, dk) =>
-      (1L to dk).foreach(i =>
-        graft.util.Fs.deleteRecursive(spark, nodeDeltaDir(g, i)))
-      graft.util.Fs.deleteRecursive(spark, s"$path/v$g")
+    // superseded generations beyond the retention window are
+    // dereferenced now — prune them ([[flipIndexPointer]]'s rule applied
+    // to the node table), or a long-running [[startIngest]] accretes a
+    // full copy of every streamed batch plus a folded base per
+    // compaction. Listing-driven (not just `old`) so lowering
+    // `retainBases` on an existing store also reclaims older leftovers.
+    // The write above completes before the flip, so nothing inside the
+    // window still reads a pruned dir; best-effort — a crash here leaks
+    // a directory, never correctness.
+    val baseRe = "^v(\\d+)(_d\\d+)?$".r
+    graft.util.Fs.list(spark, path).foreach {
+      case name @ baseRe(g, _) if g.toLong < v - retainBases =>
+        graft.util.Fs.deleteRecursive(spark, s"$path/$name")
+      case _ => ()
     }
+  }
+
+  /** Retained node-table generations, oldest first — the versions
+    * [[nodesAsOf]] can serve (the current one last). */
+  def versions(): Seq[Long] = {
+    val baseRe = "^v(\\d+)$".r
+    graft.util.Fs.list(spark, path)
+      .collect { case baseRe(g) => g.toLong }.sorted
+  }
+
+  /** TIME-TRAVEL read: the node table as of the END of generation
+    * `version` — its base overlaid by every delta it accumulated before
+    * being superseded (generations are immutable once superseded, so
+    * this is a stable snapshot). Requires the generation inside the
+    * `retainBases` window; throws with the retained range otherwise. */
+  def nodesAsOf(version: Long): DataFrame = {
+    if (!graft.util.Fs.exists(spark, s"$path/v$version"))
+      throw new IllegalArgumentException(
+        s"generation $version not retained (have: " +
+          s"${versions().mkString(", ")}; retainBases = $retainBases)")
+    val dRe = ("^v" + version + "_d(\\d+)$").r
+    val k = graft.util.Fs.list(spark, path)
+      .collect { case dRe(i) => i.toLong }
+      .foldLeft(0L)(math.max)
+    nodesAt(version, k)
   }
 
   /** Validation: non-null ids (driver.ts:124-129 rejects empty ids) and
@@ -1440,8 +1486,9 @@ object VectorStore {
   /** Open an existing store or create an empty one — `getAstroDB`
     * (driver.ts:40-48). */
   def openOrCreate(spark: SparkSession, path: String,
-      params: IndexParams = IndexParams()): VectorStore = {
+      params: IndexParams = IndexParams(),
+      retainBases: Int = 0): VectorStore = {
     graft.util.Fs.mkdirs(spark, path)
-    new VectorStore(spark, path, params)
+    new VectorStore(spark, path, params, retainBases)
   }
 }

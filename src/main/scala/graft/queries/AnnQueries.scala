@@ -119,6 +119,9 @@ object AnnQueries {
     * production read pattern (state is the persisted snapshot chain). */
   private val facadeStorePaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** a31's retained-generation store, one lifecycle per data dir. */
+  private val asofStorePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private def facadeAppendStore(s: SparkSession, d: String)
       : graft.VectorStore = {
     val path = facadeStorePaths.getOrElseUpdate(d, {
@@ -260,6 +263,38 @@ object AnnQueries {
             .select(col("id"))),
           probeBuckets = 2)
         .select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // TIME TRAVEL through the facade (the a23 lifecycle pattern on the
+    // retention window): three generations — full load, a negating
+    // upsert of id % 5 == 0, a tombstone pass over id % 7 == 3 — then
+    // `nodesAsOf` reads ALL THREE back from one store opened with
+    // `retainBases = 2`. Hash-checked: the oracle re-derives each
+    // generation's (deleted, head-component) state from the raw table,
+    // so a retention bug that serves the wrong generation (or loses
+    // tombstones/payloads across the window) fails the hash.
+    "a31_time_travel" -> ((s, d) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val path = asofStorePaths.getOrElseUpdate(d, {
+        val p = graft.util.Fs.tempDirDeletedOnExit("graft-asof-facade")
+        val nodesDf = VectorQueries.asVectorTable(Tables.embeddings(s, d))
+        val store = graft.VectorStore.openOrCreate(s, p,
+          IndexParams(dim = 64), retainBases = 2)
+        store.addBatch(nodesDf.select(col("id"), col("vector")))
+        store.addBatch(nodesDf.filter(col("id") % 5 === 0)
+          .select(col("id"),
+            transform(col("vector"), x => -x).as("vector")))
+        store.removeMultiple(nodesDf.filter(col("id") % 7 === 3)
+          .select(col("id")).as[Long].collect().toSeq)
+        p
+      })
+      val store = graft.VectorStore.openOrCreate(s, path,
+        IndexParams(dim = 64), retainBases = 2)
+      Seq(0L, 1L, 2L).map(v =>
+        store.nodesAsOf(v).select(lit(v).as("version"), col("id"),
+          col("deleted"), q6(col("vector").getItem(0)).as("vh")))
+        .reduce(_ unionByName _)
     }),
 
     // Index build structural summary: edge counts + node counts per level
@@ -1385,6 +1420,28 @@ object AnnQueries {
          |  FROM scored WHERE score > 0.0)
          |WHERE rn <= 10""".stripMargin
     },
+    // Each generation's expected (deleted, head-component) state derives
+    // straight from the raw table: v0 = load, v1 = negated id%5==0
+    // upserts, v2 = v1 + id%7==3 tombstones (vectors survive tombstoning
+    // — the reference keeps deleted nodes routable, hnsw.ts:292,392).
+    "a31_time_travel" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |mods AS (
+        |  SELECT id,
+        |    CASE WHEN id % 5 = 0 THEN -CAST(v[1] AS DOUBLE)
+        |         ELSE CAST(v[1] AS DOUBLE) END AS x
+        |  FROM base),
+        |gens AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, id, false AS deleted,
+        |    CAST(v[1] AS DOUBLE) AS x FROM base
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), id, false, x FROM mods
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), id, id % 7 = 3, x FROM mods)
+        |SELECT version, id, deleted,
+        |  floor(x * 1000000.0 + 0.5) / 1000000.0 AS vh
+        |FROM gens""".stripMargin,
     "a09_adaptive_search" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

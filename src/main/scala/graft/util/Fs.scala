@@ -49,6 +49,16 @@ object Fs {
     fs(spark, path).delete(new Path(path), true); ()
   }
 
+  /** Child entry NAMES of `path` (empty when the dir is missing) — one
+    * listStatus round-trip, used by retention pruning / as-of version
+    * discovery over the snapshot-chain layout. */
+  def list(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
   /** Directory rename (atomic on HDFS/local). Hadoop signals failure by
     * RETURNING false (dest exists, permissions, missing src) rather than
     * throwing — swallowing it would let a caller's swap silently no-op. */

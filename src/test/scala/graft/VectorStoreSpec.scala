@@ -677,6 +677,84 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("retainBases opens a time-travel window: nodesAsOf serves retained " +
+      "generations exactly, prune respects the window, reads past it throw") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-asof").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2),
+      retainBases = 2)
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    def state(df: org.apache.spark.sql.DataFrame): Set[(Long, Boolean)] =
+      df.select(col("id"), col("deleted")).as[(Long, Boolean)]
+        .collect().toSet
+    store.addBatch((0L until 10L).map(i => (i, vec(i))).toDF("id", "vector"))
+    val s0 = state(store.nodes) // v0
+    store.addBatch(Seq((20L, vec(20L))).toDF("id", "vector"))
+    val s1 = state(store.nodes) // v1
+    store.remove(3L) // v2
+    val s2 = state(store.nodes)
+    // window = {v0, v1} + current v2 — nothing pruned yet
+    assert(store.versions() === Seq(0L, 1L, 2L))
+    assert(state(store.nodesAsOf(0L)) === s0)
+    assert(state(store.nodesAsOf(1L)) === s1)
+    assert(state(store.nodesAsOf(2L)) === s2)
+    store.addBatch(Seq((21L, vec(21L))).toDF("id", "vector")) // v3: v0 dies
+    assert(store.versions() === Seq(1L, 2L, 3L))
+    assert(state(store.nodesAsOf(1L)) === s1)
+    val err = intercept[IllegalArgumentException](store.nodesAsOf(0L))
+    assert(err.getMessage.contains("not retained"))
+    // a retained generation is the state at the END of its life: deltas
+    // it accumulated before being superseded stay readable. Re-open with
+    // retention 0: the next flip reclaims every superseded generation
+    // (lowering the window prunes listing-wide, not just the latest).
+    val tight = VectorStore.openOrCreate(spark, store.path,
+      store.params, retainBases = 0)
+    tight.addBatch(Seq((22L, vec(22L))).toDF("id", "vector")) // v4
+    assert(tight.versions() === Seq(4L))
+    assert(state(tight.nodesAsOf(4L)) === state(tight.nodes))
+    store.delete()
+  }
+
+  test("nodesAsOf reads a superseded generation at its END — streamed " +
+      "deltas included — and the streamed fold prunes by the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-asofd").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2),
+      retainBases = 1)
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    def state(df: org.apache.spark.sql.DataFrame): Set[(Long, Boolean)] =
+      df.select(col("id"), col("deleted")).as[(Long, Boolean)]
+        .collect().toSet
+    store.addBatch((0L until 5L).map(i => (i, vec(i))).toDF("id", "vector"))
+    val stream = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q = store.startIngest(
+      stream.toDF().toDF("id", "vector", "op", "seq"),
+      config = VectorStore.IngestConfig(compactEvery = 2))
+    try {
+      stream.addData((10L, vec(10L), "upsert", 1L))
+      q.processAllAvailable() // v0_d1
+      stream.addData((11L, vec(11L), "upsert", 2L))
+      q.processAllAvailable() // v0_d2 + fold → v1; v0 retained WITH deltas
+      val s1 = state(store.nodes)
+      assert(store.versions() === Seq(0L, 1L))
+      assert(graft.util.Fs.exists(spark, store.path + "/v0_d2"))
+      // generation 0's end state ≡ the fold that superseded it
+      assert(state(store.nodesAsOf(0L)) === s1)
+      stream.addData((12L, vec(12L), "upsert", 3L))
+      q.processAllAvailable() // v1_d1
+      stream.addData((13L, vec(13L), "upsert", 4L))
+      q.processAllAvailable() // fold → v2; window slides, v0 + deltas die
+      assert(store.versions() === Seq(1L, 2L))
+      assert(!graft.util.Fs.exists(spark, store.path + "/v0_d1"))
+      assert(state(store.nodesAsOf(1L)) === state(store.nodes))
+    } finally q.stop()
+    store.delete()
+  }
+
   test("pre-upgrade PQ delta chains (sub = -1 tombstones, no deleted " +
       "column) still resolve through the overlay") {
     val store = VectorStore.openOrCreate(spark,

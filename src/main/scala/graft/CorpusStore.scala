@@ -40,21 +40,30 @@ import graft.util.{Fs, Snapshots}
   * output against a DuckDB re-derivation of the whole chain).
   */
 class CorpusStore private (val spark: SparkSession, val path: String,
-    compactEvery: Int) {
+    compactEvery: Int,
+    /** How many SUPERSEDED docs versions AND training generations stay
+      * on disk through each flip. 0 (default) prunes immediately — the
+      * continuous-ingest disk bound. > 0 is DATASET VERSIONING:
+      * [[documentsAsOf]] re-reads any retained corpus version as a
+      * stable snapshot, and [[trainingDocsAsOf]]/[[manifestAsOf]]
+      * reproduce a prior training mix with the data card that links it
+      * (`docs_version` in the manifest) back to the corpus version it
+      * was assembled from. */
+    val retainGenerations: Int = 0) {
   import CorpusStore.AssemblyParams
 
   /** Replace the corpus snapshot — requires (doc_id, text); payload
-    * columns (source, lang, …) ride along untouched. The superseded
-    * version (and its delta chain) is deleted after the pointer flip, so
-    * the docs chain never grows beyond one live version + its deltas. */
+    * columns (source, lang, …) ride along untouched. Superseded versions
+    * (and their delta chains) beyond the `retainGenerations` window are
+    * deleted after the pointer flip, so the docs chain never grows
+    * beyond retained + one live version. */
   def putDocuments(docs: DataFrame): Unit = {
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       s"documents need (doc_id, text); got ${docs.columns.mkString(",")}")
-    val old = Snapshots.currentWithDeltas(spark, path, "DOCS")
-    Snapshots.persist(spark, path, "docs", "DOCS", docs)
-    // old version is unreferenced now; best-effort cleanup (a crash here
-    // leaks a directory, never correctness)
-    old.foreach { case (v, k) => Snapshots.prune(spark, path, "docs", v, k) }
+    val v = Snapshots.persist(spark, path, "docs", "DOCS", docs)
+    // dereferenced-beyond-the-window dirs die; best-effort cleanup (a
+    // crash here leaks a directory, never correctness)
+    Snapshots.pruneOlderThan(spark, path, "docs", v - retainGenerations)
   }
 
   /** Append a batch (ingest shape): rows whose doc_id already exists are
@@ -120,6 +129,35 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     val (v, k) = Snapshots.currentWithDeltas(spark, path, "DOCS")
       .getOrElse(throw new IllegalStateException(
         s"no documents under $path — load them first"))
+    documentsAt(v, k)
+  }
+
+  /** TIME-TRAVEL read (requires `retainGenerations` > 0 at write time):
+    * the corpus as of the END of docs version `version` — its base
+    * overlaid by every delta it accumulated before being superseded
+    * (versions are immutable once superseded → a stable snapshot).
+    * Throws with the retained range when the version is gone. */
+  def documentsAsOf(version: Long): DataFrame = {
+    if (!Fs.exists(spark, Snapshots.versionPath(path, "docs", version)))
+      throw new IllegalArgumentException(
+        s"docs version $version not retained (have: " +
+          s"${docVersions().mkString(", ")}; " +
+          s"retainGenerations = $retainGenerations)")
+    // the CURRENT version's delta count comes from the pointer (an
+    // append that crashed before its flip can leave an orphan delta dir
+    // the pointer never committed); superseded versions read the dirs —
+    // their pointer tokens are gone and the dirs are the record
+    val k = Snapshots.currentWithDeltas(spark, path, "DOCS") match {
+      case Some((cv, ck)) if cv == version => ck
+      case _ => Snapshots.deltasOnDisk(spark, path, "docs", version)
+    }
+    documentsAt(version, k)
+  }
+
+  /** Docs versions still readable, oldest first (the current one last). */
+  def docVersions(): Seq[Long] = Snapshots.versions(spark, path, "docs")
+
+  private def documentsAt(v: Long, k: Long): DataFrame = {
     val base = spark.read.parquet(Snapshots.versionPath(path, "docs", v))
     if (k == 0L) base
     else {
@@ -334,9 +372,17 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     seqs.write.mode("overwrite").parquet(s"${trainDir(gen)}/sequences")
     writeManifest(gen, p, src)
     Fs.writeStringAtomic(spark, s"$path/TRAIN", gen.toString)
-    // old generation is unreferenced now; best-effort cleanup (a crash
-    // here leaks a directory, never correctness)
-    old.foreach(g => Fs.deleteRecursive(spark, trainDir(g)))
+    // generations beyond the retention window are unreferenced now;
+    // best-effort cleanup (a crash here leaks a directory, never
+    // correctness). Retained generations stay fully readable —
+    // docs + sequences + the manifest that records which docs version
+    // they were assembled from.
+    val genRe = "^train_g(\\d+)$".r
+    Fs.list(spark, path).foreach {
+      case name @ genRe(g) if g.toLong < gen - retainGenerations =>
+        Fs.deleteRecursive(spark, s"$path/$name")
+      case _ => ()
+    }
     } finally cachedStages.foreach { c => c.unpersist(); () }
   }
 
@@ -420,6 +466,40 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     * `packSplit` docs. */
   def trainingSequences: DataFrame =
     spark.read.parquet(s"${trainDir(currentTrainGen)}/sequences")
+
+  // ---- dataset versioning: retained training generations -------------
+
+  /** Training generations still on disk, oldest first — the ones the
+    * `asOf` readers can reproduce (requires `retainGenerations` > 0). */
+  def trainGenerations(): Seq[Long] = {
+    val re = "^train_g(\\d+)$".r
+    Fs.list(spark, path).collect { case re(g) => g.toLong }.sorted
+  }
+
+  private def retainedTrainDir(gen: Long): String = {
+    if (!Fs.exists(spark, trainDir(gen)))
+      throw new IllegalArgumentException(
+        s"training generation $gen not retained (have: " +
+          s"${trainGenerations().mkString(", ")}; " +
+          s"retainGenerations = $retainGenerations)")
+    trainDir(gen)
+  }
+
+  /** TIME-TRAVEL read of a retained training generation's docs —
+    * reproduce exactly what a past training run consumed. Generations
+    * are written once and never mutated, so this is a stable snapshot;
+    * [[manifestAsOf]] carries the `docs_version` link back to the corpus
+    * version it was assembled from ([[documentsAsOf]]). */
+  def trainingDocsAsOf(gen: Long): DataFrame =
+    spark.read.parquet(s"${retainedTrainDir(gen)}/docs")
+
+  /** The retained generation's packed sequences ([[trainingDocsAsOf]]). */
+  def trainingSequencesAsOf(gen: Long): DataFrame =
+    spark.read.parquet(s"${retainedTrainDir(gen)}/sequences")
+
+  /** The retained generation's data card ([[trainingDocsAsOf]]). */
+  def manifestAsOf(gen: Long): String =
+    Fs.readString(spark, s"${retainedTrainDir(gen)}/manifest.json")
 
   // ---- tokenizer lifecycle -------------------------------------------
 
@@ -747,9 +827,10 @@ object CorpusStore {
     * folds the chain into a fresh base (amortized O(corpus/N) write
     * amplification per ingest micro-batch). */
   def openOrCreate(spark: SparkSession, path: String,
-      compactEvery: Int = 8): CorpusStore = {
+      compactEvery: Int = 8, retainGenerations: Int = 0): CorpusStore = {
     require(compactEvery >= 1, s"compactEvery $compactEvery")
+    require(retainGenerations >= 0, s"retainGenerations $retainGenerations")
     Fs.mkdirs(spark, path)
-    new CorpusStore(spark, path, compactEvery)
+    new CorpusStore(spark, path, compactEvery, retainGenerations)
   }
 }

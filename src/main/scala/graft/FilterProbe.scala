@@ -110,9 +110,10 @@ object FilterProbe {
               minSim = -2.0, nProbe, assignments = Some(asgV),
               idFilter = Some(idF))
             .select("query_id", "id").collect()
-          def runPq() = PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
+          def runPq(shortlist: Int) = PqIndex.searchIvfPqResidualScored(
+              nodes, pre.codes,
               pre.assignments, pre.centroids, pre.codebooks, qv, 10,
-              shortlist = 500, nProbe, m = 8, subLen = dim / 8,
+              shortlist, nProbe, m = 8, subLen = dim / 8,
               minSim = -2.0, idFilter = Some(idF))
             .select("query_id", "id").collect()
           def recallOf(rows: Array[org.apache.spark.sql.Row]) =
@@ -120,11 +121,19 @@ object FilterProbe {
               .count(fexact.contains).toDouble / fexact.size
           val (ivfRows, tIvf1) = timed(runIvf())
           val tIvf = math.min(tIvf1, timed(runIvf())._2)
-          val (pqRows, tPq1) = timed(runPq())
-          val tPq = math.min(tPq1, timed(runPq())._2)
+          val (pqRows, tPq1) = timed(runPq(500))
+          val tPq = math.min(tPq1, timed(runPq(500))._2)
+          // shortlist escalated by the same rule (cap = corpus): keep the
+          // MATCHING re-rank volume constant under the filter — the
+          // recall tail the fixed-500 ADC shortlist leaves behind
+          val sEsc = AnnSearch.escalatedProbes(500, n / m, n, n)
+          val (pqsRows, tPqs1) = timed(runPq(sEsc))
+          val tPqs = math.min(tPqs1, timed(runPq(sEsc))._2)
           s"""{"mod":$m,"n_probe":$nProbe,""" +
             s""""ivf_sec":$tIvf,"ivf_recall_at_10":${recallOf(ivfRows)},""" +
-            s""""pq_sec":$tPq,"pq_recall_at_10":${recallOf(pqRows)}}"""
+            s""""pq_sec":$tPq,"pq_recall_at_10":${recallOf(pqRows)},""" +
+            s""""pq_shortlist_esc":$sEsc,"pq_esc_sec":$tPqs,""" +
+            s""""pq_esc_recall_at_10":${recallOf(pqsRows)}}"""
         }
         runs.mkString(",")
       }

@@ -133,10 +133,18 @@ class VectorStore private (
       throw new IllegalArgumentException(
         s"generation $version not retained (have: " +
           s"${versions().mkString(", ")}; retainBases = $retainBases)")
-    val dRe = ("^v" + version + "_d(\\d+)$").r
-    val k = graft.util.Fs.list(spark, path)
-      .collect { case dRe(i) => i.toLong }
-      .foldLeft(0L)(math.max)
+    // the CURRENT generation's delta count comes from the pointer (a
+    // crashed append can leave an orphan delta dir the pointer never
+    // committed); superseded generations read the dirs — their pointer
+    // tokens are gone and the dirs are the record
+    val k = Snapshots.currentWithDeltas(spark, path, "CURRENT") match {
+      case Some((cv, ck)) if cv == version => ck
+      case _ =>
+        val dRe = ("^v" + version + "_d(\\d+)$").r
+        graft.util.Fs.list(spark, path)
+          .collect { case dRe(i) => i.toLong }
+          .foldLeft(0L)(math.max)
+    }
     nodesAt(version, k)
   }
 
@@ -1088,20 +1096,31 @@ class VectorStore private (
     * Under a VERY selective `predicate`, prefer [[searchAuto]]: the
     * residual LUT table is per (query, probed cell), so the escalated
     * probe budget grows the one query-side structure that scales with
-    * probe count while recall stays shortlist-bound — the dispatcher
-    * serves small filtered sets from the exact/IVF arms instead
-    * (SCALING.md correlated-predicates 1 M table). */
+    * probe count — the dispatcher serves small filtered sets from the
+    * exact/IVF arms instead (SCALING.md correlated-predicates 1 M
+    * table). */
   def searchPq(queries: DataFrame, k: Int, strengthSetting: Double = 50,
       nProbe: Int = 8, predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
     val pre = loadPqIndex()
     val mSub = 8
-    // a selective predicate starves the coarse probe (probed cells may
-    // hold < k MATCHING rows) — escalate it like the seeded-graph arm
+    val baseShort = math.max(100, 50 * k)
+    // a selective predicate starves BOTH knobs: the coarse probe (probed
+    // cells may hold < k MATCHING rows — escalate like the seeded arm)
+    // and the ADC shortlist (the re-rank tail keeps the MATCHING
+    // candidate volume constant; capped at the filtered count, where the
+    // re-rank degenerates to exact-over-the-subset — measured at 1 M:
+    // recall 0.485-0.785 fixed-500 → ~1.0 escalated, SCALING.md)
+    val short = predicate match {
+      case None => baseShort
+      case Some(p) =>
+        val f = filteredCount(p)
+        AnnSearch.escalatedProbes(baseShort, f, liveCount, f)
+    }
     PqIndex.searchIvfPqResidualScored(nodes, pre.codes, pre.assignments,
       pre.centroids, pre.codebooks, queries, k,
-      shortlist = math.max(100, 50 * k),
+      shortlist = short,
       escalatedNProbe(nProbe, predicate, pre.centroids),
       mSub, params.dim / mSub,
       KnnSearch.scaleThreshold(strengthSetting), params.metric,

@@ -110,6 +110,35 @@ object TextQueries {
       store
     })
 
+  /** t35's VERSIONED corpus, one lifecycle per data dir (the
+    * [[corpusStoreFor]] memo shape on `retainGenerations`): v0 = the raw
+    * table, then a latest-wins delta appending " A" to doc_id % 5 == 0;
+    * v1 = a fresh put carrying " B" on doc_id % 3 == 0, then a delta
+    * appending " C" to doc_id % 7 == 2. One flip supersedes v0; the
+    * retention window keeps it readable WITH its delta. */
+  private val versionedStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.CorpusStore]
+  private def versionedStoreFor(s: SparkSession, d: String)
+      : graft.CorpusStore =
+    versionedStores.getOrElseUpdate(d, {
+      val store = graft.CorpusStore.openOrCreate(s,
+        graft.util.Fs.tempDirDeletedOnExit("graft-versioned-store"),
+        retainGenerations = 1)
+      val raw = Tables.documents(s, d)
+      val cols = raw.columns.map(col).toIndexedSeq
+      store.putDocuments(raw)
+      store.appendDocuments(raw.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" A")))
+        .select(cols: _*))
+      store.putDocuments(raw.withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" B")))
+          .otherwise(col("text"))))
+      store.appendDocuments(raw.filter(col("doc_id") % 7 === 2)
+        .withColumn("text", concat(col("text"), lit(" C")))
+        .select(cols: _*))
+      store
+    })
+
   /** One exact-mode [[graft.CorpusStore]] per process per data dir (the
     * [[corpusStoreFor]] shape) exercising assemble()'s COMPLIANCE-GRADE
     * near-dup stage: `exactJaccardTauMicro` wires d16's PPJoin
@@ -192,6 +221,21 @@ object TextQueries {
     // the facade path).
     "t22_corpus_store_sequences" -> ((s, d) =>
       corpusStoreFor(s, d).trainingSequences),
+
+    // DATASET VERSIONING through the facade: a superseded corpus version
+    // read back AT ITS END (base + the delta it accumulated) alongside
+    // the current one — the oracle re-derives both states from the raw
+    // table, so a retention bug that serves the wrong version, loses a
+    // delta across the flip, or breaks latest-wins in the as-of overlay
+    // fails the hash (the a31 lifecycle on the corpus chain).
+    "t35_corpus_time_travel" -> ((s, d) => {
+      val store = versionedStoreFor(s, d)
+      def proj(df: org.apache.spark.sql.DataFrame, v: Long) =
+        df.select(lit(v).as("version"), col("doc_id"), col("source"),
+          length(col("text")).as("n2"))
+      proj(store.documentsAsOf(0L), 0L)
+        .unionByName(proj(store.documents, 1L))
+    }),
 
     // BM25 lexical retrieval as a distributed inverted-index join: every
     // 100th doc is a bag-of-words query against the whole corpus. Scores
@@ -2143,6 +2187,23 @@ object TextQueries {
         |  md5(array_to_string(l, chr(31))) AS seg_md5
         |FROM p""".stripMargin
     },
+    // Both generation end-states derive from the raw table: v0 = the " A"
+    // delta over the full put; v1 = the " C" delta over the " B" put —
+    // latest-wins means the delta row REPLACES the base row wholesale.
+    "t35_corpus_time_travel" ->
+      """WITH raw AS (SELECT doc_id, text, source FROM documents),
+        |v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, doc_id, source,
+        |    length(CASE WHEN doc_id % 5 = 0 THEN text || ' A'
+        |                ELSE text END)::BIGINT AS n2
+        |  FROM raw),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, doc_id, source,
+        |    length(CASE WHEN doc_id % 7 = 2 THEN text || ' C'
+        |                WHEN doc_id % 3 = 0 THEN text || ' B'
+        |                ELSE text END)::BIGINT AS n2
+        |  FROM raw)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
     "t21_corpus_store_docs" ->
       s"""WITH $corpusStoreCtes
         |SELECT doc_id, source, quality, n_toks, rate_micro, split

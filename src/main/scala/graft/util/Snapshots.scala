@@ -96,6 +96,41 @@ object Snapshots {
     Fs.deleteRecursive(spark, versionPath(base, prefix, v))
   }
 
+  /** Retention-window prune: delete every `{prefix}_v{g}` base and its
+    * `_delta_*` dirs with g < `keepFrom`. Listing-driven (not
+    * last-version-driven) so lowering a retention window on an existing
+    * store also reclaims older leftovers. Best-effort — call only after
+    * the pointer has moved past every pruned generation. */
+  def pruneOlderThan(spark: SparkSession, base: String, prefix: String,
+      keepFrom: Long): Unit = {
+    val re = ("^" + java.util.regex.Pattern.quote(prefix) +
+      "_v(\\d+)(_delta_\\d+)?$").r
+    Fs.list(spark, base).foreach {
+      case name @ re(g, _) if g.toLong < keepFrom =>
+        Fs.deleteRecursive(spark, s"$base/$name")
+      case _ => ()
+    }
+  }
+
+  /** Base versions of `prefix` still on disk, oldest first — the
+    * generations an as-of read can serve. */
+  def versions(spark: SparkSession, base: String, prefix: String)
+      : Seq[Long] = {
+    val re = ("^" + java.util.regex.Pattern.quote(prefix) + "_v(\\d+)$").r
+    Fs.list(spark, base).collect { case re(g) => g.toLong }.sorted
+  }
+
+  /** Highest delta index present ON DISK for base `v` (0 when none) —
+    * how far an as-of overlay of a SUPERSEDED generation can read (its
+    * pointer tokens are gone; the dirs are the record). */
+  def deltasOnDisk(spark: SparkSession, base: String, prefix: String,
+      v: Long): Long = {
+    val re = ("^" + java.util.regex.Pattern.quote(prefix) +
+      "_v" + v + "_delta_(\\d+)$").r
+    Fs.list(spark, base).collect { case re(k) => k.toLong }
+      .foldLeft(0L)(math.max)
+  }
+
   /** Read the snapshot behind `pointer`; `what` names it in the error. */
   def load(spark: SparkSession, base: String, prefix: String,
       pointer: String, what: String): DataFrame =

@@ -142,6 +142,47 @@ class CorpusStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("retainGenerations versions the dataset: documentsAsOf reproduces " +
+      "retained corpus versions, trainingDocsAsOf + manifestAsOf a prior " +
+      "training generation, and the window slides on both chains") {
+    val store = CorpusStore.openOrCreate(spark,
+      graft.util.Fs.tempDirDeletedOnExit("graft-corpus-asof"),
+      retainGenerations = 1)
+    def state(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSet
+    store.putDocuments(docs) // docs_v0
+    store.appendDocuments(docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" A")))
+      .select(docs.columns.map(col).toIndexedSeq: _*)) // v0_delta_1
+    val v0end = state(store.documents)
+    store.putDocuments(docs.filter(col("doc_id") < 100)) // docs_v1
+    assert(store.docVersions() === Seq(0L, 1L))
+    // v0 reads AT ITS END — the delta it accumulated is included
+    assert(state(store.documentsAsOf(0L)) === v0end)
+    store.putDocuments(docs) // docs_v2: window slides, v0 + delta die
+    assert(store.docVersions() === Seq(1L, 2L))
+    assert(!graft.util.Fs.exists(spark, s"${store.path}/docs_v0_delta_1"))
+    val err = intercept[IllegalArgumentException](store.documentsAsOf(0L))
+    assert(err.getMessage.contains("not retained"))
+    // training generations: the superseded mix stays reproducible and
+    // its manifest still links to the docs version it was built from
+    store.assemble(AssemblyParams(seqTokens = 128)) // train_g0
+    val g0docs = store.trainingDocs.count()
+    val g0seqs = store.trainingSequences.count()
+    store.assemble(AssemblyParams(seqTokens = 128, minQuality = 0.62))
+    assert(store.trainGenerations() === Seq(0L, 1L))
+    assert(store.trainingDocsAsOf(0L).count() === g0docs)
+    assert(store.trainingSequencesAsOf(0L).count() === g0seqs)
+    assert(store.manifestAsOf(0L).contains("\"docs_version\": 2"))
+    assert(store.trainingDocsAsOf(1L).count()
+      === store.trainingDocs.count())
+    store.assemble(AssemblyParams(seqTokens = 128)) // train_g2: g0 dies
+    assert(store.trainGenerations() === Seq(1L, 2L))
+    intercept[IllegalArgumentException](store.manifestAsOf(0L))
+    store.delete()
+  }
+
   test("assembly stages match the loose operators they wrap " +
       "(cap + resample + split on the cleaned corpus)") {
     import graft.operators._

@@ -165,6 +165,11 @@ class FilteredSearchSpec extends SparkSpec {
     // an unescalated single cell holds ~5 matching rows
     assert(got.groupBy("query_id").count()
       .filter(col("count") =!= 10).count() === 0L)
+    // with the shortlist ALSO escalated (capped at the filtered count),
+    // the re-rank covers the whole 50-row subset: the facade's filtered
+    // PQ serve is EXACT over the filter here, not merely k-filling
+    assert(pairs(got) ===
+      pairs(store.searchWhere(queriesDf, k = 10, p10, strengthSetting = 0)))
     store.delete()
   }
 

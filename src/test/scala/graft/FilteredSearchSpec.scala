@@ -319,6 +319,38 @@ class FilteredSearchSpec extends SparkSpec {
         "did not engage")
   }
 
+  test("the DISPATCHER's no-artifact LSH arm escalates probeBuckets under " +
+      "a correlated filter: k ranks filled, results inside the filter") {
+    def clustered(ids: Range, axis: Int): DataFrame =
+      ids.map { i =>
+        val v = Array.fill(16)(0.05f * ((i * 7 + axis) % 5 - 2))
+        v(axis) = 1.0f
+        (i.toLong, v.toSeq)
+      }.toDF("id", "vector")
+    val nodes = clustered(0 until 200, 0)
+      .unionByName(clustered(200 until 400, 1)).localCheckpoint()
+    val queries = clustered(0 until 3, 0)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    // filter = a 40-row slice of cluster B: selectivity 1/10 escalates
+    // the occupied-bucket probe to 10 per band — enough to cover the
+    // slice's buckets; skewCutoff = 1.0 pins the UseLsh arm (this
+    // fixture is deliberately hot-bucketed, which would otherwise
+    // dispatch to IVF), exactCutoff = 10 keeps the 40 rows above it
+    val fB = nodes.filter(col("id") >= 200L && col("id") < 240L)
+      .select(col("id"))
+    val p = IndexParams(dim = 16, bucketBits = 4, nBands = 4)
+    val (strat, res) = AdaptiveSearch.search(nodes, queries, k = 5,
+      minSim = -2.0, p, exactCutoff = 10, skewCutoff = 1.0,
+      idFilter = Some(fB))
+    assert(strat === AdaptiveSearch.UseLsh)
+    assert(res.filter(col("id") < 200L || col("id") >= 240L)
+      .count() === 0L)
+    assert(res.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L,
+      "a query returned < k rows — the dispatcher's LSH arm did not " +
+        "escalate probeBuckets")
+  }
+
   test("CORRELATED predicate on the EUCLIDEAN p-stable arm: occupied-cell " +
       "multi-probe ranks by L1 cell distance and at full escalation " +
       "EQUALS exact filtered top-k") {

@@ -286,6 +286,23 @@ class VectorStore private (
       AnnSearch.escalatedProbes(nProbe, filteredCount(p), liveCount, cells)
   }
 
+  /** Search a RETAINED generation ([[nodesAsOf]]) — answer "what would
+    * this query have returned before yesterday's batch?" with full
+    * snapshot isolation. Served EXACT over the historical table: index
+    * generations (graph, PQ/SQ/BQ) deliberately do NOT retain — they are
+    * rebuildable serving artifacts, and retaining every tier would
+    * multiply the disk window by the index footprint for a read that is
+    * rare by nature. An as-of read at 100 TB is a batch audit job, where
+    * the exact scan is the honest cost; latency-critical history needs a
+    * store opened on a copied snapshot. */
+  def searchAsOf(queries: DataFrame, k: Int, version: Long,
+      strengthSetting: Double = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    KnnSearch.knnExact(nodesAsOf(version).filter(!col("deleted")),
+      queries, k, KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
   /** One-vector convenience search returning (id, score) rows. */
   def search(vector: Seq[Float], k: Int, strengthSetting: Double): DataFrame = {
     import spark.implicits._

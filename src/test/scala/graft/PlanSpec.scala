@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpec {
       l.contains("cosine_sim") && l.contains("*(")), p)
   }
 
+  test("a29: multi-probe bucket ranking broadcasts the tiny occupancy " +
+      "table; candidates stay bucketed equi-joins, never all-pairs") {
+    val p = plan("a29_lsh_multiprobe")
+    // probes (Q x nBands x probeBuckets) and occ (<= bands x 2^bits)
+    // both sit under the broadcast gate; the node-side candidate join
+    // keys on the bucket string exactly like the single-probe arm
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("v01 executes with zero codegen compile failures") {
     // CodegenFallback-style silent degradation would still pass result
     // checks — catch it by scanning for the kernel inside a codegen stage.

@@ -716,6 +716,31 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("searchAsOf answers a query against a retained generation: the " +
+      "historical top-k sees neither later upserts nor later tombstones") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-asofq").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2),
+      retainBases = 2)
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 10L).map(i => (i, vec(i))).toDF("id", "vector"))
+    val qv = Seq((0L, vec(3L)))
+      .toDF("query_id", "query_vec")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy(col("rn")).select(col("id")).as[Long].collect().toSeq
+    val then_ = ids(store.search(qv, k = 3, strengthSetting = 0))
+    store.remove(3L) // v1: tombstone the query's own nearest
+    store.addBatch(Seq((99L, vec(3L))).toDF("id", "vector")) // v2: new rank-1
+    val now = ids(store.search(qv, k = 3, strengthSetting = 0))
+    assert(now.contains(99L) && !now.contains(3L))
+    val past = ids(store.searchAsOf(qv, k = 3, version = 0L,
+      strengthSetting = 0))
+    assert(past === then_, "the as-of search must reproduce the v0 answer")
+    assert(past.contains(3L) && !past.contains(99L))
+    store.delete()
+  }
+
   test("nodesAsOf reads a superseded generation at its END — streamed " +
       "deltas included — and the streamed fold prunes by the window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -41,6 +41,34 @@ object FlagshipProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // `preassign` mode: the semantic pre-assign phase in isolation, flat
+    // n×k vs two-level ~2n√k ([[operators.IvfIndex.assignHierarchical]]),
+    // plus cell agreement — the measured basis for the flagship's
+    // hierarchical pre-assign at large n (the 6 M rung's n^1.5 term).
+    if (args.length > 1 && args(1) == "preassign") {
+      val semK = math.max(64, math.sqrt(n.toDouble).toInt)
+      val emb = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(31)),
+            j => ((pmod(hash(col("id"), j), lit(1000)).cast("float") /
+              lit(1000.0f)) + lit(0.05f)).cast("float")).as("vector"))
+        .localCheckpoint()
+      emb.count()
+      val cb = graft.operators.IvfIndex.sampleCodebook(emb, semK)
+        .localCheckpoint()
+      def run(f: => org.apache.spark.sql.DataFrame) = timed {
+        f.select(col("id"), col("cell")).localCheckpoint()
+      }
+      val (flat, tFlat) = run(graft.operators.IvfIndex.assign(emb, cb))
+      val (hier, tHier) = run(
+        graft.operators.IvfIndex.assignHierarchical(emb, cb))
+      val agree = flat.join(hier, Seq("id", "cell"), "left_semi").count()
+        .toDouble / n
+      println(s"""{"mode":"preassign","n":$n,"k":$semK,""" +
+        s""""flat_sec":$tFlat,"hier_sec":$tHier,"agreement":$agree}""")
+      spark.stop()
+      return
+    }
+
     // ---- phase 0: raw corpus + assembly side inputs -------------------
     val docs = TextScaleProbe.syntheticDocs(spark, n, salt = 4)
       .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
@@ -62,12 +90,16 @@ object FlagshipProbe {
     val (_, tPut) = timed { corpus.putDocuments(docs) }
     val semK = math.max(64, math.sqrt(n.toDouble).toInt)
     // pre-assigned semantic cells: the persisted-IVF-artifact lever
-    // (TextScaleProbe `sempre` — measured 90.5 → 66.0 s at 1 M)
+    // (TextScaleProbe `sempre` — measured 90.5 → 66.0 s at 1 M). Past
+    // k = 256 the flat n×k scan is an n^1.5 term (833.9 s at 6 M) —
+    // two-level assignment is the measured fix (22.7 s; see the
+    // `preassign` mode + SCALING.md 6 M rung).
     val (semPre, tPreAssign) = timed {
-      val cb = graft.operators.IvfIndex.sampleCodebook(
-        semEmb.select(col("doc_id").as("id"), col("vector")), semK)
-      val asg = graft.operators.IvfIndex.assign(
-          semEmb.select(col("doc_id").as("id"), col("vector")), cb)
+      val embIds = semEmb.select(col("doc_id").as("id"), col("vector"))
+      val cb = graft.operators.IvfIndex.sampleCodebook(embIds, semK)
+      val asg = (if (semK > 256)
+          graft.operators.IvfIndex.assignHierarchical(embIds, cb)
+        else graft.operators.IvfIndex.assign(embIds, cb))
         .select(col("id"), col("cell")).localCheckpoint()
       asg.count(); asg
     }

@@ -147,6 +147,50 @@ object IvfIndex {
       .select((Seq("id") ++ payload ++ Seq("cell")).map(col).toIndexedSeq: _*)
   }
 
+  /** Two-level nearest-centroid assignment — [[assign]]'s scale fix for
+    * LARGE codebooks (the k = √n semantic pre-assign regime, where the
+    * flat scan's n×k candidate volume is an n^1.5 term: the 6 M-doc
+    * flagship measured it at 833.9 s vs 86.3 s at 3 M — SCALING.md).
+    * Level 1 picks the nearest of ~√k SUPER-cells (a deterministic
+    * sample of the fine centroids, n×√k candidates); level 2 argmaxes
+    * over only that super-cell's fine centroids (n × k/√k expected) —
+    * total ~2·n·√k. APPROXIMATE by design: a node whose true nearest
+    * fine centroid lives in a neighboring super-cell assigns to the
+    * best within its own (fine for cell-BLOCKING consumers — semantic
+    * dedup pre-assigns, probe seeding — and the standard two-level
+    * coarse-quantizer shape). Deterministic end-to-end: both levels
+    * reuse [[assign]]'s (sim, −cell) tiebreak, and `superK = k`
+    * degenerates to EXACTLY the flat assignment (spec-pinned). Output
+    * contract identical to [[assign]]. */
+  def assignHierarchical(nodes: DataFrame, centroids: DataFrame,
+      superK: Int = 0): DataFrame = {
+    val kCnt = centroids.count()
+    val sk = math.min(kCnt,
+      if (superK > 0) superK.toLong
+      else math.max(4L, math.ceil(math.sqrt(kCnt.toDouble)).toLong)).toInt
+    val asNodes = centroids
+      .select(col("cell").as("id"), col("centroid").as("vector"))
+    val superCb = sampleCodebook(asNodes, sk)
+    // fine centroid → super cell: k×√k, broadcast-tiny. A sampled fine
+    // centroid always lands in its own super-cell (self-similarity 1),
+    // so every reachable super-cell contains ≥ 1 fine centroid.
+    val fineTagged = centroids.join(
+      broadcast(assign(asNodes, superCb)
+        .select(col("id").as("cell"), col("cell").as("__sc"))
+        .select(col("cell"), col("__sc").as("scell"))),
+      Seq("cell"))
+    val payload = nodes.columns.filterNot(_ == "id")
+    val nodesS = assign(nodes, superCb).withColumnRenamed("cell", "scell")
+    val scored = nodesS.join(broadcast(fineTagged), Seq("scell"))
+      .withColumn("__key", struct(
+        VectorFunctions.cosineSim(col("vector"), col("centroid")).as("sim"),
+        (lit(0) - col("cell")).as("negcell")))
+    scored.groupBy(col("id"))
+      .agg(expr("max_by(cell, __key)").as("cell"),
+        payload.map(c => first(col(c)).as(c)).toIndexedSeq: _*)
+      .select((Seq("id") ++ payload ++ Seq("cell")).map(col).toIndexedSeq: _*)
+  }
+
   /** Lloyd's k-means on the vector column; returns (cell, centroid).
     * Tombstoned rows don't participate. */
   def train(nodes: DataFrame, k: Int, iters: Int): DataFrame = {

@@ -732,7 +732,12 @@ object TextDedup {
     // persisted build-time assignment skips the O(n × k) argmax
     // entirely — the scale lever past ~1 M vectors, where assignment
     // (not the per-cell pair scan) dominates at the k-grows-with-n
-    // contract. Without one, the in-line assignment is checkpointed:
+    // contract. Past k ≈ 256 compute the passed-in assignment with
+    // [[IvfIndex.assignHierarchical]] (~2n√k vs the flat n×k n^1.5
+    // term — 310.4 → 22.7 s at 6 M × 2449, SCALING.md 6 M rung);
+    // blocking semantics are what this operator consumes, and the
+    // two-level path preserves them. Without one, the in-line
+    // assignment is checkpointed:
     // it feeds FOUR consumers (size/salt table, both pair self-join
     // sides, keep attach) and Catalyst would re-execute the argmax per
     // consumer (measured 4× the stage cost inside assemble()).

@@ -50,6 +50,28 @@ class IvfFeaturizerSpec extends SparkSpec {
     assert(recall > 0.6, s"IVF recall@10 = $recall")
   }
 
+  test("assignHierarchical: superK = k degenerates to EXACTLY the flat " +
+      "assignment; the default two-level path keeps the blocking property") {
+    val centroids = IvfIndex.sampleCodebook(nodesDf, k = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      df.select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    val flat = pairs(IvfIndex.assign(nodesDf, centroids))
+    // exactness at full super-resolution: every super-cell holds exactly
+    // its own fine centroid, so level 2 is the identity refinement
+    assert(pairs(IvfIndex.assignHierarchical(nodesDf, centroids,
+      superK = 16)) === flat)
+    // default ~√k super-cells: every node lands in exactly one VALID
+    // cell, deterministically across runs; agreement with flat assign is
+    // approximate by design but must stay majority on this fixture
+    val h1 = pairs(IvfIndex.assignHierarchical(nodesDf, centroids))
+    val h2 = pairs(IvfIndex.assignHierarchical(nodesDf, centroids))
+    assert(h1 === h2)
+    assert(h1.size === flat.size) // one cell per node
+    assert(h1.map(_._2).subsetOf(flat.map(_._2) ++ (0 until 16)))
+    val agree = h1.intersect(flat).size.toDouble / flat.size
+    assert(agree > 0.5, s"two-level agreement collapsed: $agree")
+  }
+
   test("ordered Lloyd step matches a parallel mean of the same assignment") {
     // the order-forced fold must compute the same mathematical mean as a
     // plain parallel avg over the identical assignment (≤ float-sum ulps)

@@ -297,6 +297,21 @@ object AnnQueries {
         .reduce(_ unionByName _)
     }),
 
+    // TWO-LEVEL coarse assignment (the k = √n pre-assign's n^1.5 fix,
+    // SCALING.md 6 M rung) — hash-checked end-to-end: the oracle
+    // re-derives the super codebook (a deterministic sample of the fine
+    // centroids), the fine→super map, each node's super-cell and the
+    // final within-super argmax, all with the shared (sim, lowest-cell)
+    // tiebreak. A level-mixing or tiebreak regression fails the hash.
+    "a32_hier_assign" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val cb = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 16)
+      graft.operators.IvfIndex.assignHierarchical(nodesDf, cb, superK = 4)
+        .select(col("id"), col("cell"))
+    }),
+
     // Index build structural summary: edge counts + node counts per level
     // (build runs once per process; see indexFor).
     "a02_index_build_stats" -> ((s, d) => {
@@ -1442,6 +1457,40 @@ object AnnQueries {
         |SELECT version, id, deleted,
         |  floor(x * 1000000.0 + 0.5) / 1000000.0 AS vh
         |FROM gens""".stripMargin,
+    // super = the first 4 fine centroids (sampleCodebook over the
+    // centroid table keeps cell numbering); both argmax levels order by
+    // (cosine DESC, cell ASC) — the max_by((sim, -cell)) tiebreak.
+    "a32_hier_assign" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |sup AS (SELECT cell AS scell, cv AS sv FROM cb WHERE cell < 4),
+        |f2s AS (
+        |  SELECT cell, scell FROM (
+        |    SELECT c.cell, s.scell,
+        |      row_number() OVER (PARTITION BY c.cell
+        |        ORDER BY list_cosine_similarity(c.cv, s.sv) DESC, s.scell)
+        |        AS rn
+        |    FROM cb c CROSS JOIN sup s) WHERE rn = 1),
+        |ds AS (
+        |  SELECT id, scell FROM (
+        |    SELECT n.id, s.scell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, s.sv) DESC, s.scell)
+        |        AS rn
+        |    FROM nodes n CROSS JOIN sup s) WHERE rn = 1)
+        |SELECT id, cell FROM (
+        |  SELECT n.id, c.cell,
+        |    row_number() OVER (PARTITION BY n.id
+        |      ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell)
+        |      AS rn
+        |  FROM nodes n
+        |  JOIN ds ON ds.id = n.id
+        |  JOIN f2s ON f2s.scell = ds.scell
+        |  JOIN cb c ON c.cell = f2s.cell) WHERE rn = 1""".stripMargin,
     "a09_adaptive_search" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -157,6 +157,21 @@ class CorpusStore private (val spark: SparkSession, val path: String,
   /** Docs versions still readable, oldest first (the current one last). */
   def docVersions(): Seq[Long] = Snapshots.versions(spark, path, "docs")
 
+  /** BRANCH a retained docs version into a NEW corpus store at
+    * `destPath` (the [[graft.VectorStore.branchAsOf]] shape): the
+    * historical corpus materializes as the branch's docs_v0, after which
+    * the branch assembles / ingests / versions independently —
+    * reproduce last month's corpus, re-assemble it under new knobs, and
+    * diff the manifests. One O(corpus) parquet write. */
+  def branchAsOf(version: Long, destPath: String): CorpusStore = {
+    val dest = CorpusStore.openOrCreate(spark, destPath, compactEvery,
+      retainGenerations)
+    require(Snapshots.currentWithDeltas(spark, destPath, "DOCS").isEmpty,
+      s"destination $destPath already holds a corpus")
+    dest.putDocuments(documentsAsOf(version))
+    dest
+  }
+
   private def documentsAt(v: Long, k: Long): DataFrame = {
     val base = spark.read.parquet(Snapshots.versionPath(path, "docs", v))
     if (k == 0L) base

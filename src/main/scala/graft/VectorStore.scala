@@ -303,6 +303,23 @@ class VectorStore private (
       queries, k, KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
 
+  /** BRANCH a retained generation into a NEW store at `destPath`: the
+    * historical table materializes as the branch's v0, after which the
+    * branch lives its own life (mutations, index builds, retention) with
+    * no tie to this store — the "latency-critical history" answer
+    * [[searchAsOf]]'s scaladoc points at: build indexes on the branch
+    * and serve it like any store. One O(table) parquet write; the
+    * branch starts with this store's params and `retainBases`. */
+  def branchAsOf(version: Long, destPath: String): VectorStore = {
+    val dest = VectorStore.openOrCreate(spark, destPath, params,
+      retainBases)
+    require(Snapshots.currentWithDeltas(spark, destPath, "CURRENT").isEmpty,
+      s"destination $destPath already holds a store")
+    nodesAsOf(version).write.mode("overwrite").parquet(s"$destPath/v0")
+    graft.util.Fs.writeStringAtomic(spark, s"$destPath/CURRENT", "0")
+    dest
+  }
+
   /** One-vector convenience search returning (id, score) rows. */
   def search(vector: Seq[Float], k: Int, strengthSetting: Double): DataFrame = {
     import spark.implicits._

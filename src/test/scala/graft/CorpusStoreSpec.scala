@@ -180,6 +180,15 @@ class CorpusStoreSpec extends SparkSpec {
     store.assemble(AssemblyParams(seqTokens = 128)) // train_g2: g0 dies
     assert(store.trainGenerations() === Seq(1L, 2L))
     intercept[IllegalArgumentException](store.manifestAsOf(0L))
+    // branch a retained docs version into an independent corpus: the
+    // branch serves the historical docs and re-assembles on its own
+    val branch = store.branchAsOf(1L,
+      graft.util.Fs.tempDirDeletedOnExit("graft-corpus-branch"))
+    assert(branch.documents.count() === store.documentsAsOf(1L).count())
+    branch.assemble(AssemblyParams(seqTokens = 128))
+    assert(branch.trainGenerations() === Seq(0L))
+    intercept[IllegalArgumentException](store.branchAsOf(1L, branch.path))
+    branch.delete()
     store.delete()
   }
 

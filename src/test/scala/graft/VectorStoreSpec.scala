@@ -716,6 +716,34 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("branchAsOf materializes a retained generation as an independent " +
+      "store: the branch serves the historical state and diverges freely") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-branch").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2),
+      retainBases = 1)
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    def state(df: org.apache.spark.sql.DataFrame): Set[(Long, Boolean)] =
+      df.select(col("id"), col("deleted")).as[(Long, Boolean)]
+        .collect().toSet
+    store.addBatch((0L until 10L).map(i => (i, vec(i))).toDF("id", "vector"))
+    val s0 = state(store.nodes)
+    store.remove(3L) // v1
+    val branch = store.branchAsOf(0L,
+      java.nio.file.Files.createTempDirectory("graft-branch-dst").toString)
+    assert(state(branch.nodes) === s0, "the branch must serve v0's state")
+    // divergence: mutate the branch, the source is untouched (and vice
+    // versa); re-branching onto a non-empty destination refuses
+    branch.addBatch(Seq((50L, vec(50L))).toDF("id", "vector"))
+    assert(state(branch.nodes).size === s0.size + 1)
+    assert(state(store.nodes) ===
+      s0.map { case (i, d) => (i, d || i == 3L) })
+    intercept[IllegalArgumentException](
+      store.branchAsOf(0L, branch.path))
+    branch.delete(); store.delete()
+  }
+
   test("searchAsOf answers a query against a retained generation: the " +
       "historical top-k sees neither later upserts nor later tombstones") {
     val store = VectorStore.openOrCreate(spark,

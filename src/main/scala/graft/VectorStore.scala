@@ -601,8 +601,15 @@ class VectorStore private (
     val (n, _, p) = loadIndexOverlay()
     val pb = predicate match {
       case None => 1
-      case Some(pr) => AnnSearch.escalatedProbes(1, filteredCount(pr),
-        liveCount, 1L << p.bucketBits)
+      case Some(pr) =>
+        // cap = the occupancy bound: sign-bit bands have ≤ 2^bits
+        // buckets; p-stable integer cells are unbounded, so the bound is
+        // the filtered members themselves (over-escalation is harmless —
+        // the rank window stops at the buckets that exist)
+        val f = filteredCount(pr)
+        val cap = if (p.metric == "euclidean") math.max(1L, f)
+          else 1L << p.bucketBits
+        AnnSearch.escalatedProbes(1, f, liveCount, cap)
     }
     AnnSearch.searchLsh(n, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p,

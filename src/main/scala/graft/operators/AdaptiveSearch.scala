@@ -195,10 +195,14 @@ object AdaptiveSearch {
           case _ =>
             // the no-index arm's selectivity lever: occupied-bucket
             // multi-probe (see [[AnnSearch.searchLshKeyed]]) — the same
-            // escalation rule, cells = 2^bits buckets per band
+            // escalation rule; the cap is the occupancy bound (2^bits
+            // sign-bit buckets per band; p-stable integer cells are
+            // unbounded, so the filtered members themselves bound it)
             (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params,
               idFilter = idFilter,
-              probeBuckets = escalated(1, 1L << params.bucketBits)))
+              probeBuckets = escalated(1,
+                if (params.metric == "euclidean") math.max(1L, n)
+                else 1L << params.bucketBits)))
         }
       case UseIvf =>
         val cells = math.min(ivfCells, math.max(16, math.sqrt(n.toDouble).toInt))

@@ -383,5 +383,20 @@ class FilteredSearchSpec extends SparkSpec {
     assert(starved.count() < escalated.count(),
       "the exact-cell join should starve under the cluster-aligned " +
         "filter — if it ever stops starving, tighten the fixture")
+    // the dispatcher's euclidean LSH arm escalates with the
+    // filtered-count cap (p-stable integer cells are unbounded — 2^bits
+    // is the wrong occupancy bound for this family)
+    val fSlice = nodes.filter(col("id") >= 200L && col("id") < 240L)
+      .select(col("id"))
+    val (strat, res) = AdaptiveSearch.search(nodes, queries, k = 5,
+      minSim = -2.0, p, exactCutoff = 10, skewCutoff = 1.0,
+      idFilter = Some(fSlice))
+    assert(strat === AdaptiveSearch.UseLsh)
+    assert(res.filter(col("id") < 200L || col("id") >= 240L)
+      .count() === 0L)
+    assert(res.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L,
+      "a euclidean query returned < k rows — the dispatcher's LSH arm " +
+        "did not escalate probeBuckets for the p-stable family")
   }
 }

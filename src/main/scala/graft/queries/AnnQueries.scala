@@ -119,9 +119,31 @@ object AnnQueries {
     * production read pattern (state is the persisted snapshot chain). */
   private val facadeStorePaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  /** a31's retained-generation store, one lifecycle per data dir. */
+  /** a31/a33's retained-generation store, one lifecycle per data dir:
+    * v0 = full load, v1 = negating upsert of id % 5 == 0, v2 = tombstone
+    * pass over id % 7 == 3; opened with `retainBases = 2` so every
+    * generation stays readable. */
   private val asofStorePaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private def asofStore(s: SparkSession, d: String): graft.VectorStore = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val path = asofStorePaths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-asof-facade")
+      val nodesDf = VectorQueries.asVectorTable(Tables.embeddings(s, d))
+      val store = graft.VectorStore.openOrCreate(s, p,
+        IndexParams(dim = 64), retainBases = 2)
+      store.addBatch(nodesDf.select(col("id"), col("vector")))
+      store.addBatch(nodesDf.filter(col("id") % 5 === 0)
+        .select(col("id"),
+          transform(col("vector"), x => -x).as("vector")))
+      store.removeMultiple(nodesDf.filter(col("id") % 7 === 3)
+        .select(col("id")).as[Long].collect().toSeq)
+      p
+    })
+    graft.VectorStore.openOrCreate(s, path, IndexParams(dim = 64),
+      retainBases = 2)
+  }
   private def facadeAppendStore(s: SparkSession, d: String)
       : graft.VectorStore = {
     val path = facadeStorePaths.getOrElseUpdate(d, {
@@ -274,27 +296,28 @@ object AnnQueries {
     // so a retention bug that serves the wrong generation (or loses
     // tombstones/payloads across the window) fails the hash.
     "a31_time_travel" -> ((s, d) => {
-      VectorFunctions.register(s)
-      import s.implicits._
-      val path = asofStorePaths.getOrElseUpdate(d, {
-        val p = graft.util.Fs.tempDirDeletedOnExit("graft-asof-facade")
-        val nodesDf = VectorQueries.asVectorTable(Tables.embeddings(s, d))
-        val store = graft.VectorStore.openOrCreate(s, p,
-          IndexParams(dim = 64), retainBases = 2)
-        store.addBatch(nodesDf.select(col("id"), col("vector")))
-        store.addBatch(nodesDf.filter(col("id") % 5 === 0)
-          .select(col("id"),
-            transform(col("vector"), x => -x).as("vector")))
-        store.removeMultiple(nodesDf.filter(col("id") % 7 === 3)
-          .select(col("id")).as[Long].collect().toSeq)
-        p
-      })
-      val store = graft.VectorStore.openOrCreate(s, path,
-        IndexParams(dim = 64), retainBases = 2)
+      val store = asofStore(s, d)
       Seq(0L, 1L, 2L).map(v =>
         store.nodesAsOf(v).select(lit(v).as("version"), col("id"),
           col("deleted"), q6(col("vector").getItem(0)).as("vh")))
         .reduce(_ unionByName _)
+    }),
+
+    // TIME-TRAVEL SEARCH end-to-end: the same retained lifecycle served
+    // through [[graft.VectorStore.searchAsOf]] — generation 0's top-k
+    // (pristine table) and the current generation's (negated upserts,
+    // tombstones excluded) in one output. Hash-checked: the oracle
+    // re-derives BOTH exact rankings from the raw table, so a retention
+    // bug serving the wrong generation, leaking tombstones into history,
+    // or losing the historical vectors fails the hash.
+    "a33_search_asof" -> ((s, d) => {
+      val store = asofStore(s, d)
+      val q = VectorQueries.querySet(Tables.embeddings(s, d))
+      def arm(v: Long) =
+        store.searchAsOf(q, k = 10, version = v, strengthSetting = -200)
+          .select(lit(v).as("version"), col("query_id"), col("id"),
+            col("rn"))
+      arm(0L).unionByName(arm(2L))
     }),
 
     // TWO-LEVEL coarse assignment (the k = √n pre-assign's n^1.5 fix,
@@ -1457,6 +1480,34 @@ object AnnQueries {
         |SELECT version, id, deleted,
         |  floor(x * 1000000.0 + 0.5) / 1000000.0 AS vh
         |FROM gens""".stripMargin,
+    // Both exact rankings derive from the raw table: version 0 = the
+    // pristine load; version 2 = negated id%5==0 vectors with id%7==3
+    // tombstoned OUT of the candidates (searchAsOf filters deleted).
+    "a33_search_asof" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |v0 AS (SELECT id, v FROM nodes),
+        |v2 AS (
+        |  SELECT id, CASE WHEN id % 5 = 0
+        |                  THEN list_transform(v, x -> -x) ELSE v END AS v
+        |  FROM nodes WHERE id % 7 <> 3),
+        |u AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, q.query_id, n.id,
+        |    list_cosine_similarity(n.v, q.qv) AS score
+        |  FROM v0 n CROSS JOIN q
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), q.query_id, n.id,
+        |    list_cosine_similarity(n.v, q.qv)
+        |  FROM v2 n CROSS JOIN q)
+        |SELECT version, query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT version, query_id, id,
+        |    row_number() OVER (PARTITION BY version, query_id
+        |                       ORDER BY score DESC, id) AS rn
+        |  FROM u WHERE score > -2.0)
+        |WHERE rn <= 10""".stripMargin,
     // super = the first 4 fine centroids (sampleCodebook over the
     // centroid table keeps cell numbering); both argmax levels order by
     // (cosine DESC, cell ASC) — the max_by((sim, -cell)) tiebreak.

@@ -60,10 +60,14 @@ class CorpusStore private (val spark: SparkSession, val path: String,
   def putDocuments(docs: DataFrame): Unit = {
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       s"documents need (doc_id, text); got ${docs.columns.mkString(",")}")
+    val old = Snapshots.current(spark, path, "DOCS")
     val v = Snapshots.persist(spark, path, "docs", "DOCS", docs)
     // dereferenced-beyond-the-window dirs die; best-effort cleanup (a
-    // crash here leaks a directory, never correctness)
-    Snapshots.pruneOlderThan(spark, path, "docs", v - retainGenerations)
+    // crash here leaks a directory, never correctness). The generation
+    // the pointer just moved off is GRACED one flip cycle so lazy
+    // readers of the old pointer don't fail mid-job.
+    Snapshots.pruneOlderThan(spark, path, "docs", v - retainGenerations,
+      grace = old.getOrElse(Long.MinValue))
   }
 
   /** Append a batch (ingest shape): rows whose doc_id already exists are
@@ -145,17 +149,26 @@ class CorpusStore private (val spark: SparkSession, val path: String,
           s"retainGenerations = $retainGenerations)")
     // the CURRENT version's delta count comes from the pointer (an
     // append that crashed before its flip can leave an orphan delta dir
-    // the pointer never committed); superseded versions read the dirs —
-    // their pointer tokens are gone and the dirs are the record
+    // the pointer never committed); superseded versions read their
+    // SEALED token — the committed count recorded at supersede time —
+    // falling back to the dir listing only for pre-sealing stores
     val k = Snapshots.currentWithDeltas(spark, path, "DOCS") match {
       case Some((cv, ck)) if cv == version => ck
-      case _ => Snapshots.deltasOnDisk(spark, path, "docs", version)
+      case _ => Snapshots.sealedDeltas(spark, path, "docs", version)
+        .getOrElse(Snapshots.deltasOnDisk(spark, path, "docs", version))
     }
     documentsAt(version, k)
   }
 
-  /** Docs versions still readable, oldest first (the current one last). */
-  def docVersions(): Seq[Long] = Snapshots.versions(spark, path, "docs")
+  /** Docs versions still readable, oldest first (the current one last).
+    * Windowed to `retainGenerations` — a generation graced past the
+    * window for one flip cycle ([[putDocuments]]'s prune) is an
+    * implementation detail for in-flight readers, not advertised. */
+  def docVersions(): Seq[Long] = {
+    val cur = Snapshots.current(spark, path, "DOCS").getOrElse(Long.MaxValue)
+    Snapshots.versions(spark, path, "docs")
+      .filter(_ >= cur - retainGenerations)
+  }
 
   /** BRANCH a retained docs version into a NEW corpus store at
     * `destPath` (the [[graft.VectorStore.branchAsOf]] shape): the
@@ -392,9 +405,12 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     // correctness). Retained generations stay fully readable —
     // docs + sequences + the manifest that records which docs version
     // they were assembled from.
+    // the superseded generation is graced one flip cycle (same rule as
+    // the docs chain — lazy readers of the old pointer stay valid)
     val genRe = "^train_g(\\d+)$".r
     Fs.list(spark, path).foreach {
-      case name @ genRe(g) if g.toLong < gen - retainGenerations =>
+      case name @ genRe(g) if g.toLong < gen - retainGenerations &&
+          old.forall(_ != g.toLong) =>
         Fs.deleteRecursive(spark, s"$path/$name")
       case _ => ()
     }

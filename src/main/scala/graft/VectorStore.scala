@@ -97,6 +97,13 @@ class VectorStore private (
     val old = Snapshots.currentWithDeltas(spark, path, "CURRENT")
     val v = old.map(_._1).getOrElse(-1L) + 1
     next.write.mode("overwrite").parquet(s"$path/v$v")
+    // seal the superseded generation BEFORE the flip: its COMMITTED
+    // delta count (from the pointer, not the dir listing) is what
+    // [[nodesAsOf]] folds — a crash-orphaned delta dir the pointer never
+    // committed must not appear in historical reads
+    old.foreach { case (ov, ok) =>
+      graft.util.Fs.writeStringAtomic(spark, s"$path/v${ov}_SEALED",
+        ok.toString) }
     graft.util.Fs.writeStringAtomic(spark, s"$path/CURRENT", v.toString)
     // superseded generations beyond the retention window are
     // dereferenced now — prune them ([[flipIndexPointer]]'s rule applied
@@ -104,23 +111,34 @@ class VectorStore private (
     // full copy of every streamed batch plus a folded base per
     // compaction. Listing-driven (not just `old`) so lowering
     // `retainBases` on an existing store also reclaims older leftovers.
-    // The write above completes before the flip, so nothing inside the
-    // window still reads a pruned dir; best-effort — a crash here leaks
-    // a directory, never correctness.
-    val baseRe = "^v(\\d+)(_d\\d+)?$".r
+    // The generation the pointer just moved OFF is GRACED one flip cycle
+    // even at retainBases = 0: any lazy DataFrame resolved against the
+    // old pointer (or a concurrent reader process on the same path)
+    // stays valid through this flip instead of failing mid-job with
+    // FileNotFoundException; the graced dirs die on the NEXT flip.
+    // Best-effort — a crash here leaks a directory, never correctness.
+    val grace = old.map(_._1).getOrElse(Long.MinValue)
+    val baseRe = "^v(\\d+)(_d\\d+|_SEALED)?$".r
     graft.util.Fs.list(spark, path).foreach {
-      case name @ baseRe(g, _) if g.toLong < v - retainBases =>
+      case name @ baseRe(g, _) if g.toLong < v - retainBases &&
+          g.toLong != grace =>
         graft.util.Fs.deleteRecursive(spark, s"$path/$name")
       case _ => ()
     }
   }
 
   /** Retained node-table generations, oldest first — the versions
-    * [[nodesAsOf]] can serve (the current one last). */
+    * [[nodesAsOf]] serves by contract (the current one last). Windowed
+    * to `retainBases`: the generation graced one flip cycle by
+    * [[persist]]'s prune is an in-flight-reader courtesy, not an
+    * advertised snapshot. */
   def versions(): Seq[Long] = {
+    val cur = Snapshots.current(spark, path, "CURRENT")
+      .getOrElse(Long.MaxValue)
     val baseRe = "^v(\\d+)$".r
     graft.util.Fs.list(spark, path)
-      .collect { case baseRe(g) => g.toLong }.sorted
+      .collect { case baseRe(g) => g.toLong }
+      .filter(_ >= cur - retainBases).sorted
   }
 
   /** TIME-TRAVEL read: the node table as of the END of generation
@@ -135,10 +153,14 @@ class VectorStore private (
           s"${versions().mkString(", ")}; retainBases = $retainBases)")
     // the CURRENT generation's delta count comes from the pointer (a
     // crashed append can leave an orphan delta dir the pointer never
-    // committed); superseded generations read the dirs — their pointer
-    // tokens are gone and the dirs are the record
+    // committed); superseded generations read their SEALED token — the
+    // committed count recorded at supersede time — falling back to the
+    // dir listing only for stores written before sealing existed
     val k = Snapshots.currentWithDeltas(spark, path, "CURRENT") match {
       case Some((cv, ck)) if cv == version => ck
+      case _ if graft.util.Fs.exists(spark, s"$path/v${version}_SEALED") =>
+        graft.util.Fs.readString(spark, s"$path/v${version}_SEALED")
+          .trim.toLong
       case _ =>
         val dRe = ("^v" + version + "_d(\\d+)$").r
         graft.util.Fs.list(spark, path)
@@ -254,8 +276,22 @@ class VectorStore private (
   private[graft] def pointerStamp(pointer: String): String =
     Snapshots.currentWithDeltas(spark, path, pointer)
       .map { case (v, k) => s"$v $k" }.getOrElse("none")
+  /** Drop memo entries keyed by a superseded pointer stamp — a
+    * long-running serving process with continuous ingest would otherwise
+    * grow one dead entry per (stamp, predicate) forever. Keys are
+    * consistently (stamp, tag); live stamps are the two pointers' current
+    * ones. Returns the current CURRENT stamp. */
+  private def evictStaleMemos(): String = {
+    val cur = pointerStamp("CURRENT")
+    val pq = pointerStamp("PQINDEX")
+    countMemo.keys.foreach { case k @ (s, _) =>
+      if (s != cur && s != pq) { countMemo.remove(k); () } }
+    statsMemo.keys.foreach { k =>
+      if (k != cur) { statsMemo.remove(k); () } }
+    cur
+  }
   private def memoCount(tag: String, df: => DataFrame): Long =
-    countMemo.getOrElseUpdate((pointerStamp("CURRENT"), tag), df.count())
+    countMemo.getOrElseUpdate((evictStaleMemos(), tag), df.count())
   private def liveCount: Long =
     memoCount("__live", nodes.filter(!col("deleted")))
   private def filteredCount(p: Column): Long =
@@ -268,7 +304,7 @@ class VectorStore private (
   private val statsMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Double)]
   private def memoStats(): (Long, Double) =
-    statsMemo.getOrElseUpdate(pointerStamp("CURRENT"),
+    statsMemo.getOrElseUpdate(evictStaleMemos(),
       AdaptiveSearch.stats(nodes, params))
 
   /** Selectivity-escalated probe count for the seeded-graph arm: probe
@@ -281,8 +317,9 @@ class VectorStore private (
       centroids: DataFrame): Int = predicate match {
     case None => nProbe
     case Some(p) =>
+      // consistent (stamp, tag) key order with every other memo entry
       val cells = countMemo.getOrElseUpdate(
-        ("__cells", pointerStamp("PQINDEX")), centroids.count())
+        (pointerStamp("PQINDEX"), "__cells"), centroids.count())
       AnnSearch.escalatedProbes(nProbe, filteredCount(p), liveCount, cells)
   }
 
@@ -1467,14 +1504,35 @@ class VectorStore private (
         // compaction/drift cadence would shift. The marker records the
         // last APPLIED batch; it advances after the appends, so the
         // crash-window replay is skipped on restart.
+        //
+        // The marker is TIED to the checkpoint identity (Spark's own
+        // query id from `$ckpt/metadata`): a deleted/relocated checkpoint
+        // (or a second stream into the same store) restarts batchIds at 0,
+        // and an identity-less `applied >= batchId` comparison against
+        // the stale marker would silently drop every batch until the new
+        // ids exceeded it. A marker whose identity doesn't match the
+        // active checkpoint is ignored (worst case: ONE duplicated delta
+        // on the restart boundary — state stays correct by latest-wins).
+        // Legacy bare-long markers predate the identity and are ignored
+        // for the same reason.
+        val ckptId =
+          if (Fs.exists(spark, s"$ckpt/metadata"))
+            "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+              .findFirstMatchIn(Fs.readString(spark, s"$ckpt/metadata"))
+              .map(_.group(1)).getOrElse("none")
+          else "none"
         val applied =
           if (Fs.exists(spark, s"$path/_INGEST_BATCH"))
-            Some(Fs.readString(spark, s"$path/_INGEST_BATCH").trim.toLong)
+            Fs.readString(spark, s"$path/_INGEST_BATCH").trim
+              .split("\\s+") match {
+              case Array(id, b) if id == ckptId => Some(b.toLong)
+              case _ => None
+            }
           else None
         if (!batch.isEmpty && !applied.exists(_ >= batchId)) {
           ingestBatch(batch, config, onAppend)
           Fs.writeStringAtomic(spark, s"$path/_INGEST_BATCH",
-            batchId.toString)
+            s"$ckptId $batchId")
         }
         ()
       }

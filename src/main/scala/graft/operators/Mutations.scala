@@ -47,10 +47,12 @@ object Mutations {
       .foldLeft(d)((df, f) =>
         df.withColumn(f.name, lit(null).cast(f.dataType)))
     // secondary content-hash tie-break: several delta rows for one id with
-    // equal batch_seq would otherwise pick a partitioning-dependent winner
+    // equal batch_seq would otherwise pick a partitioning-dependent winner.
+    // Hash the UNIONED schema (curA), not the pre-union one — two tied
+    // delta rows may differ only in a delta-introduced payload column.
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("batch_seq").desc,
-        xxhash64(struct(current.columns.map(col).toIndexedSeq: _*)).desc)
+        xxhash64(struct(curA.columns.map(col).toIndexedSeq: _*)).desc)
     curA.unionByName(dA.select(curA.columns.map(col).toIndexedSeq: _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -49,11 +49,36 @@ object Snapshots {
     * callers that want aggressive cleanup use [[prune]] after the flip. */
   def persist(spark: SparkSession, base: String, prefix: String,
       pointer: String, df: DataFrame): Long = {
-    val v = current(spark, base, pointer).getOrElse(-1L) + 1
+    val old = currentWithDeltas(spark, base, pointer)
+    val v = old.map(_._1).getOrElse(-1L) + 1
     df.write.mode("overwrite").parquet(versionPath(base, prefix, v))
+    // seal the superseded generation BEFORE the flip: record its
+    // COMMITTED delta count so as-of reads never fold a crash-orphaned
+    // delta dir the pointer never referenced (the dir listing would)
+    old.foreach { case (ov, ok) => seal(spark, base, prefix, ov, ok) }
     Fs.writeStringAtomic(spark, s"$base/$pointer", v.toString)
     v
   }
+
+  def sealedPath(base: String, prefix: String, v: Long): String =
+    s"${versionPath(base, prefix, v)}_SEALED"
+
+  /** Record generation `v`'s committed delta count at supersede time —
+    * the authoritative bound for as-of overlays of superseded
+    * generations (a crashed append can leave an orphan delta dir the
+    * pointer never committed; the listing can't tell it apart). */
+  def seal(spark: SparkSession, base: String, prefix: String, v: Long,
+      k: Long): Unit =
+    Fs.writeStringAtomic(spark, sealedPath(base, prefix, v), k.toString)
+
+  /** The sealed delta count of superseded generation `v`, when its
+    * supersede was recorded (stores written before sealing existed fall
+    * back to [[deltasOnDisk]]). */
+  def sealedDeltas(spark: SparkSession, base: String, prefix: String,
+      v: Long): Option[Long] =
+    if (Fs.exists(spark, sealedPath(base, prefix, v)))
+      Some(Fs.readString(spark, sealedPath(base, prefix, v)).trim.toLong)
+    else None
 
   /** Write `df` as delta K+1 of the current base and flip the pointer to
     * `"N K+1"`. O(batch) I/O; requires an existing base. A crash between
@@ -97,16 +122,22 @@ object Snapshots {
   }
 
   /** Retention-window prune: delete every `{prefix}_v{g}` base and its
-    * `_delta_*` dirs with g < `keepFrom`. Listing-driven (not
-    * last-version-driven) so lowering a retention window on an existing
-    * store also reclaims older leftovers. Best-effort — call only after
-    * the pointer has moved past every pruned generation. */
+    * `_delta_*` dirs (and `_SEALED` token) with g < `keepFrom`.
+    * Listing-driven (not last-version-driven) so lowering a retention
+    * window on an existing store also reclaims older leftovers.
+    * Best-effort — call only after the pointer has moved past every
+    * pruned generation. `grace` names ONE generation to spare even when
+    * it falls outside the window: the caller passes the generation the
+    * pointer just moved OFF, so lazy DataFrames resolved against the old
+    * pointer (or a concurrent reader process) survive one flip cycle
+    * instead of failing mid-job with FileNotFoundException; the graced
+    * dirs die on the NEXT flip. */
   def pruneOlderThan(spark: SparkSession, base: String, prefix: String,
-      keepFrom: Long): Unit = {
+      keepFrom: Long, grace: Long = Long.MinValue): Unit = {
     val re = ("^" + java.util.regex.Pattern.quote(prefix) +
-      "_v(\\d+)(_delta_\\d+)?$").r
+      "_v(\\d+)(_delta_\\d+|_SEALED)?$").r
     Fs.list(spark, base).foreach {
-      case name @ re(g, _) if g.toLong < keepFrom =>
+      case name @ re(g, _) if g.toLong < keepFrom && g.toLong != grace =>
         Fs.deleteRecursive(spark, s"$base/$name")
       case _ => ()
     }

@@ -68,14 +68,23 @@ class CorpusStoreSpec extends SparkSpec {
     val reBatch = docs.filter(col("doc_id") === 12)
       .withColumn("text", lit("delta-two wins"))
     store.appendDocuments(reBatch) // 3rd append → auto-compaction
-    assert(dirs() === List("docs_v1"), "compaction must fold + prune")
+    // the folded-away generation is GRACED one flip cycle (lazy readers
+    // of the old pointer stay valid), with its committed delta count
+    // sealed; it dies on the NEXT flip — disk stays bounded at live +
+    // one graced generation
+    assert(dirs() === List("docs_v0", "docs_v0_SEALED", "docs_v0_delta_1",
+      "docs_v0_delta_2", "docs_v0_delta_3", "docs_v1"),
+      "compaction must fold; the superseded chain is graced one cycle")
     assert(store.documents.count() === 20)
     assert(store.documents.filter(col("doc_id") === 12)
       .select("text").as[String].head() === "delta-two wins")
-    // a put after the chain also prunes the old base
+    // the next put prunes past the graced generation
     store.putDocuments(docs.filter(col("doc_id") < 5))
-    assert(dirs() === List("docs_v2"))
+    assert(dirs() === List("docs_v1", "docs_v1_SEALED", "docs_v2"))
     assert(store.documents.count() === 5)
+    store.putDocuments(docs.filter(col("doc_id") < 3))
+    assert(dirs() === List("docs_v2", "docs_v2_SEALED", "docs_v3"))
+    assert(store.documents.count() === 3)
     store.delete()
   }
 
@@ -138,6 +147,11 @@ class CorpusStoreSpec extends SparkSpec {
     val n1 = store.trainingDocs.count()
     assert(n1 < n0, s"quality gate should bite: $n1 vs $n0")
     assert(graft.util.Fs.exists(spark, s"${store.path}/train_g1"))
+    // g0 is graced one flip cycle (lazy readers of the old pointer stay
+    // valid); the next re-assemble prunes it
+    assert(graft.util.Fs.exists(spark, s"${store.path}/train_g0"))
+    store.assemble(AssemblyParams(seqTokens = 128))
+    assert(graft.util.Fs.exists(spark, s"${store.path}/train_g2"))
     assert(!graft.util.Fs.exists(spark, s"${store.path}/train_g0"))
     store.delete()
   }

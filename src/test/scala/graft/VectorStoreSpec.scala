@@ -656,11 +656,14 @@ class VectorStoreSpec extends SparkSpec {
     store.addBatch((0L until 10L).map(i => (i, vec(i))).toDF("id", "vector"))
     assert(graft.util.Fs.exists(spark, store.path + "/v0"))
     store.addBatch(Seq((20L, vec(20L))).toDF("id", "vector"))
-    assert(!graft.util.Fs.exists(spark, store.path + "/v0"),
-      "superseded base v0 must be pruned after the flip")
+    // the just-superseded generation is GRACED one flip cycle (lazy
+    // readers of the old pointer stay valid); it dies on the NEXT flip
+    assert(graft.util.Fs.exists(spark, store.path + "/v0"),
+      "superseded base v0 is graced one flip cycle")
     assert(graft.util.Fs.exists(spark, store.path + "/v1"))
     // streamed chain: compactEvery = 1 folds every batch — the fold's
-    // persist must prune both the delta dir and the pre-fold base
+    // persist prunes everything beyond the graced generation, so disk is
+    // bounded at live + one graced generation
     val stream = MemoryStream[(Long, Seq[Float], String, Long)]
     val q = store.startIngest(
       stream.toDF().toDF("id", "vector", "op", "seq"),
@@ -671,9 +674,15 @@ class VectorStoreSpec extends SparkSpec {
     } finally q.stop()
     assert(graft.util.Fs.readString(spark, store.path + "/CURRENT")
       .trim === "2")
+    assert(!graft.util.Fs.exists(spark, store.path + "/v0"),
+      "v0 must be pruned at the flip AFTER its grace cycle")
+    assert(graft.util.Fs.exists(spark, store.path + "/v1")) // graced now
+    assert(graft.util.Fs.exists(spark, store.path + "/v1_d1"))
+    store.addBatch(Seq((22L, vec(22L))).toDF("id", "vector")) // → v3
     assert(!graft.util.Fs.exists(spark, store.path + "/v1"))
     assert(!graft.util.Fs.exists(spark, store.path + "/v1_d1"))
-    assert(store.count() === 12L) // 10 + 1 batch-path + 1 streamed
+    assert(!graft.util.Fs.exists(spark, store.path + "/v1_SEALED"))
+    assert(store.count() === 13L) // 10 + 2 batch-path + 1 streamed
     store.delete()
   }
 
@@ -861,8 +870,9 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
-  test("startIngest replay guard: a batchId at-or-below the applied " +
-      "marker is skipped; applied batches advance the marker") {
+  test("startIngest replay guard is tied to the checkpoint identity: a " +
+      "same-checkpoint crash-window replay is skipped; a marker from " +
+      "another checkpoint is ignored instead of silently dropping batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val store = VectorStore.openOrCreate(spark,
@@ -871,23 +881,51 @@ class VectorStoreSpec extends SparkSpec {
     def vec(i: Long): Seq[Float] =
       (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
     store.addBatch((0L until 5L).map(i => (i, vec(i))).toDF("id", "vector"))
-    // simulate a crash AFTER batch 0 applied but BEFORE the checkpoint
-    // commit: the marker says 0, so the stream's replayed batch 0 must
-    // be a no-op instead of growing duplicate chain deltas
-    graft.util.Fs.writeStringAtomic(spark, store.path + "/_INGEST_BATCH", "0")
+    val ckpt = store.path + "/_ingest_checkpoint"
     val stream = MemoryStream[(Long, Seq[Float], String, Long)]
     val q = store.startIngest(
       stream.toDF().toDF("id", "vector", "op", "seq"))
     try {
-      stream.addData((100L, vec(100L), "upsert", 1L)) // batchId 0: replay
-      q.processAllAvailable()
-      assert(store.count() === 5L, "replayed batch must not re-apply")
-      stream.addData((101L, vec(101L), "upsert", 2L)) // batchId 1: fresh
+      stream.addData((100L, vec(100L), "upsert", 1L)) // batchId 0
       q.processAllAvailable()
       assert(store.count() === 6L)
-      assert(graft.util.Fs.readString(spark,
-        store.path + "/_INGEST_BATCH").trim === "1")
     } finally q.stop()
+    // the marker now carries the checkpoint's own query id + batch 0
+    val marker = graft.util.Fs.readString(spark,
+      store.path + "/_INGEST_BATCH").trim
+    assert(marker.endsWith(" 0") && marker.split("\\s+").length === 2)
+    // simulate a crash AFTER batch 0 applied but BEFORE the checkpoint
+    // commit: drop the commit record, restart from the SAME checkpoint —
+    // Spark replays batch 0, and the identity-matched marker skips it
+    // instead of growing duplicate chain deltas
+    graft.util.Fs.deleteRecursive(spark, ckpt + "/commits/0")
+    val q2 = store.startIngest(
+      stream.toDF().toDF("id", "vector", "op", "seq"))
+    try {
+      q2.processAllAvailable() // replayed batch 0: no-op
+      assert(store.count() === 6L, "replayed batch must not re-apply")
+      stream.addData((101L, vec(101L), "upsert", 2L)) // batchId 1: fresh
+      q2.processAllAvailable()
+      assert(store.count() === 7L)
+      assert(graft.util.Fs.readString(spark,
+        store.path + "/_INGEST_BATCH").trim.endsWith(" 1"))
+    } finally q2.stop()
+    // the ADVICE hazard: a DELETED/relocated checkpoint restarts batchIds
+    // at 0 — a stale identity-less comparison would silently drop every
+    // batch until the new ids exceeded the marker. The identity mismatch
+    // must make the guard ignore the marker and APPLY the batch.
+    graft.util.Fs.deleteRecursive(spark, ckpt)
+    graft.util.Fs.writeStringAtomic(spark, store.path + "/_INGEST_BATCH",
+      "some-other-checkpoint-id 99")
+    val stream2 = MemoryStream[(Long, Seq[Float], String, Long)]
+    val q3 = store.startIngest(
+      stream2.toDF().toDF("id", "vector", "op", "seq"))
+    try {
+      stream2.addData((102L, vec(102L), "upsert", 1L)) // batchId 0 again
+      q3.processAllAvailable()
+      assert(store.count() === 8L,
+        "a marker from another checkpoint must not drop fresh batches")
+    } finally q3.stop()
     store.delete()
   }
 

@@ -61,21 +61,31 @@ object FilterProbe {
           .select("query_id", "id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         // optional 4th arg: comma-separated probeBuckets overrides (the
-        // recall-vs-probes curve); default starved-vs-escalated pair
-        val pbs = (if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
-          else Seq(1,
-            AnnSearch.escalatedProbes(1, n / m, n, 1L << p.bucketBits)))
-          .distinct
-        val runs = for (pb <- pbs) yield {
+        // recall-vs-probes curve, probe-all clause off); default =
+        // starved (1) vs the old volume-constant budget (1×/sel) vs the
+        // DISPATCHER DEFAULT (3×/sel with the probe-all clause armed at
+        // 10× budget — the AdaptiveSearch UseLsh / searchAnn(predicate=)
+        // configuration)
+        val cfgs: Seq[(Int, Int)] =
+          (if (args.length > 3)
+            args(3).split(",").map(_.toInt).toSeq.map(pb => (pb, 0))
+          else {
+            val esc1 = AnnSearch.escalatedProbes(1, n / m, n,
+              1L << p.bucketBits)
+            val def3 = AnnSearch.escalatedProbes(3, n / m, n,
+              1L << p.bucketBits)
+            Seq((1, 0), (esc1, 0), (def3, 10 * def3))
+          }).distinct
+        val runs = for ((pb, pao) <- cfgs) yield {
           def run() = AnnSearch.searchLsh(nodes, qv, 10, minSim = -2.0, p,
-              idFilter = Some(idF), probeBuckets = pb)
+              idFilter = Some(idF), probeBuckets = pb, probeAllOcc = pao)
             .select("query_id", "id").collect()
           val (rows, t1) = timed(run())
           val t = math.min(t1, timed(run())._2)
           val recall = rows.map(r => (r.getLong(0), r.getLong(1)))
             .count(fexact.contains).toDouble / fexact.size
-          s"""{"mod":$m,"probe_buckets":$pb,"sec":$t,""" +
-            s""""recall_at_10":$recall}"""
+          s"""{"mod":$m,"probe_buckets":$pb,"probe_all_occ":$pao,""" +
+            s""""sec":$t,"recall_at_10":$recall}"""
         }
         runs.mkString(",")
       }

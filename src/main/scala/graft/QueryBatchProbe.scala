@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnSearch, IndexBuild, IndexParams, IvfIndex,
+  KnnSearch}
+
+/** Manual scale probe for LARGE QUERY BATCHES: the serving arms were
+  * measured at harness-sized query sets (~100 rows) where a forced
+  * query-side broadcast is KB-scale and free; the library's own pitch
+  * (SURVEY §1.4) is many-queries-at-once batch search, and at 100 k–1 M
+  * queries an ungated broadcast of a Q-scaled relation (the IVF probed
+  * table — a query vector per (query, probe) row — or the graph walk's
+  * query set) pins Q-proportional state in every executor and trips the
+  * driver's broadcast ceiling. This probe drives the exact, IVF and
+  * IVF-seeded-graph arms at growing Q with the DEFAULT 64 MB gates —
+  * past the gate the joins shuffle — and reports wall + result volume;
+  * the evidence for SCALING.md's query-batch-scaling row.
+  *
+  * Usage: `sbt "runMain graft.QueryBatchProbe 200000 64 1000,10000,100000"`.
+  * The exact arm runs only while Q × n ≤ 2e9 kernel evaluations (beyond
+  * that the O(Q × n) scan is the honest cost the index arms exist to
+  * avoid — the probe prints the skip).
+  */
+object QueryBatchProbe {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val qs = (if (args.length > 2) args(2) else "1000,10000,100000")
+      .split(",").map(_.toLong).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // candidate volume scales with Q × nProbe × members/cell — partitions
+    // must track it or the scoring stage spills (measured: the 100 k rung
+    // at 16 partitions runs 3× past linear). Overridable for sweeps.
+    val partitions = sys.env.get("SPARK_GRAFT_PARTITIONS").map(_.toInt)
+      .getOrElse(math.max(cpus.toInt,
+        math.max((n / 20000L).toInt, (qs.max / 500L).toInt)))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val nodes = ScaleProbe.syntheticVectors(spark, n, dim).localCheckpoint()
+    // serving artifacts built once (their cost is not what this probe
+    // measures): a coarse quantizer + assignments for the IVF/seeded
+    // arms, an anchored graph for the seeded walk
+    val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val centroids = IvfIndex.train(nodes, cells, iters = 3).localCheckpoint()
+    val assignments = IvfIndex.assign(nodes, centroids)
+      .select(col("cell"), col("id"), col("vector")).localCheckpoint()
+    val p = IndexParams(dim = dim)
+    val (gn, ge) = IndexBuild.build(nodes, p)
+    val gnC = gn.localCheckpoint(); val geC = ge.localCheckpoint()
+
+    val rows = for (q <- qs) yield {
+      // queries = perturbed corpus rows (every query has true neighbors);
+      // one id range sliced, never re-generated (the fixture-aliasing rule)
+      val queries = ScaleProbe.syntheticVectors(spark, q, dim)
+        .select(col("id").as("query_id"),
+          transform(col("vector"), x => (x * lit(1.001f)).cast("float"))
+            .as("query_vec"))
+        .localCheckpoint()
+      val arms = scala.collection.mutable.ListBuffer.empty[String]
+      if (q * n <= 2000000000L) {
+        val (c, t) = timed(KnnSearch.knnExact(nodes, queries, 10,
+          minSim = -2.0).select("query_id", "id").count())
+        arms += s"""{"arm":"exact","sec":$t,"rows":$c}"""
+      } else arms += s"""{"arm":"exact","skipped":"Q*n>2e9"}"""
+      val (ci, ti) = timed(IvfIndex.search(nodes, centroids, queries, 10,
+        minSim = -2.0, nProbe = 8, assignments = Some(assignments))
+        .select("query_id", "id").count())
+      arms += s"""{"arm":"ivf","sec":$ti,"rows":$ci}"""
+      val (cg, tg) = timed(AnnSearch.searchGraphSeededIvf(gnC, geC,
+        queries, 10, minSim = -2.0, p, centroids, ef = 64,
+        nProbe = 8, assignments = Some(assignments))
+        .select("query_id", "id").count())
+      arms += s"""{"arm":"seeded","sec":$tg,"rows":$cg}"""
+      s"""{"q":$q,"arms":[${arms.mkString(",")}]}"""
+    }
+    println(s"""{"n":$n,"dim":$dim,"cells":$cells,""" +
+      s""""query_batches":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -422,7 +422,26 @@ class VectorStore private (
     * projections per batch. Generations/deltas written before the chain
     * existed fall back to that recomputation (the pre-chain behavior);
     * the next compaction writes the table and upgrades the store. */
+  private val overlayMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame, IndexParams)]
   private def loadIndexOverlayFull()
+      : (DataFrame, DataFrame, DataFrame, IndexParams) = {
+    // memoized per INDEX pointer stamp (the countMemo rule): the
+    // chain-presence overlay pays ~3 eager localCheckpoint jobs per
+    // LOAD (delta-sized relations that serving re-executes ~4×/call if
+    // left lazy) — a serving process re-issuing queries through an
+    // UNCHANGED chain reuses the already-checkpointed relations and the
+    // fixed per-serve overlay cost disappears after the first call. Any
+    // mutation flips the pointer → new stamp → fresh overlay; stale
+    // stamps evict (their checkpointed blocks unpersist with GC, their
+    // base-side scans point at dirs the prune may reclaim post-grace).
+    val stamp = pointerStamp("INDEX")
+    overlayMemo.keys.foreach { s =>
+      if (s != stamp) { overlayMemo.remove(s); () } }
+    overlayMemo.getOrElseUpdate(stamp, computeIndexOverlayFull())
+  }
+
+  private def computeIndexOverlayFull()
       : (DataFrame, DataFrame, DataFrame, IndexParams) = {
     val (v, k) = currentIndexState.getOrElse(
       throw new IllegalStateException(
@@ -642,15 +661,22 @@ class VectorStore private (
         // cap = the occupancy bound: sign-bit bands have ≤ 2^bits
         // buckets; p-stable integer cells are unbounded, so the bound is
         // the filtered members themselves (over-escalation is harmless —
-        // the rank window stops at the buckets that exist)
+        // the rank window stops at the buckets that exist). Base 3 =
+        // the ≥3×/sel multiplier the SCALING.md ladder measured (1×/sel
+        // under-probes at moderate selectivity, recall 0.76–0.835).
         val f = filteredCount(pr)
         val cap = if (p.metric == "euclidean") math.max(1L, f)
           else 1L << p.bucketBits
-        AnnSearch.escalatedProbes(1, f, liveCount, cap)
+        AnnSearch.escalatedProbes(3, f, liveCount, cap)
     }
     AnnSearch.searchLsh(n, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p,
-      idFilter = filteredIds(predicate), probeBuckets = pb)
+      idFilter = filteredIds(predicate), probeBuckets = pb,
+      // probe a filter-shrunk band in FULL when it holds ≤ 10 × budget
+      // occupied buckets — exact over the filtered subset by
+      // construction (AnnSearch.searchLshKeyed's probe-all clause)
+      probeAllOcc = if (predicate.isEmpty) 0
+        else math.min(10L * pb, Int.MaxValue.toLong).toInt)
   }
 
   /** LSH-seeded graph search against the saved index — the recall tier

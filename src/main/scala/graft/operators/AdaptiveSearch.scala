@@ -194,15 +194,25 @@ object AdaptiveSearch {
               k, minSim, params, ef = math.max(64, k), idFilter = idFilter))
           case _ =>
             // the no-index arm's selectivity lever: occupied-bucket
-            // multi-probe (see [[AnnSearch.searchLshKeyed]]) — the same
-            // escalation rule; the cap is the occupancy bound (2^bits
+            // multi-probe (see [[AnnSearch.searchLshKeyed]]) — the
+            // shared escalation rule at the 3×/sel multiplier the
+            // SCALING.md ladder measured (volume-constant 1×/sel
+            // under-probes at moderate selectivity: recall 0.76–0.835
+            // at 1-in-10); the cap is the occupancy bound (2^bits
             // sign-bit buckets per band; p-stable integer cells are
-            // unbounded, so the filtered members themselves bound it)
-            (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params,
-              idFilter = idFilter,
-              probeBuckets = escalated(1,
+            // unbounded, so the filtered members themselves bound it).
+            // probeAllOcc arms the probe-all short-circuit: a band the
+            // filter shrank to ≤ 10 × budget occupied buckets is probed
+            // in FULL — exact over the filtered subset by construction,
+            // measured at-or-faster than partial probing there.
+            val pb = if (idFilter.isEmpty) 1
+              else escalated(3,
                 if (params.metric == "euclidean") math.max(1L, n)
-                else 1L << params.bucketBits)))
+                else 1L << params.bucketBits)
+            (UseLsh, AnnSearch.searchLsh(nodes, queries, k, minSim, params,
+              idFilter = idFilter, probeBuckets = pb,
+              probeAllOcc = if (idFilter.isEmpty) 0
+                else math.min(10L * pb, Int.MaxValue.toLong).toInt))
         }
       case UseIvf =>
         val cells = math.min(ivfCells, math.max(16, math.sqrt(n.toDouble).toInt))

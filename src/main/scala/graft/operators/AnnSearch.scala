@@ -71,10 +71,10 @@ object AnnSearch {
   def searchLsh(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       params: IndexParams, broadcastBytes: Long = 64L << 20,
       shortlist: Int = 0, idFilter: Option[DataFrame] = None,
-      probeBuckets: Int = 1): DataFrame =
+      probeBuckets: Int = 1, probeAllOcc: Int = 0): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, params.metric,
       v => IndexBuild.bucketKeys(v, params), broadcastBytes, shortlist,
-      idFilter, probeBuckets)
+      idFilter, probeBuckets, probeAllOcc)
 
   /** [[searchLsh]] with data-derived anchor hyperplanes instead of the
     * seeded-random ones: bit p of band b = sign(vec · anchors(b)(p)).
@@ -89,10 +89,10 @@ object AnnSearch {
       metric: String = "cosine",
       broadcastBytes: Long = 64L << 20,
       shortlist: Int = 0, idFilter: Option[DataFrame] = None,
-      probeBuckets: Int = 1): DataFrame =
+      probeBuckets: Int = 1, probeAllOcc: Int = 0): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, metric,
       v => anchorBucketKeys(v, anchors), broadcastBytes, shortlist,
-      idFilter, probeBuckets)
+      idFilter, probeBuckets, probeAllOcc)
 
   /** All band keys for anchor-hyperplane LSH in one projection (same
     * band-prefixed shape as [[IndexBuild.bucketKeys]]). */
@@ -130,12 +130,28 @@ object AnnSearch {
     * over the bucketing scan the arm already pays and SHRINKS with the
     * filter — the ranking join costs O(Q × occupied) exactly when
     * occupied is small. 1 = the plain equi-join (default; unfiltered
-    * plans untouched). Escalate with [[escalatedProbes]] (base 1, cells
-    * = 2^bits) — the shared selectivity rule. */
+    * plans untouched). Escalate with [[escalatedProbes]] (base 3, cells
+    * = 2^bits) — the shared selectivity rule at the ≥3×/sel multiplier
+    * the SCALING.md occupied-bucket ladder measured (the volume-constant
+    * 1×/sel budget under-probes when one cluster spreads over > 1/sel
+    * buckets per band: recall@10 0.76–0.835 at 1 M–200 k / 1-in-10;
+    * 3×/sel restores 1.0).
+    *
+    * `probeAllOcc` > 0 arms the PROBE-ALL short-circuit: a band whose
+    * occupied-bucket count (over the filtered members) is ≤ `probeAllOcc`
+    * is probed in FULL, regardless of rank — probing every occupied
+    * bucket makes the arm EXACT over the filtered subset by construction,
+    * and the ladder measured it at-or-faster than partial probing once
+    * occupancy is filter-shrunk (1 M / 1-in-10: all 256 buckets 7.8 s vs
+    * 3×/sel's 30 at 11.0 s; 1/100: 1.6 vs 1.7 s). Zero extra jobs: the
+    * per-band occupancy is a window count over the ranking rows the
+    * probe join already builds. 0 (default) disables the clause — the
+    * ranked plan stays byte-identical for callers that pin it. */
   private def searchLshKeyed(nodes: DataFrame, queries: DataFrame, k: Int,
       minSim: Double, metric: String, keyFn: Column => Column,
       broadcastBytes: Long = 64L << 20, shortlist: Int = 0,
-      idFilter: Option[DataFrame] = None, probeBuckets: Int = 1): DataFrame = {
+      idFilter: Option[DataFrame] = None, probeBuckets: Int = 1,
+      probeAllOcc: Int = 0): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       KnnSearch.maybeBroadcast(df, broadcastBytes)
     // pre-filter restriction on the NODE side, before bucketing — a
@@ -156,7 +172,8 @@ object AnnSearch {
       .withColumn("b", explode(keyFn(col("query_vec"))))
       .select(col("b"), col("query_id"))
     val joined =
-      if (probeBuckets <= 1) n.join(maybeBroadcast(q), Seq("b")).drop("b")
+      if (probeBuckets <= 1 && probeAllOcc <= 0)
+        n.join(maybeBroadcast(q), Seq("b")).drop("b")
       else {
         // occupied-bucket multi-probe: rank the filtered members' actual
         // buckets by distance to the query's band key, probe the nearest
@@ -170,14 +187,25 @@ object AnnSearch {
           .withColumn("band", substring_index(col("nb"), ":", 1))
         val pw = Window.partitionBy(col("query_id"), col("band"))
           .orderBy(col("dist").asc, col("nb").asc)
-        val probes = q
+        val ranked = q
           .select(col("query_id"), col("b").as("qb"),
             substring_index(col("b"), ":", 1).as("band"))
           .join(maybeBroadcast(occ), Seq("band"))
           .withColumn("dist", bucketDist(metric)(col("qb"), col("nb")))
           .withColumn("prn", row_number().over(pw))
-          .filter(col("prn") <= probeBuckets)
-          .select(col("nb").as("b"), col("query_id"))
+        // probe-all short-circuit (see scaladoc): the band occupancy is a
+        // count over the SAME window partition the rank pays — when the
+        // filter has shrunk a band to ≤ probeAllOcc occupied buckets,
+        // probe all of them (exact over the filtered subset by
+        // construction, measured at-or-faster than partial probing)
+        val kept =
+          if (probeAllOcc <= 0) ranked.filter(col("prn") <= probeBuckets)
+          else ranked
+            .withColumn("occ_band", count(lit(1)).over(
+              Window.partitionBy(col("query_id"), col("band"))))
+            .filter(col("prn") <= probeBuckets ||
+              col("occ_band") <= probeAllOcc)
+        val probes = kept.select(col("nb").as("b"), col("query_id"))
         n.join(maybeBroadcast(probes), Seq("b")).drop("b")
       }
     val candidates =
@@ -307,7 +335,8 @@ object AnnSearch {
       if (nodes.columns.contains("deleted")) nodes
       else nodes.withColumn("deleted", lit(false))
     val seeds = IvfIndex.search(withDel, centroids, queries, ef,
-      Double.NegativeInfinity, nProbe, assignments, idFilter)
+      Double.NegativeInfinity, nProbe, assignments, idFilter,
+      broadcastBytes)
     expandAndRank(withDel, edges, seeds, queries, k, minSim,
       "cosine", ef, iters, broadcastBytes, idFilter)
   }
@@ -378,7 +407,8 @@ object AnnSearch {
     * traversal semantics (`hnsw.ts:292,392`; SURVEY §7.5). */
   def searchGraph(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int, minSim: Double, params: IndexParams,
-      ef: Int = 32, itersPerLevel: Int = 2, efUpper: Int = 8): DataFrame = {
+      ef: Int = 32, itersPerLevel: Int = 2, efUpper: Int = 8,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     val sf = scoreFn(params.metric)
     val topW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
@@ -401,9 +431,14 @@ object AnnSearch {
     // broadcast query set, so no dim-width payload rides the per-query
     // rank shuffles or the checkpointed blocks (same shape rule as the
     // LSH path and IVF assignment; see those notes for the measurements)
-    val qvs = broadcast(queries.select(col("query_id"), col("query_vec")))
+    // size-gated (the [[KnnSearch.knnExact]] rule): a large query batch
+    // must not pin Q-proportional state in every executor — past the
+    // gate the re-attach join and the entry cross join run unhinted
+    // (AQE shuffles them) at identical results
+    val qvs = KnnSearch.maybeBroadcast(
+      queries.select(col("query_id"), col("query_vec")), broadcastBytes)
     var frontier = topEf(
-      entries.crossJoin(broadcast(queries))
+      entries.crossJoin(KnnSearch.maybeBroadcast(queries, broadcastBytes))
         .withColumn("score", sf(col("query_vec"), col("vector")))
         .select(col("query_id"), col("id"), col("score")),
       if (entryLevel > 0) math.max(efUpper, k) else ef).localCheckpoint()

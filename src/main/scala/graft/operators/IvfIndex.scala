@@ -303,7 +303,8 @@ object IvfIndex {
   def search(nodes: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, minSim: Double, nProbe: Int,
       assignments: Option[DataFrame] = None,
-      idFilter: Option[DataFrame] = None): DataFrame = {
+      idFilter: Option[DataFrame] = None,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     // tombstones excluded like every other search path (hnsw.ts:292)
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
@@ -321,7 +322,14 @@ object IvfIndex {
       idFilter.map(_ => members))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
-    members.join(broadcast(probed), Seq("cell"))
+    // the probed table is Q × nProbe rows CARRYING the query vector (and
+    // escalation can raise nProbe to `cells`): size-gate the broadcast
+    // (the [[KnnSearch.knnExact]] rule) so a large query batch falls
+    // back to a plain shuffled equi-join on `cell` instead of pinning
+    // Q-proportional state in every executor / tripping the driver's
+    // broadcast ceiling
+    members.join(KnnSearch.maybeBroadcast(probed, broadcastBytes),
+      Seq("cell"))
       .withColumn("score",
         VectorFunctions.cosineSim(col("query_vec"), col("vector")))
       .filter(col("score") > lit(minSim) && !isnan(col("score")))

@@ -429,6 +429,59 @@ object AnnQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // Filtered SQ-via-IVF (`SqIndex.searchIvfSq` — the FAISS IVF…,SQ8
+    // shape): the a22 pre-filter lands on the ASSIGNMENT table before
+    // the probe join, probed cells rank over the FILTERED members' cells
+    // only (the a25 correlated-predicate guard), and the exact-BIGINT
+    // integer kernel scores just the probed filtered members. The last
+    // spec-only filtered arm, hash-pinned end-to-end: bounds stay
+    // corpus-trained, every code, probed cell and rank re-derived by
+    // the oracle.
+    "a34_filtered_ivf_sq" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
+      val codes = graft.operators.SqIndex.encode(nodesDf, bounds)
+      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+        .select(col("cell"), col("id"))
+      graft.operators.SqIndex.searchIvfSq(codes, asg, coarse, bounds,
+        VectorQueries.querySet(emb), k = 10, nProbe = 3,
+        idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
+          .select(col("id"))))
+    }),
+
+    // The DISPATCHER-DEFAULT filtered euclidean-LSH configuration,
+    // hash-pinned end-to-end: a30's occupied-cell L1 ranking with the
+    // shared escalation rule at base 3 (sel = 1/4 → ceil(3·4) = 12
+    // probes per band) AND the probe-all clause armed at 10× budget —
+    // a band the filter shrank to ≤ 120 occupied cells is probed in
+    // FULL (exact over the subset there), a wider band keeps the ranked
+    // top-12. The oracle re-derives the escalated budget, the per-band
+    // occupancy count and the conditional — a regression in either
+    // branch (or in the 3× multiplier) fails the hash.
+    "a35_euclid_escalated" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      def scale(v: Column, id: Column): Column =
+        transform(v, x => (x * (lit(1.0) + id % 5)).cast("float"))
+      val nodes = emb.select(col("vec_id").as("id"),
+        scale(col("embedding"), col("vec_id")).as("vector"))
+      val queriesDf = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          scale(col("embedding"), col("vec_id")).as("query_vec"))
+      val filt = nodes.filter(col("id") % 4 === 1).select(col("id"))
+      val f = filt.count(); val tot = nodes.count()
+      // the facade/dispatcher rule verbatim: base 3, euclidean cap =
+      // the filtered members themselves, probe-all at 10× budget
+      val pb = AnnSearch.escalatedProbes(3, f, tot, math.max(1L, f))
+      AnnSearch.searchLsh(nodes, queriesDf, k = 10, minSim = 0.0,
+          euclidParams, idFilter = Some(filt),
+          probeBuckets = pb, probeAllOcc = 10 * pb)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Cost-based strategy selection wired into the gate: on this fixture
     // the measured stats (n=500 ≤ exactCutoff) deterministically pick the
     // EXACT path, so the oracle pins BOTH the dispatch (strategy column)
@@ -1442,6 +1495,125 @@ object AnnQueries {
          |        ORDER BY $dist, o.bk) AS prn
          |    FROM qk JOIN occ o ON o.band = qk.band)
          |  WHERE prn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, nk.id
+         |  FROM probes p JOIN nk ON nk.band = p.band AND nk.bk = p.bk),
+         |scored AS (
+         |  SELECT c.query_id, c.id,
+         |    1.0 / (1.0 + list_distance(n.v, q.qv)) AS score
+         |  FROM cand c
+         |  JOIN nodes n ON n.id = c.id
+         |  JOIN q ON q.query_id = c.query_id)
+         |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+         |  SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, id) AS rn
+         |  FROM scored WHERE score > 0.0)
+         |WHERE rn <= 10""".stripMargin
+    },
+    // a22's SQ encode + a25's filtered-assignment probe, composed: the
+    // probed cells rank over the FILTERED members' occupied cells only,
+    // candidates = probed filtered members, integer d2 exact.
+    "a34_filtered_ivf_sq" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ccb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN ccb c
+        |    WHERE n.id % 3 = 0)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN ccb c
+        |    WHERE c.cell IN (SELECT cell FROM asg))
+        |  WHERE rn <= 3),
+        |bounds AS (
+        |  SELECT p.pos, min(list_extract(n.v, p.pos + 1)) AS lo,
+        |         max(list_extract(n.v, p.pos + 1)) AS hi
+        |  FROM nodes n CROSS JOIN range(0, 64) p(pos)
+        |  GROUP BY p.pos),
+        |enc AS (
+        |  SELECT n.id, b.pos,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(least(255, greatest(0,
+        |        floor((list_extract(n.v, b.pos + 1) - b.lo)
+        |          / (b.hi - b.lo) * 256.0))) AS BIGINT) END AS c
+        |  FROM nodes n CROSS JOIN bounds b
+        |  WHERE n.id % 3 = 0),
+        |qenc AS (
+        |  SELECT q.query_id, b.pos,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(least(255, greatest(0,
+        |        floor((list_extract(q.qv, b.pos + 1) - b.lo)
+        |          / (b.hi - b.lo) * 256.0))) AS BIGINT) END AS c
+        |  FROM q CROSS JOIN bounds b),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.id
+        |  FROM probed p JOIN asg a ON a.cell = p.cell),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    CAST(SUM((qe.c - e.c) * (qe.c - e.c)) AS BIGINT) AS d2
+        |  FROM cand c
+        |  JOIN enc e ON e.id = c.id
+        |  JOIN qenc qe ON qe.query_id = c.query_id AND qe.pos = e.pos
+        |  GROUP BY c.query_id, c.id)
+        |SELECT query_id, id, d2, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id, d2,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY d2 ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    // a30's oracle with the DEFAULT-PATH conditional: escalated budget
+    // (sel 1/4, base 3 → 12 probes per band) OR the whole band when its
+    // occupancy ≤ 120 (10× budget) — both branches re-derived.
+    "a35_euclid_escalated" -> {
+      val scaled = "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * (1 + vec_id % 5) AS FLOAT))::DOUBLE[]"
+      val bits = euclidParams.bucketBits
+      def cellCols(cells: Seq[String]) =
+        cells.zipWithIndex.map { case (c, i) => s"$c AS c$i" }.mkString(", ")
+      val nKeys = pstableKeyCells("n.v", euclidParams).zipWithIndex
+        .map { case ((k, cells), b) =>
+          s"SELECT id, $b AS band, $k AS bk, ${cellCols(cells)} " +
+            "FROM nodes n WHERE n.id % 4 = 1" }
+        .mkString("\n  UNION ALL ")
+      val qKeys = pstableKeyCells("q.qv", euclidParams).zipWithIndex
+        .map { case ((k, cells), b) =>
+          s"SELECT query_id, $b AS band, $k AS bk, ${cellCols(cells)} FROM q" }
+        .mkString("\n  UNION ALL ")
+      val cs = (0 until bits).map(i => s"c$i").mkString(", ")
+      val dist = (0 until bits).map(i => s"abs(qk.c$i - o.c$i)")
+        .mkString(" + ")
+      s"""WITH nodes AS (
+         |  SELECT vec_id AS id, $scaled AS v FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, $scaled AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |nk AS (
+         |  $nKeys),
+         |qk AS (
+         |  $qKeys),
+         |occ AS (SELECT DISTINCT band, bk, $cs FROM nk),
+         |probes AS (
+         |  SELECT query_id, band, bk FROM (
+         |    SELECT qk.query_id, o.band, o.bk,
+         |      row_number() OVER (PARTITION BY qk.query_id, o.band
+         |        ORDER BY $dist, o.bk) AS prn,
+         |      count(*) OVER (PARTITION BY qk.query_id, o.band) AS occ_band
+         |    FROM qk JOIN occ o ON o.band = qk.band)
+         |  WHERE prn <= 12 OR occ_band <= 120),
          |cand AS (
          |  SELECT DISTINCT p.query_id, nk.id
          |  FROM probes p JOIN nk ON nk.band = p.band AND nk.bk = p.bk),

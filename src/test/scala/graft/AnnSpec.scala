@@ -90,6 +90,65 @@ class AnnSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("IVF search: the Q×nProbe probed join is size-gated — gate=0 " +
+      "forces a shuffled equi-join with identical results") {
+    import graft.operators.IvfIndex
+    val centroids = IvfIndex.train(nodesDf, k = 16, iters = 3)
+      .localCheckpoint()
+    val base = IvfIndex.search(nodesDf, centroids, queriesDf, 10,
+        minSim = -2.0, nProbe = 4)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val autoBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBc = spark.conf
+      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", autoBc)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val gated = IvfIndex.search(nodesDf, centroids, queriesDf, 10,
+        minSim = -2.0, nProbe = 4, broadcastBytes = 0L)
+      val rows = gated.collect()
+      val plan = gated.queryExecution.executedPlan.toString
+      // the centroid-table broadcasts (assign + rank) are cells-bounded
+      // and stay forced by design; the PROBED table — a query vector per
+      // (query, probe) row, the Q-scaled relation — must meet the
+      // members through a SHUFFLED equi-join on `cell`, never a
+      // broadcast
+      assert(!"BroadcastHashJoin \\[cell".r.findFirstIn(plan).isDefined &&
+        ("SortMergeJoin \\[cell|ShuffledHashJoin \\[cell".r
+          .findFirstIn(plan).isDefined), plan)
+      val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(got === base)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeBc)
+    }
+  }
+
+  test("graph search: the query-set broadcasts are size-gated — gate=0 " +
+      "runs unhinted with identical results") {
+    val (nodes, edges) = IndexBuild.build(nodesDf, params)
+    val base = AnnSearch.searchGraph(nodes, edges, queriesDf, 10,
+        minSim = -2.0, params, ef = 32)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val autoBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBc = spark.conf
+      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", autoBc)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val gated = AnnSearch.searchGraph(nodes, edges, queriesDf, 10,
+        minSim = -2.0, params, ef = 32, broadcastBytes = 0L)
+      val rows = gated.collect()
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan)
+      val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(got === base)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeBc)
+    }
+  }
+
   test("LSH search: query broadcast gate=0 forces shuffle with identical results") {
     val coarse = params.copy(bucketBits = 3)
     val base = AnnSearch.searchLsh(nodesDf, queriesDf, 10, minSim = -2.0,

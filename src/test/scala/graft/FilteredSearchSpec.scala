@@ -349,6 +349,60 @@ class FilteredSearchSpec extends SparkSpec {
       .filter(col("count") =!= 5).count() === 0L,
       "a query returned < k rows — the dispatcher's LSH arm did not " +
         "escalate probeBuckets")
+    // RECALL FLOOR at 1/10 selectivity (the r12 verdict's gap: the
+    // volume-constant budget served 0.76–0.835 here): the default path
+    // now probes 3×/sel with the probe-all clause armed, and on this
+    // fixture that reaches every occupied bucket — the result must
+    // EQUAL the exact filtered top-k, not approximate it
+    val truth = KnnSearch.knnExact(
+        nodes.filter(col("id") >= 200L && col("id") < 240L),
+        queries, k = 5, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(pairs(res) === truth,
+      "the dispatcher's default filtered-LSH path must serve exact " +
+        "filtered top-k on a probe-all-covered fixture")
+  }
+
+  test("probe-all clause: a band the filter shrank to few occupied " +
+      "buckets is probed in FULL — exact filtered top-k even at a " +
+      "starved probeBuckets budget") {
+    def clustered(ids: Range, axis: Int): DataFrame =
+      ids.map { i =>
+        val v = Array.fill(16)(0.05f * ((i * 7 + axis) % 5 - 2))
+        v(axis) = 1.0f
+        (i.toLong, v.toSeq)
+      }.toDF("id", "vector")
+    val nodes = clustered(0 until 200, 0)
+      .unionByName(clustered(200 until 400, 1)).localCheckpoint()
+    val queries = clustered(0 until 3, 0)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val fB = nodes.filter(col("id") >= 200L).select(col("id"))
+    val p = IndexParams(dim = 16, bucketBits = 4, nBands = 4)
+    val truth = KnnSearch.knnExact(nodes.filter(col("id") >= 200L),
+      queries, k = 5, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    // probeBuckets = 1 alone starves on this correlated fixture (the
+    // spec above pins that); arming probeAllOcc ≥ the 2^4 = 16 possible
+    // buckets per band probes every occupied bucket → exact by
+    // construction, regardless of the rank budget
+    val probedAll = AnnSearch.searchLsh(nodes, queries, k = 5,
+      minSim = -2.0, p, idFilter = Some(fB),
+      probeBuckets = 1, probeAllOcc = 16)
+    assert(pairs(probedAll) === truth,
+      "probe-all must make the filtered LSH arm exact over the subset")
+    // a cap BELOW every band's occupancy leaves the clause dormant: the
+    // probe set stays the ranked top-`probeBuckets` (a fully-probed
+    // 1-bucket band is its own top-1, a subset of any rank budget), so
+    // results must EQUAL the clause-off ranked run — pinning that the
+    // clause keys on occupancy, not on mere arming
+    val dormant = AnnSearch.searchLsh(nodes, queries, k = 5,
+      minSim = -2.0, p, idFilter = Some(fB),
+      probeBuckets = 2, probeAllOcc = 1)
+    val rankedOnly = AnnSearch.searchLsh(nodes, queries, k = 5,
+      minSim = -2.0, p, idFilter = Some(fB),
+      probeBuckets = 2, probeAllOcc = 0)
+    assert(pairs(dormant) === pairs(rankedOnly),
+      "a sub-occupancy probeAllOcc must not expand the probe set")
   }
 
   test("CORRELATED predicate on the EUCLIDEAN p-stable arm: occupied-cell " +

@@ -963,7 +963,13 @@ class VectorStore private (
     val centroids =
       if (codebookMode == "sample") IvfIndex.sampleCodebook(live, k)
       else IvfIndex.train(trainSet, k, iters)
-    val asg = IvfIndex.assign(live, centroids)
+    // flat assign is n × k candidate volume — an n^1.5 term at the
+    // k = √n regime (the 6 M-doc flagship measured 833.9 s vs the
+    // two-level's 148.8 — SCALING.md); past k = 256 use the two-level
+    // assignment ([[IvfIndex.assignHierarchical]], ~2n√k). Harness-scale
+    // builds (k ≤ 256) keep the exact flat argmax — hash rows unchanged.
+    val asg = (if (k > 256) IvfIndex.assignHierarchical(live, centroids)
+        else IvfIndex.assign(live, centroids))
       .select(col("id"), col("cell")).localCheckpoint()
     // localCheckpoint: `res` feeds codebook training, encode AND the QE
     // baseline below — without it the corpus-wide residual derivation

@@ -256,17 +256,23 @@ object TextFeaturizer {
     * adjacent pairs + a driver-side argmax of ONE row (count desc, then
     * (left, right) lexicographic — fully deterministic), then a single
     * codegen'd literal `replace` projection applies the merge to every
-    * word type. `nMerges` is a bounded constant (vocab-size knob), so
-    * the driver loop is O(nMerges) tiny jobs, never corpus-driven; the
-    * word table re-checkpoints every 4 steps to keep lineage linear.
+    * word type. `nMerges` is a vocab-size knob, so the driver loop is
+    * O(nMerges / batch) tiny jobs, never corpus-driven; the word table
+    * re-checkpoints periodically to keep lineage linear. At a PRODUCTION
+    * vocabulary (32 k–50 k merges) the sequential-job bound is the wall:
+    * set `batch` (symbol-disjoint merges per count snapshot — see the
+    * in-loop note; batch = 1 is exact sequential BPE, the hash-checked
+    * default) to amortize one pair-count job over many merges — the
+    * BpeProbe ladder measures the per-merge wall at both settings.
     *
     * Determinism: counts are exact integers, ties break lexicographic,
     * and the delimiter encoding makes each step's replace byte-identical
     * across engines — the harness oracle re-derives every step (pair
     * counts, argmax, replace) in DuckDB and hash-checks the merge table. */
   def bpeTrain(docs: DataFrame, nMerges: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", batch: Int = 1): DataFrame = {
     require(nMerges > 0, s"nMerges $nMerges")
+    require(batch > 0, s"batch $batch")
     val spark = docs.sparkSession
     import spark.implicits._
     // word-type table: (delimited symbol string, count)
@@ -289,22 +295,53 @@ object TextFeaturizer {
           split(expr("substring(w, 2, length(w) - 2)"), D + D).as("t"))
         .withColumn("n", size(col("t")))
         .filter(col("n") >= 2)
+      // batch > 1 = BATCHED BPE (the fast-trainer variant): take up to
+      // `batch` SYMBOL-DISJOINT pairs from one count snapshot and apply
+      // them in one pass — each pass is ONE pair-count job instead of
+      // `batch`, cutting the sequential-job bound from O(nMerges) to
+      // O(nMerges / batch). Disjointness makes the batch sound: merging
+      // (A,B) can only change counts of pairs touching A, B or the new
+      // symbol AB (an adjacency (C,D) with {C,D} ∩ {A, B, AB} = ∅ is
+      // neither destroyed nor created by A,B → AB), so a taken pair's
+      // symbols are excluded from every LATER pick in the pass —
+      // including its merged result, which can collide with a
+      // pre-existing symbol string — and every count the batch acts on
+      // is still exact when its merge applies (replaces chain in step
+      // order, exactly as [[bpeSegment]] replays them). The
+      // approximation vs step-by-step BPE: brand-new pairs born inside
+      // the pass (X, AB) can't be picked until the next snapshot — the
+      // classic frequency-snapshot trade every batched trainer makes.
+      // batch = 1 is EXACT sequential BPE (the default; t29/t30's
+      // hash-checked contract).
       val top = toks
         .withColumn("i", explode(sequence(lit(1), col("n") - 1)))
         .select(element_at(col("t"), col("i")).as("l"),
           element_at(col("t"), col("i") + 1).as("r"), col("cnt"))
         .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+        .limit(math.max(batch * 8, 8)).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, pc) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step, l, r, l + r, pc))
-        words = words.withColumn("w",
-          replace(col("w"), lit(s"$D$l$D$D$r$D"), lit(s"$D$l$r$D")))
-        if (step % 4 == 0) words = words.localCheckpoint()
-        step += 1
+        val want = math.min(batch, nMerges - step + 1)
+        val touched = scala.collection.mutable.Set.empty[String]
+        val take = top.iterator.map { row =>
+          (row.getString(0), row.getString(1), row.getLong(2))
+        }.filter { case (l, r, _) =>
+          if (touched.contains(l) || touched.contains(r) ||
+            touched.contains(l + r)) false
+          else { touched += l; touched += r; touched += (l + r); true }
+        }.take(want).toSeq
+        // one projection applies the whole pass; patterns are disjoint,
+        // so the chained replaces commute
+        val w2 = take.foldLeft(col("w")) { case (c, (l, r, _)) =>
+          replace(c, lit(s"$D$l$D$D$r$D"), lit(s"$D$l$r$D"))
+        }
+        take.foreach { case (l, r, pc) =>
+          merges += ((step, l, r, l + r, pc)); step += 1
+        }
+        words = words.withColumn("w", w2)
+        if ((step / batch) % 4 == 0 || batch >= 4)
+          words = words.localCheckpoint()
       }
     }
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")

@@ -191,6 +191,46 @@ class IvfFeaturizerSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("bpeTrain batch > 1: one snapshot takes only symbol-disjoint " +
+      "merges (collisions defer to the next pass), batch = 1 semantics " +
+      "unchanged, and segmentation with a batched table stays lossless") {
+    // same fixture as the sequential test: (a,a)=6 then (a,b)=5 SHARE
+    // symbol `a`, so a batch of 3 must take only (a,a) from the first
+    // snapshot and pick up (a,b) in the second — colliding pairs are
+    // deferred, never taken with stale counts
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab ab"))
+      .toDF("doc_id", "text")
+    val batched = TextFeaturizer.bpeTrain(docs, nMerges = 10, batch = 3)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // pass 1: (a,a) pc 6 alone (both (a,b) and (aa,?) touch `a`);
+    // pass 2: (a,b) pc 5 alone ((aa,ab) touches ab's result... shares
+    // no symbol with (a,b)? (aa,ab): l=aa r=ab — r = merged of (a,b),
+    // excluded by the touched-set rule; pass 3: (aa,ab) pc 3
+    assert(batched === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)),
+      "batched training must defer colliding pairs, not take them stale")
+    // a richer corpus: batched table segments losslessly
+    val rich = Tables.documents(spark, sf001).limit(100)
+      .select(col("doc_id"), col("text"))
+    val merges = TextFeaturizer.bpeTrain(rich, nMerges = 12, batch = 4)
+    assert(merges.count() === 12)
+    val seg = TextFeaturizer.bpeSegment(rich, merges)
+    val rebuilt = seg.groupBy(col("id"), col("wpos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        x => x.getField("piece")), "").as("rejoined"))
+    val orig = rich
+      .select(col("doc_id").as("id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "orig_word")))
+      .filter(length(col("orig_word")) > 0)
+    val joined = rebuilt.join(orig, Seq("id", "wpos"))
+    assert(joined.count() === orig.count())
+    assert(joined.filter(col("rejoined") =!= col("orig_word")).count() === 0)
+  }
+
   test("bpeSegment: replaying the merges reconstructs each word from its " +
       "pieces, and a trained vocab compresses the training corpus") {
     val docs = Tables.documents(spark, sf001).limit(100)

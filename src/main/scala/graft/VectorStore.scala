@@ -690,9 +690,22 @@ class VectorStore private (
       predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val (n, e, p) = loadIndexOverlay()
+    // the filtered-walk contract puts the recall on the SEED probe —
+    // escalate it exactly like [[searchAnn]] (base 3, probe-all at 10×)
+    val pb = predicate match {
+      case None => 1
+      case Some(pr) =>
+        val f = filteredCount(pr)
+        val cap = if (p.metric == "euclidean") math.max(1L, f)
+          else 1L << p.bucketBits
+        AnnSearch.escalatedProbes(3, f, liveCount, cap)
+    }
     AnnSearch.searchGraphSeeded(n, e, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), p, ef, iters,
-      idFilter = filteredIds(predicate))
+      idFilter = filteredIds(predicate),
+      seedProbeBuckets = pb,
+      seedProbeAllOcc = if (predicate.isEmpty) 0
+        else math.min(10L * pb, Int.MaxValue.toLong).toInt)
   }
 
   /** The hot-bucket seeded tier: graph expansions seeded from the
@@ -946,7 +959,7 @@ class VectorStore private (
       maxTrain: Int = 100000, codebookMode: String = "trained",
       ksub: Int = 256): Unit = {
     graft.functions.VectorFunctions.register(spark)
-    val mSub = 8
+    val mSub = PqIndex.subspaces(params.dim)
     require(params.dim % mSub == 0,
       s"dim ${params.dim} not divisible by $mSub subspaces")
     require(codebookMode == "trained" || codebookMode == "sample",
@@ -1146,7 +1159,7 @@ class VectorStore private (
       .getOrElse(throw new IllegalStateException(
         s"no PQ index under $path — call buildPqIndex() first"))
     val dir = pqDir(v)
-    val mSub = 8
+    val mSub = PqIndex.subspaces(params.dim)
     val subLen = params.dim / mSub
     val liveD = dd.filter(!col("deleted")).select(col("id"), col("vector"))
     val tombD = dd.filter(col("deleted")).select(col("id"))
@@ -1214,7 +1227,7 @@ class VectorStore private (
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
     val pre = loadPqIndex()
-    val mSub = 8
+    val mSub = PqIndex.subspaces(params.dim)
     val baseShort = math.max(100, 50 * k)
     // a selective predicate starves BOTH knobs: the coarse probe (probed
     // cells may hold < k MATCHING rows — escalate like the seeded arm)

@@ -125,7 +125,7 @@ object AdaptiveSearch {
       idFilterCount: Option[Long] = None,
       statsHint: Option[(Long, Double)] = None)
       : (Strategy, DataFrame) = {
-    val mSub = 8
+    val mSub = PqIndex.subspaces(params.dim)
     // `statsHint` skips the two per-call decision jobs (corpus count +
     // sampled bucket histogram) when the caller already measured them —
     // the VectorStore facade memoizes stats per table version
@@ -190,8 +190,17 @@ object AdaptiveSearch {
                 .join(gn.select(col("id"), col("vector")), Seq("id"))),
               idFilter = idFilter))
           case (Some((gn, ge)), _) =>
+            // same seed-probe escalation as the no-index arm below: the
+            // filtered walk's recall rides on the seeds
+            val spb = if (idFilter.isEmpty) 1
+              else escalated(3,
+                if (params.metric == "euclidean") math.max(1L, n)
+                else 1L << params.bucketBits)
             (UseGraphSeeded, AnnSearch.searchGraphSeeded(gn, ge, queries,
-              k, minSim, params, ef = math.max(64, k), idFilter = idFilter))
+              k, minSim, params, ef = math.max(64, k), idFilter = idFilter,
+              seedProbeBuckets = spb,
+              seedProbeAllOcc = if (idFilter.isEmpty) 0
+                else math.min(10L * spb, Int.MaxValue.toLong).toInt))
           case _ =>
             // the no-index arm's selectivity lever: occupied-bucket
             // multi-probe (see [[AnnSearch.searchLshKeyed]]) — the

@@ -254,7 +254,8 @@ object AnnSearch {
       anchors: Option[Seq[Seq[Array[Float]]]] = None,
       broadcastBytes: Long = 64L << 20,
       seedShortlist: Int = 0,
-      idFilter: Option[DataFrame] = None): DataFrame = {
+      idFilter: Option[DataFrame] = None,
+      seedProbeBuckets: Int = 1, seedProbeAllOcc: Int = 0): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
@@ -267,14 +268,20 @@ object AnnSearch {
     // [[searchLshKeyed]] band-agreement shortlist); the expansions then
     // recover neighbors the truncated seed set missed via graph edges.
     // `idFilter` pre-filters seeds AND expansion candidates (see
-    // [[expandAndRank]]'s filtered-walk contract).
+    // [[expandAndRank]]'s filtered-walk contract). The filtered-walk
+    // contract puts the RECALL on the seed probe (expansions never route
+    // through non-matching nodes), so a correlated filter starves this
+    // arm exactly like plain LSH — `seedProbeBuckets`/`seedProbeAllOcc`
+    // are the same occupied-bucket multi-probe levers, escalated by the
+    // caller with the shared rule (facade + dispatcher pass base 3 with
+    // probe-all at 10× budget).
     val seedSearch = anchors match {
       case Some(a) => searchLshAnchored(nodes, queries, ef,
         Double.NegativeInfinity, a, params.metric, broadcastBytes,
-        seedShortlist, idFilter)
+        seedShortlist, idFilter, seedProbeBuckets, seedProbeAllOcc)
       case None => searchLsh(nodes, queries, ef,
         Double.NegativeInfinity, params, broadcastBytes, seedShortlist,
-        idFilter)
+        idFilter, seedProbeBuckets, seedProbeAllOcc)
     }
     expandAndRank(withDel, edges, seedSearch, queries, k, minSim,
       params.metric, ef, iters, broadcastBytes, idFilter)

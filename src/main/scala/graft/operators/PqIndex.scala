@@ -45,6 +45,18 @@ import graft.functions.VectorFunctions
   */
 object PqIndex {
 
+  /** THE subspace-count rule every PQ lifecycle site shares (build,
+    * append, serve, dispatcher): ~8-dim subvectors, minimum 8
+    * subspaces — dim 64 → m = 8 (the r1–r12 geometry, every hash row
+    * unchanged), dim 384 → m = 48. A FIXED m = 8 at the reference's
+    * recommended 384-dim embedder quantizes 48-dim subvectors with one
+    * byte each and recall collapses (measured 0.275 recall@10 at
+    * 200 k×384 — SCALING.md dim-384 rung); bytes/vector stay dim/8 =
+    * 32× under float32 at any dim. Persisted generations are guarded by
+    * [[AdaptiveSearch.validateGeometry]] — a store built under a
+    * different rule fails loudly at dispatch, not silently. */
+  def subspaces(dim: Int): Int = math.max(8, dim / 8)
+
   private def live(nodes: DataFrame): DataFrame =
     if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
     else nodes

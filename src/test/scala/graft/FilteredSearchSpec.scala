@@ -317,6 +317,17 @@ class FilteredSearchSpec extends SparkSpec {
       .filter(col("count") =!= 5).count() === 0L,
       "a query returned < k rows through the facade — escalation " +
         "did not engage")
+    // the LSH-SEEDED arm rides the same seed probe: the filtered-walk
+    // contract puts its recall on the seeds (expansions never route
+    // through non-matching nodes), so without the escalated seed probe
+    // this starves identically
+    val seeded = store.searchAnnSeeded(queries, k = 5,
+      strengthSetting = -200, predicate = Some(col("id") >= 200L))
+    assert(seeded.join(nodes.filter(col("id") < 200L), Seq("id"),
+      "left_semi").count() === 0L)
+    assert(seeded.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0L,
+      "the seeded arm's filtered seed probe did not escalate")
   }
 
   test("the DISPATCHER's no-artifact LSH arm escalates probeBuckets under " +

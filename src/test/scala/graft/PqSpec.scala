@@ -21,6 +21,17 @@ class PqSpec extends SparkSpec {
   private lazy val cb = PqIndex.sampleCodebooks(nodesDf, m, subLen, ksub)
   private lazy val codes = PqIndex.encode(nodesDf, cb, m, subLen)
 
+  test("subspace rule scales with dim: ~8-dim subvectors, minimum 8 " +
+      "subspaces — dim 64 keeps the historical m=8 geometry") {
+    // fixed m=8 at 384 dims quantizes 48-dim subvectors with one byte
+    // each — measured recall collapse (SCALING.md dim-384 rung)
+    assert(PqIndex.subspaces(8) === 8)   // subLen 1 (tiny spec fixtures)
+    assert(PqIndex.subspaces(64) === 8)  // subLen 8 — every hash row
+    assert(PqIndex.subspaces(128) === 16)
+    assert(PqIndex.subspaces(384) === 48) // the MiniLM shape
+    assert(PqIndex.subspaces(768) === 96)
+  }
+
   test("codebooks: m×ksub sub-centroids of subLen each") {
     val rows = cb.collect()
     assert(rows.length == m * ksub)

@@ -36,13 +36,19 @@ object PqFlagshipProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    def phase(s: String): Unit =
+      System.err.println(s"[pq-flagship] $s ${java.time.Instant.now()}")
+
     val store = VectorStore.openOrCreate(spark,
       graft.util.Fs.tempDirDeletedOnExit("graft-pq-flagship"),
       IndexParams(dim = dim))
+    phase("load")
     val (_, tLoad) = timed(
       store.addBatch(ScaleProbe.syntheticVectors(spark, n, dim)
         .select(col("id"), col("vector"))))
+    phase("build")
     val (_, tBuild) = timed(store.buildPqIndex(cells = cells))
+    phase("serve")
     val qv = store.nodes.filter(col("id") % (n / 20) === 3).limit(20)
       .select(col("id").as("query_id"), col("vector").as("query_vec"))
       .localCheckpoint()

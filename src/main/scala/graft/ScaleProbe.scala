@@ -120,7 +120,12 @@ object ScaleProbe {
     // Recall is judged against the EUCLIDEAN exact ranking (ADC
     // approximates euclidean distance; cosine order differs on these
     // non-normalized vectors).
-    val mSub = 8
+    // THE shipped geometry rule ([[PqIndex.subspaces]]): dim 64 → m = 8
+    // (identical to every historical run), dim 384 → m = 48. The probe
+    // must ride the rule or the final dispatch phase fails
+    // validateGeometry at any non-64 dim (loudly, as designed); the
+    // fixed-m control at production dims lives in [[PqDimProbe]].
+    val mSub = PqIndex.subspaces(dim)
     val subLen = dim / mSub
     val ksub = 256
     val (cbPq, tPqTrain) = timed {

@@ -327,6 +327,207 @@ case class PqAdcExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Nearest-codebook-entry argmin/argmax as ONE codegen'd loop — the
+  * quantizer-assignment kernel ([[graft.operators.IvfIndex.assign]],
+  * [[graft.operators.PqIndex.encode]]). The join-then-aggregate
+  * formulation those sites used materializes n × k scored rows and
+  * `max_by`'s struct ordering forces a SORT-based partial aggregate, so
+  * the full candidate volume flows through an UnsafeExternalSorter —
+  * measured at 6 M × 64-dim, cells = 1024: the level-1 super-assign
+  * alone spilled > 75 GB and filled the probe host's disk. A codebook is
+  * broadcast-tiny by construction (k × dim floats), so the argmax
+  * belongs INSIDE the row pipeline: this expression carries the
+  * codebook(s) as a foldable literal child (shipped once per task via
+  * the codegen references array, exactly like a broadcast hint's build
+  * side) and emits the winning entry's id directly — one map-side pass,
+  * zero joined rows, zero sort, zero shuffle.
+  *
+  * Children: (book int, vec ARRAY<FLOAT>, books ARRAY<ARRAY<ARRAY
+  * <FLOAT>>> foldable, ids ARRAY<ARRAY<INT>> foldable, metric STRING
+  * foldable). `book` selects books[book]/ids[book] — the PQ subspace
+  * index, or 0 for a single flat codebook, or a super-cell id for the
+  * two-level assignment (each super-cell's fine-centroid sub-book).
+  *
+  * ORDERING PARITY with the `max_by` formulation it replaces (the a04/
+  * a05/a10–a17 oracle rows pin assignments/codes bit-for-bit):
+  * entries are scanned in ids-ascending order with STRICT improvement,
+  * so exact-score ties keep the LOWEST id — `max_by`'s (score, −id)
+  * tiebreak. Cosine maximizes dot/(‖a‖‖b‖) with NaN mapped to +2.0
+  * (cosine of a zero vector; real sims are ≤ 1, so NaN wins like
+  * Spark's NaN-greatest struct ordering). Euclidean minimizes
+  * √Σ(aᵢ−bᵢ)² with NaN mapped to −1.0 (real distances are ≥ 0 — same
+  * NaN-wins rule on the negated key). Accumulation order and widths
+  * match [[CosineSimilarityExpr]]/[[EuclideanDistanceExpr]] exactly.
+  * A `book` index outside [0, books.length) throws — corrupt sub/cell
+  * inputs must surface, not rank. */
+case class NearestCodeExpr(children: Seq[Expression])
+    extends Expression with Serializable {
+  override def prettyName: String = "nearest_code"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean =
+    children(0).nullable || children(1).nullable
+  override def foldable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def fail(msg: String) =
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(msg)
+    if (children.size != 5) fail(s"$prettyName expects 5 arguments")
+    else (children(0).dataType, children(1).dataType) match {
+      case (IntegerType, ArrayType(FloatType, _)) =>
+        if (!children(2).foldable || !children(3).foldable ||
+            !children(4).foldable)
+          fail(s"$prettyName books/ids/metric must be literals")
+        else children(4).eval() match {
+          case m: org.apache.spark.unsafe.types.UTF8String
+              if m.toString == "cosine" || m.toString == "euclidean" =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          case m => fail(s"$prettyName metric must be cosine|euclidean, got $m")
+        }
+      case (b, v) =>
+        fail(s"$prettyName expects (INT, ARRAY<FLOAT>, ...), got " +
+          s"${b.simpleString}, ${v.simpleString}")
+    }
+  }
+
+  // foldable children → primitive arrays, once per (de)serialized instance
+  @transient private lazy val books: Array[Array[Array[Float]]] = {
+    val a = children(2).eval().asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { i =>
+      val bk = a.getArray(i)
+      Array.tabulate(bk.numElements()) { c =>
+        bk.getArray(c).toFloatArray()
+      }
+    }
+  }
+  @transient private lazy val ids: Array[Array[Int]] = {
+    val a = children(3).eval().asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => a.getArray(i).toIntArray())
+  }
+  @transient private lazy val cosineMetric: Boolean =
+    children(4).eval().toString == "cosine"
+
+  private def bestIn(book: Int, vec: ArrayData): Int = {
+    if (book < 0 || book >= books.length)
+      throw new IllegalStateException(
+        s"$prettyName: book index $book outside [0, ${books.length})")
+    val bk = books(book)
+    if (bk.isEmpty)
+      throw new IllegalStateException(s"$prettyName: empty book $book")
+    var best = 0
+    var bestKey = if (cosineMetric) -3.0 else Double.PositiveInfinity
+    var c = 0
+    while (c < bk.length) {
+      val ct = bk(c)
+      val n = math.min(vec.numElements(), ct.length)
+      var key = 0.0
+      if (cosineMetric) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = vec.getFloat(i).toDouble; val y = ct(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        key = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (java.lang.Double.isNaN(key)) key = 2.0
+        if (key > bestKey) { best = c; bestKey = key }
+      } else {
+        var s = 0.0; var i = 0
+        while (i < n) {
+          val d = vec.getFloat(i).toDouble - ct(i).toDouble
+          s += d * d; i += 1
+        }
+        key = math.sqrt(s)
+        if (java.lang.Double.isNaN(key)) key = -1.0
+        if (key < bestKey) { best = c; bestKey = key }
+      }
+      c += 1
+    }
+    ids(book)(best)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = children(0).eval(input)
+    val v = children(1).eval(input)
+    if (b == null || v == null) null
+    else bestIn(b.asInstanceOf[Int], v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "float[][][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[][]")
+    val bEv = children(0).genCode(ctx)
+    val vEv = children(1).genCode(ctx)
+    val bk = ctx.freshName("bk"); val best = ctx.freshName("best")
+    val bestKey = ctx.freshName("bestKey"); val c = ctx.freshName("c")
+    val ct = ctx.freshName("ct"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val key = ctx.freshName("key")
+    val kernel =
+      if (cosineMetric) {
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) ${vEv.value}.getFloat($i);
+           |  double $y = (double) $ct[$i];
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |double $key = $dot /
+           |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |if (java.lang.Double.isNaN($key)) $key = 2.0;
+           |if ($key > $bestKey) { $best = $c; $bestKey = $key; }
+         """.stripMargin
+      } else {
+        val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ((double) ${vEv.value}.getFloat($i))
+           |    - ((double) $ct[$i]);
+           |  $acc += $d * $d;
+           |}
+           |double $key = java.lang.Math.sqrt($acc);
+           |if (java.lang.Double.isNaN($key)) $key = -1.0;
+           |if ($key < $bestKey) { $best = $c; $bestKey = $key; }
+         """.stripMargin
+      }
+    val init = if (cosineMetric) "-3.0" else "Double.POSITIVE_INFINITY"
+    val code =
+      s"""
+         |${bEv.code}
+         |${vEv.code}
+         |boolean ${ev.isNull} = ${bEv.isNull} || ${vEv.isNull};
+         |int ${ev.value} = -1;
+         |if (!${ev.isNull}) {
+         |  if (${bEv.value} < 0 || ${bEv.value} >= $booksRef.length) {
+         |    throw new IllegalStateException("$prettyName: book index "
+         |      + ${bEv.value} + " outside [0, " + $booksRef.length + ")");
+         |  }
+         |  float[][] $bk = $booksRef[${bEv.value}];
+         |  if ($bk.length == 0) {
+         |    throw new IllegalStateException(
+         |      "$prettyName: empty book " + ${bEv.value});
+         |  }
+         |  int $best = 0;
+         |  double $bestKey = $init;
+         |  for (int $c = 0; $c < $bk.length; $c++) {
+         |    float[] $ct = $bk[$c];
+         |    int $n = java.lang.Math.min(
+         |      ${vEv.value}.numElements(), $ct.length);
+         |    $kernel
+         |  }
+         |  ${ev.value} = $idsRef[${bEv.value}][$best];
+         |}
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code())
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** Column wrappers + SQL registration. Queries call [[VectorFunctions.register]]
   * once per session (idempotent) and then use either the `Column` API here or
   * `expr("cosine_sim(a,b)")` in SQL text.
@@ -339,6 +540,7 @@ object VectorFunctions {
     "pq_adc" -> (es => PqAdcExpr(es(0), es(1))),
     "sq_l2" -> (es => SqL2Expr(es(0), es(1))),
     "hamming64" -> (es => HammingExpr(es(0), es(1))),
+    "nearest_code" -> (es => NearestCodeExpr(es)),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -372,4 +574,17 @@ object VectorFunctions {
   /** Hamming distance over two packed ARRAY<BIGINT> sign-bit rows. */
   def hamming64(a: Column, b: Column): Column =
     call_function("hamming64", a, b)
+
+  /** Nearest-codebook-entry id ([[NearestCodeExpr]]): `book` selects
+    * `books(book)`/`ids(book)`; the winning entry's id is emitted
+    * directly on the input row — the quantizer-assignment kernel. The
+    * codebooks ship as literals (k × dim floats — the same bound the
+    * broadcast-join formulation shipped to every executor), so the
+    * argmax never materializes a joined row. */
+  def nearestCode(book: Column, vec: Column,
+      books: Seq[Seq[Seq[Float]]], ids: Seq[Seq[Int]],
+      metric: String): Column =
+    call_function("nearest_code", book, vec,
+      org.apache.spark.sql.functions.typedlit(books),
+      org.apache.spark.sql.functions.typedlit(ids), lit(metric))
 }

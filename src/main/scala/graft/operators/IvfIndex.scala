@@ -122,28 +122,31 @@ object IvfIndex {
     lloydLoop(liveNodes, seedCentroidsPP(liveNodes, k, rounds), iters)
   }
 
-  /** Nearest-centroid assignment (cosine): broadcast join + map-side
-    * argmax. The n×k scored candidates stay NARROW (the max_by key is
-    * (sim, −cell); node payloads ride the aggregation buffer once per id)
-    * and the partial aggregate collapses them to one row per id BEFORE
-    * the exchange — vs the previous window-over-wide-pairs formulation,
-    * which shuffled n×k rows carrying two vectors each through a sort
-    * (at 200 k nodes × 447 cells: ~46 GB of shuffle; IVF search measured
-    * SLOWER than exact brute force because of it).
+  /** Nearest-centroid assignment (cosine) as ONE map-side projection:
+    * the codebook (k × dim floats — broadcast-tiny by construction)
+    * rides a codegen'd argmax kernel
+    * ([[graft.functions.NearestCodeExpr]]), so every node row computes
+    * its cell in place — zero joined rows, zero sort, zero shuffle,
+    * payload untouched on its own row.
     *
-    * Ordering parity with the old rank: Spark's struct comparison uses
-    * the same double ordering as the window sort (NaN greatest), and
-    * −cell breaks exact-score ties toward the lowest cell — bit-identical
-    * assignments (a04/a05 oracles pin this). */
+    * This replaces the join-then-`max_by` formulation: `max_by`'s
+    * struct ordering key forces a SORT-based partial aggregate, so the
+    * n × k scored rows — each CARRYING the node vector — flowed through
+    * an UnsafeExternalSorter (measured: the 6 M × 64 flagship's 32-way
+    * super-assign spilled > 75 GB and filled the probe host's disk; at
+    * 200 k × 447 cells the even older window formulation shuffled
+    * ~46 GB). The kernel scans cells in ascending-cell order with
+    * strict improvement — exact-score ties keep the LOWEST cell, NaN
+    * sims rank greatest — bit-identical assignments to the `max_by`
+    * (sim, −cell) key (a04/a05 oracles + the AnnSpec equivalence test
+    * pin this). */
   def assign(nodes: DataFrame, centroids: DataFrame): DataFrame = {
     val payload = nodes.columns.filterNot(_ == "id")
-    val scored = nodes.join(broadcast(centroids))
-      .withColumn("__key", struct(
-        VectorFunctions.cosineSim(col("vector"), col("centroid")).as("sim"),
-        (lit(0) - col("cell")).as("negcell")))
-    scored.groupBy(col("id"))
-      .agg(expr("max_by(cell, __key)").as("cell"),
-        payload.map(c => first(col(c)).as(c)).toIndexedSeq: _*)
+    val cents = centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    nodes.withColumn("cell", VectorFunctions.nearestCode(lit(0),
+        col("vector"), Seq(cents.map(_._2).toSeq),
+        Seq(cents.map(_._1).toSeq), "cosine"))
       .select((Seq("id") ++ payload ++ Seq("cell")).map(col).toIndexedSeq: _*)
   }
 
@@ -164,30 +167,55 @@ object IvfIndex {
     * contract identical to [[assign]]. */
   def assignHierarchical(nodes: DataFrame, centroids: DataFrame,
       superK: Int = 0): DataFrame = {
-    val kCnt = centroids.count()
-    val sk = math.min(kCnt,
-      if (superK > 0) superK.toLong
-      else math.max(4L, math.ceil(math.sqrt(kCnt.toDouble)).toLong)).toInt
-    val asNodes = centroids
-      .select(col("cell").as("id"), col("centroid").as("vector"))
-    val superCb = sampleCodebook(asNodes, sk)
-    // fine centroid → super cell: k×√k, broadcast-tiny. A sampled fine
-    // centroid always lands in its own super-cell (self-similarity 1),
-    // so every reachable super-cell contains ≥ 1 fine centroid.
-    val fineTagged = centroids.join(
-      broadcast(assign(asNodes, superCb)
-        .select(col("id").as("cell"), col("cell").as("__sc"))
-        .select(col("cell"), col("__sc").as("scell"))),
-      Seq("cell"))
     val payload = nodes.columns.filterNot(_ == "id")
-    val nodesS = assign(nodes, superCb).withColumnRenamed("cell", "scell")
-    val scored = nodesS.join(broadcast(fineTagged), Seq("scell"))
-      .withColumn("__key", struct(
-        VectorFunctions.cosineSim(col("vector"), col("centroid")).as("sim"),
-        (lit(0) - col("cell")).as("negcell")))
-    scored.groupBy(col("id"))
-      .agg(expr("max_by(cell, __key)").as("cell"),
-        payload.map(c => first(col(c)).as(c)).toIndexedSeq: _*)
+    // the WHOLE codebook is k × dim floats — collected once (the same
+    // bound the broadcast formulation shipped to every executor) and
+    // regrouped driver-side into per-super-cell sub-books
+    val fine = centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val sk = math.min(fine.length,
+      if (superK > 0) superK
+      else math.max(4, math.ceil(math.sqrt(fine.length.toDouble)).toInt))
+    // super codebook = [[sampleCodebook]] over the fine centroids (the
+    // sk lowest-CELL centroids, super-cells numbered in cell order) —
+    // the same derivation the DataFrame formulation used, computed on
+    // the already-collected rows
+    val superCents = fine.take(sk).map(_._2)
+    // fine centroid → super cell, the kernel's own tie rules (a sampled
+    // fine centroid lands in its own super-cell by self-similarity 1,
+    // so every reachable sub-book is non-empty)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (java.lang.Double.isNaN(s)) 2.0 else s
+    }
+    val bySuper = fine.map { case (cell, cent) =>
+      var best = 0; var bestKey = -3.0; var c = 0
+      while (c < sk) {
+        val k = cos(cent, superCents(c))
+        if (k > bestKey) { best = c; bestKey = k }
+        c += 1
+      }
+      (best, cell, cent)
+    }.groupBy(_._1)
+    val books = Seq.tabulate(sk)(s =>
+      bySuper.getOrElse(s, Array.empty).sortBy(_._2).map(_._3).toSeq)
+    val ids = Seq.tabulate(sk)(s =>
+      bySuper.getOrElse(s, Array.empty).sortBy(_._2).map(_._2).toSeq)
+    // both levels are map-side projections on the node's OWN row —
+    // payload rides untouched; no joined rows, no sort, no shuffle
+    // (the former join-then-max_by level passes sorted n×√k rows
+    // carrying the node vector: > 75 GB of spill at 6 M × 64)
+    nodes.withColumn("__scell", VectorFunctions.nearestCode(lit(0),
+        col("vector"), Seq(superCents.map(_.toSeq).toSeq),
+        Seq((0 until sk).toSeq), "cosine"))
+      .withColumn("cell", VectorFunctions.nearestCode(col("__scell"),
+        col("vector"), books.map(_.map(_.toSeq)), ids, "cosine"))
       .select((Seq("id") ++ payload ++ Seq("cell")).map(col).toIndexedSeq: _*)
   }
 

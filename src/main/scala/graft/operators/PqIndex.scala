@@ -75,7 +75,7 @@ object PqIndex {
       lit(100000000.0)
 
   /** (id, sub, subvec) slices — one narrow row per vector per subspace. */
-  private def subSlices(nodes: DataFrame, m: Int, subLen: Int): DataFrame =
+  private[graft] def subSlices(nodes: DataFrame, m: Int, subLen: Int): DataFrame =
     live(nodes)
       .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col("vector"))
@@ -109,22 +109,38 @@ object PqIndex {
     lloydRefine(subSlices(nodes, m, subLen).localCheckpoint(),
       sampleCodebooks(nodes, m, subLen, ksub), iters)
 
-  /** Per-subspace Lloyd refinement of `init`: assign = broadcast argmin
-    * per (id, sub); update = per-(sub, code, pos) mean (map-side
-    * combinable). Cells that lose all members keep their previous
-    * centroid. */
+  /** (books, ids) literals for [[graft.functions.NearestCodeExpr]] from a
+    * (sub, code, centroid) codebook table: books(sub) = that subspace's
+    * centroids in code-ascending order (so the kernel's first-win strict
+    * improvement reproduces `max_by`'s (−d, −code) tiebreak — lowest code
+    * on exact-distance ties), ids(sub) = the matching code numbers. One
+    * bounded collect — m × ksub rows, the codebook itself. */
+  private def collectBooks(codebooks: DataFrame)
+      : (Seq[Seq[Seq[Float]]], Seq[Seq[Int]]) = {
+    val rows = codebooks.select(col("sub"), col("code"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val m = rows.map(_._1).max + 1
+    val bySub = rows.groupBy(_._1)
+    val empty = Array.empty[(Int, Int, Seq[Float])]
+    (Seq.tabulate(m)(s =>
+        bySub.getOrElse(s, empty).sortBy(_._2).map(_._3.toSeq).toSeq),
+      Seq.tabulate(m)(s =>
+        bySub.getOrElse(s, empty).sortBy(_._2).map(_._2).toSeq))
+  }
+
+  /** Per-subspace Lloyd refinement of `init`: assign = codegen'd argmin
+    * on the slice's own row ([[graft.functions.NearestCodeExpr]] — no
+    * joined candidates, no sort; the codebook rides as a literal);
+    * update = per-(sub, code, pos) mean (map-side combinable). Cells
+    * that lose all members keep their previous centroid. */
   private def lloydRefine(slices: DataFrame, init: DataFrame, iters: Int)
       : DataFrame = {
     var cb = init.localCheckpoint()
     for (_ <- 1 to iters) {
-      val assigned = slices.join(broadcast(cb), Seq("sub"))
-        .withColumn("__key", struct(
-          (lit(0.0) - VectorFunctions.euclideanDist(col("subvec"),
-            col("centroid"))).as("negd"),
-          (lit(0) - col("code")).as("negcode")))
-        .groupBy(col("id"), col("sub"))
-        .agg(expr("max_by(code, __key)").as("code"),
-          first(col("subvec")).as("subvec"))
+      val (books, ids) = collectBooks(cb)
+      val assigned = slices.withColumn("code",
+        VectorFunctions.nearestCode(col("sub"), col("subvec"),
+          books, ids, "euclidean"))
       val means = assigned
         .select(col("sub"), col("code"),
           posexplode(col("subvec")).as(Seq("pos", "x")))
@@ -213,18 +229,20 @@ object PqIndex {
 
   /** Encode: per (id, subspace) the euclidean-nearest sub-centroid, ties
     * toward the lowest code. Returns (id, sub, code) — the compressed
-    * corpus. Codebooks broadcast; the n×m×ksub scored candidates stay
-    * narrow and collapse map-side (the [[IvfIndex.assign]] argmax shape). */
+    * corpus. The argmin runs on the slice's OWN row
+    * ([[graft.functions.NearestCodeExpr]], codebook as a literal): the
+    * former join-then-`max_by` formulation materialized n × m × ksub
+    * scored rows through a SORT-based partial aggregate (`max_by`'s
+    * struct key is not hash-aggregable) — at 1 M × 64 that is 2 billion
+    * sorted rows for an 8 M-row output. */
   def encode(nodes: DataFrame, codebooks: DataFrame, m: Int, subLen: Int)
-      : DataFrame =
+      : DataFrame = {
+    val (books, ids) = collectBooks(codebooks)
     subSlices(nodes, m, subLen)
-      .join(broadcast(codebooks), Seq("sub"))
-      .withColumn("__key", struct(
-        (lit(0.0) - VectorFunctions.euclideanDist(col("subvec"),
-          col("centroid"))).as("negd"),
-        (lit(0) - col("code")).as("negcode")))
-      .groupBy(col("id"), col("sub"))
-      .agg(expr("max_by(code, __key)").as("code"))
+      .withColumn("code", VectorFunctions.nearestCode(col("sub"),
+        col("subvec"), books, ids, "euclidean"))
+      .select(col("id"), col("sub"), col("code"))
+  }
 
   /** (id, codes ARRAY<INT> ordered by sub) — the packed 8-byte-per-vector
     * representation the ADC scan reads. */

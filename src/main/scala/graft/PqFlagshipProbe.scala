@@ -67,13 +67,23 @@ object PqFlagshipProbe {
         .select("query_id", "id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
     val recall = exact.intersect(got).size.toDouble / exact.size
+    // the recall lever at this n: deeper shortlist + wider probe (the
+    // serve stays code-scan-shaped; only the re-rank tail grows)
+    val (deepRows, tDeep) = timed(
+      store.searchPq(qv, k = 10, strengthSetting = 0, nProbe = 32,
+          shortlist = 5000)
+        .select("query_id", "id").collect())
+    val deepRecall = deepRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
     println(s"""{"n":$n,"dim":$dim,"cells":$cells,""" +
       s""""strategy":"$strat1","load_sec":${f"$tLoad%.1f"},""" +
       s""""pq_build_sec":${f"$tBuild%.1f"},""" +
       s""""serve_cold_sec":${f"$tServe1%.2f"},""" +
       s""""serve_warm_sec":${f"$tServe2%.2f"},""" +
       s""""result_rows":$n1,"exact_scan_sec":${f"$tExact%.1f"},""" +
-      s""""recall_at_10":$recall}""")
+      s""""recall_at_10":$recall,""" +
+      s""""deep_serve_sec":${f"$tDeep%.2f"},""" +
+      s""""deep_recall_at_10":$deepRecall}""")
     val dispatched = strat1 == AdaptiveSearch.UsePq
     if (!dispatched)
       println(s"""{"error":"expected UsePq, dispatched $strat1"}""")

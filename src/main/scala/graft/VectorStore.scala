@@ -754,7 +754,7 @@ class VectorStore private (
       (n, e)
     }
     val pq =
-      if (Fs.exists(spark, s"$path/PQINDEX")) Some(loadPqIndex()) else None
+      if (Fs.exists(spark, s"$path/PQINDEX")) Some(servingPqIndex()) else None
     AdaptiveSearch.search(nodes, queries, k,
       KnnSearch.scaleThreshold(strengthSetting), params,
       exactCutoff = exactCutoff, skewCutoff = skewCutoff,
@@ -1112,6 +1112,28 @@ class VectorStore private (
       spark.read.parquet(s"$dir/codebooks"), codes)
   }
 
+  /** [[loadPqIndex]] with SERVING-shaped codes: the long (id, sub, code)
+    * overlay packs to one (id, codes) row per vector ONCE per PQINDEX
+    * generation (pointer-stamped memo, the [[loadIndexOverlayFull]]
+    * rule) — packing is an n×m-row groupBy, and paying it per serve call
+    * dominated the 10 M-vector wall (158 s/serve vs a 33 s exact scan;
+    * packed + memoized, repeat serves skip it entirely). The packed
+    * relation localCheckpoints: ~(8 B id + m×4 B codes)/row — the
+    * compressed tier itself, the working set a PQ serving process holds
+    * by design. Lifecycle paths (appends, compaction, drift) keep the
+    * long-form [[loadPqIndex]]. */
+  private val pqPackedMemo = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+  private[graft] def servingPqIndex(): AdaptiveSearch.PqPrebuilt = {
+    val pre = loadPqIndex()
+    val stamp = pointerStamp("PQINDEX")
+    pqPackedMemo.keys.foreach { s =>
+      if (s != stamp) { pqPackedMemo.remove(s); () } }
+    val packed = pqPackedMemo.getOrElseUpdate(stamp,
+      PqIndex.packCodes(pre.codes).localCheckpoint())
+    pre.copy(codes = packed)
+  }
+
   /** Fold `delta` (id, vector[, deleted]) into the persisted PQ
     * generation at O(|Δ|) cost: upsert the node table (searches re-rank
     * against full vectors, so codes and vectors move in lockstep — the
@@ -1223,12 +1245,19 @@ class VectorStore private (
     * exact/IVF arms instead (SCALING.md correlated-predicates 1 M
     * table). */
   def searchPq(queries: DataFrame, k: Int, strengthSetting: Double = 50,
-      nProbe: Int = 8, predicate: Option[Column] = None): DataFrame = {
+      nProbe: Int = 8, predicate: Option[Column] = None,
+      shortlist: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
-    val pre = loadPqIndex()
+    val pre = servingPqIndex()
     val mSub = PqIndex.subspaces(params.dim)
-    val baseShort = math.max(100, 50 * k)
+    // `shortlist` overrides the default ADC re-rank depth — the recall
+    // lever at large n (candidates/query = n·nProbe/cells grows with the
+    // corpus while a FIXED 500-deep shortlist keeps a shrinking fraction:
+    // the 10 M flagship measured recall@10 0.42 at the default vs 0.765
+    // at 5000/nProbe 32 — SCALING.md UsePq table)
+    val baseShort =
+      if (shortlist > 0) shortlist else math.max(100, 50 * k)
     // a selective predicate starves BOTH knobs: the coarse probe (probed
     // cells may hold < k MATCHING rows — escalate like the seeded arm)
     // and the ADC shortlist (the re-rank tail keeps the MATCHING

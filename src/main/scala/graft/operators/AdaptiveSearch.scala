@@ -63,10 +63,21 @@ object AdaptiveSearch {
       validatedPq.put(pre.codebooks, java.lang.Boolean.TRUE)
     }
     if (!validatedPq.containsKey(pre.codes)) {
-      val c = pre.codes.agg(max(col("sub"))).head()
-      require(!c.isNullAt(0) && c.getInt(0) + 1 == mSub,
-        s"prebuilt PQ codes have m=${if (c.isNullAt(0)) 0
-          else c.getInt(0) + 1}, dispatcher expects m=$mSub")
+      if (pre.codes.columns.contains("codes")) {
+        // pre-PACKED serving codes ((id, codes) — the VectorStore
+        // per-generation memo): the array width IS the geometry
+        val c = pre.codes.agg(max(size(col("codes"))),
+          min(size(col("codes")))).head()
+        require(!c.isNullAt(0) && c.getInt(0) == mSub &&
+            c.getInt(1) == mSub,
+          s"prebuilt packed PQ codes have m=[${c.getInt(1)}," +
+            s"${c.getInt(0)}], dispatcher expects m=$mSub")
+      } else {
+        val c = pre.codes.agg(max(col("sub"))).head()
+        require(!c.isNullAt(0) && c.getInt(0) + 1 == mSub,
+          s"prebuilt PQ codes have m=${if (c.isNullAt(0)) 0
+            else c.getInt(0) + 1}, dispatcher expects m=$mSub")
+      }
       validatedPq.put(pre.codes, java.lang.Boolean.TRUE)
     }
   }

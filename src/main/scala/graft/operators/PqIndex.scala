@@ -252,6 +252,15 @@ object PqIndex {
         array_sort(collect_list(struct(col("sub"), col("code")))),
         e => e.getField("code")).as("codes"))
 
+  /** The ADC scan accepts EITHER code layout: a long (id, sub, code)
+    * table packs here per call (fixture-scale callers), a pre-packed
+    * (id, codes) table passes through — the [[VectorStore]] serving
+    * paths memoize ONE packed table per PQ generation, because packing
+    * is an n×m-row groupBy and paying it per serve dominated the wall
+    * at 10 M vectors (158 s/serve, vs a 33 s exact scan). */
+  private def packedOf(codes: DataFrame): DataFrame =
+    if (codes.columns.contains("codes")) codes else packCodes(codes)
+
   /** ADC top-k: per-query flattened LUT ([sub*ksub + code] → 8-dp-rounded
     * distance) broadcasts onto the packed codes while the LUT set fits
     * `broadcastBytes`; a larger query batch falls back to a
@@ -283,8 +292,8 @@ object PqIndex {
     val lutSmall =
       lut.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
     val paired =
-      if (lutSmall) packCodes(scanCodes).crossJoin(broadcast(lut))
-      else packCodes(scanCodes).crossJoin(lut.hint("SHUFFLE_REPLICATE_NL"))
+      if (lutSmall) packedOf(scanCodes).crossJoin(broadcast(lut))
+      else packedOf(scanCodes).crossJoin(lut.hint("SHUFFLE_REPLICATE_NL"))
     paired
       .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
       .withColumn("rn", row_number().over(w))
@@ -338,7 +347,7 @@ object PqIndex {
         e => e.getField("d")).as("lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("id").asc)
-    packCodes(codes).join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
+    packedOf(codes).join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
       .join(maybeBroadcast(lut, broadcastBytes), Seq("query_id"))
       .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
       .withColumn("rn", row_number().over(w))
@@ -436,7 +445,7 @@ object PqIndex {
       .select(col("query_id"), col("cell"), col("id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("id").asc)
-    packCodes(codes).join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
+    packedOf(codes).join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
       .join(maybeBroadcast(lut, broadcastBytes), Seq("query_id", "cell"))
       .withColumn("adc", VectorFunctions.pqAdc(col("codes"), col("lut")))
       .withColumn("rn", row_number().over(w))

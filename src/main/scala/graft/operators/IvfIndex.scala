@@ -72,16 +72,23 @@ object IvfIndex {
     val batch = math.max(1, math.ceil((k - 1).toDouble / rounds).toInt)
     for (r <- 1 to rounds if total < k) {
       val take = math.min(batch, k - total)
+      // the n×seeds D² pass stays NARROW (id, dd): min(double) is a
+      // hash-aggregable primitive buffer, so the partial agg collapses
+      // map-side with NO sort — carrying the vector through the agg
+      // (first(array) forces SortAggregate) sorted n×seeds WIDE rows
+      // and stalled the 384-dim ladder for 20+ min; the vector
+      // re-attaches by id afterwards, one equi-join against one row/id
       val d2 = live.select(col("id"), col("vector"))
         .join(broadcast(cb))
         .withColumn("dd",
           lit(1.0) - VectorFunctions.cosineSim(col("vector"),
             col("centroid")))
         .groupBy(col("id"))
-        .agg(min(col("dd")).as("d"), first(col("vector")).as("vector"))
+        .agg(min(col("dd")).as("d"))
         // zero-distance points are existing seeds (or colinear with one):
         // weight 0 under D² sampling, so drop instead of pow(u, 1/0)
         .filter(col("d") > 0)
+        .join(live.select(col("id"), col("vector")), Seq("id"))
       val u = (pmod(xxhash64(col("id"), lit(r)), lit(1000000000L)) +
         lit(1)).cast("double") / lit(1000000001.0)
       // global top-take WITHOUT a single-partition window: orderBy+limit

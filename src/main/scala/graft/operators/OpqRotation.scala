@@ -162,7 +162,12 @@ object OpqRotation {
     * columns pass through). */
   def rotate(df: DataFrame, rot: Array[Array[Float]],
       vecCol: String = "vector"): DataFrame =
-    df.withColumn(vecCol, array(rot.toSeq.map(row =>
-      VectorFunctions.dotProduct(col(vecCol), typedLit(row.toSeq))
-        .cast("float")): _*))
+    // ONE mat-vec kernel, not dim separate dot-product expressions: the
+    // array-of-dots projection generates dim kernel bodies and at
+    // dim = 384 the stage degrades to interpreted eval (25+ min for the
+    // 200 k rotation, vs seconds — [[graft.functions.MatVecExpr]]).
+    // Arithmetic is element-for-element identical (double accumulation
+    // in index order, float cast per output).
+    df.withColumn(vecCol,
+      VectorFunctions.matVec(col(vecCol), rot.toSeq.map(_.toSeq)))
 }

@@ -180,14 +180,20 @@ object PqIndex {
     val batch = math.max(1, math.ceil((ksub - 1).toDouble / rounds).toInt)
     for (r <- 1 to rounds if total < ksub) {
       val take = math.min(batch, ksub - total)
+      // narrow (id, sub, dd) through the agg — min(double) hash-aggs
+      // with no sort; first(subvec) would force a SortAggregate over
+      // the full slices×seeds volume (the [[IvfIndex.seedCentroidsPP]]
+      // note); the subvec re-attaches by (id, sub) from the
+      // checkpointed slices
       val d2 = slices.join(broadcast(cb), Seq("sub"))
         .withColumn("dd", VectorFunctions.euclideanDist(col("subvec"),
           col("centroid")))
         .groupBy(col("id"), col("sub"))
-        .agg(min(col("dd")).as("d"), first(col("subvec")).as("subvec"))
+        .agg(min(col("dd")).as("d"))
         // zero-distance points are existing seeds (or duplicates of one):
         // weight 0 under D² sampling, so drop instead of pow(u, 1/0)
         .filter(col("d") > 0)
+        .join(slices, Seq("id", "sub"))
       val u = (pmod(xxhash64(col("id"), col("sub"), lit(r)),
         lit(1000000000L)) + lit(1)).cast("double") / lit(1000000001.0)
       // two-level top-take per sub: a per-sub window alone would funnel

@@ -528,6 +528,148 @@ case class NearestCodeExpr(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** Top-p nearest codebook entries as ONE codegen'd loop — the probe-
+  * selection kernel ([[graft.operators.IvfIndex.probeCells]]'s
+  * unfiltered path). The join-then-window formulation ranks Q × k rows
+  * CARRYING the query vector through a per-query sort (at Q = 100 k ×
+  * 1024 cells × 384-dim that is ~100 M rows × ~1.6 KB of sort input);
+  * the centroid table is k × dim floats — literal-sized — so the top-p
+  * selection runs on the query's own row and emits the probe list as
+  * one ARRAY<INT>, exploded afterwards. RANK PARITY with
+  * `row_number() over (order by sim desc, cell asc)`: candidates scan
+  * in id-ascending order with strict-improvement insertion, NaN sims
+  * map to +2.0 (NaN-greatest), so equal-score ties keep the lower id
+  * first. Children: (vec ARRAY<FLOAT>, cents ARRAY<ARRAY<FLOAT>>
+  * foldable, ids ARRAY<INT> foldable, p INT foldable). */
+case class TopCellsExpr(children: Seq[Expression])
+    extends Expression with Serializable {
+  override def prettyName: String = "top_cells"
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = children(0).nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def fail(msg: String) =
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(msg)
+    if (children.size != 4) fail(s"$prettyName expects 4 arguments")
+    else if (children(0).dataType != ArrayType(FloatType, true) &&
+        children(0).dataType != ArrayType(FloatType, false))
+      fail(s"$prettyName expects ARRAY<FLOAT> vec")
+    else if (!children(1).foldable || !children(2).foldable ||
+        !children(3).foldable)
+      fail(s"$prettyName cents/ids/p must be literals")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val cents: Array[Array[Float]] = {
+    val a = children(1).eval().asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => a.getArray(i).toFloatArray())
+  }
+  @transient private lazy val ids: Array[Int] =
+    children(2).eval().asInstanceOf[ArrayData].toIntArray()
+  @transient private lazy val p: Int =
+    children(3).eval().asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) null
+    else {
+      val vec = v.asInstanceOf[ArrayData]
+      val take = math.min(p, cents.length)
+      val keys = new Array[Double](take)
+      val out = new Array[Int](take)
+      var filled = 0
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        val n = math.min(vec.numElements(), ct.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = vec.getFloat(i).toDouble; val y = ct(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        var key = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (java.lang.Double.isNaN(key)) key = 2.0
+        // strict-improvement insertion: equal keys keep the earlier
+        // (lower-id) entry ahead — the window's (sim desc, cell asc)
+        var pos = if (filled < take) filled else -1
+        var j = filled - 1
+        while (j >= 0 && key > keys(j)) { pos = j; j -= 1 }
+        if (pos >= 0 && pos < take) {
+          var m = math.min(filled, take - 1)
+          while (m > pos) { keys(m) = keys(m - 1); out(m) = out(m - 1); m -= 1 }
+          keys(pos) = key; out(pos) = ids(c)
+          if (filled < take) filled += 1
+        }
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        java.util.Arrays.copyOf(out, filled))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    val idRef = ctx.addReferenceObj("ids", ids, "int[]")
+    val vEv = children(0).genCode(ctx)
+    val take = ctx.freshName("take"); val keys = ctx.freshName("keys")
+    val out = ctx.freshName("out"); val filled = ctx.freshName("filled")
+    val c = ctx.freshName("c"); val ct = ctx.freshName("ct")
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+    val y = ctx.freshName("y"); val key = ctx.freshName("key")
+    val pos = ctx.freshName("pos"); val j = ctx.freshName("j")
+    val m = ctx.freshName("m")
+    val code =
+      s"""
+         |${vEv.code}
+         |boolean ${ev.isNull} = ${vEv.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  int $take = java.lang.Math.min($p, $cRef.length);
+         |  double[] $keys = new double[$take];
+         |  int[] $out = new int[$take];
+         |  int $filled = 0;
+         |  for (int $c = 0; $c < $cRef.length; $c++) {
+         |    float[] $ct = $cRef[$c];
+         |    int $n = java.lang.Math.min(
+         |      ${vEv.value}.numElements(), $ct.length);
+         |    double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = (double) ${vEv.value}.getFloat($i);
+         |      double $y = (double) $ct[$i];
+         |      $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |    }
+         |    double $key = $dot /
+         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if (java.lang.Double.isNaN($key)) $key = 2.0;
+         |    int $pos = ($filled < $take) ? $filled : -1;
+         |    for (int $j = $filled - 1; $j >= 0 && $key > $keys[$j]; $j--) {
+         |      $pos = $j;
+         |    }
+         |    if ($pos >= 0 && $pos < $take) {
+         |      for (int $m = java.lang.Math.min($filled, $take - 1);
+         |           $m > $pos; $m--) {
+         |        $keys[$m] = $keys[$m - 1]; $out[$m] = $out[$m - 1];
+         |      }
+         |      $keys[$pos] = $key; $out[$pos] = $idRef[$c];
+         |      if ($filled < $take) $filled++;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData
+         |    .toArrayData(java.util.Arrays.copyOf($out, $filled));
+         |}
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code())
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** Dense matrix × vector as ONE codegen'd double loop — the rotation /
   * projection kernel ([[graft.operators.OpqRotation.rotate]]). The
   * `array(dotProduct(vec, row_0), …, dotProduct(vec, row_{d-1}))`
@@ -616,6 +758,7 @@ object VectorFunctions {
     "sq_l2" -> (es => SqL2Expr(es(0), es(1))),
     "hamming64" -> (es => HammingExpr(es(0), es(1))),
     "nearest_code" -> (es => NearestCodeExpr(es)),
+    "top_cells" -> (es => TopCellsExpr(es)),
     "mat_vec" -> (es => MatVecExpr(es(0), es(1))),
   )
 
@@ -670,4 +813,13 @@ object VectorFunctions {
   def matVec(vec: Column, matrix: Seq[Seq[Float]]): Column =
     call_function("mat_vec", vec,
       org.apache.spark.sql.functions.typedlit(matrix))
+
+  /** Top-p nearest centroid ids ([[TopCellsExpr]]): cosine rank with
+    * `row_number() over (sim desc, id asc)` parity — the probe-
+    * selection kernel. */
+  def topCells(vec: Column, cents: Seq[Seq[Float]], ids: Seq[Int],
+      p: Int): Column =
+    call_function("top_cells", vec,
+      org.apache.spark.sql.functions.typedlit(cents),
+      org.apache.spark.sql.functions.typedlit(ids), lit(p))
 }

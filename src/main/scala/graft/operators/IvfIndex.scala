@@ -312,20 +312,37 @@ object IvfIndex {
     * membership — O(filtered) rows, the scan the arm pays anyway. */
   private[operators] def probeCells(queries: DataFrame,
       centroids: DataFrame, nProbe: Int,
-      matchingCells: Option[DataFrame]): DataFrame = {
-    val ranked = matchingCells match {
-      case Some(mc) => centroids.join(
+      matchingCells: Option[DataFrame]): DataFrame = matchingCells match {
+    case Some(mc) =>
+      // FILTERED ranking (the correlated-predicate guard): the occupied
+      // cell set is data-dependent, so it stays a join + per-query rank
+      // — but over the filter-SHRUNK centroid subset, which is the
+      // regime where the rank input is small by construction
+      val ranked = centroids.join(
         mc.select(col("cell")).distinct(), Seq("cell"), "left_semi")
-      case None => centroids
-    }
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    queries.join(broadcast(ranked))
-      .withColumn("__csim",
-        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
-      .withColumn("__crn", row_number().over(cw))
-      .filter(col("__crn") <= nProbe)
-      .select(col("query_id"), col("query_vec"), col("cell"))
+      val cw = Window.partitionBy(col("query_id"))
+        .orderBy(col("__csim").desc, col("cell").asc)
+      queries.join(broadcast(ranked))
+        .withColumn("__csim",
+          VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
+        .withColumn("__crn", row_number().over(cw))
+        .filter(col("__crn") <= nProbe)
+        .select(col("query_id"), col("query_vec"), col("cell"))
+    case None =>
+      // UNFILTERED: the centroid table is literal-sized (k × dim
+      // floats), so the top-nProbe selection runs on the query's OWN
+      // row ([[graft.functions.TopCellsExpr]] — rank parity with the
+      // window formulation spec-pinned) and explodes to the probe
+      // list. The former join-then-window ranked Q × k rows carrying
+      // the query vector through a per-query sort — at Q = 100 k ×
+      // 1024 cells it was the probe-selection wall of the
+      // QueryBatchProbe ladder.
+      val cents = centroids.select(col("cell"), col("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+      queries.select(col("query_id"), col("query_vec"),
+        explode(VectorFunctions.topCells(col("query_vec"),
+          cents.map(_._2.toSeq).toSeq, cents.map(_._1).toSeq, nProbe))
+          .as("cell"))
   }
 
   /** ANN search: rank centroids per query, probe the top `nProbe` cells,

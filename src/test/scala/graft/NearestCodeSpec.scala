@@ -109,6 +109,44 @@ class NearestCodeSpec extends SparkSpec {
     assert(!gotD.exists(_._3 == 5)) // 2 always shadows 5
   }
 
+  test("topCells kernel ≡ join+window probe ranking (incl. ties and a zero vector)") {
+    val cents = IvfIndex.train(nodesDf, 16, iters = 1)
+      // duplicate centroid: cell 9 copies cell 3 — tie must keep 3 first
+      .withColumn("centroid", when(col("cell") === 9,
+        expr("transform(centroid, x -> float(0.5))"))
+        .otherwise(col("centroid")))
+      .withColumn("centroid", when(col("cell") === 3,
+        expr("transform(centroid, x -> float(0.5))"))
+        .otherwise(col("centroid")))
+    val qs = nodesDf.limit(30)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      // one degenerate query: all-zero vector → every sim NaN
+      .union(spark.sql("SELECT -1L AS query_id, " +
+        "transform(sequence(1, 8), x -> float(0)) AS query_vec"))
+    val collected = cents.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val got = qs.select(col("query_id"),
+        explode(graft.functions.VectorFunctions.topCells(col("query_vec"),
+          collected.map(_._2.toSeq).toSeq, collected.map(_._1).toSeq, 4))
+          .as("cell"))
+      .select("query_id", "cell").as[(Long, Int)].collect().toSet
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val want = qs.join(broadcast(cents))
+      .withColumn("__csim",
+        VectorFunctions.cosineSim(col("query_vec"), col("centroid")))
+      .withColumn("__crn", row_number().over(cw))
+      .filter(col("__crn") <= 4)
+      .select("query_id", "cell").as[(Long, Int)].collect().toSet
+    assert(got === want)
+    // the tie pair: whenever 9 is probed, 3 must be probed too (3 ranks first)
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, cells) =>
+      if (cells.exists(_._2 == 9)) assert(cells.exists(_._2 == 3), s"query $q")
+    }
+  }
+
   test("assignHierarchical kernel path ≡ flat assign at superK = k (degenerate pin)") {
     val cents = IvfIndex.train(nodesDf, 12, iters = 1)
     val flat = IvfIndex.assign(nodesDf, cents)

@@ -1118,19 +1118,27 @@ class VectorStore private (
     * rule) — packing is an n×m-row groupBy, and paying it per serve call
     * dominated the 10 M-vector wall (158 s/serve vs a 33 s exact scan;
     * packed + memoized, repeat serves skip it entirely). The packed
-    * relation localCheckpoints: ~(8 B id + m×4 B codes)/row — the
-    * compressed tier itself, the working set a PQ serving process holds
-    * by design. Lifecycle paths (appends, compaction, drift) keep the
-    * long-form [[loadPqIndex]]. */
+    * relation persists at MEMORY_AND_DISK (~(8 B id + m×4 B codes)/row —
+    * the compressed tier itself, the working set a PQ serving process
+    * holds by design) KEEPING the parquet-backed lineage: an executor
+    * loss or block eviction between serves recomputes the lost blocks
+    * from the generation's parquet instead of failing every later serve
+    * the way a lineage-truncating localCheckpoint would. Superseded
+    * generations unpersist on eviction — a continuous-ingest server
+    * would otherwise leak one cached relation per generation. Lifecycle
+    * paths (appends, compaction, drift) keep the long-form
+    * [[loadPqIndex]]. */
   private val pqPackedMemo = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
   private[graft] def servingPqIndex(): AdaptiveSearch.PqPrebuilt = {
     val pre = loadPqIndex()
     val stamp = pointerStamp("PQINDEX")
     pqPackedMemo.keys.foreach { s =>
-      if (s != stamp) { pqPackedMemo.remove(s); () } }
+      if (s != stamp)
+        pqPackedMemo.remove(s).foreach(_.unpersist(blocking = false)) }
     val packed = pqPackedMemo.getOrElseUpdate(stamp,
-      PqIndex.packCodes(pre.codes).localCheckpoint())
+      PqIndex.packCodes(pre.codes).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     pre.copy(codes = packed)
   }
 

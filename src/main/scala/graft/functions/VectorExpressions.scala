@@ -377,11 +377,22 @@ case class NearestCodeExpr(children: Seq[Expression])
         if (!children(2).foldable || !children(3).foldable ||
             !children(4).foldable)
           fail(s"$prettyName books/ids/metric must be literals")
-        else children(4).eval() match {
-          case m: org.apache.spark.unsafe.types.UTF8String
-              if m.toString == "cosine" || m.toString == "euclidean" =>
-            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-          case m => fail(s"$prettyName metric must be cosine|euclidean, got $m")
+        // SQL-registered: shape-check the book/id literals too (the
+        // top_cells rule — analysis-time error beats a ClassCast inside
+        // generated code)
+        else (children(2).dataType, children(3).dataType) match {
+          case (ArrayType(ArrayType(ArrayType(FloatType, _), _), _),
+              ArrayType(ArrayType(IntegerType, _), _)) =>
+            children(4).eval() match {
+              case m: org.apache.spark.unsafe.types.UTF8String
+                  if m.toString == "cosine" || m.toString == "euclidean" =>
+                org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+              case m =>
+                fail(s"$prettyName metric must be cosine|euclidean, got $m")
+            }
+          case (bt, it) => fail(s"$prettyName expects books " +
+            s"ARRAY<ARRAY<ARRAY<FLOAT>>>, ids ARRAY<ARRAY<INT>>, got " +
+            s"${bt.simpleString}, ${it.simpleString}")
         }
       case (b, v) =>
         fail(s"$prettyName expects (INT, ARRAY<FLOAT>, ...), got " +
@@ -558,7 +569,24 @@ case class TopCellsExpr(children: Seq[Expression])
     else if (!children(1).foldable || !children(2).foldable ||
         !children(3).foldable)
       fail(s"$prettyName cents/ids/p must be literals")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    // SQL-registered (`top_cells(...)` in query text): shape-check the
+    // literals too, or a mistyped/negative literal surfaces as a
+    // ClassCastException / NegativeArraySizeException inside generated
+    // code instead of an analysis-time error
+    else (children(1).dataType, children(2).dataType,
+        children(3).dataType) match {
+      case (ArrayType(ArrayType(FloatType, _), _),
+          ArrayType(IntegerType, _), IntegerType) =>
+        children(3).eval() match {
+          case p: java.lang.Integer if p.intValue >= 0 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          case p => fail(s"$prettyName p must be a non-negative INT " +
+            s"literal, got $p")
+        }
+      case (c, i, p) => fail(s"$prettyName expects (vec ARRAY<FLOAT>, " +
+        s"cents ARRAY<ARRAY<FLOAT>>, ids ARRAY<INT>, p INT), got cents " +
+        s"${c.simpleString}, ids ${i.simpleString}, p ${p.simpleString}")
+    }
   }
 
   @transient private lazy val cents: Array[Array[Float]] = {

@@ -68,10 +68,15 @@ object AdaptiveSearch {
         // per-generation memo): the array width IS the geometry
         val c = pre.codes.agg(max(size(col("codes"))),
           min(size(col("codes")))).head()
-        require(!c.isNullAt(0) && c.getInt(0) == mSub &&
-            c.getInt(1) == mSub,
-          s"prebuilt packed PQ codes have m=[${c.getInt(1)}," +
-            s"${c.getInt(0)}], dispatcher expects m=$mSub")
+        // read the slots BEFORE the require: on an empty codes table the
+        // aggregates are null and getInt would NPE inside the message,
+        // masking the intended diagnostic (the long-form branch's guard)
+        val (mx, mn) =
+          if (c.isNullAt(0)) (0, 0) else (c.getInt(0), c.getInt(1))
+        require(!c.isNullAt(0) && mx == mSub && mn == mSub,
+          s"prebuilt packed PQ codes have m=[$mn,$mx]" +
+            s"${if (c.isNullAt(0)) " (empty codes table)" else ""}, " +
+            s"dispatcher expects m=$mSub")
       } else {
         val c = pre.codes.agg(max(col("sub"))).head()
         require(!c.isNullAt(0) && c.getInt(0) + 1 == mSub,

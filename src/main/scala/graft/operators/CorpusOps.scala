@@ -362,7 +362,7 @@ object CorpusOps {
     // NULL-source docs form their own stream (a null-safe key — a plain
     // equi-join on srcCol would silently drop them)
     val withKey = docs.withColumn("__src",
-      coalesce(col(srcCol).cast("string"), lit(" null")))
+      coalesce(col(srcCol).cast("string"), lit("\u0000null")))
     val srcIdx = withKey.select(col("__src")).distinct()
       .withColumn("__src_idx",
         row_number().over(Window.orderBy(col("__src").asc)) - 1)

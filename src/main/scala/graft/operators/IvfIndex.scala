@@ -312,6 +312,22 @@ object IvfIndex {
     * membership — O(filtered) rows, the scan the arm pays anyway. */
   private[operators] def probeCells(queries: DataFrame,
       centroids: DataFrame, nProbe: Int,
+      matchingCells: Option[DataFrame]): DataFrame = {
+    // a NULL query_vec would vanish silently from BOTH arms (topCells
+    // returns null and explode drops the row; the filtered arm's
+    // cosineSim goes null and the rank filter drops it) — callers
+    // reaching the operator directly (bypassing VectorStore.validate)
+    // would read an empty result as "no matches". Fail loudly instead;
+    // assert_true returns null when the check passes, so the filter
+    // keeps every valid row and cannot be pruned away.
+    val checked = queries.filter(assert_true(col("query_vec").isNotNull,
+      lit("IvfIndex.probeCells: NULL query_vec — validate queries " +
+        "upstream")).isNull)
+    probeCellsChecked(checked, centroids, nProbe, matchingCells)
+  }
+
+  private def probeCellsChecked(queries: DataFrame,
+      centroids: DataFrame, nProbe: Int,
       matchingCells: Option[DataFrame]): DataFrame = matchingCells match {
     case Some(mc) =>
       // FILTERED ranking (the correlated-predicate guard): the occupied

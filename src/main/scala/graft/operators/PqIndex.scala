@@ -119,6 +119,11 @@ object PqIndex {
       : (Seq[Seq[Seq[Float]]], Seq[Seq[Int]]) = {
     val rows = codebooks.select(col("sub"), col("code"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    // corrupt-input guard: the broadcast-join formulation this kernel
+    // replaced surfaced an empty codebook as an explicit geometry error
+    // downstream; a bare `empty.max` UnsupportedOperationException hides
+    // the actual problem
+    require(rows.nonEmpty, "empty PQ codebook table")
     val m = rows.map(_._1).max + 1
     val bySub = rows.groupBy(_._1)
     val empty = Array.empty[(Int, Int, Seq[Float])]

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.operators.{AdaptiveSearch, IndexParams, KnnSearch}
 import graft.queries.VectorQueries
 
@@ -151,6 +151,32 @@ class AdaptiveSearchSpec extends SparkSpec {
         exactCutoff = 0L, pqCutoff = 1L, prebuiltPq = Some(preBad))
     }
     assert(e.getMessage.contains("geometry"))
+  }
+
+  test("PQ geometry gate on an EMPTY packed codes table reports the " +
+      "m-mismatch, not an NPE from the message itself") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nodesDf = VectorQueries.asVectorTable(emb)
+    val queriesDf = VectorQueries.querySet(emb)
+    val params = IndexParams(bucketBits = 4)
+    val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = graft.operators.IvfIndex.assign(nodesDf, centroids)
+      .select(col("id"), col("cell"))
+    val res = graft.operators.PqIndex.residuals(nodesDf, asg, centroids)
+      .select(col("id"), col("vector"))
+    val rcb = graft.operators.PqIndex.sampleCodebooks(res,
+      m = 8, subLen = 8, ksub = 16)
+    // packed layout ((id, codes)) with zero rows: the validation
+    // aggregate is null — the failure must still be the m diagnostic
+    val emptyPacked = graft.operators.PqIndex
+      .packCodes(graft.operators.PqIndex.encode(res, rcb, 8, 8))
+      .filter(lit(false))
+    val pre = AdaptiveSearch.PqPrebuilt(centroids, asg, rcb, emptyPacked)
+    val e = intercept[IllegalArgumentException] {
+      AdaptiveSearch.search(nodesDf, queriesDf, k = 5, minSim = 0.2, params,
+        exactCutoff = 0L, pqCutoff = 1L, prebuiltPq = Some(pre))
+    }
+    assert(e.getMessage.contains("empty codes table"))
   }
 
   test("stats: share in [0,1]; adaptive result equals exact on the fixture") {

@@ -50,6 +50,25 @@ class IvfFeaturizerSpec extends SparkSpec {
     assert(recall > 0.6, s"IVF recall@10 = $recall")
   }
 
+  test("IVF search with a NULL query_vec fails loudly instead of " +
+      "silently returning no rows for that query") {
+    val centroids = IvfIndex.train(nodesDf, k = 10, iters = 1)
+    val withNull = queriesDf.limit(1)
+      .withColumn("query_vec",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("array<float>"))
+      .unionByName(queriesDf.limit(3))
+    val e = intercept[Exception] {
+      IvfIndex.search(nodesDf, centroids, withNull,
+        k = 5, minSim = -2.0, nProbe = 3).collect()
+    }
+    assert(e.getMessage != null)
+    // valid batches keep serving
+    val ok = IvfIndex.search(nodesDf, centroids, queriesDf.limit(3),
+      k = 5, minSim = -2.0, nProbe = 3)
+    assert(ok.count() > 0)
+  }
+
   test("assignHierarchical: superK = k degenerates to EXACTLY the flat " +
       "assignment; the default two-level path keeps the blocking property") {
     val centroids = IvfIndex.sampleCodebook(nodesDf, k = 16)

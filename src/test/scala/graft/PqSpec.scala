@@ -268,4 +268,12 @@ class PqSpec extends SparkSpec {
       .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
     assert(a == b)
   }
+
+  test("an EMPTY codebook table fails with the explicit geometry error, " +
+      "not a bare empty.max") {
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.encode(nodesDf, cb.filter(lit(false)), m, subLen).collect()
+    }
+    assert(e.getMessage.contains("empty PQ codebook table"))
+  }
 }

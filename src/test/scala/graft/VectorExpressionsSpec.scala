@@ -77,4 +77,43 @@ class VectorExpressionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("array"))
   }
+
+  test("top_cells SQL literals are shape-checked at analysis time: " +
+      "negative p and mistyped cents fail loudly, not in codegen") {
+    val df = Seq(Tuple1(Seq(1f, 0f))).toDF("v")
+    // negative p: would allocate new double[take] with take < 0 inside
+    // generated code — must be an analysis error instead
+    val e1 = intercept[Exception] {
+      df.selectExpr(
+        "top_cells(v, array(array(1.0f, 0.0f)), array(0), -1)").head
+    }
+    assert(e1.getMessage.contains("non-negative"))
+    // mistyped cents (double arrays): ClassCastException in codegen
+    // before the check
+    val e2 = intercept[Exception] {
+      df.selectExpr(
+        "top_cells(v, array(array(1.0d, 0.0d)), array(0), 1)").head
+    }
+    assert(e2.getMessage.contains("ARRAY"))
+    // well-typed call still serves
+    val ok = df.selectExpr(
+      "top_cells(v, array(array(1.0f, 0.0f), array(0.0f, 1.0f)), " +
+        "array(7, 9), 1)").head.getSeq[Int](0)
+    assert(ok === Seq(7))
+  }
+
+  test("nearest_code SQL literals are shape-checked at analysis time") {
+    val df = Seq((0, Seq(1f, 0f))).toDF("s", "v")
+    val e = intercept[Exception] {
+      // ids as strings: must fail analysis, not cast inside codegen
+      df.selectExpr("nearest_code(s, v, array(array(array(1.0f, 0.0f))), " +
+        "array(array('x')), 'euclidean')").head
+    }
+    assert(e.getMessage.contains("ARRAY"))
+    val ok = df.selectExpr(
+      "nearest_code(s, v, array(array(array(0.0f, 1.0f), " +
+        "array(1.0f, 0.0f))), array(array(4, 6)), 'euclidean')")
+      .head.getInt(0)
+    assert(ok === 6)
+  }
 }

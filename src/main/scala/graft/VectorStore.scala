@@ -1136,8 +1136,14 @@ class VectorStore private (
     pqPackedMemo.keys.foreach { s =>
       if (s != stamp)
         pqPackedMemo.remove(s).foreach(_.unpersist(blocking = false)) }
+    // cosine stores pack (id, codes, nrm) — the stored-norm column the
+    // cosine-consistent IP ADC divides by ([[operators.PqIndex
+    // .searchIvfPqResidualIp]]); the norm join is paid once per
+    // generation alongside the pack groupBy
     val packed = pqPackedMemo.getOrElseUpdate(stamp,
-      PqIndex.packCodes(pre.codes).persist(
+      (if (params.metric == "cosine")
+         PqIndex.packCodesWithNorms(pre.codes, nodes)
+       else PqIndex.packCodes(pre.codes)).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     pre.copy(codes = packed)
   }
@@ -1253,19 +1259,31 @@ class VectorStore private (
     * exact/IVF arms instead (SCALING.md correlated-predicates 1 M
     * table). */
   def searchPq(queries: DataFrame, k: Int, strengthSetting: Double = 50,
-      nProbe: Int = 8, predicate: Option[Column] = None,
+      nProbe: Int = 0, predicate: Option[Column] = None,
       shortlist: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
     val pre = servingPqIndex()
     val mSub = PqIndex.subspaces(params.dim)
-    // `shortlist` overrides the default ADC re-rank depth — the recall
-    // lever at large n (candidates/query = n·nProbe/cells grows with the
-    // corpus while a FIXED 500-deep shortlist keeps a shrinking fraction:
-    // the 10 M flagship measured recall@10 0.42 at the default vs 0.765
-    // at 5000/nProbe 32 — SCALING.md UsePq table)
+    val cells = countMemo.getOrElseUpdate(
+      (pointerStamp("PQINDEX"), "__cells"), pre.centroids.count())
+    // nProbe = 0 (the default) means AUTO: probe ≥ 1/32 of the
+    // generation's cells ([[operators.PqIndex.adaptiveNProbe]]) — the
+    // probed FRACTION must not collapse as builds grow cells with √n
+    // (≤ 256-cell builds keep 8, the historical default; the 10 M
+    // flagship's 1024 cells get the measured knee of 32). An explicit
+    // nProbe pins the budget exactly.
+    val np = if (nProbe > 0) nProbe else PqIndex.adaptiveNProbe(8, cells)
+    // shortlist = 0 (the default) means AUTO: scale the ADC re-rank
+    // depth with candidate volume ([[operators.PqIndex
+    // .adaptiveShortlist]]) — the recall lever at large n
+    // (candidates/query = n·nProbe/cells grows with the corpus while a
+    // FIXED 500-deep shortlist keeps a shrinking fraction: the 10 M
+    // flagship measured recall@10 0.42 at the old constant default vs
+    // 0.765 at 5000/nProbe 32 — SCALING.md UsePq table)
     val baseShort =
-      if (shortlist > 0) shortlist else math.max(100, 50 * k)
+      if (shortlist > 0) shortlist
+      else PqIndex.adaptiveShortlist(k, liveCount, np, cells)
     // a selective predicate starves BOTH knobs: the coarse probe (probed
     // cells may hold < k MATCHING rows — escalate like the seeded arm)
     // and the ADC shortlist (the re-rank tail keeps the MATCHING
@@ -1278,13 +1296,25 @@ class VectorStore private (
         val f = filteredCount(p)
         AnnSearch.escalatedProbes(baseShort, f, liveCount, f)
     }
-    PqIndex.searchIvfPqResidualScored(nodes, pre.codes, pre.assignments,
-      pre.centroids, pre.codebooks, queries, k,
-      shortlist = short,
-      escalatedNProbe(nProbe, predicate, pre.centroids),
-      mSub, params.dim / mSub,
-      KnnSearch.scaleThreshold(strengthSetting), params.metric,
-      idFilter = filteredIds(predicate))
+    val escalNp = escalatedNProbe(np, predicate, pre.centroids)
+    // cosine stores rank the shortlist with the cosine-consistent
+    // inner-product ADC + stored norm (the serving memo packs (id,
+    // codes, nrm) once per generation); euclidean stores keep the
+    // euclidean residual ADC — each shortlist is ranked in its store's
+    // own metric
+    if (params.metric == "cosine")
+      PqIndex.searchIvfPqResidualIpScored(nodes, pre.codes,
+        pre.assignments, pre.centroids, pre.codebooks, queries, k,
+        shortlist = short, escalNp, mSub, params.dim / mSub,
+        KnnSearch.scaleThreshold(strengthSetting),
+        idFilter = filteredIds(predicate))
+    else
+      PqIndex.searchIvfPqResidualScored(nodes, pre.codes, pre.assignments,
+        pre.centroids, pre.codebooks, queries, k,
+        shortlist = short, escalNp,
+        mSub, params.dim / mSub,
+        KnnSearch.scaleThreshold(strengthSetting), params.metric,
+        idFilter = filteredIds(predicate))
   }
 
   // ---- SQ8 index lifecycle -------------------------------------------

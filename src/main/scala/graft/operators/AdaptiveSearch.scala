@@ -47,6 +47,21 @@ object AdaptiveSearch {
   private val validatedPq = java.util.Collections.synchronizedMap(
     new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
 
+  /** Cell-count memo (same identity-keyed pattern as [[validatedPq]]):
+    * the UsePq arm's adaptive defaults need the generation's cell count —
+    * a k-row aggregate, but once per index identity, not per dispatch. */
+  private val cellCountMemo = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame, java.lang.Long]())
+  private def countCells(centroids: DataFrame): Long = {
+    val c = cellCountMemo.get(centroids)
+    if (c != null) c.longValue
+    else {
+      val n = centroids.count()
+      cellCountMemo.put(centroids, java.lang.Long.valueOf(n))
+      n
+    }
+  }
+
   private def validateGeometry(pre: PqPrebuilt, mSub: Int, subLen: Int)
       : Unit = {
     if (!validatedPq.containsKey(pre.codebooks)) {
@@ -288,16 +303,38 @@ object AdaptiveSearch {
         // only caller-provided indexes need the geometry gate — the
         // in-line build is correct by construction
         if (prebuiltPq.isDefined) validateGeometry(pre, mSub, subLen)
+        // the arm's serving defaults SCALE WITH THE INDEX: probe ≥ 1/32
+        // of cells and shortlist ~1/64 of candidate volume
+        // ([[PqIndex.adaptiveNProbe]]/[[PqIndex.adaptiveShortlist]]) —
+        // this arm exists precisely for n past the memory cutoff, where
+        // the old constant defaults under-served (recall@10 0.42 at the
+        // 10 M flagship vs 0.765 at the scaled knobs — SCALING.md).
+        // Cell count is one k-row aggregate per call; production callers
+        // go through the VectorStore facade, which memoizes it per
+        // generation.
+        val pqCells = countCells(pre.centroids)
+        val baseNp = PqIndex.adaptiveNProbe(nProbe, pqCells)
         // filtered PQ: the coarse probe is the starvation point (probed
         // cells may hold < k MATCHING rows) — escalate it with the same
         // constant-matching-volume rule; the ADC scan still only touches
         // filtered members, so cost tracks the filtered fraction
-        val np = if (idFilter.isEmpty) nProbe
-                 else escalated(nProbe, pre.centroids.count())
-        (UsePq, PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
-          pre.assignments, pre.centroids, pre.codebooks, queries, k,
-          shortlist = math.max(100, 50 * k), np, mSub, subLen, minSim,
-          params.metric, idFilter = idFilter))
+        val np = if (idFilter.isEmpty) baseNp else escalated(baseNp, pqCells)
+        val short = PqIndex.adaptiveShortlist(k, n, np, pqCells)
+        // cosine stores rank the shortlist with the cosine-consistent
+        // inner-product ADC + stored norm; euclidean stores keep the
+        // euclidean residual ADC — each in its own metric
+        val result =
+          if (params.metric == "cosine")
+            PqIndex.searchIvfPqResidualIpScored(nodes, pre.codes,
+              pre.assignments, pre.centroids, pre.codebooks, queries, k,
+              shortlist = short, np, mSub, subLen, minSim,
+              idFilter = idFilter)
+          else
+            PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
+              pre.assignments, pre.centroids, pre.codebooks, queries, k,
+              shortlist = short, np, mSub, subLen, minSim,
+              params.metric, idFilter = idFilter)
+        (UsePq, result)
     }
   }
 }

@@ -263,6 +263,24 @@ object PqIndex {
         array_sort(collect_list(struct(col("sub"), col("code")))),
         e => e.getField("code")).as("codes"))
 
+  /** (id, nrm) — 8-dp-quantized L2 norm per live vector, the stored-norm
+    * correction the cosine-consistent ADC divides by
+    * ([[searchIvfPqResidualIp]]). One map-side projection; both engines
+    * re-derive it bit-for-bit (ordered double dot + IEEE sqrt + the
+    * shared floor quantizer). */
+  def norms(nodes: DataFrame): DataFrame =
+    live(nodes).select(col("id"),
+      q8(sqrt(VectorFunctions.dotProduct(col("vector"), col("vector"))))
+        .as("nrm"))
+
+  /** [[packCodes]] + the stored norm — the serving-shaped codes table for
+    * cosine stores ((id, codes, nrm)): the norm join is paid ONCE per
+    * generation alongside the pack groupBy (the [[graft.VectorStore]]
+    * pack-once memo), never per serve. Inner join: an id missing from
+    * the live node table could not survive the exact re-rank anyway. */
+  def packCodesWithNorms(codes: DataFrame, nodes: DataFrame): DataFrame =
+    packedOf(codes).join(norms(nodes), Seq("id"))
+
   /** The ADC scan accepts EITHER code layout: a long (id, sub, code)
     * table packs here per call (fixture-scale callers), a pre-packed
     * (id, codes) table passes through — the [[VectorStore]] serving
@@ -463,6 +481,130 @@ object PqIndex {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("id"), col("rn"))
   }
+
+  /** Cosine-consistent residual IVF-PQ shortlist — inner-product ADC +
+    * stored-norm correction. The euclidean residual ADC ranks a COSINE
+    * store's shortlist in the wrong metric (measured: it shares blame
+    * for the 10 M flagship's 0.42 default recall and the 384-dim
+    * filtered divergence — SCALING.md); the standard cure (Jégou et al.
+    * §III.D asymmetric IP variant + stored norms) decomposes
+    * ⟨q, x⟩ ≈ ⟨q, c_cell⟩ + Σ_sub ⟨q_sub, codeword_sub⟩ and ranks by
+    * that estimate over the STORED ‖x‖ (cos(q,x) · ‖q‖ — ‖q‖ constant
+    * per query, so the ranking is cosine's). Cheaper than the euclidean
+    * residual path at scale, too: the lookup table is per QUERY (the
+    * raw-query-slice × residual-codeword dot does not depend on the
+    * cell), Q × m·ksub instead of Q × nProbe × m·ksub — only the scalar
+    * ⟨q, c_cell⟩ stays per (query, probed cell).
+    *
+    * `codes` must carry the packed serving shape WITH norms
+    * ((id, codes, nrm) — [[packCodesWithNorms]]); pass `nodes` to
+    * derive it in-line at fixture scale. Output (query_id, id, rn) by
+    * estimated cosine DESC, ties id asc — every value 8-dp-quantized
+    * doubles through one add + one divide, re-derivable by an external
+    * engine (the a36 oracle re-derives every rank). */
+  def searchIvfPqResidualIp(codes: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, m: Int, subLen: Int,
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None,
+      nodes: Option[DataFrame] = None): DataFrame = {
+    val packed =
+      if (codes.columns.contains("nrm")) codes
+      else packCodesWithNorms(codes, nodes.getOrElse(
+        throw new IllegalArgumentException(
+          "searchIvfPqResidualIp needs (id, codes, nrm) serving codes " +
+            "(packCodesWithNorms) or the node table to derive norms")))
+    val fasg = KnnSearch.restrictIds(
+      assignments.select(col("cell"), col("id")), idFilter)
+    val probed = IvfIndex.probeCells(queries, centroids, nProbe,
+        idFilter.map(_ => fasg))
+      .select(col("query_id"), col("cell"))
+    // the per-(query, probed cell) scalar ⟨q, c_cell⟩ — Q × nProbe rows
+    val qc = probed
+      .join(broadcast(centroids), Seq("cell"))
+      .join(maybeBroadcast(queries, broadcastBytes), Seq("query_id"))
+      .select(col("query_id"), col("cell"),
+        q8(VectorFunctions.dotProduct(col("query_vec"), col("centroid")))
+          .as("qc"))
+    // the per-QUERY inner-product LUT: raw query slices × residual
+    // codewords — cell-independent, so Q × m·ksub total
+    val lutLong = queries
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("query_vec"))
+      .select(col("query_id"), col("sub"),
+        slice(col("query_vec"), col("sub") * subLen + 1, lit(subLen))
+          .as("qsub"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        q8(VectorFunctions.dotProduct(col("qsub"), col("centroid")))
+          .as("d"))
+    val lut = lutLong.groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
+        e => e.getField("d")).as("lut"))
+    val cand = fasg
+      .join(maybeBroadcast(probed, broadcastBytes), Seq("cell"))
+      .select(col("query_id"), col("cell"), col("id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est").desc, col("id").asc)
+    packed.join(maybeBroadcast(cand, broadcastBytes), Seq("id"))
+      .join(maybeBroadcast(lut, broadcastBytes), Seq("query_id"))
+      .join(maybeBroadcast(qc, broadcastBytes), Seq("query_id", "cell"))
+      // a zero-norm vector has no cosine — rank it last (the exact
+      // re-rank's NaN guard drops it anyway)
+      .withColumn("est",
+        when(col("nrm") > 0,
+          (col("qc") + VectorFunctions.pqAdc(col("codes"), col("lut")))
+            / col("nrm"))
+          .otherwise(lit(-1.0e18)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col("rn"))
+  }
+
+  /** [[searchIvfPqResidualIp]] shortlist + exact cosine re-rank with the
+    * [[KnnSearch.knnExact]] result contract — the cosine store's
+    * production serving composition (the euclidean-store analog is
+    * [[searchIvfPqResidualScored]]). */
+  def searchIvfPqResidualIpScored(nodes: DataFrame, codes: DataFrame,
+      assignments: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int, nProbe: Int,
+      m: Int, subLen: Int, minSim: Double,
+      broadcastBytes: Long = 64L << 20,
+      idFilter: Option[DataFrame] = None): DataFrame = {
+    val cand = searchIvfPqResidualIp(codes, assignments, centroids,
+        codebooks, queries, shortlist, nProbe, m, subLen, broadcastBytes,
+        idFilter, nodes = Some(nodes))
+      .select(col("query_id"), col("id"))
+    rerankScored(nodes, cand, queries, k, minSim, "cosine", broadcastBytes)
+  }
+
+  /** Default ADC shortlist scaled to candidate volume — THE recall lever
+    * at large n: candidates/query = n·nProbe/cells grows with the corpus
+    * while a constant shortlist keeps a shrinking fraction (measured
+    * recall@10 0.42 at 10 M under the old constant default vs 0.765 at
+    * ~1/64 of candidates — SCALING.md UsePq table). The floor keeps
+    * every fixture-scale row where shortlist ≥ candidates (hash-pinned
+    * results unchanged); the cap bounds the exact-re-rank tail
+    * (Q × shortlist full-vector reads). */
+  def adaptiveShortlist(k: Int, n: Long, nProbe: Int, cells: Long): Int = {
+    val floor = math.max(100, 50 * k)
+    if (cells <= 0 || n <= 0) floor
+    else {
+      val candidates = n.toDouble * nProbe / cells.toDouble
+      math.max(floor,
+        math.min(100000, math.ceil(candidates / 64.0).toInt))
+    }
+  }
+
+  /** Default coarse-probe budget scaled to the cell count: probe ≥ 1/32
+    * of cells (capped — re-rank volume grows with nProbe too), so the
+    * probed FRACTION doesn't collapse as builds grow cells with √n.
+    * Fixture/default builds (≤ 256 cells) keep the base — hash-pinned
+    * rows unchanged; the 10 M flagship's 1024 cells get the measured
+    * knee of 32 ([[graft.VectorStore.searchPq]] recall table). */
+  def adaptiveNProbe(base: Int, cells: Long): Int =
+    math.max(base, math.min(64, math.ceil(cells / 32.0).toInt))
 
   /** ADC shortlist + exact re-rank — the standard PQ quality tail: the
     * compressed scan keeps only `shortlist` candidates per query cheap,

@@ -482,6 +482,32 @@ object AnnQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // Cosine-consistent residual IVF-PQ (inner-product ADC + stored
+    // norm — the cosine store's serving shortlist): rank by
+    // (⟨q,c_cell⟩ + Σ_sub lut[codeword]) / ‖x‖ instead of euclidean
+    // residual ADC. Fully hash-checked: the oracle re-derives the same
+    // coarse/residual artifacts as a14 plus the per-query IP LUT, the
+    // per-(query, cell) scalar, every stored norm, and every rank — a
+    // regression in the decomposition, the 8-dp quantizer, or the
+    // zero-norm guard fails the hash.
+    "a36_ivfpq_residual_ip" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+        .select(col("id"), col("cell"))
+      val res = graft.operators.PqIndex.residuals(nodesDf, asg, coarse)
+        .select(col("id"), col("vector"))
+      val rcb = graft.operators.PqIndex.sampleCodebooks(res,
+        m = 8, subLen = 8, ksub = 16)
+      val codes = graft.operators.PqIndex.encode(res, rcb,
+        m = 8, subLen = 8)
+      graft.operators.PqIndex.searchIvfPqResidualIp(codes, asg, coarse,
+        rcb, VectorQueries.querySet(emb), k = 10, nProbe = 3,
+        m = 8, subLen = 8, nodes = Some(nodesDf))
+    }),
+
     // Cost-based strategy selection wired into the gate: on this fixture
     // the measured stats (n=500 ≤ exactCutoff) deterministically pick the
     // EXACT path, so the oracle pins BOTH the dispatch (strategy column)
@@ -1296,6 +1322,90 @@ object AnnQueries {
         |  SELECT query_id, id,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY adc ASC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "a36_ivfpq_residual_ip" ->
+      """WITH nodes AS (
+        |  SELECT vec_id AS id, embedding AS vf, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |ccb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    embedding AS cvf, embedding::DOUBLE[] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.id, c.cell,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+        |    FROM nodes n CROSS JOIN ccb c)
+        |  WHERE rn = 1),
+        |res AS (
+        |  SELECT n.id,
+        |    list_transform(list_zip(n.vf, c.cvf), x -> x[1] - x[2]) AS rf
+        |  FROM nodes n JOIN asg a ON a.id = n.id JOIN ccb c ON c.cell = a.cell),
+        |rcb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS code, rf
+        |  FROM (SELECT * FROM res ORDER BY id LIMIT 16)),
+        |rcb AS (
+        |  SELECT CAST(s.sub AS INT) AS sub, r.code,
+        |    list_slice(r.rf, s.sub * 8 + 1, s.sub * 8 + 8)::DOUBLE[] AS cen
+        |  FROM rcb0 r CROSS JOIN range(0, 8) s(sub)),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT r.id, rcb.sub, rcb.code,
+        |      row_number() OVER (PARTITION BY r.id, rcb.sub
+        |        ORDER BY list_distance(
+        |          list_slice(r.rf, rcb.sub * 8 + 1, rcb.sub * 8 + 8)::DOUBLE[],
+        |          rcb.cen) ASC, rcb.code) AS rn
+        |    FROM res r CROSS JOIN rcb) WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvf, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN ccb c)
+        |  WHERE rn <= 3),
+        |lut AS (
+        |  SELECT q.query_id, rcb.sub, rcb.code,
+        |    floor(list_dot_product(
+        |      list_slice(q.qvf, rcb.sub * 8 + 1, rcb.sub * 8 + 8)::DOUBLE[],
+        |      rcb.cen) * 100000000.0 + 0.5) / 100000000.0 AS d
+        |  FROM q CROSS JOIN rcb),
+        |qcell AS (
+        |  SELECT p.query_id, p.cell,
+        |    floor(list_dot_product(q.qv, c.cv) * 100000000.0 + 0.5)
+        |      / 100000000.0 AS qc
+        |  FROM probed p
+        |  JOIN ccb c ON c.cell = p.cell
+        |  JOIN q ON q.query_id = p.query_id),
+        |nrm AS (
+        |  SELECT id,
+        |    floor(sqrt(list_dot_product(v, v)) * 100000000.0 + 0.5)
+        |      / 100000000.0 AS nrm
+        |  FROM nodes),
+        |cand AS (
+        |  SELECT p.query_id, p.cell, a.id
+        |  FROM probed p JOIN asg a ON a.cell = p.cell),
+        |scored AS (
+        |  SELECT c.query_id, c.id,
+        |    CASE WHEN nr.nrm > 0 THEN
+        |      (qc.qc + list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b))
+        |        / nr.nrm
+        |    ELSE -1e18 END AS est
+        |  FROM cand c
+        |  JOIN enc e ON e.id = c.id
+        |  JOIN lut l ON l.query_id = c.query_id
+        |    AND l.sub = e.sub AND l.code = e.code
+        |  JOIN qcell qc ON qc.query_id = c.query_id AND qc.cell = c.cell
+        |  JOIN nrm nr ON nr.id = c.id
+        |  GROUP BY c.query_id, c.id, qc.qc, nr.nrm)
+        |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY est DESC, id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
     "a20_pq_append_encode" ->

@@ -269,6 +269,83 @@ class PqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IP-ADC shortlist: cosine-consistent ranking beats (or ties) the " +
+      "euclidean residual shortlist against the cosine exact truth") {
+    val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+      .select(col("id"), col("cell"))
+    val res = graft.operators.PqIndex.residuals(nodesDf, asg, coarse)
+      .select(col("id"), col("vector"))
+    val rcb = PqIndex.sampleCodebooks(res, m, subLen, ksub)
+    val rcodes = PqIndex.encode(res, rcb, m, subLen)
+    val exact = KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "id").as[(Long, Long)]
+        .collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    // equal probe budget, equal shortlist depth — only the ADC metric
+    // differs: the IP + stored-norm estimate ranks in the ground-truth
+    // metric, the euclidean residual one doesn't
+    val rIp = recallOf(PqIndex.searchIvfPqResidualIp(rcodes, asg, coarse,
+      rcb, queriesDf, k = 10, nProbe = 3, m, subLen,
+      nodes = Some(nodesDf)))
+    val rEu = recallOf(PqIndex.searchIvfPqResidual(rcodes, asg, coarse,
+      rcb, queriesDf, k = 10, nProbe = 3, m, subLen))
+    assert(rIp >= rEu, s"IP recall $rIp < euclidean recall $rEu")
+    assert(rIp > 0.2, s"IP recall $rIp implausibly low")
+  }
+
+  test("packCodesWithNorms: one row per id, m codes, 8-dp positive norm; " +
+      "IP search accepts the packed-with-norms layout directly") {
+    val packed = PqIndex.packCodesWithNorms(codes, nodesDf)
+    assert(packed.columns.toSet === Set("id", "codes", "nrm"))
+    assert(packed.count() === nodesDf.count())
+    val r = packed.agg(min(size(col("codes"))), max(size(col("codes"))),
+      min(col("nrm"))).head()
+    assert(r.getInt(0) === m && r.getInt(1) === m)
+    assert(r.getDouble(2) > 0.0)
+    // packed (id, codes, nrm) serves without a nodes fallback
+    val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+    val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+      .select(col("id"), col("cell"))
+    val viaPacked = PqIndex.searchIvfPqResidualIp(
+      PqIndex.packCodesWithNorms(codes, nodesDf), asg, coarse, cb,
+      queriesDf, k = 5, nProbe = 3, m, subLen)
+    val viaNodes = PqIndex.searchIvfPqResidualIp(codes, asg, coarse, cb,
+      queriesDf, k = 5, nProbe = 3, m, subLen, nodes = Some(nodesDf))
+    assert(viaPacked.select("query_id", "id", "rn")
+        .as[(Long, Long, Int)].collect().toSet ===
+      viaNodes.select("query_id", "id", "rn")
+        .as[(Long, Long, Int)].collect().toSet)
+    // long codes without norms and no node table: loud contract error
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.searchIvfPqResidualIp(codes, asg, coarse, cb, queriesDf,
+        k = 5, nProbe = 3, m, subLen)
+    }
+    assert(e.getMessage.contains("nrm"))
+  }
+
+  test("adaptive serving defaults: fixture-scale unchanged, large-n " +
+      "scaled — the 10 M flagship lands on the measured (5000, 32) knee") {
+    import PqIndex.{adaptiveNProbe, adaptiveShortlist}
+    // ≤ 256 cells (every default build / oracle fixture): base holds
+    assert(adaptiveNProbe(8, 22) === 8)
+    assert(adaptiveNProbe(8, 256) === 8)
+    // the 10 M flagship's 1024 cells: the measured knee of 32
+    assert(adaptiveNProbe(8, 1024) === 32)
+    assert(adaptiveNProbe(8, 100000) === 64) // capped
+    // shortlist floor at fixture scale (covers every probed candidate)
+    assert(adaptiveShortlist(10, 500, 8, 22) === 500)
+    assert(adaptiveShortlist(1, 500, 8, 22) === 100)
+    // 10 M × nProbe 32 / 1024 cells → ~312 k candidates/query; 1/64 of
+    // that ≈ the measured shortlist-5000 operating point
+    val s10m = adaptiveShortlist(10, 10000000L, 32, 1024)
+    assert(s10m >= 4000 && s10m <= 6000, s"shortlist $s10m")
+    assert(adaptiveShortlist(10, Long.MaxValue / 4, 64, 1024) === 100000)
+  }
+
   test("an EMPTY codebook table fails with the explicit geometry error, " +
       "not a bare empty.max") {
     val e = intercept[IllegalArgumentException] {

@@ -142,6 +142,14 @@ object GraphProbe {
           params, ef = 96, itersPerLevel = 3, efUpper = 16)
         .select("query_id", "id").collect()
     }
+    // the bare routed descent (routedOnly) — the r8 hop-budget wall,
+    // kept measurable for the record; never a serving configuration
+    val (routedRows, tRouted) = timed {
+      AnnSearch.searchGraph(nodesIdx, edges, queries, 10, minSim = -2.0,
+          params, ef = 96, itersPerLevel = 3, efUpper = 16,
+          routedOnly = true)
+        .select("query_id", "id").collect()
+    }
     val (seededRows, tSeeded) = timed {
       AnnSearch.searchGraphSeeded(nodesIdx, edges, queries, 10,
           minSim = -2.0, params, ef = 64, iters = 2)
@@ -176,6 +184,8 @@ object GraphProbe {
     println(s"""{"n":$n,"dim":$dim,"build_sec":$tBuild,""" +
       s""""lsh_sec":$tLsh,"lsh_recall_at_10":${recallOf(lshRows)},""" +
       s""""graph_sec":$tGraph,"graph_recall_at_10":${recallOf(graphRows)},""" +
+      s""""routed_only_sec":$tRouted,""" +
+      s""""routed_only_recall_at_10":${recallOf(routedRows)},""" +
       s""""graph_seeded_sec":$tSeeded,""" +
       s""""graph_seeded_recall_at_10":${recallOf(seededRows)},""" +
       s""""graph_seeded_short_sec":$tShort,""" +

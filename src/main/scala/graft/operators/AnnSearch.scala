@@ -411,11 +411,25 @@ object AnnSearch {
     * `itersPerLevel` expansions keeping the best `ef` candidates per query
     * (the actual search, `hnsw.ts:112-140`). Tombstoned nodes stay
     * routable but are filtered from final results — the reference's
-    * traversal semantics (`hnsw.ts:292,392`; SURVEY §7.5). */
+    * traversal semantics (`hnsw.ts:292,392`; SURVEY §7.5).
+    *
+    * REACHABILITY AT SCALE: a hop-budgeted set-at-a-time descent cannot
+    * route from a global entry set to a query's neighborhood across a
+    * large graph — the walk alone measured recall 0.000 at 200 k under
+    * ANY sane budget (the reference's sequential greedy runs unbounded
+    * hops per layer, `hnsw.ts:301-375`; an engine paying one scheduled
+    * job per hop cannot — SCALING.md r8). The level-0 frontier therefore
+    * also seeds from the index's own LSH buckets (top-`ef` by true
+    * score, the [[searchGraphSeeded]] seeding stage): O(1) jobs to land
+    * in the right neighborhood, after which the expansions refine, and
+    * the final true-metric rank over descent ∪ seeds ∪ expansions can
+    * only improve on either part. `routedOnly = true` restores the bare
+    * descent (measurement/diagnostics — NOT a serving configuration). */
   def searchGraph(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int, minSim: Double, params: IndexParams,
       ef: Int = 32, itersPerLevel: Int = 2, efUpper: Int = 8,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      routedOnly: Boolean = false): DataFrame = {
     val sf = scoreFn(params.metric)
     val topW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
@@ -455,6 +469,17 @@ object AnnSearch {
         .select(col("src"), col("dst"))
       val (iters, levelEf) =
         if (level > 0) (1, math.max(efUpper, k)) else (itersPerLevel, ef)
+      // the reachability seeds join the frontier where the actual search
+      // happens — level 0 — so the upper-layer routing budget stays the
+      // reference's and the seeds aren't truncated by the narrow
+      // routing window
+      if (level == 0 && !routedOnly) {
+        val seeds = searchLsh(withDel, queries, ef,
+            Double.NegativeInfinity, params, broadcastBytes)
+          .select(col("query_id"), col("id"), col("score"))
+        frontier = topEf(frontier.unionByName(seeds)
+          .dropDuplicates("query_id", "id"), ef).localCheckpoint()
+      }
       // Expansions of one level run inside a single plan where possible:
       // the frontier below them is a checkpointed leaf, so the ×2 subtree
       // duplication from (join ∪ union) re-reads cached blocks, not

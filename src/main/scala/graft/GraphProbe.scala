@@ -155,6 +155,13 @@ object GraphProbe {
           minSim = -2.0, params, ef = 64, iters = 2)
         .select("query_id", "id").collect()
     }
+    // JL-projected seeding (the high-dim serve lever; facade default at
+    // dim ≥ 192): seeds score in 32 projected dims, top-8·ef re-rank raw
+    val (jlSeededRows, tJlSeeded) = timed {
+      AnnSearch.searchGraphSeeded(nodesIdx, edges, queries, 10,
+          minSim = -2.0, params, ef = 64, iters = 2, seedProjDim = 32)
+        .select("query_id", "id").collect()
+    }
     // the band-agreement shortlist bounds the seeding scan's true-score
     // pass at O(Q × shortlist) — the hot-bucket lever (clustered data
     // keeps cluster-sized buckets at any bits setting)
@@ -188,6 +195,8 @@ object GraphProbe {
       s""""routed_only_recall_at_10":${recallOf(routedRows)},""" +
       s""""graph_seeded_sec":$tSeeded,""" +
       s""""graph_seeded_recall_at_10":${recallOf(seededRows)},""" +
+      s""""graph_seeded_jl32_sec":$tJlSeeded,""" +
+      s""""graph_seeded_jl32_recall_at_10":${recallOf(jlSeededRows)},""" +
       s""""graph_seeded_short_sec":$tShort,""" +
       s""""graph_seeded_short_recall_at_10":${recallOf(shortRows)},""" +
       s""""ivf_build_sec":$tIvfBuild,""" +

@@ -60,6 +60,23 @@ object QueryBatchProbe {
     val p = IndexParams(dim = dim)
     val (gn, ge) = IndexBuild.build(nodes, p)
     val gnC = gn.localCheckpoint(); val geC = ge.localCheckpoint()
+    // residual IVF-PQ serving artifacts (the compressed arm): sample
+    // codebooks — quality is not what this probe measures, the
+    // query-proportional LUT table is (m·ksub doubles per query:
+    // 98 KB at 384 — past the 64 MB gate the LUT join must shuffle)
+    val mSub = graft.operators.PqIndex.subspaces(dim)
+    val subLen = dim / mSub
+    val asgN = assignments.select(col("id"), col("cell")).localCheckpoint()
+    val res = graft.operators.PqIndex.residuals(nodes, asgN, centroids)
+      .select(col("id"), col("vector")).localCheckpoint()
+    val rcb = graft.operators.PqIndex
+      .sampleCodebooks(res, mSub, subLen, ksub = 256).localCheckpoint()
+    val pqCodes = graft.operators.PqIndex.packCodesWithNorms(
+        graft.operators.PqIndex.encode(res, rcb, mSub, subLen), nodes)
+      .localCheckpoint()
+    val np = graft.operators.PqIndex.adaptiveNProbe(8, cells.toLong)
+    val pqShort = graft.operators.PqIndex
+      .adaptiveShortlist(10, n, np, cells.toLong)
 
     val rows = for (q <- qs) yield {
       // queries = perturbed corpus rows (every query has true neighbors);
@@ -84,6 +101,16 @@ object QueryBatchProbe {
         nProbe = 8, assignments = Some(assignments))
         .select("query_id", "id").count())
       arms += s"""{"arm":"seeded","sec":$tg,"rows":$cg}"""
+      // the cosine-store PQ serving shape (IP ADC + stored norm): the
+      // per-QUERY LUT is the Q-scaled structure — 1 k queries fit the
+      // 64 MB gate at any dim, 100 k × 98 KB (dim 384) force the
+      // shuffled-join fallback this probe exists to measure
+      val (cq, tq) = timed(graft.operators.PqIndex
+        .searchIvfPqResidualIpScored(nodes, pqCodes, asgN, centroids,
+          rcb, queries, 10, shortlist = pqShort, np, mSub, subLen,
+          minSim = -2.0)
+        .select("query_id", "id").count())
+      arms += s"""{"arm":"pq_ip","sec":$tq,"rows":$cq}"""
       s"""{"q":$q,"arms":[${arms.mkString(",")}]}"""
     }
     println(s"""{"n":$n,"dim":$dim,"cells":$cells,""" +

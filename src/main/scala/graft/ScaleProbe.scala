@@ -27,9 +27,49 @@ object ScaleProbe {
       lit(false).as("deleted"))
   }
 
+  /** Low-EFFECTIVE-dimension synthetic vectors — the realistic high-dim
+    * fixture ([[syntheticVectors]] is per-dimension iid hash noise, so
+    * at 384 dims every vector is near-orthogonal to every other: recall
+    * floors measured on it are honest but not comparable to literature
+    * numbers on real embeddings, whose variance concentrates in a few
+    * dozen principal directions — the SCALING.md dim-384 caveat). Here
+    * each vector = cluster center + a `latent`-dim coefficient vector
+    * pushed through a FIXED pseudo-random basis + small iid noise, so
+    * the corpus has ~`latent` effective dimensions and a decaying
+    * spectrum regardless of ambient `dim`. Deterministic in (id, dim,
+    * latent) like every fixture here. */
+  def syntheticVectorsLowDim(spark: SparkSession, n: Long, dim: Int,
+      latent: Int = 16, clusters: Int = 10,
+      noise: Double = 0.05): DataFrame = {
+    def unit(h: org.apache.spark.sql.Column) =
+      (h.cast("double") / Int.MaxValue)
+    val center = transform(sequence(lit(0), lit(dim - 1)),
+      j => unit(hash(pmod(col("id"), lit(clusters)) * 1000 + 7, j)))
+    // vector[j] += Σ_r coef_r(id) · basis_r[j] / √latent: coefficients
+    // vary per id, the basis is global — variance concentrates in the
+    // latent subspace
+    val latentMix = transform(sequence(lit(0), lit(dim - 1)), j =>
+      aggregate(sequence(lit(0), lit(latent - 1)), lit(0.0d),
+        (acc, r) => acc +
+          unit(hash(col("id"), r + lit(777))) *
+          unit(hash(r * lit(31) + lit(13), j))) /
+        lit(math.sqrt(latent.toDouble)))
+    val jitter = transform(sequence(lit(0), lit(dim - 1)),
+      j => unit(hash(col("id"), j)) * lit(noise))
+    spark.range(n).select(col("id"),
+      zip_with(zip_with(center, latentMix, (c, m) => c + m), jitter,
+        (cm, x) => (cm + x).cast("float")).as("vector"),
+      lit(false).as("deleted"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000L
     val dim = if (args.length > 1) args(1).toInt else 64
+    // third arg "lowdim" swaps in the low-effective-dimension fixture
+    // (decaying spectrum — the realistic high-dim recall regime); the
+    // default stays the historical iid-noise generator so existing rows
+    // remain comparable
+    val lowDim = args.length > 2 && args(2) == "lowdim"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // partitions scale with n: big windows/joins need units of work small
     // enough that concurrent tasks fit the execution-memory budget
@@ -47,7 +87,8 @@ object ScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val nodes = syntheticVectors(spark, n, dim)
+    val nodes = (if (lowDim) syntheticVectorsLowDim(spark, n, dim)
+                 else syntheticVectors(spark, n, dim))
     nodes.count() // materialize cost excluded from timings below
     val queries = nodes.filter(col("id") % math.max(1L, n / 100) === 0)
       .select(col("id").as("query_id"), col("vector").as("query_vec"))
@@ -92,6 +133,18 @@ object ScaleProbe {
         .select("query_id", "id").collect()
     }
     val seededRecall = seededRows.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+    // JL-projected seeding (the high-dim serve lever the facade defaults
+    // to at dim ≥ 192): seeds score in a 32-dim projection, top-8·ef
+    // re-rank raw — the seeding scan's re-attach join carries 32 floats
+    // instead of `dim`
+    val (jlRows, tJl) = timed {
+      AnnSearch.searchGraphSeeded(nodesIdx, edges, queries, 10,
+          minSim = -2.0, params, ef = 64, iters = 2,
+          seedProjDim = 32)
+        .select("query_id", "id").collect()
+    }
+    val jlRecall = jlRows.map(r => (r.getLong(0), r.getLong(1)))
       .count(exact.contains).toDouble / exact.size
 
     // IVF comparison: centroids adapt to clusters, so candidate volume per
@@ -312,6 +365,8 @@ object ScaleProbe {
       s""""graph_search_sec":$tGraph,"graph_recall_at_10":$graphRecall,""" +
       s""""graph_seeded_sec":$tSeeded,""" +
       s""""graph_seeded_recall_at_10":$seededRecall,""" +
+      s""""graph_seeded_jl32_sec":$tJl,""" +
+      s""""graph_seeded_jl32_recall_at_10":$jlRecall,""" +
       s""""ivf_cells":$kCells,"ivf_train_sec":$tIvfTrain,""" +
       s""""ivf_assign_sec":$tIvfAssign,""" +
       s""""ivf_search_sec":$tIvf,"ivf_recall_at_10":$ivfRecall,""" +

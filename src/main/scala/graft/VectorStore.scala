@@ -705,7 +705,13 @@ class VectorStore private (
       idFilter = filteredIds(predicate),
       seedProbeBuckets = pb,
       seedProbeAllOcc = if (predicate.isEmpty) 0
-        else math.min(10L * pb, Int.MaxValue.toLong).toInt)
+        else math.min(10L * pb, Int.MaxValue.toLong).toInt,
+      // high-dim stores seed in a JL-projected 32-dim space (the
+      // seeding scan's re-attach join carries dim-width vectors —
+      // measured 113 s at 200 k×384 vs 3.7 s at 64; projected seeding
+      // cuts the joined bytes 12× while the seeds re-rank raw before
+      // the walk — SCALING.md dim-384 rung)
+      seedProjDim = if (p.dim >= 192) 32 else 0)
   }
 
   /** The hot-bucket seeded tier: graph expansions seeded from the

@@ -71,10 +71,12 @@ object AnnSearch {
   def searchLsh(nodes: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       params: IndexParams, broadcastBytes: Long = 64L << 20,
       shortlist: Int = 0, idFilter: Option[DataFrame] = None,
-      probeBuckets: Int = 1, probeAllOcc: Int = 0): DataFrame =
+      probeBuckets: Int = 1, probeAllOcc: Int = 0,
+      projDim: Int = 0, projShortFactor: Int = 8): DataFrame =
     searchLshKeyed(nodes, queries, k, minSim, params.metric,
       v => IndexBuild.bucketKeys(v, params), broadcastBytes, shortlist,
-      idFilter, probeBuckets, probeAllOcc)
+      idFilter, probeBuckets, probeAllOcc,
+      projDim, params.dim, projShortFactor)
 
   /** [[searchLsh]] with data-derived anchor hyperplanes instead of the
     * seeded-random ones: bit p of band b = sign(vec · anchors(b)(p)).
@@ -147,11 +149,24 @@ object AnnSearch {
     * per-band occupancy is a window count over the ranking rows the
     * probe join already builds. 0 (default) disables the clause — the
     * ranked plan stays byte-identical for callers that pin it. */
+  /** `projDim` > 0 runs the expensive true-score pass in a
+    * JL-PROJECTED space first (the [[RandomProjection.searchRerank]]
+    * composition applied INSIDE the LSH arm): candidates score against
+    * `projDim`-dim projections (dim/projDim× fewer bytes through the
+    * re-attach join — the wall at high dim: 113 s at 200 k×384 vs 3.7 s
+    * at 64, SCALING.md), the top `projShortFactor`·k per query survive,
+    * and ONLY those re-attach raw vectors for the exact rank that the
+    * output contract (true-metric score, `minSim` floor) requires.
+    * `projInDim` must be the raw dimension when projDim > 0. Recall is
+    * bounded by JL distortion on the shortlist cut — the serving
+    * default engages it only at high dim where the measured trade is
+    * decisively positive. */
   private def searchLshKeyed(nodes: DataFrame, queries: DataFrame, k: Int,
       minSim: Double, metric: String, keyFn: Column => Column,
       broadcastBytes: Long = 64L << 20, shortlist: Int = 0,
       idFilter: Option[DataFrame] = None, probeBuckets: Int = 1,
-      probeAllOcc: Int = 0): DataFrame = {
+      probeAllOcc: Int = 0, projDim: Int = 0, projInDim: Int = 0,
+      projShortFactor: Int = 8): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       KnnSearch.maybeBroadcast(df, broadcastBytes)
     // pre-filter restriction on the NODE side, before bucketing — a
@@ -223,7 +238,32 @@ object AnnSearch {
       }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
-    candidates
+    // JL pre-cut (projDim > 0): the candidate volume scores against
+    // projDim-dim projections first, and only the projected top
+    // `projShortFactor`·k per query pay the raw-vector re-attach —
+    // the exact tail below is unchanged, so the output contract
+    // (true-metric score + minSim floor) holds either way
+    val toScore =
+      if (projDim <= 0) candidates
+      else {
+        require(projInDim > 0, "projDim > 0 needs projInDim (raw dim)")
+        val seed = 0x4A4CL // fixed: seeding must be deterministic
+        val pn = RandomProjection.project(live, seed, projDim, projInDim)
+          .select(col("id"), col("vector").as("__pv"))
+        val pq = RandomProjection.project(queries, seed, projDim,
+            projInDim, idCol = "query_id", vecCol = "query_vec")
+          .select(col("id").as("query_id"), col("vector").as("__pq"))
+        val pw = Window.partitionBy(col("query_id"))
+          .orderBy(col("__ps").desc, col("id").asc)
+        candidates
+          .join(pn, Seq("id"))
+          .join(maybeBroadcast(pq), Seq("query_id"))
+          .withColumn("__ps", scoreFn(metric)(col("__pq"), col("__pv")))
+          .withColumn("__prn", row_number().over(pw))
+          .filter(col("__prn") <= math.max(projShortFactor * k, k))
+          .select(col("query_id"), col("id"))
+      }
+    toScore
       .join(live.select(col("id"), col("vector")), Seq("id"))
       .join(maybeBroadcast(queries.select(col("query_id"), col("query_vec"))),
         Seq("query_id"))
@@ -255,7 +295,8 @@ object AnnSearch {
       broadcastBytes: Long = 64L << 20,
       seedShortlist: Int = 0,
       idFilter: Option[DataFrame] = None,
-      seedProbeBuckets: Int = 1, seedProbeAllOcc: Int = 0): DataFrame = {
+      seedProbeBuckets: Int = 1, seedProbeAllOcc: Int = 0,
+      seedProjDim: Int = 0): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
@@ -281,7 +322,13 @@ object AnnSearch {
         seedShortlist, idFilter, seedProbeBuckets, seedProbeAllOcc)
       case None => searchLsh(nodes, queries, ef,
         Double.NegativeInfinity, params, broadcastBytes, seedShortlist,
-        idFilter, seedProbeBuckets, seedProbeAllOcc)
+        idFilter, seedProbeBuckets, seedProbeAllOcc,
+        // seedProjDim > 0: JL-projected seeding — the high-dim lever
+        // (the seeding scan's re-attach join carries dim-width vectors;
+        // at 384 it dominated the serve wall, SCALING.md dim-384 rung).
+        // The seeds still re-rank raw before the walk, and expansions
+        // score raw, so the hybrid's contract is unchanged.
+        projDim = seedProjDim, projShortFactor = 8)
     }
     expandAndRank(withDel, edges, seedSearch, queries, k, minSim,
       params.metric, ef, iters, broadcastBytes, idFilter)

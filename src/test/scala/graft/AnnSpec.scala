@@ -33,6 +33,37 @@ class AnnSpec extends SparkSpec {
     assert(r > 0.6, s"recall@10 = $r")
   }
 
+  test("JL-projected seeding pre-cut (projDim): same output contract, " +
+      "recall floor holds, and the exact tail still applies the floor") {
+    val coarse = params.copy(bucketBits = 3)
+    val base = AnnSearch.searchLsh(nodesDf, queriesDf, 10,
+      minSim = -2.0, coarse)
+    val jl = AnnSearch.searchLsh(nodesDf, queriesDf, 10,
+      minSim = -2.0, coarse, projDim = 32)
+    assert(jl.columns.toSeq === base.columns.toSeq)
+    val rJl = recallAt(10, jl)
+    // the projected cut keeps 4·k per query before the exact tail — at
+    // 64→32 (the serving shape is 384→32) most LSH recall survives; a
+    // 64→16 cut on this iid-noise fixture measured 0.41 (JL distortion
+    // on structureless data — the production embedder case is gentler)
+    assert(rJl > 0.5, s"JL recall@10 = $rJl")
+    // scores in the output are the TRUE metric (the raw re-rank), so a
+    // row present in both runs carries the identical score
+    val bs = base.select("query_id", "id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, i, s) => ((q, i), s) }.toMap
+    val js = jl.select("query_id", "id", "score")
+      .as[(Long, Long, Double)].collect()
+    val common = js.filter { case (q, i, _) => bs.contains((q, i)) }
+    assert(common.nonEmpty)
+    assert(common.forall { case (q, i, s) => bs((q, i)) == s })
+    // seeded hybrid accepts the knob end-to-end
+    val (gn, ge) = IndexBuild.build(nodesDf, coarse)
+    val seeded = AnnSearch.searchGraphSeeded(gn, ge, queriesDf, 10,
+      minSim = -2.0, coarse, ef = 32, iters = 1, seedProjDim = 32)
+    assert(recallAt(10, seeded) > 0.5)
+  }
+
   test("euclidean LSH: p-stable buckets beat sign-bit recall on non-normalized data") {
     // scale each vector by 1 + id%5: norms now carry signal that the
     // sign-bit (angle-only) family cannot see — exactly the case the

@@ -31,6 +31,9 @@ object GraphProbe {
     val dim = if (args.length > 1) args(1).toInt else 64
     val ivfSweep = args.length > 2 && args(2) == "ivf"
     val filteredSweep = args.length > 2 && args(2) == "filtered"
+    // "lowdim" swaps in the low-effective-dimension fixture (the
+    // realistic high-dim recall regime — ScaleProbe.syntheticVectorsLowDim)
+    val lowDim = args.length > 2 && args(2) == "lowdim"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
     val spark = SparkSession.builder()
@@ -46,7 +49,9 @@ object GraphProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val nodes = ScaleProbe.syntheticVectors(spark, n, dim).localCheckpoint()
+    val nodes = (if (lowDim) ScaleProbe.syntheticVectorsLowDim(spark, n, dim)
+                 else ScaleProbe.syntheticVectors(spark, n, dim))
+      .localCheckpoint()
     val queries = nodes.filter(col("id") % math.max(1L, n / 100) === 0)
       .select(col("id").as("query_id"), col("vector").as("query_vec"))
       .localCheckpoint()

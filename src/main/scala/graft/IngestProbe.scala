@@ -22,6 +22,12 @@ object IngestProbe {
     val dim = if (args.length > 1) args(1).toInt else 64
     val batchRows = if (args.length > 2) args(2).toLong else 1000L
     val nBatches = if (args.length > 3) args(3).toInt else 5
+    // optional 5th arg: comma-separated tier subset ("graph,pq,sq",
+    // default all) — the 10 M rung exercises the PQ/SQ fold-in without
+    // paying an ~hour-scale full graph build the ingest path doesn't
+    // re-run anyway (appends fold into EXISTING generations)
+    val tiers = (if (args.length > 4) args(4) else "graph,pq,sq")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
     val spark = SparkSession.builder()
@@ -49,9 +55,13 @@ object IngestProbe {
       graft.util.Fs.tempDirDeletedOnExit("graft-ingest-probe"),
       IndexParams(dim = dim))
     val (_, tLoad) = timed(store.addBatch(base))
-    val (_, tGraph) = timed(store.rebuild())
-    val (_, tPq) = timed(store.buildPqIndex())
-    val (_, tSq) = timed(store.buildSqIndex())
+    val (_, tGraph) =
+      if (tiers("graph")) timed(store.rebuild()) else ((), -1.0)
+    val (_, tPq) =
+      if (tiers("pq")) timed(store.buildPqIndex(
+        cells = if (n >= 5000000L) 1024 else 256)) else ((), -1.0)
+    val (_, tSq) =
+      if (tiers("sq")) timed(store.buildSqIndex()) else ((), -1.0)
 
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -76,10 +86,12 @@ object IngestProbe {
     val qv = store.getNode(lastId).map { case (id, v, _) =>
       Seq((id, v)).toDF("query_id", "query_vec")
     }.getOrElse(sys.error(s"ingested id $lastId missing from node table"))
-    val seededOk = store.searchAnnSeededIvf(qv, k = 1, strengthSetting = 0)
-      .select("id").as[Long].head() == lastId
-    val pqOk = store.searchPq(qv, k = 1, strengthSetting = 0)
-      .select("id").as[Long].head() == lastId
+    val seededOk = !tiers("graph") ||
+      store.searchAnnSeededIvf(qv, k = 1, strengthSetting = 0)
+        .select("id").as[Long].head() == lastId
+    val pqOk = !tiers("pq") ||
+      store.searchPq(qv, k = 1, strengthSetting = 0)
+        .select("id").as[Long].head() == lastId
 
     val walls = batchWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
     println(s"""{"n":$n,"dim":$dim,"batch_rows":$batchRows,""" +

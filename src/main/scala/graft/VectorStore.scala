@@ -687,7 +687,8 @@ class VectorStore private (
     * routing, the property that survives scale — SCALING.md). */
   def searchAnnSeeded(queries: DataFrame, k: Int,
       strengthSetting: Double = 50, ef: Int = 64, iters: Int = 2,
-      predicate: Option[Column] = None): DataFrame = {
+      predicate: Option[Column] = None,
+      seedProjDim: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val (n, e, p) = loadIndexOverlay()
     // the filtered-walk contract puts the recall on the SEED probe —
@@ -706,12 +707,14 @@ class VectorStore private (
       seedProbeBuckets = pb,
       seedProbeAllOcc = if (predicate.isEmpty) 0
         else math.min(10L * pb, Int.MaxValue.toLong).toInt,
-      // high-dim stores seed in a JL-projected 32-dim space (the
-      // seeding scan's re-attach join carries dim-width vectors —
-      // measured 113 s at 200 k×384 vs 3.7 s at 64; projected seeding
-      // cuts the joined bytes 12× while the seeds re-rank raw before
-      // the walk — SCALING.md dim-384 rung)
-      seedProjDim = if (p.dim >= 192) 32 else 0)
+      // JL-projected seeding is OPT-IN (`seedProjDim`), not a dim-gated
+      // default: on the iid-noise 384 fixture it measured strictly worse
+      // than plain seeding (14.1 s / 0.485 vs 12.6 s / 0.613 — JL
+      // distortion dominates when variance doesn't concentrate), and
+      // wins only when the corpus has low effective dimension
+      // (SCALING.md r14 lowdim rows) — a property of the data the
+      // facade can't assume
+      seedProjDim = seedProjDim)
   }
 
   /** The hot-bucket seeded tier: graph expansions seeded from the

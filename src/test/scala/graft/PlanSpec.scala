@@ -79,7 +79,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("t09: BM25 candidates come from the term equi-join, never corpus x queries") {
-    val p = plan("t09_bm25_search")
+    // build the operator directly: the registry entry memoizes its
+    // result per (dir, config) behind a checkpoint (the audit-tower
+    // memo), so its plan is a block scan — the OPERATOR plan is what
+    // this test pins
+    val df = graft.operators.Retrieval.bm25TopK(
+      Tables.documents(spark, sf001),
+      Tables.documents(spark, sf001).filter(
+          org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+        .select(
+          org.apache.spark.sql.functions.col("doc_id").as("query_id"),
+          org.apache.spark.sql.functions.col("text")),
+      topK = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     // the only nested-loop inputs are the single-row stats broadcasts;
     // a corpus-sized cartesian would also surface as CartesianProduct
     assert(!p.contains("CartesianProduct"), p)

@@ -1145,14 +1145,8 @@ class VectorStore private (
     pqPackedMemo.keys.foreach { s =>
       if (s != stamp)
         pqPackedMemo.remove(s).foreach(_.unpersist(blocking = false)) }
-    // cosine stores pack (id, codes, nrm) — the stored-norm column the
-    // cosine-consistent IP ADC divides by ([[operators.PqIndex
-    // .searchIvfPqResidualIp]]); the norm join is paid once per
-    // generation alongside the pack groupBy
     val packed = pqPackedMemo.getOrElseUpdate(stamp,
-      (if (params.metric == "cosine")
-         PqIndex.packCodesWithNorms(pre.codes, nodes)
-       else PqIndex.packCodes(pre.codes)).persist(
+      PqIndex.packCodes(pre.codes).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     pre.copy(codes = packed)
   }
@@ -1306,24 +1300,22 @@ class VectorStore private (
         AnnSearch.escalatedProbes(baseShort, f, liveCount, f)
     }
     val escalNp = escalatedNProbe(np, predicate, pre.centroids)
-    // cosine stores rank the shortlist with the cosine-consistent
-    // inner-product ADC + stored norm (the serving memo packs (id,
-    // codes, nrm) once per generation); euclidean stores keep the
-    // euclidean residual ADC — each shortlist is ranked in its store's
-    // own metric
-    if (params.metric == "cosine")
-      PqIndex.searchIvfPqResidualIpScored(nodes, pre.codes,
-        pre.assignments, pre.centroids, pre.codebooks, queries, k,
-        shortlist = short, escalNp, mSub, params.dim / mSub,
-        KnnSearch.scaleThreshold(strengthSetting),
-        idFilter = filteredIds(predicate))
-    else
-      PqIndex.searchIvfPqResidualScored(nodes, pre.codes, pre.assignments,
-        pre.centroids, pre.codebooks, queries, k,
-        shortlist = short, escalNp,
-        mSub, params.dim / mSub,
-        KnnSearch.scaleThreshold(strengthSetting), params.metric,
-        idFilter = filteredIds(predicate))
+    // the shortlist ranks by EUCLIDEAN residual ADC for every store
+    // metric: the "cosine-consistent" IP + stored-norm estimate
+    // ([[operators.PqIndex.searchIvfPqResidualIp]]) was measured and
+    // REFUTED as the cosine serving default — at 1 M×64 it trails the
+    // euclidean shortlist on BOTH fixtures (iid: 0.555 vs 0.700;
+    // lowdim: 0.94 vs 0.945 at the 5000/32 knee; SCALING.md r14 A/B) —
+    // the euclidean ADC's implicit −‖r̂‖²/2 magnitude correction beats
+    // the IP estimate's unquantized-norm division under real
+    // quantization error. The recall lever that works is the SCALED
+    // shortlist/probe defaults above.
+    PqIndex.searchIvfPqResidualScored(nodes, pre.codes, pre.assignments,
+      pre.centroids, pre.codebooks, queries, k,
+      shortlist = short, escalNp,
+      mSub, params.dim / mSub,
+      KnnSearch.scaleThreshold(strengthSetting), params.metric,
+      idFilter = filteredIds(predicate))
   }
 
   // ---- SQ8 index lifecycle -------------------------------------------

@@ -320,21 +320,14 @@ object AdaptiveSearch {
         // filtered members, so cost tracks the filtered fraction
         val np = if (idFilter.isEmpty) baseNp else escalated(baseNp, pqCells)
         val short = PqIndex.adaptiveShortlist(k, n, np, pqCells)
-        // cosine stores rank the shortlist with the cosine-consistent
-        // inner-product ADC + stored norm; euclidean stores keep the
-        // euclidean residual ADC — each in its own metric
-        val result =
-          if (params.metric == "cosine")
-            PqIndex.searchIvfPqResidualIpScored(nodes, pre.codes,
-              pre.assignments, pre.centroids, pre.codebooks, queries, k,
-              shortlist = short, np, mSub, subLen, minSim,
-              idFilter = idFilter)
-          else
-            PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
-              pre.assignments, pre.centroids, pre.codebooks, queries, k,
-              shortlist = short, np, mSub, subLen, minSim,
-              params.metric, idFilter = idFilter)
-        (UsePq, result)
+        // the shortlist ranks by EUCLIDEAN residual ADC for every store
+        // metric — the IP + stored-norm estimate was measured and
+        // refuted as a default (trails euclid on both fixtures at 1 M —
+        // SCALING.md r14 A/B); the scaled knobs above are the lever
+        (UsePq, PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
+          pre.assignments, pre.centroids, pre.codebooks, queries, k,
+          shortlist = short, np, mSub, subLen, minSim,
+          params.metric, idFilter = idFilter))
     }
   }
 }

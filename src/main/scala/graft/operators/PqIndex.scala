@@ -482,19 +482,27 @@ object PqIndex {
       .select(col("query_id"), col("id"), col("rn"))
   }
 
-  /** Cosine-consistent residual IVF-PQ shortlist — inner-product ADC +
-    * stored-norm correction. The euclidean residual ADC ranks a COSINE
-    * store's shortlist in the wrong metric (measured: it shares blame
-    * for the 10 M flagship's 0.42 default recall and the 384-dim
-    * filtered divergence — SCALING.md); the standard cure (Jégou et al.
-    * §III.D asymmetric IP variant + stored norms) decomposes
-    * ⟨q, x⟩ ≈ ⟨q, c_cell⟩ + Σ_sub ⟨q_sub, codeword_sub⟩ and ranks by
-    * that estimate over the STORED ‖x‖ (cos(q,x) · ‖q‖ — ‖q‖ constant
-    * per query, so the ranking is cosine's). Cheaper than the euclidean
-    * residual path at scale, too: the lookup table is per QUERY (the
+  /** Inner-product residual IVF-PQ shortlist — IP ADC + stored-norm
+    * correction (Jégou et al. §III.D asymmetric IP variant):
+    * ⟨q, x⟩ ≈ ⟨q, c_cell⟩ + Σ_sub ⟨q_sub, codeword_sub⟩, ranked over
+    * the STORED ‖x‖ (cos(q,x) · ‖q‖ — ‖q‖ constant per query, so the
+    * estimate targets cosine's ranking). Cheaper than the euclidean
+    * residual path per query batch: the lookup table is per QUERY (the
     * raw-query-slice × residual-codeword dot does not depend on the
     * cell), Q × m·ksub instead of Q × nProbe × m·ksub — only the scalar
     * ⟨q, c_cell⟩ stays per (query, probed cell).
+    *
+    * MEASURED, AND NOT THE SERVING DEFAULT: despite targeting the
+    * ground-truth metric directly, the estimate trails the euclidean
+    * residual ADC on BOTH 1 M×64 fixtures at equal budgets (iid-noise:
+    * recall@10 0.555 vs 0.700; low-effective-dim: 0.94 vs 0.945 — the
+    * r14 `PqIpProbe` A/B, SCALING.md). Under real quantization error
+    * the euclidean distance's implicit −‖r̂‖²/2 magnitude term corrects
+    * for codeword error where the IP estimate divides by the
+    * UNQUANTIZED norm and keeps it. The operator stays available (and
+    * a36 hash-checks it end-to-end) for workloads whose geometry
+    * favors MIP-style ranking; [[graft.VectorStore.searchPq]] and the
+    * [[AdaptiveSearch]] UsePq arm serve the euclidean shortlist.
     *
     * `codes` must carry the packed serving shape WITH norms
     * ((id, codes, nrm) — [[packCodesWithNorms]]); pass `nodes` to

@@ -269,8 +269,9 @@ class PqSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("IP-ADC shortlist: cosine-consistent ranking beats (or ties) the " +
-      "euclidean residual shortlist against the cosine exact truth") {
+  test("IP-ADC shortlist: sane recall at fixture scale and the documented " +
+      "≥-euclid relation HERE (at 1 M the relation flips — the measured " +
+      "reason it is not the serving default, SCALING.md r14 A/B)") {
     val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
     val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
       .select(col("id"), col("cell"))

@@ -101,16 +101,24 @@ object QueryBatchProbe {
         nProbe = 8, assignments = Some(assignments))
         .select("query_id", "id").count())
       arms += s"""{"arm":"seeded","sec":$tg,"rows":$cg}"""
-      // the cosine-store PQ serving shape (IP ADC + stored norm): the
-      // per-QUERY LUT is the Q-scaled structure — 1 k queries fit the
-      // 64 MB gate at any dim, 100 k × 98 KB (dim 384) force the
-      // shuffled-join fallback this probe exists to measure
+      // the SHIPPED PQ serving arm (euclidean residual ADC): its LUT is
+      // per (query, probed cell) — Q × nProbe × m·ksub doubles, the
+      // Q-scaled structure that forces the shuffled-join fallback past
+      // the 64 MB gate (98 KB per (query, cell) at dim 384)
       val (cq, tq) = timed(graft.operators.PqIndex
+        .searchIvfPqResidualScored(nodes, pqCodes, asgN, centroids,
+          rcb, queries, 10, shortlist = pqShort, np, mSub, subLen,
+          minSim = -2.0)
+        .select("query_id", "id").count())
+      arms += s"""{"arm":"pq","sec":$tq,"rows":$cq}"""
+      // the IP alternative's LUT is per QUERY only (nProbe× smaller) —
+      // the batch-scaling trade a36 exists for
+      val (cqi, tqi) = timed(graft.operators.PqIndex
         .searchIvfPqResidualIpScored(nodes, pqCodes, asgN, centroids,
           rcb, queries, 10, shortlist = pqShort, np, mSub, subLen,
           minSim = -2.0)
         .select("query_id", "id").count())
-      arms += s"""{"arm":"pq_ip","sec":$tq,"rows":$cq}"""
+      arms += s"""{"arm":"pq_ip","sec":$tqi,"rows":$cqi}"""
       s"""{"q":$q,"arms":[${arms.mkString(",")}]}"""
     }
     println(s"""{"n":$n,"dim":$dim,"cells":$cells,""" +

@@ -48,6 +48,18 @@ object QueryBatchProbe {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // an arm that exhausts memory/disk at a rung RECORDS the failure and
+    // the probe moves on — the failure is the measurement (the honest
+    // wall), and one dying arm must not cost the rest of the matrix
+    def arm(name: String)(f: => Long): String =
+      scala.util.Try(timed(f)) match {
+        case scala.util.Success((c, t)) =>
+          s"""{"arm":"$name","sec":$t,"rows":$c}"""
+        case scala.util.Failure(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+          s"""{"arm":"$name","error":"$msg"}"""
+      }
 
     val nodes = ScaleProbe.syntheticVectors(spark, n, dim).localCheckpoint()
     // serving artifacts built once (their cost is not what this probe
@@ -88,37 +100,45 @@ object QueryBatchProbe {
         .localCheckpoint()
       val arms = scala.collection.mutable.ListBuffer.empty[String]
       if (q * n <= 2000000000L) {
-        val (c, t) = timed(KnnSearch.knnExact(nodes, queries, 10,
+        arms += arm("exact")(KnnSearch.knnExact(nodes, queries, 10,
           minSim = -2.0).select("query_id", "id").count())
-        arms += s"""{"arm":"exact","sec":$t,"rows":$c}"""
       } else arms += s"""{"arm":"exact","skipped":"Q*n>2e9"}"""
-      val (ci, ti) = timed(IvfIndex.search(nodes, centroids, queries, 10,
+      arms += arm("ivf")(IvfIndex.search(nodes, centroids, queries, 10,
         minSim = -2.0, nProbe = 8, assignments = Some(assignments))
         .select("query_id", "id").count())
-      arms += s"""{"arm":"ivf","sec":$ti,"rows":$ci}"""
-      val (cg, tg) = timed(AnnSearch.searchGraphSeededIvf(gnC, geC,
+      arms += arm("seeded")(AnnSearch.searchGraphSeededIvf(gnC, geC,
         queries, 10, minSim = -2.0, p, centroids, ef = 64,
         nProbe = 8, assignments = Some(assignments))
         .select("query_id", "id").count())
-      arms += s"""{"arm":"seeded","sec":$tg,"rows":$cg}"""
       // the SHIPPED PQ serving arm (euclidean residual ADC): its LUT is
       // per (query, probed cell) — Q × nProbe × m·ksub doubles, the
       // Q-scaled structure that forces the shuffled-join fallback past
-      // the 64 MB gate (98 KB per (query, cell) at dim 384)
-      val (cq, tq) = timed(graft.operators.PqIndex
-        .searchIvfPqResidualScored(nodes, pqCodes, asgN, centroids,
-          rcb, queries, 10, shortlist = pqShort, np, mSub, subLen,
-          minSim = -2.0)
-        .select("query_id", "id").count())
-      arms += s"""{"arm":"pq","sec":$tq,"rows":$cq}"""
+      // the 64 MB gate (98 KB per (query, cell) at dim 384). MEASURED
+      // WALL: at Q = 100 k × 384 that table is ~137 GB and the arm dies
+      // in spill-OOM on a 48 g single node; at Q = 10 k (~14 GB LUT) it
+      // exhausts a 56 GB disk through ~4-5× spill amplification in the
+      // sort/shuffle stages. The gate below skips past ~4 GiB of LUT
+      // with the arithmetic instead of dying 20 minutes in (no silent
+      // caps: the skip IS the finding; chunk the batch to ~2 k queries
+      // per chunk at 384, or use the per-query-LUT IP arm)
+      val lutBytes = q * np.toLong * mSub * 256L * 8L
+      if (lutBytes <= (4L << 30)) {
+        arms += arm("pq")(graft.operators.PqIndex
+          .searchIvfPqResidualScored(nodes, pqCodes, asgN, centroids,
+            rcb, queries, 10, shortlist = pqShort, np, mSub, subLen,
+            minSim = -2.0)
+          .select("query_id", "id").count())
+      } else arms += s"""{"arm":"pq","skipped":"LUT ~${
+        lutBytes >> 30} GiB (Q x nProbe x m x ksub x 8B) — disk/memory """ +
+        s"""exhaustion measured at this rung; chunk to ~2k queries """ +
+        s"""or use pq_ip"}"""
       // the IP alternative's LUT is per QUERY only (nProbe× smaller) —
       // the batch-scaling trade a36 exists for
-      val (cqi, tqi) = timed(graft.operators.PqIndex
+      arms += arm("pq_ip")(graft.operators.PqIndex
         .searchIvfPqResidualIpScored(nodes, pqCodes, asgN, centroids,
           rcb, queries, 10, shortlist = pqShort, np, mSub, subLen,
           minSim = -2.0)
         .select("query_id", "id").count())
-      arms += s"""{"arm":"pq_ip","sec":$tqi,"rows":$cqi}"""
       s"""{"q":$q,"arms":[${arms.mkString(",")}]}"""
     }
     println(s"""{"n":$n,"dim":$dim,"cells":$cells,""" +

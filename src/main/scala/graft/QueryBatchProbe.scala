@@ -129,7 +129,7 @@ object QueryBatchProbe {
             minSim = -2.0)
           .select("query_id", "id").count())
       } else arms += s"""{"arm":"pq","skipped":"LUT ~${
-        lutBytes >> 30} GiB (Q x nProbe x m x ksub x 8B) — disk/memory """ +
+        lutBytes >> 30} GiB (Q x nProbe x m x ksub x 8B) - disk/memory """ +
         s"""exhaustion measured at this rung; chunk to ~2k queries """ +
         s"""or use pq_ip"}"""
       // the IP alternative's LUT is per QUERY only (nProbe× smaller) —

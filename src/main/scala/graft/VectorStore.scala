@@ -754,7 +754,8 @@ class VectorStore private (
     * the measured SCALING.md crossovers. */
   def searchAuto(queries: DataFrame, k: Int, strengthSetting: Double = 50,
       exactCutoff: Long = 50000, skewCutoff: Double = 0.05,
-      pqCutoff: Long = 5000000L, predicate: Option[Column] = None)
+      pqCutoff: Long = 5000000L, predicate: Option[Column] = None,
+      queryCount: Long = -1L)
       : (AdaptiveSearch.Strategy, DataFrame) = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
@@ -770,7 +771,8 @@ class VectorStore private (
       pqCutoff = pqCutoff, prebuiltPq = pq, prebuiltGraph = graph,
       idFilter = filteredIds(predicate),
       idFilterCount = predicate.map(filteredCount),
-      statsHint = Some(memoStats()))
+      statsHint = Some(memoStats()),
+      queryCount = queryCount)
   }
 
   // ---- auxiliary snapshot chains (documents / token vectors) ----------
@@ -1316,6 +1318,56 @@ class VectorStore private (
       mSub, params.dim / mSub,
       KnnSearch.scaleThreshold(strengthSetting), params.metric,
       idFilter = filteredIds(predicate))
+  }
+
+  /** [[searchPq]] for LARGE query batches — the SCALING.md query-batch
+    * walls wired into the facade ([[operators.ChunkedServe]]). The PQ
+    * arm carries two structures PROPORTIONAL TO Q that no corpus-side
+    * knob bounds: the per-(query, probed-cell) residual LUT
+    * (`Q·nProbe·m·ksub·8 B` — 14 GiB at Q = 10 k × dim 384, the
+    * measured disk-exhaustion rung) and the exact-rerank re-attach
+    * shuffle (`Q·shortlist·dim·4 B` — 77 GB at Q = 100 k × 384). This
+    * entry resolves the SAME adaptive knobs [[searchPq]] would, sizes a
+    * chunk so both structures fit the byte budgets, serves chunks
+    * sequentially with shuffle partitions tracking the chunk's candidate
+    * volume (the QueryBatchProbe deployment rule), and returns the
+    * union of materialized chunk results — identical rows to one
+    * unchunked [[searchPq]] call (per-query independence; the a37
+    * oracle row pins it). Small batches short-circuit to one chunk.
+    *
+    * `queryCount` < 0 counts `queries` here; pass the known Q to skip
+    * that job. */
+  def searchPqBatched(queries: DataFrame, k: Int,
+      strengthSetting: Double = 50, nProbe: Int = 0, shortlist: Int = 0,
+      predicate: Option[Column] = None, queryCount: Long = -1L,
+      lutBudgetBytes: Long = ChunkedServe.DefaultLutBudgetBytes,
+      rerankBudgetBytes: Long = ChunkedServe.DefaultRerankBudgetBytes)
+      : DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    val pre = servingPqIndex()
+    val cells = countMemo.getOrElseUpdate(
+      (pointerStamp("PQINDEX"), "__cells"), pre.centroids.count())
+    val np = if (nProbe > 0) nProbe else PqIndex.adaptiveNProbe(8, cells)
+    val short =
+      if (shortlist > 0) shortlist
+      else PqIndex.adaptiveShortlist(k, liveCount, np, cells)
+    val mSub = PqIndex.subspaces(params.dim)
+    val ksub = countMemo.getOrElseUpdate(
+      (pointerStamp("PQINDEX"), "__ksub"),
+      pre.codebooks.agg(max(col("code")).cast("long")).head.getLong(0)
+        + 1L).toInt
+    val rows = ChunkedServe.pqChunkRows(np, mSub, ksub, short,
+      params.dim, lutBudgetBytes, rerankBudgetBytes)
+    val perQueryBytes = math.max(np.toLong * mSub * ksub * 8L,
+      short.toLong * params.dim * 4L)
+    val parts = ChunkedServe.volumePartitions(rows * perQueryBytes,
+      spark.sparkContext.defaultParallelism)
+    ChunkedServe.serveChunked(queries, "query_id", rows, queryCount,
+      Some(parts)) { chunk =>
+      searchPq(chunk, k, strengthSetting, nProbe = np,
+        predicate = predicate, shortlist = short)
+    }
   }
 
   // ---- SQ8 index lifecycle -------------------------------------------

@@ -62,6 +62,22 @@ object AdaptiveSearch {
     }
   }
 
+  /** ksub memo (the [[cellCountMemo]] pattern): the UsePq arm's batch
+    * chunking needs the codebook entry count for the per-query LUT
+    * arithmetic — one k-row aggregate per index identity. */
+  private val ksubMemo = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame, java.lang.Integer]())
+  private def countKsub(codebooks: DataFrame): Int = {
+    val c = ksubMemo.get(codebooks)
+    if (c != null) c.intValue
+    else {
+      val k = codebooks.agg(max(col("code")).cast("long")).head()
+      val n = if (k.isNullAt(0)) 0 else (k.getLong(0) + 1L).toInt
+      ksubMemo.put(codebooks, java.lang.Integer.valueOf(n))
+      n
+    }
+  }
+
   private def validateGeometry(pre: PqPrebuilt, mSub: Int, subLen: Int)
       : Unit = {
     if (!validatedPq.containsKey(pre.codebooks)) {
@@ -154,7 +170,10 @@ object AdaptiveSearch {
       seededNProbe: Int = 32,
       idFilter: Option[DataFrame] = None,
       idFilterCount: Option[Long] = None,
-      statsHint: Option[(Long, Double)] = None)
+      statsHint: Option[(Long, Double)] = None,
+      queryCount: Long = -1L,
+      lutBudgetBytes: Long = ChunkedServe.DefaultLutBudgetBytes,
+      rerankBudgetBytes: Long = ChunkedServe.DefaultRerankBudgetBytes)
       : (Strategy, DataFrame) = {
     val mSub = PqIndex.subspaces(params.dim)
     // `statsHint` skips the two per-call decision jobs (corpus count +
@@ -324,10 +343,38 @@ object AdaptiveSearch {
         // metric — the IP + stored-norm estimate was measured and
         // refuted as a default (trails euclid on both fixtures at 1 M —
         // SCALING.md r14 A/B); the scaled knobs above are the lever
-        (UsePq, PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
-          pre.assignments, pre.centroids, pre.codebooks, queries, k,
-          shortlist = short, np, mSub, subLen, minSim,
-          params.metric, idFilter = idFilter))
+        def serveArm(qs: DataFrame): DataFrame =
+          PqIndex.searchIvfPqResidualScored(nodes, pre.codes,
+            pre.assignments, pre.centroids, pre.codebooks, qs, k,
+            shortlist = short, np, mSub, subLen, minSim,
+            params.metric, idFilter = idFilter)
+        // Q-AWARE serving: this arm carries two structures proportional
+        // to the query-batch size — the per-(query, probed-cell) LUT
+        // (np·m·ksub·8 B/query) and the exact-rerank re-attach
+        // (shortlist·dim·4 B/query) — whose measured walls killed
+        // Q = 10 k–100 k batches at dim 384 (SCALING.md query-batch
+        // matrix). The arm exists precisely for huge corpora where huge
+        // batches are routine, so the dispatcher bounds them itself:
+        // count Q (one narrow job — noise next to any serve at this
+        // arm's corpus scale; `queryCount` skips it when the caller
+        // knows Q) and serve in [[ChunkedServe]] chunks when the batch
+        // exceeds the per-chunk byte budgets. chunked ≡ unchunked
+        // row-for-row (per-query independence), so the contract and the
+        // a24 oracle are untouched.
+        val q = if (queryCount >= 0L) queryCount else queries.count()
+        val ksub = math.max(1, countKsub(pre.codebooks))
+        val chunkRows = ChunkedServe.pqChunkRows(np, mSub, ksub, short,
+          params.dim, lutBudgetBytes, rerankBudgetBytes)
+        if (q <= chunkRows) (UsePq, serveArm(queries))
+        else {
+          val perQueryBytes = math.max(np.toLong * mSub * ksub * 8L,
+            short.toLong * params.dim * 4L)
+          val parts = ChunkedServe.volumePartitions(
+            chunkRows * perQueryBytes,
+            nodes.sparkSession.sparkContext.defaultParallelism)
+          (UsePq, ChunkedServe.serveChunked(queries, "query_id",
+            chunkRows, q, Some(parts))(serveArm))
+        }
     }
   }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Chunked batch serving — the SCALING.md query-batch walls as an
+  * operator instead of a deployment footnote.
+  *
+  * The r13/r14 QueryBatchProbe matrix measured two Q-proportional
+  * structures that kill large query batches on the compressed serving
+  * arms long before the corpus side is the problem:
+  *
+  *  1. the euclidean residual-ADC arm's per-(query, probed-cell) LUT —
+  *     `Q × nProbe × m × ksub × 8 B` (98 KB per (query, cell) at
+  *     dim 384): Q = 10 k at 384 built ~14 GiB of LUT and exhausted a
+  *     56 GB disk through 4–5× sort/shuffle spill amplification;
+  *     Q = 100 k (~128 GiB) spill-OOM'd outright;
+  *  2. the exact-rerank re-attach tail every compressed arm shares —
+  *     `Q × shortlist × dim × 4 B` of raw vectors through one shuffle
+  *     (77 GB at Q = 100 k × shortlist 500 × dim 384): the wall the
+  *     IP arm hit after its per-query LUT dodged wall 1.
+  *
+  * Neither structure grows with corpus size — both are pure functions
+  * of the query batch and the serving knobs — so the fix is not a
+  * bigger cluster, it is bounding the batch: split Q into chunks whose
+  * dominant structure fits a budget, serve chunks SEQUENTIALLY (each
+  * chunk's k-rows-per-query result is materialized before the next
+  * chunk launches, so peak pressure is ONE chunk's intermediate volume,
+  * never the batch's), and return the union of the materialized chunk
+  * results. Per-query independence of every serving arm (ranking
+  * windows partition by query_id; knobs derive from the corpus, not
+  * from Q) makes chunked ≡ unchunked EXACTLY — pinned by the a37
+  * oracle row and ChunkedServeSpec.
+  *
+  * Reference anchor: batch search over the query set is the driver's
+  * own serving loop (driver/driver.ts:296-312); the reference never
+  * meets these walls because its batches are process-local arrays.
+  */
+object ChunkedServe {
+
+  /** Per-chunk byte budget for the euclidean arm's per-(query, cell)
+    * residual LUT. 2 GiB keeps the dominant chunk structure around the
+    * measured-safe regime (~2 k queries at dim 384 with the flagship
+    * knobs — the SCALING.md guidance this operator encodes). */
+  val DefaultLutBudgetBytes: Long = 2L << 30
+
+  /** Per-chunk byte budget for the exact-rerank re-attach shuffle
+    * (`chunkQ × shortlist × dim × 4 B` of raw vectors). */
+  val DefaultRerankBudgetBytes: Long = 2L << 30
+
+  /** Shuffle-partition sizing target for a chunk's candidate volume —
+    * the QueryBatchProbe "partitions must track volume" rule (the
+    * 100 k IVF rung ran 3× past linear at default partitions). */
+  val DefaultPartitionBytes: Long = 64L << 20
+
+  /** Queries per chunk so BOTH measured Q-scaled structures of the
+    * euclidean residual-PQ arm stay inside their budgets. */
+  def pqChunkRows(nProbe: Int, m: Int, ksub: Int, shortlist: Int, dim: Int,
+      lutBudgetBytes: Long = DefaultLutBudgetBytes,
+      rerankBudgetBytes: Long = DefaultRerankBudgetBytes): Long = {
+    val lutPerQuery = nProbe.toLong * m.toLong * ksub.toLong * 8L
+    math.max(1L, math.min(
+      lutBudgetBytes / math.max(1L, lutPerQuery),
+      rerankChunkRows(shortlist, dim, rerankBudgetBytes)))
+  }
+
+  /** Queries per chunk so the exact-rerank re-attach tail stays inside
+    * budget — the binding wall for the per-query-LUT IP arm and the
+    * uncompressed shortlist+rerank arms (JL/MRL/OPQ). */
+  def rerankChunkRows(shortlist: Int, dim: Int,
+      rerankBudgetBytes: Long = DefaultRerankBudgetBytes): Long = {
+    val perQuery = shortlist.toLong * dim.toLong * 4L
+    math.max(1L, rerankBudgetBytes / math.max(1L, perQuery))
+  }
+
+  /** Shuffle partitions for a chunk moving `chunkBytes` through its
+    * widest shuffle, clamped to [parallelism, 4096]. */
+  def volumePartitions(chunkBytes: Long, parallelism: Int,
+      targetPartitionBytes: Long = DefaultPartitionBytes): Int = {
+    val byVolume = math.ceil(
+      chunkBytes.toDouble / math.max(1L, targetPartitionBytes)).toLong
+    math.min(4096L, math.max(parallelism.toLong, byVolume)).toInt
+  }
+
+  /** Number of chunks for `queryCount` rows at `rowsPerChunk`. */
+  def chunkCount(queryCount: Long, rowsPerChunk: Long): Int =
+    math.max(1L, math.ceil(
+      queryCount.toDouble / math.max(1L, rowsPerChunk)).toLong).toInt
+
+  /** Serve `queries` through `serve` in `rowsPerChunk`-sized chunks.
+    *
+    * Chunk membership is `xxhash64(idCol) mod chunks` — deterministic,
+    * uniform, and independent of row order, so a chunk is a plain
+    * pushed-down filter over the query relation (each chunk job re-scans
+    * the query source; queries are the SMALL side by construction —
+    * materialize upstream if the scan itself is expensive). Chunks run
+    * sequentially; each chunk's result (k rows per query) is persisted
+    * MEMORY_AND_DISK — lineage kept, recomputable on executor loss —
+    * and counted (the materialization barrier) before the next chunk
+    * starts. The returned union holds those persisted chunk results:
+    * O(Q × k) narrow rows total; call `.unpersist()` on it (or let the
+    * executor cache evict) when consumed.
+    *
+    * `shufflePartitions`, when set, is applied to the session for the
+    * duration of EACH chunk's materialization and restored after —
+    * sound because chunks are sequential — so a chunk's shuffles track
+    * its candidate volume ([[volumePartitions]]) instead of whatever
+    * the session default was sized for.
+    *
+    * `queryCount` < 0 means count `queries` here (one narrow job).
+    */
+  def serveChunked(queries: DataFrame, idCol: String, rowsPerChunk: Long,
+      queryCount: Long = -1L, shufflePartitions: Option[Int] = None)
+      (serve: DataFrame => DataFrame): DataFrame = {
+    val q = if (queryCount >= 0L) queryCount else queries.count()
+    val chunks = chunkCount(q, rowsPerChunk)
+    if (chunks == 1) return serve(queries)
+    val spark = queries.sparkSession
+    val chunkOf = pmod(xxhash64(col(idCol)), lit(chunks.toLong))
+    val outs = (0 until chunks).map { i =>
+      val part = queries.filter(chunkOf === i.toLong)
+      withShufflePartitions(spark, shufflePartitions) {
+        val out = serve(part).persist(StorageLevel.MEMORY_AND_DISK)
+        out.count() // barrier: one chunk's volume in flight at a time
+        out
+      }
+    }
+    outs.reduce(_.unionByName(_))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` overridden (when
+    * `partitions` is set), restoring the previous session value after.
+    * `body` must MATERIALIZE the work it wants sized (the conf is read
+    * at execution, not plan construction). */
+  private[graft] def withShufflePartitions[A](
+      spark: org.apache.spark.sql.SparkSession,
+      partitions: Option[Int])(body: => A): A =
+    partitions match {
+      case None => body
+      case Some(p) =>
+        val key = "spark.sql.shuffle.partitions"
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key, p.toString)
+        try body
+        finally saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+    }
+}

@@ -598,6 +598,41 @@ object AnnQueries {
         VectorQueries.querySet(emb), k = 10, nProbe = 3, m = 8, subLen = 8)
     }),
 
+    // Chunked batch serving ([[operators.ChunkedServe]]): the a14
+    // pipeline served in SEQUENTIAL hash-assigned query chunks — tiny
+    // byte budgets force the chunk arithmetic down to a handful of
+    // queries per chunk (several real chunks at sf0.01's ~120-query
+    // set), each chunk materialized before the next launches. The
+    // serving arms are per-query independent, so the union must equal
+    // one unchunked call row-for-row: the oracle is a14's full
+    // re-derivation, and a chunk-membership bug (dropped hash bucket,
+    // double-served query, order-dependent knob) hash-mismatches.
+    "a37_chunked_pq_serve" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
+        .select(col("id"), col("cell"))
+      val res = graft.operators.PqIndex.residuals(nodesDf, asg, coarse)
+        .select(col("id"), col("vector"))
+      val rcb = graft.operators.PqIndex.sampleCodebooks(res,
+        m = 8, subLen = 8, ksub = 16)
+      val codes = graft.operators.PqIndex.encode(res, rcb,
+        m = 8, subLen = 8)
+      // nProbe 3 × m 8 × ksub 16 × 8 B = 3 KiB LUT per query; a 9 KiB
+      // budget ⇒ 3 queries/chunk ⇒ several real chunks even at the
+      // sf0.01 fixture's ~10-query set (embeddings are the small table)
+      val rows = graft.operators.ChunkedServe.pqChunkRows(
+        nProbe = 3, m = 8, ksub = 16, shortlist = 10, dim = 64,
+        lutBudgetBytes = 9L << 10, rerankBudgetBytes = 9L << 10)
+      graft.operators.ChunkedServe.serveChunked(
+        VectorQueries.querySet(emb), "query_id", rows) { chunk =>
+        graft.operators.PqIndex.searchIvfPqResidual(codes, asg, coarse,
+          rcb, chunk, k = 10, nProbe = 3, m = 8, subLen = 8)
+      }
+    }),
+
     // Scalar quantization (SQ8) — the second compression family (FAISS SQ):
     // per-dimension 8-bit codes against corpus min/max bounds, SYMMETRIC
     // integer squared-L2 ranking (query quantized with the same bounds).
@@ -1029,7 +1064,7 @@ object AnnQueries {
     * codegen'd expressions, verified by OracleParitySpec). a02/a03 (graph
     * build + walk) stay rows-only: their structure depends on
     * engine-internal hash ordering that no external SQL can re-derive. */
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = { val base = Map(
     "a10_pq_adc_search" ->
       """WITH nodes AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2491,4 +2526,12 @@ object AnnQueries {
       """SELECT vec_id AS query_id, true AS meets_floor
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
   )
+    // a37 runs the IDENTICAL serving pipeline to a14 through
+    // [[operators.ChunkedServe]] with a chunk size that forces several
+    // sequential chunks; chunked ≡ unchunked EXACTLY (per-query
+    // independence) is the operator's contract, so the oracle IS a14's
+    // full DuckDB re-derivation — a chunking bug that drops, duplicates
+    // or re-ranks any query's rows hash-mismatches against it.
+    base + ("a37_chunked_pq_serve" -> base("a14_ivfpq_residual"))
+  }
 }

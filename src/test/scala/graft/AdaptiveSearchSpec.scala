@@ -41,6 +41,30 @@ class AdaptiveSearchSpec extends SparkSpec {
     assert(res.filter(col("score") <= 0.2).isEmpty)
   }
 
+  test("Q-aware PQ arm: budgets that force chunking serve the identical " +
+      "rows as the unchunked dispatch") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nodesDf = VectorQueries.asVectorTable(emb)
+    val queriesDf = VectorQueries.querySet(emb)
+    val (s1, direct) = AdaptiveSearch.search(
+      nodesDf, queriesDf, k = 5, minSim = 0.2, IndexParams(bucketBits = 4),
+      exactCutoff = 0L, pqCutoff = 1L)
+    assert(s1 === AdaptiveSearch.UsePq)
+    // 1-byte budgets drive pqChunkRows to 1 → every query its own chunk;
+    // the union must equal the single-call result row-for-row
+    val (s2, chunked) = AdaptiveSearch.search(
+      nodesDf, queriesDf, k = 5, minSim = 0.2, IndexParams(bucketBits = 4),
+      exactCutoff = 0L, pqCutoff = 1L,
+      lutBudgetBytes = 1L, rerankBudgetBytes = 1L)
+    assert(s2 === AdaptiveSearch.UsePq)
+    val a = direct.select("query_id", "id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = chunked.select("query_id", "id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(b === a)
+    chunked.unpersist()
+  }
+
   test("LSH arm upgrades to the seeded hybrid when a prebuilt graph " +
       "index is provided; without one it stays plain LSH") {
     import graft.operators.{AnnSearch, IndexBuild}

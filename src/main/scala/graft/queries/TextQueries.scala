@@ -212,6 +212,24 @@ object TextQueries {
         .select(col("query_id"), col("doc_id"), col("chunk_id"),
           col("rn"))),
 
+    // Trainable corpus classifier ([[operators.TextClassifier]]):
+    // multinomial Naive Bayes language-ID trained on the labeled 4/5 of
+    // the documents table and applied to the held-out 1/5 — the
+    // fastText/CCNet-style filter shape (train a small model, score the
+    // whole corpus, route by predicted class). Every log-weight
+    // quantizes to integer micros at the model (the t09 rule), so the
+    // per-class scores and the argmax are exact BIGINT arithmetic; the
+    // oracle re-derives the model (tf matrix, Laplace smoothing,
+    // priors, OOV default) and every classification end-to-end.
+    "t36_nb_classify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.TextClassifier.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), labelCol = "lang")
+      graft.operators.TextClassifier.classify(
+          docs.filter(col("doc_id") % 5 === 0), model)
+        .select(col("doc_id"), col("label"), col("score_micro"))
+    }),
+
     // The CorpusStore facade end-to-end (docs side): clean → quality-gate
     // → source-cap → exact-dedup → mixture-resample → split-assign, all
     // through ONE assemble() into a persisted generation. The oracle
@@ -1217,6 +1235,67 @@ object TextQueries {
       |      1, 15))::BIGINT % 1000000 < r.rate_micro)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t36_nb_classify" ->
+      """WITH train AS (
+        |  SELECT doc_id, lang AS label, text FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |test AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |ttoks AS (
+        |  SELECT doc_id, label, term FROM (
+        |    SELECT doc_id, label,
+        |      unnest(string_split(text, ' ')) AS term
+        |    FROM train)
+        |  WHERE length(term) > 0),
+        |tf AS (SELECT label, term, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        |ctok AS (SELECT label, count(*) AS tok_total FROM ttoks GROUP BY 1),
+        |vsz AS (SELECT count(DISTINCT term) AS v FROM ttoks),
+        |nd AS (SELECT count(*) AS n FROM train),
+        |dpc AS (SELECT label, count(*) AS ndocs FROM train GROUP BY 1),
+        |vocab AS (SELECT DISTINCT term FROM ttoks),
+        |wts AS (
+        |  SELECT c.label, vb.term,
+        |    CAST(floor(ln((COALESCE(tf.cnt, 0) + 1)::DOUBLE /
+        |        (c.tok_total + vsz.v)::DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS w_micro
+        |  FROM vocab vb CROSS JOIN ctok c CROSS JOIN vsz
+        |  LEFT JOIN tf ON tf.label = c.label AND tf.term = vb.term),
+        |cstats AS (
+        |  SELECT c.label,
+        |    CAST(floor(ln(d.ndocs::DOUBLE / nd.n::DOUBLE) * 1000000.0
+        |      + 0.5) AS BIGINT) AS prior_micro,
+        |    CAST(floor(ln(1.0 / (c.tok_total + vsz.v)::DOUBLE) * 1000000.0
+        |      + 0.5) AS BIGINT) AS defw_micro
+        |  FROM ctok c CROSS JOIN vsz CROSS JOIN nd
+        |  JOIN dpc d ON d.label = c.label),
+        |qcnt AS (
+        |  SELECT doc_id, term, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM test)
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |qtot AS (
+        |  SELECT t.doc_id, COALESCE(s.tot, 0) AS tot
+        |  FROM test t LEFT JOIN (
+        |    SELECT doc_id, sum(n) AS tot FROM qcnt GROUP BY 1) s
+        |    USING (doc_id)),
+        |pl AS (
+        |  SELECT q.doc_id, w.label,
+        |    sum(q.n * w.w_micro) AS sw, sum(q.n) AS n_in
+        |  FROM qcnt q JOIN wts w ON w.term = q.term
+        |  GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT qt.doc_id, cs.label,
+        |    CAST(COALESCE(pl.sw, 0) +
+        |      (qt.tot - COALESCE(pl.n_in, 0)) * cs.defw_micro +
+        |      cs.prior_micro AS BIGINT) AS score_micro
+        |  FROM qtot qt CROSS JOIN cstats cs
+        |  LEFT JOIN pl ON pl.doc_id = qt.doc_id AND pl.label = cs.label)
+        |SELECT doc_id, label, score_micro FROM (
+        |  SELECT doc_id, label, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score_micro DESC, label) AS rn
+        |  FROM scores)
+        |WHERE rn = 1""".stripMargin,
     "d10_corpus_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -51,15 +51,21 @@ object QueryBatchProbe {
     // an arm that exhausts memory/disk at a rung RECORDS the failure and
     // the probe moves on — the failure is the measurement (the honest
     // wall), and one dying arm must not cost the rest of the matrix
-    def arm(name: String)(f: => Long): String =
-      scala.util.Try(timed(f)) match {
+    // sweep subsetting: SPARK_GRAFT_ARMS=pq,pq_chunked reruns just those
+    // arms (a chunked-arm rung must not re-pay the 10-minute exact scan)
+    val armFilter = sys.env.get("SPARK_GRAFT_ARMS")
+      .map(_.split(",").map(_.trim).toSet)
+    def armEnabled(name: String): Boolean = armFilter.forall(_.contains(name))
+    def arm(name: String)(f: => Long): Option[String] =
+      if (!armEnabled(name)) None
+      else Some(scala.util.Try(timed(f)) match {
         case scala.util.Success((c, t)) =>
           s"""{"arm":"$name","sec":$t,"rows":$c}"""
         case scala.util.Failure(e) =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
           s"""{"arm":"$name","error":"$msg"}"""
-      }
+      })
 
     val nodes = ScaleProbe.syntheticVectors(spark, n, dim).localCheckpoint()
     // serving artifacts built once (their cost is not what this probe
@@ -100,13 +106,14 @@ object QueryBatchProbe {
         .localCheckpoint()
       val arms = scala.collection.mutable.ListBuffer.empty[String]
       if (q * n <= 2000000000L) {
-        arms += arm("exact")(KnnSearch.knnExact(nodes, queries, 10,
+        arms ++= arm("exact")(KnnSearch.knnExact(nodes, queries, 10,
           minSim = -2.0).select("query_id", "id").count())
-      } else arms += s"""{"arm":"exact","skipped":"Q*n>2e9"}"""
-      arms += arm("ivf")(IvfIndex.search(nodes, centroids, queries, 10,
+      } else if (armEnabled("exact"))
+        arms += s"""{"arm":"exact","skipped":"Q*n>2e9"}"""
+      arms ++= arm("ivf")(IvfIndex.search(nodes, centroids, queries, 10,
         minSim = -2.0, nProbe = 8, assignments = Some(assignments))
         .select("query_id", "id").count())
-      arms += arm("seeded")(AnnSearch.searchGraphSeededIvf(gnC, geC,
+      arms ++= arm("seeded")(AnnSearch.searchGraphSeededIvf(gnC, geC,
         queries, 10, minSim = -2.0, p, centroids, ef = 64,
         nProbe = 8, assignments = Some(assignments))
         .select("query_id", "id").count())
@@ -123,18 +130,38 @@ object QueryBatchProbe {
       // per chunk at 384, or use the per-query-LUT IP arm)
       val lutBytes = q * np.toLong * mSub * 256L * 8L
       if (lutBytes <= (4L << 30)) {
-        arms += arm("pq")(graft.operators.PqIndex
+        arms ++= arm("pq")(graft.operators.PqIndex
           .searchIvfPqResidualScored(nodes, pqCodes, asgN, centroids,
             rcb, queries, 10, shortlist = pqShort, np, mSub, subLen,
             minSim = -2.0)
           .select("query_id", "id").count())
-      } else arms += s"""{"arm":"pq","skipped":"LUT ~${
+      } else if (armEnabled("pq"))
+        arms += s"""{"arm":"pq","skipped":"LUT ~${
         lutBytes >> 30} GiB (Q x nProbe x m x ksub x 8B) - disk/memory """ +
         s"""exhaustion measured at this rung; chunk to ~2k queries """ +
         s"""or use pq_ip"}"""
+      // the SAME euclid arm through [[ChunkedServe]] DEFAULT budgets —
+      // the operator that exists because the unchunked arm dies at these
+      // rungs; its wall here is the deployment number for large batches
+      arms ++= arm("pq_chunked") {
+        val rowsPerChunk = graft.operators.ChunkedServe.pqChunkRows(
+          np, mSub, 256, pqShort, dim)
+        val perQ = math.max(np.toLong * mSub * 256L * 8L,
+          pqShort.toLong * dim * 4L)
+        val parts = graft.operators.ChunkedServe.volumePartitions(
+          rowsPerChunk * perQ, cpus.toInt)
+        val out = graft.operators.ChunkedServe.serveChunked(
+          queries, "query_id", rowsPerChunk, q, Some(parts)) { chunk =>
+          graft.operators.PqIndex.searchIvfPqResidualScored(nodes,
+            pqCodes, asgN, centroids, rcb, chunk, 10,
+            shortlist = pqShort, np, mSub, subLen, minSim = -2.0)
+        }
+        val c = out.select("query_id", "id").count()
+        out.unpersist(); c
+      }
       // the IP alternative's LUT is per QUERY only (nProbe× smaller) —
       // the batch-scaling trade a36 exists for
-      arms += arm("pq_ip")(graft.operators.PqIndex
+      arms ++= arm("pq_ip")(graft.operators.PqIndex
         .searchIvfPqResidualIpScored(nodes, pqCodes, asgN, centroids,
           rcb, queries, 10, shortlist = pqShort, np, mSub, subLen,
           minSim = -2.0)

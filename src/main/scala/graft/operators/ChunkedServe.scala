@@ -98,9 +98,10 @@ object ChunkedServe {
     * sequentially; each chunk's result (k rows per query) is persisted
     * MEMORY_AND_DISK — lineage kept, recomputable on executor loss —
     * and counted (the materialization barrier) before the next chunk
-    * starts. The returned union holds those persisted chunk results:
-    * O(Q × k) narrow rows total; call `.unpersist()` on it (or let the
-    * executor cache evict) when consumed.
+    * starts. The returned relation is the persisted UNION of the chunk
+    * results — O(Q × k) narrow rows total — re-materialized once from
+    * the chunk caches, which are then released, so ONE `.unpersist()`
+    * on the returned DataFrame frees everything this call cached.
     *
     * `shufflePartitions`, when set, is applied to the session for the
     * duration of EACH chunk's materialization and restored after —
@@ -126,7 +127,14 @@ object ChunkedServe {
         out
       }
     }
-    outs.reduce(_.unionByName(_))
+    // one persisted relation to hand back: fill it from the (already
+    // materialized) chunk caches, then release those — the caller owns
+    // exactly one cache entry and one unpersist()
+    val union = outs.reduce(_.unionByName(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    union.count()
+    outs.foreach(_.unpersist(blocking = false))
+    union
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` overridden (when

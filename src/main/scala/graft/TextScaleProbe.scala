@@ -388,6 +388,51 @@ object TextScaleProbe {
           s""""target_docs":${n / 100},"weights_sec":$tW,""" +
           s""""topk_sec":$tTop,"topk_min_logw_micro":$topW}""")
 
+      case "classify" =>
+        // NB classifier at corpus scale: training is two tokenize-and-
+        // count aggregations (model = V×C rows), scoring a postings-
+        // style term join — walls must track tokens, not docs². Docs
+        // get class-biased vocabularies (half the tokens from a
+        // class-specific 5 k range, half shared noise) so the model has
+        // signal and held-out accuracy is a meaningful health check.
+        val n = if (args.length > 1) args(1).toLong else 1000000L
+        val classes = 5
+        val cls = pmod(hash(col("id") * 31 + 7), lit(classes))
+        val toks = transform(sequence(lit(0), lit(39)), j =>
+          when(pmod(hash(col("id") * 7 + 17, j), lit(2)) === 0,
+            concat(lit("c"), cls, lit("_"),
+              pmod(hash(col("id") * 13 + 29, j), lit(5000))))
+          .otherwise(
+            concat(lit("w"), pmod(hash(col("id") * 7 + 23, j),
+              lit(50000)))))
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+            concat(lit("L"), cls).as("label"),
+            concat_ws(" ", toks).as("text"))
+          .localCheckpoint()
+        docs.count()
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val held = docs.filter(col("doc_id") % 5 === 0)
+        val (model, tTrain) = timed {
+          val m = operators.TextClassifier
+            .trainNaiveBayes(train, labelCol = "label")
+          m.weights.count(); m
+        }
+        val vc = model.weights.count()
+        val mC = model.weights.localCheckpoint()
+        val mS = model.classStats.localCheckpoint()
+        val frozen = operators.TextClassifier.NbModel(mC, mS)
+        val (acc, tScore) = timed {
+          val pred = operators.TextClassifier.classify(held, frozen)
+          val hits = pred.join(held.select(col("doc_id"),
+              col("label").as("truth")), Seq("doc_id"))
+            .agg(sum(when(col("label") === col("truth"), 1L)
+              .otherwise(0L)).as("ok"), count(lit(1)).as("tot")).head()
+          hits.getLong(0).toDouble / hits.getLong(1)
+        }
+        println(s"""{"mode":"classify","docs":$n,"classes":$classes,""" +
+          s""""model_rows":$vc,"train_sec":$tTrain,""" +
+          s""""score_sec":$tScore,"heldout_acc":$acc}""")
+
       case other =>
         throw new IllegalArgumentException(s"unknown mode $other")
     }

@@ -130,4 +130,36 @@ object TextClassifier {
       .filter(col("rn") === 1)
       .select(col(idCol), col("label"), col("score_micro"))
   }
+
+  /** Embedding-space counterpart of [[classify]]: semi-supervised kNN
+    * label propagation (auto-labeling a corpus from a small labeled
+    * seed set — the other standard curation-filter shape). Each query
+    * takes the MAJORITY label of its k nearest labeled vectors
+    * ([[KnnSearch.knnExact]] semantics: rank ties on id, so the
+    * neighbor set — and therefore the vote — is deterministic and
+    * engine-portable); vote ties break on label ascending. `labeled` is
+    * (id, vector, `labelCol`); output (query_id, label, votes, margin)
+    * where margin = votes(top) − votes(runner-up) (k when unanimous) —
+    * the abstention knob: route low-margin docs to review instead of
+    * trusting the vote. */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "cosine", labelCol: String = "label"): DataFrame = {
+    val nodes =
+      if (labeled.columns.contains("deleted")) labeled
+      else labeled.withColumn("deleted", lit(false))
+    val hits = KnnSearch.knnExact(nodes.select(col("id"), col("vector"),
+        col("deleted")), queries, k, minSim = -2.0, metric)
+    val votes = hits
+      .join(labeled.select(col("id"), col(labelCol).as("label")), Seq("id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("margin",
+        col("votes") - coalesce(lead(col("votes"), 1).over(w), lit(0L)))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label"), col("votes"), col("margin"))
+  }
 }

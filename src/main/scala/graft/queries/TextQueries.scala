@@ -230,6 +230,25 @@ object TextQueries {
         .select(col("doc_id"), col("label"), col("score_micro"))
     }),
 
+    // Embedding-space auto-labeling ([[operators.TextClassifier
+    // .knnClassify]]): semi-supervised kNN label propagation — every
+    // held-out vector takes the majority label of its 10 nearest
+    // labeled vectors, with the vote margin as the abstention knob.
+    // Neighbor ranking ties on id (the v01 convention) and vote ties on
+    // label, so the oracle re-derives every neighbor, every vote count,
+    // the winning label AND the margin exactly.
+    "e08_knn_label_vote" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val labeled = emb.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vector"),
+          concat(lit("l"), (col("vec_id") % 3).cast("string")).as("label"))
+      val queriesDf = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.operators.TextClassifier.knnClassify(labeled, queriesDf, k = 10)
+    }),
+
     // The CorpusStore facade end-to-end (docs side): clean → quality-gate
     // → source-cap → exact-dedup → mixture-resample → split-assign, all
     // through ONE assemble() into a persisted generation. The oracle
@@ -1296,6 +1315,35 @@ object TextQueries {
         |                       ORDER BY score_micro DESC, label) AS rn
         |  FROM scores)
         |WHERE rn = 1""".stripMargin,
+    "e08_knn_label_vote" ->
+      """WITH lab AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |    'l' || CAST(vec_id % 3 AS VARCHAR) AS label
+        |  FROM embeddings WHERE vec_id % 5 <> 0),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |nn AS (
+        |  SELECT query_id, id, label FROM (
+        |    SELECT q.query_id, l.id, l.label,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, l.v) DESC, l.id)
+        |        AS rn
+        |    FROM q CROSS JOIN lab l)
+        |  WHERE rn <= 10),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS votes
+        |  FROM nn GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY votes DESC, label) AS rn,
+        |    lead(votes) OVER (PARTITION BY query_id
+        |                      ORDER BY votes DESC, label) AS nxt
+        |  FROM votes)
+        |SELECT query_id, label, CAST(votes AS BIGINT) AS votes,
+        |  CAST(votes - COALESCE(nxt, 0) AS BIGINT) AS margin
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "d10_corpus_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -76,6 +76,27 @@ class TextClassifierSpec extends SparkSpec {
     assert(got.filter($"label" =!= $"truth").count() === 0)
   }
 
+  test("knnClassify: majority vote with margin; vote ties break on label") {
+    // 3 labeled "a" near (1,0), 2 labeled "b" near (0,1); a query near
+    // (1,0) with k=5 sees all of them: votes a=3, b=2 → margin 1
+    val labeled = Seq(
+      (1L, Seq(1f, 0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
+      (3L, Seq(0.95f, 0.05f), "a"),
+      (4L, Seq(0f, 1f), "b"), (5L, Seq(0.1f, 0.9f), "b")
+    ).toDF("id", "vector", "label")
+    val qs = Seq((10L, Seq(1f, 0.1f))).toDF("query_id", "query_vec")
+    val r = TextClassifier.knnClassify(labeled, qs, k = 5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(r.toSeq === Seq((10L, "a", 3L, 1L)))
+    // an exact 1–1 vote tie goes to the ascending label, margin 0
+    val lab2 = Seq((1L, Seq(1f, 0f), "b"), (2L, Seq(0f, 1f), "a"))
+      .toDF("id", "vector", "label")
+    val q2 = Seq((20L, Seq(1f, 1f))).toDF("query_id", "query_vec")
+    val r2 = TextClassifier.knnClassify(lab2, q2, k = 2)
+      .as[(Long, String, Long, Long)].collect()
+    assert(r2.toSeq === Seq((20L, "a", 1L, 0L)))
+  }
+
   test("training on an empty corpus is a loud error") {
     val e = intercept[IllegalArgumentException] {
       TextClassifier.trainNaiveBayes(train.limit(0))

@@ -620,14 +620,14 @@ object AnnQueries {
         m = 8, subLen = 8, ksub = 16)
       val codes = graft.operators.PqIndex.encode(res, rcb,
         m = 8, subLen = 8)
-      // nProbe 3 × m 8 × ksub 16 × 8 B = 3 KiB LUT per query; a 9 KiB
-      // budget ⇒ 3 queries/chunk ⇒ several real chunks even at the
-      // sf0.01 fixture's ~10-query set (embeddings are the small table)
-      val rows = graft.operators.ChunkedServe.pqChunkRows(
-        nProbe = 3, m = 8, ksub = 16, shortlist = 10, dim = 64,
-        lutBudgetBytes = 9L << 10, rerankBudgetBytes = 9L << 10)
+      // ~4 real chunks at ANY fixture scale (the budget arithmetic is
+      // ChunkedServeSpec's job; THIS row pins the equality contract
+      // without growing the chunk count — and the job count — with sf)
+      val qset = VectorQueries.querySet(emb)
+      val q = qset.count()
+      val rows = math.max(1L, (q + 3) / 4)
       graft.operators.ChunkedServe.serveChunked(
-        VectorQueries.querySet(emb), "query_id", rows) { chunk =>
+        qset, "query_id", rows, queryCount = q) { chunk =>
         graft.operators.PqIndex.searchIvfPqResidual(codes, asg, coarse,
           rcb, chunk, k = 10, nProbe = 3, m = 8, subLen = 8)
       }

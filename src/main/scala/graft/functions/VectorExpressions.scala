@@ -788,6 +788,7 @@ object VectorFunctions {
     "nearest_code" -> (es => NearestCodeExpr(es)),
     "top_cells" -> (es => TopCellsExpr(es)),
     "mat_vec" -> (es => MatVecExpr(es(0), es(1))),
+    "mmr_select" -> (es => MmrSelectExpr(es)),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -271,7 +271,71 @@ object VectorQueries {
           (col("ann_doc") === col("ex_doc") && col("subset_ok"))
             .as("serves_filtered_top1"))
     }),
+
+    // Diversified serving: MMR top-5 over an exact top-20 shortlist at
+    // λ = 0.7 ([[graft.operators.Diversify.mmrTopK]]). Every pairwise
+    // similarity quantizes to integer micros before any comparison, so
+    // the oracle re-derives the ENTIRE greedy — shortlist membership,
+    // every redundancy max, every argmax and tie-break, and the exact
+    // BIGINT mmr scores — rank by rank (unrolled CTE stages).
+    "v16_mmr_topk" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Diversify.mmrTopK(asVectorTable(emb), querySet(emb),
+        k = 5, shortlist = 20, lambdaMicro = 700000L)
+    }),
   )
+
+  /** Unrolled-greedy MMR oracle: stage i picks rank i's argmax of
+    * λ·sim_q − (1−λ)·max-sim-to-selected over the not-yet-selected
+    * shortlist — plain window SQL per stage, so DuckDB re-derives the
+    * greedy without recursion. */
+  private def mmrOracleSql(queryRel: String, s: Int, k: Int,
+      lamMicro: Long): String = {
+    val oneMinus = 1000000L - lamMicro
+    val head =
+      s"""WITH q AS ($queryRel),
+         |short AS (
+         |  SELECT query_id, id, vector, sim_micro FROM (
+         |    SELECT query_id, id, vector,
+         |      CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, id) AS rn
+         |    FROM (
+         |      SELECT q.query_id, e.vec_id AS id,
+         |        e.embedding::DOUBLE[] AS vector,
+         |        list_cosine_similarity(q.query_vec::DOUBLE[],
+         |          e.embedding::DOUBLE[]) AS score
+         |      FROM q CROSS JOIN embeddings e)
+         |    WHERE NOT isnan(score))
+         |  WHERE rn <= $s),
+         |sel1 AS (
+         |  SELECT query_id, 1 AS rank, id, vector, sim_micro,
+         |    $lamMicro * sim_micro AS mmr_micro
+         |  FROM short
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim_micro DESC, id) = 1)""".stripMargin
+    val stages = (2 to k).map { i =>
+      s"""cand$i AS (
+         |  SELECT c.query_id, c.id, c.vector, c.sim_micro,
+         |    $lamMicro * c.sim_micro - $oneMinus *
+         |      max(CAST(floor(list_cosine_similarity(s.vector, c.vector)
+         |        * 1000000.0 + 0.5) AS BIGINT)) AS mmr_micro
+         |  FROM short c JOIN sel${i - 1} s USING (query_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |    WHERE x.query_id = c.query_id AND x.id = c.id)
+         |  GROUP BY c.query_id, c.id, c.vector, c.sim_micro),
+         |sel$i AS (
+         |  SELECT * FROM sel${i - 1}
+         |  UNION ALL
+         |  SELECT query_id, $i AS rank, id, vector, sim_micro, mmr_micro
+         |  FROM cand$i
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY mmr_micro DESC, id) = 1)""".stripMargin
+    }
+    (head +: stages).mkString(",\n") +
+      s"\nSELECT query_id, CAST(rank AS INT) AS rank, id, sim_micro, mmr_micro FROM sel$k"
+  }
 
   val oracleSql: Map[String, String] = {
     val q = "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id % 50 = 0"
@@ -447,6 +511,7 @@ object VectorQueries {
         """SELECT DISTINCT vec_id // 10 AS query_id,
           |  true AS serves_filtered_top1
           |FROM embeddings WHERE (vec_id // 10) % 10 = 0""".stripMargin,
+      "v16_mmr_topk" -> mmrOracleSql(q, s = 20, k = 5, lamMicro = 700000L),
     )
   }
 }

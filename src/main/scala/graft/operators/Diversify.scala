@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Diversified serving over the exact search tower: MMR
@@ -78,5 +79,53 @@ object Diversify {
       .select(col("query_id"), col("r.rank").as("rank"),
         col("r.id").as("id"), col("r.sim_micro").as("sim_micro"),
         col("r.mmr_micro").as("mmr_micro"))
+  }
+
+  /** Grouped kNN: per query, exact top-`k` under a PER-GROUP result
+    * quota — at most `perGroup` hits from any one `groupCol` value
+    * (dedup-by-document search results, per-source caps in RAG context
+    * assembly: the metadata-diversity counterpart of [[mmrTopK]]'s
+    * geometric diversity).
+    *
+    * Semantics: rank all candidates by (score desc, id), keep each
+    * group's best `perGroup`, THEN take the per-query top-`k` of the
+    * survivors — exact over the full corpus, not a shortlist post-
+    * filter (a group-capped deep candidate can enter the top-k; a
+    * shortlist would have dropped it). Both limits are `row_number`
+    * windows, so Spark executes them as map-side WindowGroupLimit
+    * heaps — the shuffled volume stays O(candidates-per-group-cap),
+    * never O(Q·n) — and the scoring pass is [[KnnSearch.scoreAll]]
+    * (broadcast-gated queries, tombstone + NaN + threshold semantics
+    * identical to [[KnnSearch.knnExact]]).
+    *
+    * Output: (query_id, id, `groupCol`, gn, rn) — gn = rank within the
+    * query's group (1..perGroup), rn = final rank (1..k).
+    */
+  def groupedTopK(
+      nodes: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      perGroup: Int,
+      groupCol: String,
+      minSim: Double = -2.0,
+      metric: String = "cosine",
+      idCol: String = "id",
+      vecCol: String = "vector",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    require(k > 0 && perGroup > 0,
+      s"need k > 0 and perGroup > 0, got k=$k perGroup=$perGroup")
+    val scored = KnnSearch.scoreAll(nodes, queries, minSim, metric,
+      idCol, vecCol, broadcastBytes = broadcastBytes)
+    val wg = Window.partitionBy(col("query_id"), col(groupCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("gn", row_number().over(wg))
+      .filter(col("gn") <= perGroup)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol).as("id"), col(groupCol),
+        col("gn"), col("rn"))
   }
 }

@@ -84,6 +84,32 @@ object KnnSearch {
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
       broadcastBytes: Long = 64L << 20): DataFrame = {
+    val scored = scoreAll(nodes, queries, minSim, metric, idCol, vecCol,
+      queryIdCol, queryVecCol, broadcastBytes)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rn"))
+  }
+
+  /** The exact scoring pass [[knnExact]] ranks over, exposed for
+    * operators that need a different per-query limit structure (e.g.
+    * [[Diversify.groupedTopK]]'s group-quota windows): every
+    * (query, live node) pair scored, threshold- and NaN-filtered, with
+    * the query side broadcast-gated exactly as in [[knnExact]]. Carries
+    * ALL node columns (group keys survive for downstream windows). */
+  private[graft] def scoreAll(
+      nodes: DataFrame,
+      queries: DataFrame,
+      minSim: Double,
+      metric: String = "cosine",
+      idCol: String = "id",
+      vecCol: String = "vector",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     val scoreFn: (Column, Column) => Column = metric match {
       case "cosine" => VectorFunctions.cosineSim
       case "euclidean" => VectorFunctions.euclideanSim
@@ -98,19 +124,13 @@ object KnnSearch {
     val joined =
       if (queriesSmall) live.join(broadcast(queries))
       else live.join(queries.hint("SHUFFLE_REPLICATE_NL"))
-    val scored = joined
+    joined
       .withColumn("score", scoreFn(col(queryVecCol), col(vecCol)))
       // NaN guard: a zero-norm vector scores NaN; the reference's JS
       // `score > strength` is FALSE for NaN (dropped), but Spark orders
       // NaN above every double, so it would pass the filter AND take
       // rank 1 — exclude it explicitly to keep reference semantics
       .filter(col("score") > lit(minSim) && !isnan(col("score")))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("score"), col("rn"))
   }
 
   /** Point lookup by primary key — returns tombstoned rows too, matching

@@ -284,6 +284,21 @@ object VectorQueries {
       graft.operators.Diversify.mmrTopK(asVectorTable(emb), querySet(emb),
         k = 5, shortlist = 20, lambdaMicro = 700000L)
     }),
+
+    // Grouped serving: exact top-10 per query with AT MOST 2 results per
+    // group (group = vec_id % 7 — a stand-in for doc/source metadata):
+    // [[graft.operators.Diversify.groupedTopK]]. The oracle re-derives
+    // both window limits (per-group rank, then final rank over the
+    // group-capped survivors) — a shortlist post-filter implementation
+    // returns different deep ranks and fails the hash.
+    "v17_grouped_knn" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodes = asVectorTable(emb)
+        .withColumn("grp", pmod(col("id"), lit(7L)))
+      graft.operators.Diversify.groupedTopK(nodes, querySet(emb),
+        k = 10, perGroup = 2, groupCol = "grp", minSim = 0.3)
+    }),
   )
 
   /** Unrolled-greedy MMR oracle: stage i picks rank i's argmax of
@@ -512,6 +527,27 @@ object VectorQueries {
           |  true AS serves_filtered_top1
           |FROM embeddings WHERE (vec_id // 10) % 10 = 0""".stripMargin,
       "v16_mmr_topk" -> mmrOracleSql(q, s = 20, k = 5, lamMicro = 700000L),
+      "v17_grouped_knn" ->
+        s"""WITH q AS ($q),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS id, e.vec_id % 7 AS grp,
+           |    list_cosine_similarity(q.query_vec::DOUBLE[],
+           |      e.embedding::DOUBLE[]) AS score
+           |  FROM q CROSS JOIN embeddings e),
+           |capped AS (
+           |  SELECT query_id, id, grp, score,
+           |    CAST(gn AS INT) AS gn FROM (
+           |    SELECT query_id, id, grp, score,
+           |      row_number() OVER (PARTITION BY query_id, grp
+           |        ORDER BY score DESC, id) AS gn
+           |    FROM scored WHERE score > 0.3 AND NOT isnan(score))
+           |  WHERE gn <= 2)
+           |SELECT query_id, id, grp, gn, CAST(rn AS INT) AS rn FROM (
+           |  SELECT query_id, id, grp, gn,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, id) AS rn
+           |  FROM capped)
+           |WHERE rn <= 10""".stripMargin,
     )
   }
 }

@@ -63,6 +63,41 @@ class DiversifySpec extends SparkSpec {
     assert(run(nodes) === run(nodes.orderBy(col("id").desc).repartition(7)))
   }
 
+  test("groupedTopK: per-group quota is exact over the full corpus, " +
+      "not a shortlist post-filter") {
+    VectorFunctions.register(spark)
+    // group A holds the 3 best hits, group B the rest: with perGroup=2
+    // and k=4, ranks 3-4 must come from group B even though group A's
+    // third hit outscores them
+    val g = nodes.withColumn("grp",
+      when(col("id") <= 3L, "A").otherwise("B"))
+    val out = graft.operators.Diversify.groupedTopK(g, queries,
+        k = 4, perGroup = 2, groupCol = "grp")
+      .orderBy(col("rn"))
+      .select(col("id"), col("grp"), col("gn"), col("rn"))
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.length === 4)
+    assert(out.map(_._2).toSeq === Seq("A", "A", "B", "B"))
+    assert(out.map(_._3).toSeq === Seq(1, 2, 1, 2)) // per-group ranks
+    assert(out.count(_._2 == "A") === 2) // id 1 (3rd-best A) capped out
+  }
+
+  test("groupedTopK: tombstones and threshold behave like knnExact") {
+    VectorFunctions.register(spark)
+    val g = nodes
+      .withColumn("deleted", col("id") === 3L) // kill the top hit
+      .withColumn("grp", lit("all"))
+    val out = graft.operators.Diversify.groupedTopK(g, queries,
+        k = 10, perGroup = 10, groupCol = "grp", minSim = 0.5)
+      .select(col("id")).as[Long].collect().toSet
+    assert(!out.contains(3L))
+    val exact = graft.operators.KnnSearch.knnExact(
+        nodes.withColumn("deleted", col("id") === 3L), queries,
+        k = 10, minSim = 0.5)
+      .select(col("id")).as[Long].collect().toSet
+    assert(out === exact)
+  }
+
   test("k > shortlist hits the require; k capped by candidate count") {
     VectorFunctions.register(spark)
     intercept[IllegalArgumentException] {

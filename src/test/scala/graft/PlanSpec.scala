@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("v17: BOTH grouped-serving limits run as WindowGroupLimit " +
+      "(group quota and final rank prune map-side)") {
+    val p = plan("v17_grouped_knn")
+    // two row_number windows → two WindowGroupLimit operators; without
+    // them the per-(query, group) rank would sort the full scored
+    // candidate volume through the exchange
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("v11: candidate generation is bucketed equi-joins, never all-pairs") {
     val p = plan("v11_knn_graph")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

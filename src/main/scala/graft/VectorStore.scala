@@ -257,6 +257,56 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
 
+  /** MMR-diversified search ([[operators.Diversify.mmrTopK]]) over the
+    * live store: relevant-but-not-redundant top-k, λ on the micro
+    * scale (1e6 = plain [[search]] order). Same threshold convention
+    * as [[search]] applied to the shortlist floor. */
+  def searchMmr(queries: DataFrame, k: Int, shortlist: Int,
+      lambdaMicro: Long = 700000L,
+      strengthSetting: Double = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    Diversify.mmrTopK(nodes, queries, k, shortlist, lambdaMicro,
+      params.metric)
+  }
+
+  /** Group-quota search ([[operators.Diversify.groupedTopK]]): top-k
+    * with at most `perGroup` results per `groupCol` value — `groupCol`
+    * must be a payload column the node table carries (rode in via
+    * `addBatch`). */
+  def searchGrouped(queries: DataFrame, k: Int, perGroup: Int,
+      groupCol: String, strengthSetting: Double = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    require(nodes.columns.contains(groupCol),
+      s"node table has no '$groupCol' column to group by")
+    Diversify.groupedTopK(nodes, queries, k, perGroup, groupCol,
+      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
+  /** Recommendation by stored example points
+    * ([[operators.Recommend.byExamples]]): `examples` =
+    * (query_id, id, weight) with weight sign picking liked/disliked;
+    * derived query = mean(liked) − mean(disliked), example points
+    * excluded from results. */
+  def recommend(examples: DataFrame, k: Int,
+      strengthSetting: Double = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Recommend.byExamples(nodes, examples, k,
+      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
+  /** Keyset pagination ([[operators.KnnSearch.searchAfter]]): page N+1
+    * of [[search]] given the previous page's last (score, id) as the
+    * per-query cursor; cursor-less queries serve page 1. */
+  def searchAfter(queries: DataFrame, cursors: DataFrame, k: Int,
+      strengthSetting: Double = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    KnnSearch.searchAfter(nodes, queries, cursors, k,
+      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+  }
+
   /** The live ids matching `predicate` — the narrow (id) relation every
     * index arm semi-joins its candidate tables against. One projection
     * over the node snapshot; the predicate reaches the parquet scan. */

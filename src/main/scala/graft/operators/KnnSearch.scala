@@ -133,6 +133,59 @@ object KnnSearch {
       .filter(col("score") > lit(minSim) && !isnan(col("score")))
   }
 
+  /** Keyset pagination over the exact search order — `search_after`
+    * semantics: page N+1 is the top-`k` of the candidates STRICTLY
+    * AFTER the caller's cursor in the (score desc, id asc) total
+    * order, computed statelessly (no server-side scroll context — the
+    * cursor is the last row of the previous page, so deep paging costs
+    * one scoring pass per page and never materializes earlier pages).
+    * The reference's search is single-page only (`hnsw.ts:294-296`);
+    * this is the serving-surface extension every result-list UI needs.
+    *
+    * `cursors` columns: (query_id, after_score, after_id) — one row
+    * per query; queries WITHOUT a cursor row get page 1 (the knnExact
+    * result). Strictly-after filter: score < after_score OR
+    * (score = after_score AND id > after_id) — exact because scores
+    * are deterministic doubles (the v01 kernel rule), so the float
+    * equality compare is engine-portable and a tie page splits
+    * identically everywhere.
+    *
+    * Scale: one [[scoreAll]] pass (broadcast-gated queries), the
+    * cursor attach is a query-count-sized broadcast join, and the
+    * page rank is the same map-side WindowGroupLimit as [[knnExact]] —
+    * shuffled volume O(queries × k) per page.
+    *
+    * Output: (query_id, id, score, rn) — rn is the rank WITHIN the
+    * page (1-based). */
+  def searchAfter(
+      nodes: DataFrame,
+      queries: DataFrame,
+      cursors: DataFrame,
+      k: Int,
+      minSim: Double,
+      metric: String = "cosine",
+      idCol: String = "id",
+      vecCol: String = "vector",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val scored = scoreAll(nodes, queries, minSim, metric, idCol, vecCol,
+      broadcastBytes = broadcastBytes)
+    val cur = cursors.select(col("query_id"), col("after_score"),
+      col("after_id"))
+    val after = scored
+      .join(maybeBroadcast(cur, broadcastBytes), Seq("query_id"), "left")
+      .filter(col("after_score").isNull ||
+        col("score") < col("after_score") ||
+        (col("score") === col("after_score") &&
+          col(idCol) > col("after_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    after
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol).as("id"), col("score"), col("rn"))
+  }
+
   /** Point lookup by primary key — returns tombstoned rows too, matching
     * `getSingleAstroDBNode` (`driver/driver.ts:309-312`). */
   def pointLookup(nodes: DataFrame, key: Column, idCol: String = "id"): DataFrame =

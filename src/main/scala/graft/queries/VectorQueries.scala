@@ -299,6 +299,50 @@ object VectorQueries {
       graft.operators.Diversify.groupedTopK(nodes, querySet(emb),
         k = 10, perGroup = 2, groupCol = "grp", minSim = 0.3)
     }),
+
+    // Recommendation by example points ([[graft.operators.Recommend
+    // .byExamples]]): every 100th vector "likes" its three successors
+    // and "dislikes" vec_id+5 — query = mean(pos) − mean(neg), examples
+    // excluded BEFORE ranking. The centroid folds in id order with one
+    // double→float cast per element, so the oracle re-derives the
+    // derived query vectors bit-exactly (list_sort + list_reduce) and
+    // every rank follows.
+    "v18_recommend" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val ex = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          explode(array(lit(1L), lit(2L), lit(3L), lit(5L))).as("off"))
+        .select(col("query_id"), (col("query_id") + col("off")).as("id"),
+          when(col("off") === 5L, lit(-1.0)).otherwise(lit(1.0))
+            .as("weight"))
+      graft.operators.Recommend.byExamples(asVectorTable(emb), ex,
+          k = 10, minSim = 0.3)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // Keyset pagination ([[graft.operators.KnnSearch.searchAfter]]):
+    // page 2 of the k=10 search, cursored on page 1's last row — the
+    // strictly-after (score, id) filter must reproduce ranks 11..20 of
+    // the global order exactly (the oracle re-derives the full ranking
+    // and offsets it), including the float-equality tie split.
+    "v19_search_after" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodes = asVectorTable(emb)
+      val qs = querySet(emb)
+      val page1 = KnnSearch.knnExact(nodes, qs, k = 10, minSim = -2.0)
+      val cursors = page1.filter(col("rn") === 10)
+        .select(col("query_id"), col("score").as("after_score"),
+          col("id").as("after_id"))
+      // restrict to queries that HAVE a full first page, so every output
+      // row is a true page-2 row (cursor-less queries would restart at
+      // page 1 by design and muddy the oracle)
+      val qs2 = qs.join(cursors.select(col("query_id")), Seq("query_id"),
+        "left_semi")
+      KnnSearch.searchAfter(nodes, qs2, cursors, k = 10, minSim = -2.0)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
   )
 
   /** Unrolled-greedy MMR oracle: stage i picks rank i's argmax of
@@ -548,6 +592,59 @@ object VectorQueries {
            |      ORDER BY score DESC, id) AS rn
            |  FROM capped)
            |WHERE rn <= 10""".stripMargin,
+      "v18_recommend" ->
+        """WITH ex AS (
+          |  SELECT e.vec_id AS query_id, e.vec_id + off AS id,
+          |    CASE WHEN off = 5 THEN -1.0 ELSE 1.0 END AS w
+          |  FROM embeddings e, UNNEST([1, 2, 3, 5]) AS t(off)
+          |  WHERE e.vec_id % 100 = 0),
+          |exv AS (
+          |  SELECT ex.query_id,
+          |    list_sort(list(struct_pack(id := ex.id, w := ex.w,
+          |      v := emb.embedding))) AS exs
+          |  FROM ex JOIN embeddings emb ON emb.vec_id = ex.id
+          |  GROUP BY ex.query_id),
+          |cent AS (
+          |  SELECT query_id,
+          |    [ (list_reduce(list_transform(list_filter(exs, e -> e.w > 0),
+          |         e -> e.v[j]::DOUBLE), (a, b) -> a + b)
+          |       / len(list_filter(exs, e -> e.w > 0)))
+          |      - (CASE WHEN len(list_filter(exs, e -> e.w < 0)) > 0 THEN
+          |          list_reduce(list_transform(list_filter(exs, e -> e.w < 0),
+          |            e -> e.v[j]::DOUBLE), (a, b) -> a + b)
+          |          / len(list_filter(exs, e -> e.w < 0))
+          |        ELSE 0.0 END)
+          |      for j in range(1, len(exs[1].v) + 1) ]::FLOAT[] AS query_vec
+          |  FROM exv),
+          |scored AS (
+          |  SELECT c.query_id, e.vec_id AS id,
+          |    list_cosine_similarity(c.query_vec::DOUBLE[],
+          |      e.embedding::DOUBLE[]) AS score
+          |  FROM cent c CROSS JOIN embeddings e
+          |  WHERE NOT EXISTS (SELECT 1 FROM ex
+          |    WHERE ex.query_id = c.query_id AND ex.id = e.vec_id))
+          |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+          |  SELECT query_id, id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score DESC, id) AS rn
+          |  FROM scored WHERE score > 0.3 AND NOT isnan(score))
+          |WHERE rn <= 10""".stripMargin,
+      "v19_search_after" ->
+        s"""WITH q AS ($q),
+           |ranked AS (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, id) AS rn
+           |  FROM (
+           |    SELECT q.query_id, e.vec_id AS id,
+           |      list_cosine_similarity(q.query_vec::DOUBLE[],
+           |        e.embedding::DOUBLE[]) AS score
+           |    FROM q CROSS JOIN embeddings e)
+           |  WHERE NOT isnan(score)),
+           |eligible AS (SELECT query_id FROM ranked WHERE rn = 10)
+           |SELECT r.query_id, r.id, CAST(r.rn - 10 AS INT) AS rn
+           |FROM ranked r JOIN eligible USING (query_id)
+           |WHERE r.rn BETWEEN 11 AND 20""".stripMargin,
     )
   }
 }

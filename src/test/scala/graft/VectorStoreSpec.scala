@@ -62,6 +62,54 @@ class VectorStoreSpec extends SparkSpec {
     assert(!new java.io.File(path).exists())
   }
 
+  test("serving extensions through the facade: mmr, grouped, recommend, " +
+      "pagination — all over the live overlay (tombstones excluded)") {
+    val store = freshStore()
+    store.addBatch(Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.05f)), (3L, Seq(0.98f, 0.08f)),
+      (4L, Seq(0f, 1f)), (5L, Seq(0.05f, 0.99f))).toDF("id", "vector"))
+    val qs = Seq((100L, Seq(0.9f, 0.44f))).toDF("query_id", "query_vec")
+
+    // mmr pulls a +y-cluster member into the top 3 (DiversifySpec fixture)
+    val mmr = store.searchMmr(qs, k = 3, shortlist = 5,
+      lambdaMicro = 500000L)
+    assert(mmr.select("id").as[Long].collect().toSet
+      .intersect(Set(4L, 5L)).nonEmpty)
+
+    // grouped: payload column rides in via addBatch
+    val store2 = freshStore()
+    store2.addBatch(Seq(
+      (1L, Seq(1f, 0f), "a"), (2L, Seq(0.99f, 0.05f), "a"),
+      (3L, Seq(0.98f, 0.08f), "a"), (4L, Seq(0f, 1f), "b"))
+      .toDF("id", "vector", "grp"))
+    val grouped = store2.searchGrouped(qs, k = 3, perGroup = 2,
+      groupCol = "grp", strengthSetting = 0)
+    assert(grouped.filter(col("grp") === "a").count() === 2)
+    intercept[IllegalArgumentException] {
+      store2.searchGrouped(qs, 3, 2, groupCol = "nope")
+    }
+
+    // recommend: likes 1 and 2, dislikes 4 — examples never returned
+    val rec = store.recommend(Seq((9L, 1L, 1.0), (9L, 2L, 1.0),
+        (9L, 4L, -1.0)).toDF("query_id", "id", "weight"), k = 5,
+      strengthSetting = 0)
+    val recIds = rec.select("id").as[Long].collect().toSet
+    assert(!recIds.contains(1L) && !recIds.contains(2L) &&
+      !recIds.contains(4L) && recIds.nonEmpty)
+
+    // pagination tiles the search order; a tombstone drops out of pages
+    store.remove(1L)
+    val p1 = store.search(qs, k = 2, strengthSetting = 0)
+    val cur = p1.filter(col("rn") === 2).select(col("query_id"),
+      col("score").as("after_score"), col("id").as("after_id"))
+    val p2 = store.searchAfter(qs, cur, k = 2, strengthSetting = 0)
+    val all = store.search(qs, k = 4, strengthSetting = 0)
+      .orderBy(col("rn")).select("id").as[Long].collect().toSeq
+    assert(p1.orderBy(col("rn")).select("id").as[Long].collect().toSeq ++
+      p2.orderBy(col("rn")).select("id").as[Long].collect().toSeq === all)
+    assert(!all.contains(1L))
+  }
+
   test("searchWhere: pre-filtering semantics — exact top-k over the " +
       "filtered subset, never a post-filtered short set") {
     val store = VectorStore.openOrCreate(spark,

@@ -296,6 +296,22 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
 
+  /** Facet counts over the live store: per-value cardinalities of a
+    * payload column, optionally under a predicate — the count surface a
+    * result-list UI renders next to [[searchWhere]] filters. One
+    * hash-aggregate over the (filtered, pruned-to-one-column) node
+    * table; value count is facet-cardinality-sized, never corpus-sized.
+    * Output: (value, n) ordered by (n desc, value) for stable display. */
+  def facet(column: String, predicate: Option[Column] = None): DataFrame = {
+    require(nodes.columns.contains(column),
+      s"node table has no '$column' column to facet on")
+    val base = predicate.map(nodes.filter).getOrElse(nodes)
+      .filter(!col("deleted"))
+    base.groupBy(col(column).as("value"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+  }
+
   /** Keyset pagination ([[operators.KnnSearch.searchAfter]]): page N+1
     * of [[search]] given the previous page's last (score, id) as the
     * per-query cursor; cursor-less queries serve page 1. */

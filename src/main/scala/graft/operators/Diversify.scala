@@ -51,16 +51,38 @@ object Diversify {
       vecCol: String = "vector",
       broadcastBytes: Long = 64L << 20): DataFrame = {
     require(k > 0 && shortlist >= k, s"need shortlist >= k > 0, got k=$k shortlist=$shortlist")
-    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
-      s"lambdaMicro must be in [0, 1e6], got $lambdaMicro")
     val short = KnnSearch.knnExact(nodes, queries, shortlist,
       minSim = -2.0, metric, idCol, vecCol,
       broadcastBytes = broadcastBytes)
-    // re-attach vectors for the pairwise redundancy term (knnExact
-    // returns ranks only): id-keyed equi-join against the node table
+    mmrFromCandidates(short, nodes, k, lambdaMicro, metric, idCol, vecCol,
+      broadcastBytes)
+  }
+
+  /** [[mmrTopK]] stage 2 over ANY serving arm's candidates — plug an
+    * IVF/PQ/seeded shortlist (any (query_id, `idCol`, score) relation)
+    * in place of the exact tower when the corpus is past the exact
+    * cutoff: the greedy is identical, only shortlist RECALL differs
+    * (the arm's usual contract). Candidates per query must be bounded
+    * (they pack to one array row). */
+  def mmrFromCandidates(
+      candidates: DataFrame,
+      nodes: DataFrame,
+      k: Int,
+      lambdaMicro: Long = 700000L,
+      metric: String = "cosine",
+      idCol: String = "id",
+      vecCol: String = "vector",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1e6], got $lambdaMicro")
+    // re-attach vectors for the pairwise redundancy term (serving arms
+    // return ranks only): id-keyed equi-join against the node table
     // with the Q·s-row shortlist as the broadcast-gated small side, so
     // the corpus side never shuffles for the re-attach
-    val withVec = KnnSearch.maybeBroadcast(short, broadcastBytes).join(
+    val withVec = KnnSearch.maybeBroadcast(
+      candidates.select(col("query_id"), col(idCol).as("id"), col("score")),
+      broadcastBytes).join(
       nodes.select(col(idCol).as("id"), col(vecCol).as("vector")),
       Seq("id"))
     val packed = withVec

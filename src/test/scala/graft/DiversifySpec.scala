@@ -63,6 +63,20 @@ class DiversifySpec extends SparkSpec {
     assert(run(nodes) === run(nodes.orderBy(col("id").desc).repartition(7)))
   }
 
+  test("mmrFromCandidates: any (query_id, id, score) arm feeds the same " +
+      "greedy — exact-shortlist composition reproduces mmrTopK") {
+    VectorFunctions.register(spark)
+    val short = graft.operators.KnnSearch.knnExact(nodes, queries,
+      k = 5, minSim = -2.0)
+    val viaCands = graft.operators.Diversify.mmrFromCandidates(short,
+        nodes, k = 3, lambdaMicro = 500000L)
+      .orderBy(col("rank")).as[(Long, Int, Long, Long, Long)].collect().toSeq
+    val direct = graft.operators.Diversify.mmrTopK(nodes, queries,
+        k = 3, shortlist = 5, lambdaMicro = 500000L)
+      .orderBy(col("rank")).as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(viaCands === direct)
+  }
+
   test("groupedTopK: per-group quota is exact over the full corpus, " +
       "not a shortlist post-filter") {
     VectorFunctions.register(spark)

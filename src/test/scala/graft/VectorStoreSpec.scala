@@ -108,6 +108,14 @@ class VectorStoreSpec extends SparkSpec {
     assert(p1.orderBy(col("rn")).select("id").as[Long].collect().toSeq ++
       p2.orderBy(col("rn")).select("id").as[Long].collect().toSeq === all)
     assert(!all.contains(1L))
+
+    // facets: per-value counts over the live overlay, predicate-aware
+    val f = store2.facet("grp").as[(String, Long)].collect().toSeq
+    assert(f === Seq(("a", 3L), ("b", 1L)))
+    val f2 = store2.facet("grp", Some(col("id") > 1L))
+      .as[(String, Long)].collect().toSeq
+    assert(f2 === Seq(("a", 2L), ("b", 1L)))
+    intercept[IllegalArgumentException] { store2.facet("nope") }
   }
 
   test("searchWhere: pre-filtering semantics — exact top-k over the " +

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Diversify, KnnSearch, Recommend}
+
+/** Scale probe for the r14 serving extensions (MMR, grouped quota,
+  * recommend-by-examples, keyset pagination): all four are one exact
+  * scoring pass plus query-proportional post-work, so their walls
+  * should track the plain exact tower at any corpus size — measured
+  * here instead of asserted. Usage:
+  * `tools/runmain.sh graft.DiversifyProbe 1000000 64 [lowdim]`. */
+object DiversifyProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val lowDim = args.length > 2 && args(2) == "lowdim"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val partitions = math.max(cpus.toInt, (n / 20000L).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val nodes = (if (lowDim) ScaleProbe.syntheticVectorsLowDim(spark, n, dim)
+                 else ScaleProbe.syntheticVectors(spark, n, dim))
+      .withColumn("grp", pmod(col("id"), lit(64L)))
+    nodes.count()
+    val queries = nodes.filter(col("id") % math.max(1L, n / 1000) === 0)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val q = queries.count()
+
+    val (_, tExact) = timed {
+      KnnSearch.knnExact(nodes, queries, 10, minSim = -2.0).count()
+    }
+    val (_, tMmr) = timed {
+      Diversify.mmrTopK(nodes, queries, k = 10, shortlist = 50).count()
+    }
+    val (_, tGrouped) = timed {
+      Diversify.groupedTopK(nodes, queries, k = 10, perGroup = 2,
+        groupCol = "grp").count()
+    }
+    // pagination: page 2 cursored on page 1's last row (two passes by
+    // construction — the stateless-pagination cost model)
+    val (_, tPage) = timed {
+      val p1 = KnnSearch.knnExact(nodes, queries, 10, minSim = -2.0)
+      val cur = p1.filter(col("rn") === 10).select(col("query_id"),
+        col("score").as("after_score"), col("id").as("after_id"))
+      KnnSearch.searchAfter(nodes, queries, cur, 10, minSim = -2.0).count()
+    }
+    // recommend: 3 likes + 1 dislike per query, examples drawn by id
+    val (_, tRec) = timed {
+      val ex = queries.select(col("query_id"),
+          explode(array(lit(1L), lit(2L), lit(3L), lit(5L))).as("off"))
+        .select(col("query_id"),
+          pmod(col("query_id") + col("off"), lit(n)).as("id"),
+          when(col("off") === 5L, lit(-1.0)).otherwise(lit(1.0))
+            .as("weight"))
+      Recommend.byExamples(nodes, ex, k = 10).count()
+    }
+
+    println(s"""{"n":$n,"dim":$dim,"lowdim":$lowDim,"q":$q,""" +
+      s""""exact_sec":$tExact,"mmr50_sec":$tMmr,""" +
+      s""""grouped_sec":$tGrouped,"page2_sec":$tPage,""" +
+      s""""recommend_sec":$tRec}""")
+    spark.stop()
+  }
+}

@@ -109,7 +109,8 @@ object KnnSearch {
       vecCol: String = "vector",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      queriesSmallHint: Option[Boolean] = None): DataFrame = {
     val scoreFn: (Column, Column) => Column = metric match {
       case "cosine" => VectorFunctions.cosineSim
       case "euclidean" => VectorFunctions.euclideanSim
@@ -119,8 +120,14 @@ object KnnSearch {
     val live =
       if (nodes.columns.contains("deleted")) nodes.filter(!col("deleted"))
       else nodes
-    val queriesSmall =
-      queries.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
+    // the stats gate is a cheap CATALYST ESTIMATE: accurate for scans
+    // and local relations, but a DERIVED query side (aggregate over a
+    // join, as in Recommend) reports the conservative default size and
+    // silently lands on the replicated-NL path at ~2× the wall
+    // (DiversifyProbe measured 469 s vs 253 s exact at 1 M) — callers
+    // that KNOW the derived cardinality pass the verdict explicitly
+    val queriesSmall = queriesSmallHint.getOrElse(
+      queries.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes)
     val joined =
       if (queriesSmall) live.join(broadcast(queries))
       else live.join(queries.hint("SHUFFLE_REPLICATE_NL"))

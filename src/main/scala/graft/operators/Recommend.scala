@@ -78,8 +78,20 @@ object Recommend {
         lit("recommend query lacks positive examples present in nodes"))
         .isNull)
       .select(col("query_id"), centroid.as("query_vec"))
+    // the derived query relation is an aggregate over a join, so the
+    // Catalyst stats gate sees the default (huge) size estimate and
+    // scoreAll would fall back to the 2×-wall replicated-NL path
+    // (DiversifyProbe) — size it for real: query count from the tiny
+    // examples relation, dim from one resolved example row (limit(1)
+    // terminates the broadcast-joined scan at the first hit)
+    val qEst = examples.select(col("query_id")).distinct().count()
+    val dimRow = exv.select(size(col("vector")).as("d")).limit(1)
+      .collect().headOption
+    val qBytes = dimRow.map(r => qEst * (24L + 4L * r.getInt(0)))
+      .getOrElse(0L)
     val scored = KnnSearch.scoreAll(nodes, queriesDf, minSim, metric,
-      idCol, vecCol, broadcastBytes = broadcastBytes)
+      idCol, vecCol, broadcastBytes = broadcastBytes,
+      queriesSmallHint = Some(qBytes <= broadcastBytes))
     // exclude the example points BEFORE ranking (exact page semantics)
     val excl = scored.join(
       examples.select(col("query_id"), col("id").as(idCol)),

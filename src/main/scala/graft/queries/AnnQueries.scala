@@ -633,6 +633,25 @@ object AnnQueries {
       }
     }),
 
+    // Diversified serving COMPOSED with the compressed tower: the v16
+    // greedy over the IVF arm's shortlist instead of the exact one
+    // ([[graft.operators.Diversify.mmrFromCandidates]] — the scale
+    // path: any (query_id, id, score) arm feeds the same selection).
+    // The oracle re-derives the WHOLE composition — a04's deterministic
+    // assignment + probe + member scoring, the top-20 shortlist, then
+    // every greedy rank — so a regression in either tower or in the
+    // glue (vector re-attach, micro quantization) fails the hash.
+    "a38_ivf_mmr" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val cands = graft.operators.IvfIndex.search(nodesDf, centroids,
+        VectorQueries.querySet(emb), k = 20, minSim = -2.0, nProbe = 3)
+      graft.operators.Diversify.mmrFromCandidates(cands, nodesDf, k = 5,
+        lambdaMicro = 700000L)
+    }),
+
     // Scalar quantization (SQ8) — the second compression family (FAISS SQ):
     // per-dimension 8-bit codes against corpus min/max bounds, SYMMETRIC
     // integer squared-L2 ranking (query quantized with the same bounds).
@@ -2532,6 +2551,47 @@ object AnnQueries {
     // independence) is the operator's contract, so the oracle IS a14's
     // full DuckDB re-derivation — a chunking bug that drops, duplicates
     // or re-ranks any query's rows hash-mismatches against it.
-    base + ("a37_chunked_pq_serve" -> base("a14_ivfpq_residual"))
+    base + ("a37_chunked_pq_serve" -> base("a14_ivfpq_residual")) +
+      ("a38_ivf_mmr" -> (
+        """WITH nodes AS (
+          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+          |cb AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+          |    embedding::DOUBLE[] AS cv
+          |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+          |asg AS (
+          |  SELECT id, cell FROM (
+          |    SELECT n.id, c.cell,
+          |      row_number() OVER (PARTITION BY n.id
+          |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+          |    FROM nodes n CROSS JOIN cb c)
+          |  WHERE rn = 1),
+          |q AS (
+          |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          |  FROM embeddings WHERE vec_id % 50 = 0),
+          |probed AS (
+          |  SELECT query_id, cell FROM (
+          |    SELECT q.query_id, c.cell,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+          |    FROM q CROSS JOIN cb c)
+          |  WHERE rn <= 3),
+          |ivfscored AS (
+          |  SELECT p.query_id, a.id,
+          |    list_cosine_similarity(n.v, q.qv) AS score
+          |  FROM probed p
+          |  JOIN asg a ON a.cell = p.cell
+          |  JOIN nodes n ON n.id = a.id
+          |  JOIN q ON q.query_id = p.query_id),
+          |short AS (
+          |  SELECT query_id, id, vector, sim_micro FROM (
+          |    SELECT s.query_id, s.id, n.v AS vector,
+          |      CAST(floor(s.score * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+          |      row_number() OVER (PARTITION BY s.query_id
+          |        ORDER BY s.score DESC, s.id) AS rn
+          |    FROM ivfscored s JOIN nodes n ON n.id = s.id
+          |    WHERE s.score > -2.0 AND NOT isnan(s.score))
+          |  WHERE rn <= 20),
+          |""".stripMargin + VectorQueries.mmrSelStagesSql(5, 700000L)))
   }
 }

@@ -345,30 +345,17 @@ object VectorQueries {
     }),
   )
 
-  /** Unrolled-greedy MMR oracle: stage i picks rank i's argmax of
-    * λ·sim_q − (1−λ)·max-sim-to-selected over the not-yet-selected
-    * shortlist — plain window SQL per stage, so DuckDB re-derives the
-    * greedy without recursion. */
-  private def mmrOracleSql(queryRel: String, s: Int, k: Int,
-      lamMicro: Long): String = {
+  /** Unrolled-greedy MMR selection stages over an existing `short` CTE
+    * with columns (query_id, id, vector DOUBLE[], sim_micro BIGINT):
+    * stage i picks rank i's argmax of λ·sim_q − (1−λ)·max-sim-to-
+    * selected over the not-yet-selected shortlist — plain window SQL
+    * per stage, so DuckDB re-derives the greedy without recursion.
+    * Returns the ",\nsel1 AS (...) … selk" CTE tail plus the final
+    * SELECT; any shortlist source (exact, IVF, …) composes in front. */
+  private[queries] def mmrSelStagesSql(k: Int, lamMicro: Long): String = {
     val oneMinus = 1000000L - lamMicro
     val head =
-      s"""WITH q AS ($queryRel),
-         |short AS (
-         |  SELECT query_id, id, vector, sim_micro FROM (
-         |    SELECT query_id, id, vector,
-         |      CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, id) AS rn
-         |    FROM (
-         |      SELECT q.query_id, e.vec_id AS id,
-         |        e.embedding::DOUBLE[] AS vector,
-         |        list_cosine_similarity(q.query_vec::DOUBLE[],
-         |          e.embedding::DOUBLE[]) AS score
-         |      FROM q CROSS JOIN embeddings e)
-         |    WHERE NOT isnan(score))
-         |  WHERE rn <= $s),
-         |sel1 AS (
+      s"""sel1 AS (
          |  SELECT query_id, 1 AS rank, id, vector, sim_micro,
          |    $lamMicro * sim_micro AS mmr_micro
          |  FROM short
@@ -394,6 +381,28 @@ object VectorQueries {
     }
     (head +: stages).mkString(",\n") +
       s"\nSELECT query_id, CAST(rank AS INT) AS rank, id, sim_micro, mmr_micro FROM sel$k"
+  }
+
+  /** [[mmrSelStagesSql]] fronted by the exact-shortlist `short` CTE —
+    * the v16 oracle. */
+  private def mmrOracleSql(queryRel: String, s: Int, k: Int,
+      lamMicro: Long): String = {
+    s"""WITH q AS ($queryRel),
+       |short AS (
+       |  SELECT query_id, id, vector, sim_micro FROM (
+       |    SELECT query_id, id, vector,
+       |      CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, id) AS rn
+       |    FROM (
+       |      SELECT q.query_id, e.vec_id AS id,
+       |        e.embedding::DOUBLE[] AS vector,
+       |        list_cosine_similarity(q.query_vec::DOUBLE[],
+       |          e.embedding::DOUBLE[]) AS score
+       |      FROM q CROSS JOIN embeddings e)
+       |    WHERE NOT isnan(score))
+       |  WHERE rn <= $s),
+       |""".stripMargin + mmrSelStagesSql(k, lamMicro)
   }
 
   val oracleSql: Map[String, String] = {

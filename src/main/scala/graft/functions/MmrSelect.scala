@@ -140,19 +140,31 @@ case class MmrSelectExpr(children: Seq[Expression]) extends Expression
     val candsRaw = children(0).eval(input)
     if (candsRaw == null) return null
     val cands = candsRaw.asInstanceOf[ArrayData]
-    val n = cands.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val ids = new Array[Long](n)
-    val simQ = new Array[Long](n)
-    val vecs = new Array[ArrayData](n)
+    val total = cands.numElements()
+    // drop null elements / null fields defensively: the operator path
+    // never produces them, but the function is SQL-registered and a
+    // hand-built array with a null slot must not read garbage longs
+    // (the a30 Slice-overflow lesson: SQL-reachable kernels get the
+    // checks the DataFrame path makes unnecessary)
+    val ids0 = new Array[Long](total)
+    val simQ0 = new Array[Long](total)
+    val vecs0 = new Array[ArrayData](total)
+    var n = 0
     var i = 0
-    while (i < n) {
-      val row = cands.getStruct(i, 3)
-      ids(i) = row.getLong(0)
-      simQ(i) = row.getLong(1)
-      vecs(i) = row.getArray(2)
+    while (i < total) {
+      if (!cands.isNullAt(i)) {
+        val row = cands.getStruct(i, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+          ids0(n) = row.getLong(0)
+          simQ0(n) = row.getLong(1)
+          vecs0(n) = row.getArray(2)
+          n += 1
+        }
+      }
       i += 1
     }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val ids = ids0; val simQ = simQ0; val vecs = vecs0
     val taken = new Array[Boolean](n)
     // running max over the selected set of each candidate's pairwise
     // similarity — updated incrementally after each pick, so the whole

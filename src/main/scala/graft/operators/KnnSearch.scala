@@ -177,8 +177,18 @@ object KnnSearch {
     require(k > 0, s"need k > 0, got $k")
     val scored = scoreAll(nodes, queries, minSim, metric, idCol, vecCol,
       broadcastBytes = broadcastBytes)
+    // one cursor per query: a multi-row cursor relation would FAN OUT
+    // every scored candidate through the join — keep the most-advanced
+    // cursor (deepest page: lowest score, then highest id) so retried /
+    // duplicated cursor writes degrade to "furthest page wins"
+    // deterministically instead of duplicating rows
+    val curW = Window.partitionBy(col("query_id"))
+      .orderBy(col("after_score").asc, col("after_id").desc)
     val cur = cursors.select(col("query_id"), col("after_score"),
-      col("after_id"))
+        col("after_id"))
+      .withColumn("_cn", row_number().over(curW))
+      .filter(col("_cn") === 1)
+      .drop("_cn")
     val after = scored
       .join(maybeBroadcast(cur, broadcastBytes), Seq("query_id"), "left")
       .filter(col("after_score").isNull ||

@@ -43,6 +43,21 @@ class SearchAfterSpec extends SparkSpec {
     assert(p3 === Seq(5L, 6L))
   }
 
+  test("duplicate cursor rows collapse to the most-advanced page") {
+    VectorFunctions.register(spark)
+    val p1 = KnnSearch.knnExact(nodes, queries, k = 2, minSim = -2.0)
+    val c1 = p1.filter(col("rn") === 2).select(col("query_id"),
+      col("score").as("after_score"), col("id").as("after_id"))
+    val p2 = KnnSearch.searchAfter(nodes, queries, c1, k = 2, minSim = -2.0)
+    val c2 = p2.filter(col("rn") === 2).select(col("query_id"),
+      col("score").as("after_score"), col("id").as("after_id"))
+    // both cursors present: page 3 (after c2) must win, no row fan-out
+    val out = KnnSearch.searchAfter(nodes, queries, c1.unionByName(c2),
+        k = 2, minSim = -2.0)
+      .orderBy(col("rn")).select(col("id")).as[Long].collect().toSeq
+    assert(out === Seq(5L, 6L))
+  }
+
   test("a query without a cursor row serves page 1") {
     VectorFunctions.register(spark)
     val emptyCur = Seq.empty[(Long, Double, Long)]

@@ -296,6 +296,29 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
 
+  /** Index-health audit — the a03 recall flag as an ops API: per-query
+    * hit counts of ANY serving arm's result against the exact tower
+    * over the same live overlay. `served` is whatever an index arm
+    * returned for `queries` (only query_id/id are read). Output:
+    * (query_id, n_hit, n_exact) — integers, so the numbers are
+    * deterministic and recall@k = n_hit/n_exact is the caller's one
+    * division. Run on a QUERY SAMPLE in production: the audit pays one
+    * exact scoring pass over the corpus for the audited queries. */
+  def auditRecall(queries: DataFrame, served: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    val exact = KnnSearch.knnExact(nodes, queries, k, minSim = -2.0,
+      params.metric)
+    val hits = served.select(col("query_id"), col("id"))
+      .distinct().withColumn("hit", lit(1L))
+    exact
+      .join(hits, Seq("query_id", "id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_exact"))
+  }
+
   /** Facet counts over the live store: per-value cardinalities of a
     * payload column, optionally under a predicate — the count surface a
     * result-list UI renders next to [[searchWhere]] filters. One

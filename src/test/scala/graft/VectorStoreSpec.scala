@@ -116,6 +116,16 @@ class VectorStoreSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(f2 === Seq(("a", 2L), ("b", 1L)))
     intercept[IllegalArgumentException] { store2.facet("nope") }
+
+    // recall audit: the exact arm audits to full recall; a deliberately
+    // truncated arm shows the miss count per query
+    val served = store2.search(qs, k = 3, strengthSetting = 0)
+    val audit = store2.auditRecall(qs, served, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(audit === Seq((100L, 3L, 3L)))
+    val partial = store2.auditRecall(qs, served.filter(col("rn") <= 1), k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(partial === Seq((100L, 1L, 3L)))
   }
 
   test("searchWhere: pre-filtering semantics — exact top-k over the " +

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.{KnnSearch, Mutations}
+import graft.operators.{Diversify, KnnSearch, Mutations}
 
 /** Property-based checks (SURVEY §5.2): search against a scala-side
   * brute-force oracle on random vectors; mutation algebra invariants.
@@ -170,6 +170,49 @@ class PropertySpec extends SparkSpec {
         assert(ab === ba, "hamming64 symmetric")
         assert(aa === 0L, "hamming64 identity")
         assert(ab <= 64L * a.length, "hamming64 bounded by bit width")
+      }
+    }
+  }
+
+  test("mmrTopK invariants vs a scala greedy oracle on random tables") {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.functions.VectorFunctions.register(spark)
+    for ((rows, qv) <- cases(Gen.zip(tableGen, vecGen))
+         if qv.exists(_ != 0f)) {
+      val clean = rows.filter { case (_, v) => v.exists(_ != 0f) }
+      if (clean.size >= 4) {
+        val nodes = clean.map { case (id, v) => (id, v, false) }
+          .toDF("id", "vector", "deleted")
+        val q = Seq((0L, qv)).toDF("query_id", "query_vec")
+        val k = 3; val s = math.min(8, clean.size); val lam = 600000L
+        val got = Diversify.mmrTopK(nodes, q, k, shortlist = s,
+            lambdaMicro = lam)
+          .orderBy(col("rank"))
+          .select(col("id"), col("mmr_micro"))
+          .as[(Long, Long)].collect().toList
+        // scala-side greedy oracle over the same micro quantization
+        def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+        val short = clean.map { case (id, v) => (id, v, micro(cosine(v, qv))) }
+          .sortBy { case (id, _, m) =>
+            (-cosine(clean.find(_._1 == id).get._2, qv), id) }
+          .take(s)
+        var selected = List.empty[(Long, Seq[Float], Long)]
+        var out = List.empty[(Long, Long)]
+        for (rank <- 1 to math.min(k, short.size)) {
+          val cands = short.filterNot(c => selected.exists(_._1 == c._1))
+          val scoredC = cands.map { c =>
+            val sc =
+              if (rank == 1) lam * c._3
+              else lam * c._3 - (1000000L - lam) *
+                selected.map(sel => micro(cosine(c._2, sel._2))).max
+            (c, sc)
+          }
+          val best = scoredC.minBy { case (c, sc) => (-sc, c._1) }
+          selected ::= best._1
+          out :+= (best._1._1,
+            if (rank == 1) lam * best._1._3 else best._2)
+        }
+        assert(got === out, s"q=$qv n=${clean.size}")
       }
     }
   }

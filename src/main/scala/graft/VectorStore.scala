@@ -1444,7 +1444,7 @@ class VectorStore private (
     val mSub = PqIndex.subspaces(params.dim)
     val ksub = countMemo.getOrElseUpdate(
       (pointerStamp("PQINDEX"), "__ksub"),
-      pre.codebooks.agg(max(col("code")).cast("long")).head.getLong(0)
+      pre.codebooks.agg(max(col("code")).cast("long")).head().getLong(0)
         + 1L).toInt
     val rows = ChunkedServe.pqChunkRows(np, mSub, ksub, short,
       params.dim, lutBudgetBytes, rerankBudgetBytes)

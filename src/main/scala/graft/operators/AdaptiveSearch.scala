@@ -375,6 +375,13 @@ object AdaptiveSearch {
           (UsePq, ChunkedServe.serveChunked(queries, "query_id",
             chunkRows, q, Some(parts))(serveArm))
         }
+      // decide() never RETURNS the seeded strategies — they are chosen
+      // inside the UseLsh/UseIvf arms when a prebuilt graph is at hand.
+      // Spelled out (not `case _`) so the compiler's exhaustiveness
+      // check stays armed if Strategy grows a new decidable member.
+      case s @ (UseGraphSeeded | UseGraphSeededIvf) =>
+        throw new IllegalStateException(
+          s"decide() returned serving-only strategy $s")
     }
   }
 }

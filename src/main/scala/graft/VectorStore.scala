@@ -259,15 +259,38 @@ class VectorStore private (
 
   /** MMR-diversified search ([[operators.Diversify.mmrTopK]]) over the
     * live store: relevant-but-not-redundant top-k, λ on the micro
-    * scale (1e6 = plain [[search]] order). Same threshold convention
-    * as [[search]] applied to the shortlist floor. */
+    * scale (1e6 = plain [[search]] order). The [[search]] threshold
+    * convention floors the SHORTLIST — strength 0 admits every
+    * positive-similarity candidate (the diversity-first setting);
+    * the default 50 keeps the reference's 0.5 floor. */
   def searchMmr(queries: DataFrame, k: Int, shortlist: Int,
       lambdaMicro: Long = 700000L,
       strengthSetting: Double = 50): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
     Diversify.mmrTopK(nodes, queries, k, shortlist, lambdaMicro,
-      params.metric)
+      params.metric, KnnSearch.scaleThreshold(strengthSetting))
+  }
+
+  /** [[searchMmr]] past the exact cutoff: the shortlist comes from
+    * whatever arm [[searchAuto]] dispatches (exact below the cutoff,
+    * seeded graph / IVF / PQ above it — `mmrFromCandidates` accepts
+    * any arm's (query_id, id, score) rows), and the greedy re-rank is
+    * identical. Below the cutoff this serves exactly [[searchMmr]]'s
+    * answer; above it, shortlist RECALL follows the dispatched arm's
+    * usual contract. Returns the dispatched strategy with the
+    * diversified top-k. */
+  def searchMmrAuto(queries: DataFrame, k: Int, shortlist: Int,
+      lambdaMicro: Long = 700000L, strengthSetting: Double = 50,
+      predicate: Option[Column] = None)
+      : (AdaptiveSearch.Strategy, DataFrame) = {
+    require(shortlist >= k, s"need shortlist >= k, got k=$k shortlist=$shortlist")
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    val (arm, cands) = searchAuto(queries, shortlist, strengthSetting,
+      predicate = predicate)
+    (arm, Diversify.mmrFromCandidates(cands, nodes, k, lambdaMicro,
+      params.metric))
   }
 
   /** Group-quota search ([[operators.Diversify.groupedTopK]]): top-k

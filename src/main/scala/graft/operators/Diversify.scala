@@ -39,7 +39,10 @@ object Diversify {
 
   /** MMR top-`k` per query. `lambdaMicro` is λ·1e6 — 1e6 = pure
     * relevance (plain kNN order), 0 = pure diversity after the first
-    * pick. Output: (query_id, rank, id, sim_micro, mmr_micro). */
+    * pick. `minSim` floors the SHORTLIST (the [[KnnSearch.knnExact]]
+    * threshold semantics — candidates below it can never be selected);
+    * the default −2 admits everything, the diversity-first choice.
+    * Output: (query_id, rank, id, sim_micro, mmr_micro). */
   def mmrTopK(
       nodes: DataFrame,
       queries: DataFrame,
@@ -47,12 +50,13 @@ object Diversify {
       shortlist: Int,
       lambdaMicro: Long = 700000L,
       metric: String = "cosine",
+      minSim: Double = -2.0,
       idCol: String = "id",
       vecCol: String = "vector",
       broadcastBytes: Long = 64L << 20): DataFrame = {
     require(k > 0 && shortlist >= k, s"need shortlist >= k > 0, got k=$k shortlist=$shortlist")
     val short = KnnSearch.knnExact(nodes, queries, shortlist,
-      minSim = -2.0, metric, idCol, vecCol,
+      minSim, metric, idCol, vecCol,
       broadcastBytes = broadcastBytes)
     mmrFromCandidates(short, nodes, k, lambdaMicro, metric, idCol, vecCol,
       broadcastBytes)

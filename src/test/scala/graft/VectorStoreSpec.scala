@@ -70,11 +70,24 @@ class VectorStoreSpec extends SparkSpec {
       (4L, Seq(0f, 1f)), (5L, Seq(0.05f, 0.99f))).toDF("id", "vector"))
     val qs = Seq((100L, Seq(0.9f, 0.44f))).toDF("query_id", "query_vec")
 
-    // mmr pulls a +y-cluster member into the top 3 (DiversifySpec fixture)
+    // mmr pulls a +y-cluster member into the top 3 (DiversifySpec
+    // fixture); strength 0 = diversity-first (a 0.5 floor would drop
+    // the +y cluster from the shortlist before the greedy ever ran)
     val mmr = store.searchMmr(qs, k = 3, shortlist = 5,
-      lambdaMicro = 500000L)
+      lambdaMicro = 500000L, strengthSetting = 0)
     assert(mmr.select("id").as[Long].collect().toSet
       .intersect(Set(4L, 5L)).nonEmpty)
+
+    // the dispatched variant serves the SAME diversified answer below
+    // the exact cutoff (searchAuto → UseExact → identical shortlist,
+    // same threshold floor)
+    val (arm, mmrAuto) = store.searchMmrAuto(qs, k = 3, shortlist = 5,
+      lambdaMicro = 500000L, strengthSetting = 0)
+    assert(arm === graft.operators.AdaptiveSearch.UseExact)
+    assert(mmrAuto.orderBy(col("rank"))
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq ===
+      mmr.orderBy(col("rank"))
+        .as[(Long, Int, Long, Long, Long)].collect().toSeq)
 
     // grouped: payload column rides in via addBatch
     val store2 = freshStore()

@@ -30,18 +30,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // regime-drift guards: the per-query p50/p95 make a creeping tail of
+    // multi-second by-design rows visible before the 2×-of-baseline
+    // ceiling binds (nearest-rank percentiles over the per-query MINs)
+    def pct(p: Double): Double =
+      if (results.isEmpty) 0.0
+      else {
+        val sorted = results.values.toIndexedSeq.sorted
+        sorted(math.min(sorted.length - 1,
+          math.ceil(p * sorted.length).toInt - 1).max(0))
+      }
+    val (p50, p95) = (pct(0.50), pct(0.95))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","p50":$p50,"p95":$p95,"queries":$qs,"sf":"$sfDir"}""")
     // Machine-diffable per-query record (the driver's tail capture can
     // truncate the line above): overwritten every run; snapshot per round
     // under bench_history/ to track regressions across rounds.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST_QUERIES.json"),
-      s"""{"sf":"$sfDir","total":$total,"queries":$qs}""")
+      s"""{"sf":"$sfDir","total":$total,"p50":$p50,"p95":$p95,"queries":$qs}""")
     catch { case _: Throwable => () }
     // The per-query line above can exceed a tail-capture window (the
     // driver keeps the END of stdout), so repeat the headline LAST as a
     // short self-contained record — whatever window survives contains it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","p50":$p50,"p95":$p95,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

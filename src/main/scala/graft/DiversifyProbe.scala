@@ -56,21 +56,48 @@ object DiversifyProbe {
         col("score").as("after_score"), col("id").as("after_id"))
       KnnSearch.searchAfter(nodes, queries, cur, 10, minSim = -2.0).count()
     }
+    // CACHED pagination (the searchAfterCached mechanism): one depth-50
+    // shortlist pass persisted (cold = the cache build), then page 2 as
+    // a cursor filter + rank window over the cached relation — the warm
+    // wall is what back-to-back pagers pay per page
+    val cached = KnnSearch.knnExact(nodes, queries, 50, minSim = -2.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, tPageCold) = timed(cached.count())
+    val (_, tPageWarm) = timed {
+      val cur = cached.filter(col("rn") === 10).select(col("query_id"),
+        col("score").as("after_score"), col("id").as("after_id"))
+      KnnSearch.pageAfter(cached, cur, 10).count()
+    }
+    cached.unpersist()
     // recommend: 3 likes + 1 dislike per query, examples drawn by id
+    val ex = queries.select(col("query_id"),
+        explode(array(lit(1L), lit(2L), lit(3L), lit(5L))).as("off"))
+      .select(col("query_id"),
+        pmod(col("query_id") + col("off"), lit(n)).as("id"),
+        when(col("off") === 5L, lit(-1.0)).otherwise(lit(1.0))
+          .as("weight"))
     val (_, tRec) = timed {
-      val ex = queries.select(col("query_id"),
-          explode(array(lit(1L), lit(2L), lit(3L), lit(5L))).as("off"))
-        .select(col("query_id"),
-          pmod(col("query_id") + col("off"), lit(n)).as("id"),
-          when(col("off") === 5L, lit(-1.0)).otherwise(lit(1.0))
-            .as("weight"))
       Recommend.byExamples(nodes, ex, k = 10).count()
+    }
+    // DISPATCHED recommend (the recommendAuto composition past the
+    // cutoff): derived queries served by the IVF arm instead of the
+    // exact scan — centroids trained OUTSIDE the timing (a build-once
+    // serving artifact), the serve is what a store call pays
+    val centroids = graft.operators.IvfIndex.train(nodes, k = 256,
+      iters = 3).localCheckpoint()
+    val (_, tRecIvf) = timed {
+      Recommend.byExamplesWith(nodes, ex, k = 10) { (qs, fetchK) =>
+        graft.operators.IvfIndex.search(nodes, centroids, qs, fetchK,
+          minSim = -2.0, nProbe = 8)
+      }.count()
     }
 
     println(s"""{"n":$n,"dim":$dim,"lowdim":$lowDim,"q":$q,""" +
       s""""exact_sec":$tExact,"mmr50_sec":$tMmr,""" +
       s""""grouped_sec":$tGrouped,"page2_sec":$tPage,""" +
-      s""""recommend_sec":$tRec}""")
+      s""""page_cache_cold_sec":$tPageCold,""" +
+      s""""page_cache_warm_sec":$tPageWarm,""" +
+      s""""recommend_sec":$tRec,"recommend_ivf_sec":$tRecIvf}""")
     spark.stop()
   }
 }

@@ -68,6 +68,14 @@ object IngestProbe {
     val stream = MemoryStream[(Long, Seq[Float], String, Long)]
     val q = store.startIngest(stream.toDF().toDF("id", "vector", "op", "seq"))
     val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // optional 6th arg "serve": HALFWAY through the stream, run
+    // searchAuto on DEFAULTS against the live (mid-ingest) store and
+    // record the dispatched arm's recall@10 vs the exact scan over the
+    // same overlay — the composed evidence that a store under
+    // continuous ingest keeps serving at its measured quality (the
+    // build-once artifacts plus O(|Δ|) folds, not a drifted index)
+    val midServe = args.length > 5 && args(5) == "serve"
+    var midJson = ""
     try {
       for (b <- 0 until nBatches) {
         val lo = n + b * batchRows
@@ -79,6 +87,27 @@ object IngestProbe {
         stream.addData(rows.toIndexedSeq)
         val (_, t) = timed(q.processAllAvailable())
         batchWalls += t
+        if (midServe && b == nBatches / 2) {
+          val qv = store.nodes.filter(col("id") % (n / 20) === 3)
+            .limit(20)
+            .select(col("id").as("query_id"), col("vector").as("query_vec"))
+            .localCheckpoint()
+          val ((strat, got), tServe) = timed {
+            val (st, r) = store.searchAuto(qv, k = 10, strengthSetting = 0)
+            (st, r.select("query_id", "id").collect()
+              .map(x => (x.getLong(0), x.getLong(1))).toSet)
+          }
+          val (exact, tEx) = timed(
+            graft.operators.KnnSearch.knnExact(
+                store.nodes.filter(!col("deleted")), qv, 10, minSim = 0.0)
+              .select("query_id", "id").collect()
+              .map(x => (x.getLong(0), x.getLong(1))).toSet)
+          val recall = exact.intersect(got).size.toDouble /
+            math.max(1, exact.size)
+          midJson = s""","mid_serve":{"batch":$b,"strategy":"$strat",""" +
+            s""""serve_sec":$tServe,"exact_sec":$tEx,""" +
+            s""""recall_at_10":$recall}"""
+        }
       }
     } finally q.stop()
     // serving sanity: the last batch's rows are visible on every arm
@@ -98,7 +127,8 @@ object IngestProbe {
       s""""load_sec":$tLoad,"graph_build_sec":$tGraph,""" +
       s""""pq_build_sec":$tPq,"sq_build_sec":$tSq,""" +
       s""""batch_walls_sec":$walls,""" +
-      s""""seeded_serves_new":$seededOk,"pq_serves_new":$pqOk}""")
+      s""""seeded_serves_new":$seededOk,"pq_serves_new":$pqOk""" +
+      midJson + "}")
     spark.stop()
   }
 }

@@ -70,14 +70,21 @@ object QueryBatchProbe {
     val nodes = ScaleProbe.syntheticVectors(spark, n, dim).localCheckpoint()
     // serving artifacts built once (their cost is not what this probe
     // measures): a coarse quantizer + assignments for the IVF/seeded
-    // arms, an anchored graph for the seeded walk
+    // arms, an anchored graph for the seeded walk. The GRAPH build is
+    // minutes-scale at 200 k×384 — skip it when an SPARK_GRAFT_ARMS
+    // subset doesn't run the seeded arm (a pq_chunked-only matrix rerun
+    // must not pay it)
     val cells = math.max(16, math.sqrt(n.toDouble).toInt)
     val centroids = IvfIndex.train(nodes, cells, iters = 3).localCheckpoint()
     val assignments = IvfIndex.assign(nodes, centroids)
       .select(col("cell"), col("id"), col("vector")).localCheckpoint()
     val p = IndexParams(dim = dim)
-    val (gn, ge) = IndexBuild.build(nodes, p)
-    val gnC = gn.localCheckpoint(); val geC = ge.localCheckpoint()
+    lazy val graphArt = {
+      val (gn, ge) = IndexBuild.build(nodes, p)
+      (gn.localCheckpoint(), ge.localCheckpoint())
+    }
+    def gnC = graphArt._1
+    def geC = graphArt._2
     // residual IVF-PQ serving artifacts (the compressed arm): sample
     // codebooks — quality is not what this probe measures, the
     // query-proportional LUT table is (m·ksub doubles per query:

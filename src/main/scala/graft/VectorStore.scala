@@ -369,6 +369,134 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
 
+  /** [[recommend]] past the exact cutoff — the [[searchMmrAuto]]
+    * composition applied to recommendation: the derived query vectors
+    * (mean liked − mean disliked, [[operators.Recommend.derive]])
+    * route through whatever arm [[searchAuto]] dispatches, over-fetched
+    * by the deepest per-query example count so the example exclusion
+    * still leaves k rows. Below the cutoff this serves exactly
+    * [[recommend]]'s answer; above it, results follow the dispatched
+    * arm's usual shortlist-recall contract. The derived relation is
+    * example-sized and localized, so the dispatcher's per-call query
+    * count job is skipped and every arm's broadcast gate sees the true
+    * size (the DiversifyProbe replicated-NL finding). */
+  def recommendAuto(examples: DataFrame, k: Int,
+      strengthSetting: Double = 50, predicate: Option[Column] = None)
+      : (AdaptiveSearch.Strategy, DataFrame) = {
+    require(k > 0, s"need k > 0, got $k")
+    graft.functions.VectorFunctions.register(spark)
+    val d = Recommend.derive(nodes, examples)
+    val (arm, cands) = searchAuto(d.queries, k + d.maxPerQuery,
+      strengthSetting, predicate = predicate, queryCount = d.qCount)
+    (arm, Recommend.rankExcluding(cands, d.ex, k))
+  }
+
+  /** [[searchGrouped]] past the exact cutoff: the group quota ranks
+    * over the dispatched arm's `shortlist`-deep candidates instead of
+    * the full corpus. SEMANTICS WEAKEN with the arm, deliberately and
+    * documented: exact grouped search can promote arbitrarily deep
+    * candidates when a hot group saturates its quota, so the quota is
+    * only exact over whatever the shortlist recalled — size `shortlist`
+    * ≥ k × (expected hot-group concentration) accordingly, and note
+    * that below the cutoff (exact arm) a shortlist covering the corpus
+    * reproduces [[searchGrouped]] exactly. Group values re-attach via
+    * an id equi-join with the Q×shortlist side broadcast-gated — the
+    * corpus side never shuffles. */
+  def searchGroupedAuto(queries: DataFrame, k: Int, perGroup: Int,
+      groupCol: String, shortlist: Int, strengthSetting: Double = 50,
+      predicate: Option[Column] = None)
+      : (AdaptiveSearch.Strategy, DataFrame) = {
+    require(k > 0 && perGroup > 0 && shortlist >= k,
+      s"need shortlist >= k > 0 and perGroup > 0, " +
+        s"got k=$k perGroup=$perGroup shortlist=$shortlist")
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    require(nodes.columns.contains(groupCol),
+      s"node table has no '$groupCol' column to group by")
+    val (arm, cands) = searchAuto(queries, shortlist, strengthSetting,
+      predicate = predicate)
+    (arm, Diversify.groupedFromCandidates(cands, nodes, k, perGroup,
+      groupCol))
+  }
+
+  /** Cached-shortlist pagination entries: queries-DataFrame identity →
+    * (cache key, dispatched arm, PERSISTED depth-shortlist). Keyed by
+    * the reference a serving caller naturally reuses across page
+    * requests (the [[AdaptiveSearch]] identity-memo pattern); the key
+    * string carries both pointer stamps + knobs, so ANY store mutation
+    * or knob change invalidates (the poisoned-memo rule) and the stale
+    * relation unpersists. Size-capped: past 8 entries the map clears. */
+  private val pageMemo = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame,
+      (String, AdaptiveSearch.Strategy, DataFrame)]())
+
+  /** Keyset pagination over a CACHED dispatched shortlist — the
+    * serving-shaped answer to [[searchAfter]]'s honest-but-costly
+    * stateless contract (page N+1 re-scores the corpus, measured at
+    * 1.6–2.2× the exact pass — DiversifyProbe): the first call runs
+    * [[searchAuto]] once to `depth` and persists that relation
+    * (MEMORY_AND_DISK, lineage kept); every subsequent page for the
+    * SAME queries DataFrame is a cursor filter + rank window over the
+    * cached rows — no scoring pass at all.
+    *
+    * `depth` is the PAGINATION HORIZON (the result-window contract,
+    * as in every production search engine): pages past depth/k return
+    * short/empty pages rather than falling back to a scan. Queries
+    * with fewer than `depth` true hits paginate to exhaustion exactly.
+    * Below the dispatch cutoff the cached relation is the exact
+    * top-`depth`, so pages within the horizon match [[searchAfter]]
+    * row-for-row; above it, page contents follow the dispatched arm's
+    * shortlist-recall contract. Any store mutation invalidates the
+    * cache on the next call (pointer-stamp key). */
+  def searchAfterCached(queries: DataFrame, cursors: DataFrame, k: Int,
+      strengthSetting: Double = 50, depth: Int = 1000,
+      predicate: Option[Column] = None)
+      : (AdaptiveSearch.Strategy, DataFrame) = {
+    require(k > 0 && depth >= k, s"need depth >= k > 0, got k=$k depth=$depth")
+    graft.functions.VectorFunctions.register(spark)
+    validate(queries, "query_id", "query_vec")
+    val key = s"${pointerStamp("CURRENT")}|${pointerStamp("PQINDEX")}|" +
+      s"$depth|$strengthSetting|${predicate.map(_.toString).getOrElse("")}"
+    val (arm, shortDf) = Option(pageMemo.get(queries)) match {
+      case Some((hk, a, df)) if hk == key => (a, df)
+      case stale =>
+        stale.foreach(_._3.unpersist(blocking = false))
+        if (pageMemo.size >= 8) {
+          pageMemo.values.forEach(v => { v._3.unpersist(false); () })
+          pageMemo.clear()
+        }
+        val (a, res) = searchAuto(queries, depth, strengthSetting,
+          predicate = predicate)
+        val p = res.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize once — every page reads the cache
+        pageMemo.put(queries, (key, a, p))
+        (a, p)
+    }
+    (arm, KnnSearch.pageAfter(shortDf, cursors, k))
+  }
+
+  /** [[facet]] for HIGH-CARDINALITY payload columns: only values with
+    * share ≥ `shareMicro`/1e6 of the (filtered) live rows, via the
+    * two-pass Misra–Gries heavy-hitters scheme
+    * ([[functions.Sketches.heavyHitters]] — the t31-checked operator).
+    * Output counts are EXACT for every value above the floor (pass 2
+    * recounts candidates exactly); state and output are bounded by
+    * ~1e6/shareMicro per partition, never value-cardinality-sized —
+    * the per-user-payload case where exact [[facet]] goes
+    * corpus-shaped. Values render as strings (the sketch's key type).
+    * Output: (value, n) ordered by (n desc, value). */
+  def facetTop(column: String, shareMicro: Long,
+      predicate: Option[Column] = None): DataFrame = {
+    require(nodes.columns.contains(column),
+      s"node table has no '$column' column to facet on")
+    val base = predicate.map(nodes.filter).getOrElse(nodes)
+      .filter(!col("deleted"))
+    graft.functions.Sketches.heavyHitters(base, column, shareMicro)
+      .select(col(column).as("value"), col("cnt").as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+  }
+
   /** The live ids matching `predicate` — the narrow (id) relation every
     * index arm semi-joins its candidate tables against. One projection
     * over the node snapshot; the predicate reaches the parquet scan. */
@@ -1887,3 +2015,4 @@ object VectorStore {
     new VectorStore(spark, path, params, retainBases)
   }
 }
+

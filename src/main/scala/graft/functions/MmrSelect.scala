@@ -52,6 +52,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns ARRAY<STRUCT<rank INT, id BIGINT, sim_micro BIGINT,
   * mmr_micro BIGINT>> in selection order (rank 1-based; rank 1's
   * mmr_micro is λ·sim_micro — no selected set to be redundant with).
+  *
+  * INPUT HYGIENE (SQL-reachable kernel rules): null slots/fields are
+  * dropped; candidates whose pairwise similarity would be undefined
+  * (non-finite elements, or zero norm under cosine) are skipped rather
+  * than silently quantizing NaN to 0; duplicate-id slots collapse to
+  * one candidate (highest sim_micro, ties on the lex-smaller vector)
+  * so the greedy never emits the same id at two ranks.
   */
 case class MmrSelectExpr(children: Seq[Expression]) extends Expression
     with CodegenFallback {
@@ -136,29 +143,84 @@ case class MmrSelectExpr(children: Seq[Expression]) extends Expression
     math.floor(sim * 1000000.0 + 0.5).toLong
   }
 
+  /** A candidate whose pairwise term would be UNDEFINED — a non-finite
+    * element, or (cosine) a zero norm: its sim to anything is NaN, and
+    * `floor(NaN).toLong` would silently quantize to 0 micro ("neutral
+    * redundancy"). Unreachable from the operator path (query-side NaN
+    * scores are filtered upstream), but the function is SQL-registered
+    * — skip such candidates explicitly, mirroring the null-slot rule. */
+  private def vectorDefined(v: ArrayData): Boolean = {
+    val n = v.numElements()
+    var norm = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return false
+      val x = v.getFloat(i)
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+        return false
+      norm += x.toDouble * x.toDouble
+      i += 1
+    }
+    !cosineMetric || norm > 0.0
+  }
+
+  /** Order-free tie-break for duplicate-id slots at EQUAL sim_micro:
+    * keep the lexicographically-smaller vector (shorter first, then
+    * element-wise float order) so the retained slot never depends on
+    * the candidate array's upstream `collect_list` order. */
+  private def vecLess(a: ArrayData, b: ArrayData): Boolean = {
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.min(na, nb)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+      if (c != 0) return c < 0
+      i += 1
+    }
+    na < nb
+  }
+
   override def eval(input: InternalRow): Any = {
     val candsRaw = children(0).eval(input)
     if (candsRaw == null) return null
     val cands = candsRaw.asInstanceOf[ArrayData]
     val total = cands.numElements()
-    // drop null elements / null fields defensively: the operator path
-    // never produces them, but the function is SQL-registered and a
-    // hand-built array with a null slot must not read garbage longs
-    // (the a30 Slice-overflow lesson: SQL-reachable kernels get the
-    // checks the DataFrame path makes unnecessary)
+    // drop null elements / null fields / undefined-similarity vectors
+    // defensively: the operator path never produces them, but the
+    // function is SQL-registered and a hand-built array with a null
+    // slot must not read garbage longs (the a30 Slice-overflow lesson:
+    // SQL-reachable kernels get the checks the DataFrame path makes
+    // unnecessary)
     val ids0 = new Array[Long](total)
     val simQ0 = new Array[Long](total)
     val vecs0 = new Array[ArrayData](total)
     var n = 0
+    // duplicate (id) slots collapse to ONE candidate — the greedy must
+    // never emit the same id at two ranks ("any (query_id, id, score)
+    // relation" is the documented input contract, and an arm that
+    // double-emits an id would otherwise double-serve it): keep the
+    // highest sim_micro, ties on the lex-smaller vector
+    val slotOf = scala.collection.mutable.HashMap.empty[Long, Int]
     var i = 0
     while (i < total) {
       if (!cands.isNullAt(i)) {
         val row = cands.getStruct(i, 3)
-        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
-          ids0(n) = row.getLong(0)
-          simQ0(n) = row.getLong(1)
-          vecs0(n) = row.getArray(2)
-          n += 1
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2) &&
+            vectorDefined(row.getArray(2))) {
+          val id = row.getLong(0)
+          val sim = row.getLong(1)
+          val vec = row.getArray(2)
+          slotOf.get(id) match {
+            case None =>
+              slotOf(id) = n
+              ids0(n) = id; simQ0(n) = sim; vecs0(n) = vec
+              n += 1
+            case Some(j) =>
+              if (sim > simQ0(j) ||
+                  (sim == simQ0(j) && vecLess(vec, vecs0(j)))) {
+                simQ0(j) = sim; vecs0(j) = vec
+              }
+          }
         }
       }
       i += 1

@@ -67,7 +67,10 @@ object Diversify {
     * in place of the exact tower when the corpus is past the exact
     * cutoff: the greedy is identical, only shortlist RECALL differs
     * (the arm's usual contract). Candidates per query must be bounded
-    * (they pack to one array row). */
+    * (they pack to one array row). Duplicate (query_id, id) rows are
+    * tolerated: the kernel collapses duplicate-id slots to one
+    * candidate (highest sim, order-free tie-break), so the greedy
+    * never serves the same id at two ranks. */
   def mmrFromCandidates(
       candidates: DataFrame,
       nodes: DataFrame,
@@ -152,6 +155,44 @@ object Diversify {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col(idCol).as("id"), col(groupCol),
+        col("gn"), col("rn"))
+  }
+
+  /** [[groupedTopK]] stage 2 over ANY serving arm's candidates — the
+    * [[mmrFromCandidates]] composition rule applied to the group quota
+    * (what `VectorStore.searchGroupedAuto` serves past the exact
+    * cutoff): group values re-attach to the (query_id, id, score)
+    * shortlist by an id equi-join with the Q×s side broadcast-gated
+    * (the corpus side never shuffles), then the same two rank windows.
+    * SEMANTICS WEAKEN with the arm, deliberately: exact grouped search
+    * can promote arbitrarily deep candidates when a hot group saturates
+    * its quota, so the quota here is exact only over what the shortlist
+    * recalled — size the shortlist for the expected hot-group
+    * concentration. Output matches [[groupedTopK]]. */
+  def groupedFromCandidates(
+      candidates: DataFrame,
+      nodes: DataFrame,
+      k: Int,
+      perGroup: Int,
+      groupCol: String,
+      idCol: String = "id",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    require(k > 0 && perGroup > 0,
+      s"need k > 0 and perGroup > 0, got k=$k perGroup=$perGroup")
+    val withG = KnnSearch.maybeBroadcast(
+      candidates.select(col("query_id"), col(idCol).as("id"),
+        col("score")), broadcastBytes)
+      .join(nodes.select(col(idCol).as("id"), col(groupCol)), Seq("id"))
+    val wg = Window.partitionBy(col("query_id"), col(groupCol))
+      .orderBy(col("score").desc, col("id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    withG
+      .withColumn("gn", row_number().over(wg))
+      .filter(col("gn") <= perGroup)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("id"), col(groupCol),
         col("gn"), col("rn"))
   }
 }

@@ -174,9 +174,25 @@ object KnnSearch {
       idCol: String = "id",
       vecCol: String = "vector",
       broadcastBytes: Long = 64L << 20): DataFrame = {
-    require(k > 0, s"need k > 0, got $k")
     val scored = scoreAll(nodes, queries, minSim, metric, idCol, vecCol,
       broadcastBytes = broadcastBytes)
+    pageAfter(scored, cursors, k, idCol, broadcastBytes)
+  }
+
+  /** [[searchAfter]]'s cursor filter + page rank over an ALREADY-SCORED
+    * relation — the piece a scored-relation cache (or any serving arm's
+    * shortlist) pages over without paying the scoring pass again:
+    * `scored` needs (query_id, `idCol`, score); extra columns (a cached
+    * rank) are dropped and the page rank recomputed. Cursor and
+    * strictly-after semantics exactly as documented on [[searchAfter]].
+    * Queries present in `scored` but cursor-less get page 1. */
+  def pageAfter(
+      scored: DataFrame,
+      cursors: DataFrame,
+      k: Int,
+      idCol: String = "id",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
     // one cursor per query: a multi-row cursor relation would FAN OUT
     // every scored candidate through the join — keep the most-advanced
     // cursor (deepest page: lowest score, then highest id) so retried /
@@ -190,6 +206,7 @@ object KnnSearch {
       .filter(col("_cn") === 1)
       .drop("_cn")
     val after = scored
+      .select(col("query_id"), col(idCol), col("score"))
       .join(maybeBroadcast(cur, broadcastBytes), Seq("query_id"), "left")
       .filter(col("after_score").isNull ||
         col("score") < col("after_score") ||

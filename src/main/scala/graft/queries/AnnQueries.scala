@@ -652,6 +652,56 @@ object AnnQueries {
         lambdaMicro = 700000L)
     }),
 
+    // Recommendation COMPOSED with the compressed tower — the
+    // [[graft.operators.Recommend.byExamplesWith]] scale path (what
+    // `VectorStore.recommendAuto` dispatches to past the exact cutoff),
+    // a38's composition rule applied to v18's derivation: query =
+    // mean(liked) − mean(disliked) derived BIT-EXACTLY from stored
+    // points, served by the IVF arm (a04's deterministic assignment +
+    // probe + member scoring) over-fetched by the per-query example
+    // count, examples excluded, then re-ranked. The oracle re-derives
+    // the WHOLE chain — derived vectors (list_sort + list_reduce),
+    // probes, shortlist, exclusion, final ranks — so a regression in
+    // the derivation, the arm, or the glue (over-fetch depth, exclusion
+    // before re-rank) fails the hash.
+    "a39_ivf_recommend" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val ex = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          explode(array(lit(1L), lit(2L), lit(3L), lit(5L))).as("off"))
+        .select(col("query_id"), (col("query_id") + col("off")).as("id"),
+          when(col("off") === 5L, lit(-1.0)).otherwise(lit(1.0))
+            .as("weight"))
+      graft.operators.Recommend.byExamplesWith(nodesDf, ex, k = 10) {
+        (qs, fetchK) =>
+          graft.operators.IvfIndex.search(nodesDf, centroids, qs,
+            k = fetchK, minSim = 0.3, nProbe = 3)
+      }.select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // Group-quota serving COMPOSED with the compressed tower
+    // ([[graft.operators.Diversify.groupedFromCandidates]] — what
+    // `VectorStore.searchGroupedAuto` serves past the exact cutoff):
+    // the IVF arm's top-20 shortlist, group values re-attached by id,
+    // then v17's two rank windows OVER THE SHORTLIST. The oracle
+    // re-derives the whole chain, so a glue bug (a post-filter that
+    // ranks before re-attaching, a lost shortlist bound, quota applied
+    // corpus-wide) hash-mismatches.
+    "a40_ivf_grouped" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+        .withColumn("grp", pmod(col("id"), lit(7L)))
+      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val cands = graft.operators.IvfIndex.search(nodesDf, centroids,
+        VectorQueries.querySet(emb), k = 20, minSim = 0.3, nProbe = 3)
+      graft.operators.Diversify.groupedFromCandidates(cands, nodesDf,
+        k = 10, perGroup = 2, groupCol = "grp")
+    }),
+
     // Scalar quantization (SQ8) — the second compression family (FAISS SQ):
     // per-dimension 8-bit codes against corpus min/max bounds, SYMMETRIC
     // integer squared-L2 ranking (query quantized with the same bounds).
@@ -2592,6 +2642,135 @@ object AnnQueries {
           |    FROM ivfscored s JOIN nodes n ON n.id = s.id
           |    WHERE s.score > -2.0 AND NOT isnan(s.score))
           |  WHERE rn <= 20),
-          |""".stripMargin + VectorQueries.mmrSelStagesSql(5, 700000L)))
+          |""".stripMargin + VectorQueries.mmrSelStagesSql(5, 700000L))) +
+      // v18's bit-exact derived-query CTEs fronting a38's IVF-arm CTEs:
+      // the over-fetch depth is k + 4 resolved examples = 14, exclusion
+      // runs on the shortlist, final ranks re-derive over the survivors.
+      ("a39_ivf_recommend" ->
+        """WITH nodes AS (
+          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+          |ex AS (
+          |  SELECT e.vec_id AS query_id, e.vec_id + off AS id,
+          |    CASE WHEN off = 5 THEN -1.0 ELSE 1.0 END AS w
+          |  FROM embeddings e, UNNEST([1, 2, 3, 5]) AS t(off)
+          |  WHERE e.vec_id % 100 = 0),
+          |exv AS (
+          |  SELECT ex.query_id,
+          |    list_sort(list(struct_pack(id := ex.id, w := ex.w,
+          |      v := emb.embedding))) AS exs
+          |  FROM ex JOIN embeddings emb ON emb.vec_id = ex.id
+          |  GROUP BY ex.query_id),
+          |cent AS (
+          |  SELECT query_id,
+          |    [ (list_reduce(list_transform(list_filter(exs, e -> e.w > 0),
+          |         e -> e.v[j]::DOUBLE), (a, b) -> a + b)
+          |       / len(list_filter(exs, e -> e.w > 0)))
+          |      - (CASE WHEN len(list_filter(exs, e -> e.w < 0)) > 0 THEN
+          |          list_reduce(list_transform(list_filter(exs, e -> e.w < 0),
+          |            e -> e.v[j]::DOUBLE), (a, b) -> a + b)
+          |          / len(list_filter(exs, e -> e.w < 0))
+          |        ELSE 0.0 END)
+          |      for j in range(1, len(exs[1].v) + 1) ]::FLOAT[] AS query_vec
+          |  FROM exv),
+          |cb AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+          |    embedding::DOUBLE[] AS cv
+          |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+          |asg AS (
+          |  SELECT id, cell FROM (
+          |    SELECT n.id, c.cell,
+          |      row_number() OVER (PARTITION BY n.id
+          |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+          |    FROM nodes n CROSS JOIN cb c)
+          |  WHERE rn = 1),
+          |probed AS (
+          |  SELECT query_id, cell FROM (
+          |    SELECT q.query_id, c.cell,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY list_cosine_similarity(q.query_vec::DOUBLE[],
+          |          c.cv) DESC, c.cell) AS rn
+          |    FROM cent q CROSS JOIN cb c)
+          |  WHERE rn <= 3),
+          |ivfscored AS (
+          |  SELECT p.query_id, a.id,
+          |    list_cosine_similarity(n.v, q.query_vec::DOUBLE[]) AS score
+          |  FROM probed p
+          |  JOIN asg a ON a.cell = p.cell
+          |  JOIN nodes n ON n.id = a.id
+          |  JOIN cent q ON q.query_id = p.query_id),
+          |shortl AS (
+          |  SELECT query_id, id, score FROM (
+          |    SELECT query_id, id, score,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY score DESC, id) AS rn
+          |    FROM ivfscored
+          |    WHERE score > 0.3 AND NOT isnan(score))
+          |  WHERE rn <= 14),
+          |excl AS (
+          |  SELECT s.query_id, s.id, s.score FROM shortl s
+          |  WHERE NOT EXISTS (SELECT 1 FROM ex
+          |    WHERE ex.query_id = s.query_id AND ex.id = s.id))
+          |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+          |  SELECT query_id, id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score DESC, id) AS rn
+          |  FROM excl)
+          |WHERE rn <= 10""".stripMargin) +
+      // a38's IVF-arm CTEs fronting v17's two group-quota windows —
+      // ranked over the top-20 shortlist, quota exact over what the
+      // shortlist recalled (the documented searchGroupedAuto contract).
+      ("a40_ivf_grouped" ->
+        """WITH nodes AS (
+          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+          |    vec_id % 7 AS grp
+          |  FROM embeddings),
+          |cb AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+          |    embedding::DOUBLE[] AS cv
+          |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+          |asg AS (
+          |  SELECT id, cell FROM (
+          |    SELECT n.id, c.cell,
+          |      row_number() OVER (PARTITION BY n.id
+          |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+          |    FROM nodes n CROSS JOIN cb c)
+          |  WHERE rn = 1),
+          |q AS (
+          |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          |  FROM embeddings WHERE vec_id % 50 = 0),
+          |probed AS (
+          |  SELECT query_id, cell FROM (
+          |    SELECT q.query_id, c.cell,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+          |    FROM q CROSS JOIN cb c)
+          |  WHERE rn <= 3),
+          |shortl AS (
+          |  SELECT query_id, id, score FROM (
+          |    SELECT s.query_id, s.id, s.score,
+          |      row_number() OVER (PARTITION BY s.query_id
+          |        ORDER BY s.score DESC, s.id) AS rn
+          |    FROM (
+          |      SELECT p.query_id, a.id,
+          |        list_cosine_similarity(n.v, q.qv) AS score
+          |      FROM probed p
+          |      JOIN asg a ON a.cell = p.cell
+          |      JOIN nodes n ON n.id = a.id
+          |      JOIN q ON q.query_id = p.query_id) s
+          |    WHERE s.score > 0.3 AND NOT isnan(s.score))
+          |  WHERE rn <= 20),
+          |capped AS (
+          |  SELECT query_id, id, grp, score, CAST(gn AS INT) AS gn FROM (
+          |    SELECT s.query_id, s.id, n.grp, s.score,
+          |      row_number() OVER (PARTITION BY s.query_id, n.grp
+          |        ORDER BY s.score DESC, s.id) AS gn
+          |    FROM shortl s JOIN nodes n ON n.id = s.id)
+          |  WHERE gn <= 2)
+          |SELECT query_id, id, grp, gn, CAST(rn AS INT) AS rn FROM (
+          |  SELECT query_id, id, grp, gn,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score DESC, id) AS rn
+          |  FROM capped)
+          |WHERE rn <= 10""".stripMargin)
   }
 }

@@ -343,7 +343,70 @@ object VectorQueries {
       KnnSearch.searchAfter(nodes, qs2, cursors, k = 10, minSim = -2.0)
         .select(col("query_id"), col("id"), col("rn"))
     }),
+
+    // Keyset pagination with REALISTIC geometry (v19 at honest
+    // thresholds): the embeddings fixture is near-orthogonal (4–8
+    // hits/query above 0.3 — v19 paginates at minSim −2 to have depth
+    // at all), so this row derives a CLUSTERED fixture from it
+    // deterministically ([[clusteredVectors]]: label one-hot + grid-
+    // quantized jitter → ~50 same-cluster hits per query above 0.5)
+    // and pages at the production-shaped 0.5 floor — the float-equality
+    // cursor compare now runs against dense near-ties instead of a
+    // starved tail.
+    "v20_paged_clustered" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodes = clusteredVectors(emb)
+      val qs = nodes.filter(col("id") % 50 === 0)
+        .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      val page1 = KnnSearch.knnExact(nodes, qs, k = 10, minSim = 0.5)
+      val cursors = page1.filter(col("rn") === 10)
+        .select(col("query_id"), col("score").as("after_score"),
+          col("id").as("after_id"))
+      val qs2 = qs.join(cursors.select(col("query_id")), Seq("query_id"),
+        "left_semi")
+      KnnSearch.searchAfter(nodes, qs2, cursors, k = 10, minSim = 0.5)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
+    // MMR with a LIVE diversity term (v16 at honest thresholds): on the
+    // near-orthogonal fixture every pairwise redundancy is ≈ 0 and the
+    // greedy degenerates toward plain relevance order; on the derived
+    // clustered fixture ([[clusteredVectors]]) same-cluster candidates
+    // carry 0.85+ mutual similarity, so every later rank exercises the
+    // real λ-tradeoff — and the 0.5 shortlist floor (the production
+    // setting) is meaningful rather than vacuous.
+    "v21_mmr_clustered" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodes = clusteredVectors(emb)
+      val qs = nodes.filter(col("id") % 50 === 0)
+        .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      graft.operators.Diversify.mmrTopK(nodes, qs, k = 5, shortlist = 20,
+        lambdaMicro = 700000L, minSim = 0.5)
+    }),
   )
+
+  /** A CLUSTERED low-dim vector table derived DETERMINISTICALLY from
+    * the embeddings fixture (both engines re-derive it bit-exactly, so
+    * it needs no new test data): dim j of vector i is label one-hot
+    * (1.0 when label = j−1, 10 clusters) plus jitter — dim-j of the
+    * original embedding snapped to a 0.5 grid by the portable
+    * floor-quantization rule (floor(x·2 + 0.5)/2 — `round` is NOT
+    * cross-engine portable) and scaled by 0.2. Same-label vectors
+    * land ≈ 0.85+ mutual cosine, cross-label near 0 — the realistic
+    * serving geometry the near-orthogonal fixture can't provide. The
+    * arithmetic order is pinned: onehot + ((0.2 · floor)/2), each an
+    * IEEE double op, then one double→float cast. */
+  private[queries] def clusteredVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("id"),
+      transform(sequence(lit(1), lit(10)), j =>
+        (when(col("label") === (j - 1), lit(1.0d)).otherwise(lit(0.0d)) +
+          lit(0.2d) *
+            floor(element_at(col("embedding"), j).cast("double") * 2
+              + lit(0.5d)) / lit(2.0d))
+        .cast("float")).as("vector"))
+      .withColumn("deleted", lit(false))
 
   /** Unrolled-greedy MMR selection stages over an existing `short` CTE
     * with columns (query_id, id, vector DOUBLE[], sim_micro BIGINT):
@@ -654,6 +717,54 @@ object VectorQueries {
            |SELECT r.query_id, r.id, CAST(r.rn - 10 AS INT) AS rn
            |FROM ranked r JOIN eligible USING (query_id)
            |WHERE r.rn BETWEEN 11 AND 20""".stripMargin,
+      "v20_paged_clustered" ->
+        s"""WITH $clSql,
+           |q AS (SELECT id AS query_id, vector AS query_vec
+           |      FROM cl WHERE id % 50 = 0),
+           |ranked AS (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, id) AS rn
+           |  FROM (
+           |    SELECT q.query_id, c.id,
+           |      list_cosine_similarity(q.query_vec::DOUBLE[],
+           |        c.vector::DOUBLE[]) AS score
+           |    FROM q CROSS JOIN cl c)
+           |  WHERE score > 0.5 AND NOT isnan(score)),
+           |eligible AS (SELECT query_id FROM ranked WHERE rn = 10)
+           |SELECT r.query_id, r.id, CAST(r.rn - 10 AS INT) AS rn
+           |FROM ranked r JOIN eligible USING (query_id)
+           |WHERE r.rn BETWEEN 11 AND 20""".stripMargin,
+      "v21_mmr_clustered" ->
+        (s"""WITH $clSql,
+           |q AS (SELECT id AS query_id, vector AS query_vec
+           |      FROM cl WHERE id % 50 = 0),
+           |short AS (
+           |  SELECT query_id, id, vector, sim_micro FROM (
+           |    SELECT query_id, id, vector,
+           |      CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, id) AS rn
+           |    FROM (
+           |      SELECT q.query_id, c.id, c.vector::DOUBLE[] AS vector,
+           |        list_cosine_similarity(q.query_vec::DOUBLE[],
+           |          c.vector::DOUBLE[]) AS score
+           |      FROM q CROSS JOIN cl c)
+           |    WHERE score > 0.5 AND NOT isnan(score))
+           |  WHERE rn <= 20),
+           |""".stripMargin + mmrSelStagesSql(5, 700000L)),
     )
   }
+
+  /** The derived clustered fixture ([[clusteredVectors]]) as a DuckDB
+    * CTE — the identical arithmetic, token for token: onehot +
+    * ((0.2 · floor(x·2 + 0.5))/2), one double→float cast. */
+  private def clSql: String =
+    """cl AS (
+      |  SELECT vec_id AS id,
+      |    [ ((CASE WHEN label = j - 1 THEN 1.0 ELSE 0.0 END)
+      |       + 0.2 * floor(embedding[j]::DOUBLE * 2 + 0.5) / 2.0)::FLOAT
+      |      for j in range(1, 11) ] AS vector
+      |  FROM embeddings)""".stripMargin
 }
+

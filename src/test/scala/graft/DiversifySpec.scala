@@ -123,4 +123,41 @@ class DiversifySpec extends SparkSpec {
       .orderBy(col("rank")).as[(Long, Int, Long, Long, Long)].collect()
     assert(out.map(_._2).toSeq === Seq(1, 2, 3, 4, 5))
   }
+
+  test("mmrFromCandidates: duplicate (query_id, id) rows collapse — " +
+      "no id ever appears at two ranks, result equals the dedup'd run") {
+    VectorFunctions.register(spark)
+    val short = graft.operators.KnnSearch.knnExact(nodes, queries,
+      k = 5, minSim = -2.0)
+    // double every candidate row (an arm that double-emits an id)
+    val doubled = short.unionByName(short)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Diversify.mmrFromCandidates(c, nodes, k = 3,
+          lambdaMicro = 500000L)
+        .orderBy(col("rank")).as[(Long, Int, Long, Long, Long)]
+        .collect().toSeq
+    val dup = run(doubled)
+    assert(dup.map(_._3).distinct.length === dup.length,
+      s"duplicate id served twice: ${dup.map(_._3)}")
+    assert(dup === run(short))
+  }
+
+  test("SQL-reachable kernel: a zero-norm candidate (undefined cosine) " +
+      "is skipped, not scored as neutral redundancy") {
+    VectorFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT mmr_select(array(
+        |  named_struct('id', 1L, 'sim_micro', 900000L,
+        |    'vector', array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        |  named_struct('id', 2L, 'sim_micro', 800000L,
+        |    'vector', array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        |  named_struct('id', 3L, 'sim_micro', 700000L,
+        |    'vector', array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))
+        |), 3, 500000L, 'cosine') AS r""".stripMargin)
+      .selectExpr("explode(r) AS e").selectExpr("e.id")
+      .as[Long].collect().toSeq
+    // id 2 is zero-norm: pairwise cosine to it is NaN — it must be
+    // dropped entirely, leaving ids 1 and 3 in relevance order
+    assert(out === Seq(1L, 3L))
+  }
 }

@@ -53,6 +53,46 @@ class RecommendSpec extends SparkSpec {
       s"unexpected: $e")
   }
 
+  test("a query whose example ids ALL miss the node table raises too " +
+      "(it must not silently vanish from the output)") {
+    VectorFunctions.register(spark)
+    // query 20 resolves normally; query 21's ids all miss — before the
+    // left-join guard it produced no packed row and disappeared
+    val ex = Seq(
+      (20L, 1L, 1.0),
+      (21L, 777L, 1.0), (21L, 778L, -1.0)
+    ).toDF("query_id", "id", "weight")
+    val e = intercept[Exception] {
+      Recommend.byExamples(nodes, ex, k = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("positive examples")),
+      s"unexpected: $e")
+  }
+
+  test("byExamplesWith: an arm-served shortlist gets the same " +
+      "derivation, exclusion and ranks as the exact path") {
+    VectorFunctions.register(spark)
+    val ex = Seq(
+      (100L, 1L, 1.0), (100L, 2L, 1.0), (100L, 3L, -1.0)
+    ).toDF("query_id", "id", "weight")
+    val exact = Recommend.byExamples(nodes, ex, k = 10)
+      .orderBy(col("rn")).select(col("id")).as[Long].collect().toSeq
+    // serve = the exact tower itself: composition must be identical;
+    // fetchK must arrive over-fetched by the per-query example count
+    var seenFetchK = -1
+    val armed = Recommend.byExamplesWith(nodes, ex, k = 10) {
+      (qs, fetchK) =>
+        seenFetchK = fetchK
+        graft.operators.KnnSearch.knnExact(nodes, qs, fetchK,
+          minSim = -2.0)
+    }.orderBy(col("rn")).select(col("id")).as[Long].collect().toSeq
+    assert(seenFetchK === 13) // k + 3 resolved examples
+    assert(armed === exact)
+  }
+
   test("example ids absent from nodes fold out of the centroid") {
     VectorFunctions.register(spark)
     // id 99 doesn't exist: centroid = mean of the one resolvable positive

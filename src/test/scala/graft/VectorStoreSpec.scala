@@ -141,6 +141,82 @@ class VectorStoreSpec extends SparkSpec {
     assert(partial === Seq((100L, 1L, 3L)))
   }
 
+  test("dispatched serving extensions: recommendAuto / searchGroupedAuto " +
+      "/ searchAfterCached serve the exact-tower answers below the " +
+      "cutoff, and the pagination cache invalidates on mutation") {
+    val store = freshStore()
+    store.addBatch(Seq(
+      (1L, Seq(1f, 0f), "a"), (2L, Seq(0.99f, 0.05f), "a"),
+      (3L, Seq(0.98f, 0.08f), "a"), (4L, Seq(0f, 1f), "b"),
+      (5L, Seq(0.05f, 0.99f), "b")).toDF("id", "vector", "grp"))
+    val qs = Seq((100L, Seq(0.9f, 0.44f))).toDF("query_id", "query_vec")
+
+    // recommendAuto ≡ recommend on the exact arm (below the cutoff)
+    val ex = Seq((9L, 1L, 1.0), (9L, 2L, 1.0), (9L, 4L, -1.0))
+      .toDF("query_id", "id", "weight")
+    val rec = store.recommend(ex, k = 5, strengthSetting = 0)
+      .orderBy(col("rn")).select("id").as[Long].collect().toSeq
+    val (recArm, recAuto) = store.recommendAuto(ex, k = 5,
+      strengthSetting = 0)
+    assert(recArm === graft.operators.AdaptiveSearch.UseExact)
+    assert(recAuto.orderBy(col("rn")).select("id").as[Long]
+      .collect().toSeq === rec)
+
+    // searchGroupedAuto with a corpus-covering shortlist ≡ searchGrouped
+    val grouped = store.searchGrouped(qs, k = 3, perGroup = 2,
+        groupCol = "grp", strengthSetting = 0)
+      .orderBy(col("rn"))
+      .as[(Long, Long, String, Int, Int)].collect().toSeq
+    val (gArm, gAuto) = store.searchGroupedAuto(qs, k = 3, perGroup = 2,
+      groupCol = "grp", shortlist = 5, strengthSetting = 0)
+    assert(gArm === graft.operators.AdaptiveSearch.UseExact)
+    assert(gAuto.orderBy(col("rn"))
+      .as[(Long, Long, String, Int, Int)].collect().toSeq === grouped)
+
+    // searchAfterCached: pages within the horizon match the stateless
+    // searchAfter row-for-row, and reuse the cached shortlist
+    val p1 = store.search(qs, k = 2, strengthSetting = 0)
+    val cur = p1.filter(col("rn") === 2).select(col("query_id"),
+      col("score").as("after_score"), col("id").as("after_id"))
+    val p2Stateless = store.searchAfter(qs, cur, k = 2,
+        strengthSetting = 0)
+      .orderBy(col("rn")).select("id").as[Long].collect().toSeq
+    val (_, c1) = store.searchAfterCached(qs, cur, k = 2,
+      strengthSetting = 0, depth = 4)
+    assert(c1.orderBy(col("rn")).select("id").as[Long]
+      .collect().toSeq === p2Stateless)
+    // page 1 (no cursor row) from the same cache
+    val (_, c0) = store.searchAfterCached(qs,
+      cur.filter(lit(false)), k = 2, strengthSetting = 0, depth = 4)
+    assert(c0.orderBy(col("rn")).select("id").as[Long]
+      .collect().toSeq ===
+      p1.orderBy(col("rn")).select("id").as[Long].collect().toSeq)
+    // past the horizon: empty page, never a fallback scan
+    val deepCur = Seq((100L, -2.0, Long.MaxValue))
+      .toDF("query_id", "after_score", "after_id")
+    val (_, cDeep) = store.searchAfterCached(qs, deepCur, k = 2,
+      strengthSetting = 0, depth = 4)
+    assert(cDeep.count() === 0)
+
+    // MUTATION invalidates the cached shortlist (the poisoned-memo
+    // rule): a new top hit must appear on the next cached page 1
+    store.addBatch(Seq((6L, Seq(0.9f, 0.44f), "b")) // the query direction
+      .toDF("id", "vector", "grp"))
+    val (_, c0b) = store.searchAfterCached(qs,
+      cur.filter(lit(false)), k = 2, strengthSetting = 0, depth = 4)
+    assert(c0b.filter(col("rn") === 1).select("id").as[Long]
+      .collect().toSeq === Seq(6L))
+
+    // facetTop: exact heavy hitters above the share floor, string keys;
+    // 6 live rows at shareMicro 0.4e6 → floor = ceil(2.4) = 3: both
+    // groups (3 each) pass; at 0.6e6 → floor 4: neither does
+    val ft = store.facetTop("grp", shareMicro = 400000L)
+      .as[(String, Long)].collect().toSeq
+    assert(ft === Seq(("a", 3L), ("b", 3L)))
+    assert(store.facetTop("grp", shareMicro = 600000L).count() === 0)
+    intercept[IllegalArgumentException] { store.facetTop("nope", 1000L) }
+  }
+
   test("searchWhere: pre-filtering semantics — exact top-k over the " +
       "filtered subset, never a post-filtered short set") {
     val store = VectorStore.openOrCreate(spark,

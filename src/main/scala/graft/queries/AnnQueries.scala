@@ -702,6 +702,33 @@ object AnnQueries {
         k = 10, perGroup = 2, groupCol = "grp")
     }),
 
+    // Keyset pagination over an ARM SHORTLIST — the mechanism
+    // `VectorStore.searchAfterCached` serves pages from (one dispatched
+    // depth-shortlist persisted, every page a cursor filter + rank
+    // window over it — [[graft.operators.KnnSearch.pageAfter]]): page 2
+    // of the IVF arm's depth-20 shortlist, cursored on page-1's last
+    // row, restricted to queries with a full first page. The oracle
+    // re-derives a38's shortlist CTEs, the cursor rows, the
+    // strictly-after (score, id) filter and the page re-rank — so a
+    // cursor-compare bug, a lost shortlist bound, or a page rank
+    // computed over the corpus instead of the cached relation all fail
+    // the hash.
+    "a41_paged_shortlist" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nodesDf = VectorQueries.asVectorTable(emb)
+      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val short = graft.operators.IvfIndex.search(nodesDf, centroids,
+        VectorQueries.querySet(emb), k = 20, minSim = -2.0, nProbe = 3)
+      val cursors = short.filter(col("rn") === 10)
+        .select(col("query_id"), col("score").as("after_score"),
+          col("id").as("after_id"))
+      val short2 = short.join(cursors.select(col("query_id")),
+        Seq("query_id"), "left_semi")
+      graft.operators.KnnSearch.pageAfter(short2, cursors, k = 10)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Scalar quantization (SQ8) — the second compression family (FAISS SQ):
     // per-dimension 8-bit codes against corpus min/max bounds, SYMMETRIC
     // integer squared-L2 ranking (query quantized with the same bounds).
@@ -2771,6 +2798,62 @@ object AnnQueries {
           |    row_number() OVER (PARTITION BY query_id
           |      ORDER BY score DESC, id) AS rn
           |  FROM capped)
+          |WHERE rn <= 10""".stripMargin) +
+      // a38's IVF-shortlist CTEs (depth 20, floor -2), then v19's cursor
+      // mechanics INSIDE the shortlist: cursor = rank-10 row, the
+      // strictly-after filter, and the page re-rank — the cached-
+      // pagination serving shape re-derived end-to-end.
+      ("a41_paged_shortlist" ->
+        """WITH nodes AS (
+          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+          |cb AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+          |    embedding::DOUBLE[] AS cv
+          |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+          |asg AS (
+          |  SELECT id, cell FROM (
+          |    SELECT n.id, c.cell,
+          |      row_number() OVER (PARTITION BY n.id
+          |        ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cell) AS rn
+          |    FROM nodes n CROSS JOIN cb c)
+          |  WHERE rn = 1),
+          |q AS (
+          |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          |  FROM embeddings WHERE vec_id % 50 = 0),
+          |probed AS (
+          |  SELECT query_id, cell FROM (
+          |    SELECT q.query_id, c.cell,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+          |    FROM q CROSS JOIN cb c)
+          |  WHERE rn <= 3),
+          |shortl AS (
+          |  SELECT query_id, id, score, rn FROM (
+          |    SELECT s.query_id, s.id, s.score,
+          |      row_number() OVER (PARTITION BY s.query_id
+          |        ORDER BY s.score DESC, s.id) AS rn
+          |    FROM (
+          |      SELECT p.query_id, a.id,
+          |        list_cosine_similarity(n.v, q.qv) AS score
+          |      FROM probed p
+          |      JOIN asg a ON a.cell = p.cell
+          |      JOIN nodes n ON n.id = a.id
+          |      JOIN q ON q.query_id = p.query_id) s
+          |    WHERE s.score > -2.0 AND NOT isnan(s.score))
+          |  WHERE rn <= 20),
+          |cur AS (
+          |  SELECT query_id, score AS after_score, id AS after_id
+          |  FROM shortl WHERE rn = 10),
+          |aft AS (
+          |  SELECT s.query_id, s.id, s.score
+          |  FROM shortl s JOIN cur c ON c.query_id = s.query_id
+          |  WHERE s.score < c.after_score
+          |     OR (s.score = c.after_score AND s.id > c.after_id))
+          |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+          |  SELECT query_id, id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score DESC, id) AS rn
+          |  FROM aft)
           |WHERE rn <= 10""".stripMargin)
   }
 }

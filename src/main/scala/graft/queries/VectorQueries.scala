@@ -385,7 +385,44 @@ object VectorQueries {
       graft.operators.Diversify.mmrTopK(nodes, qs, k = 5, shortlist = 20,
         lambdaMicro = 700000L, minSim = 0.5)
     }),
+
+    // Sketched facet THROUGH THE FACADE ([[graft.VectorStore.facetTop]]
+    // — the high-cardinality path where exact [[graft.VectorStore
+    // .facet]] goes value-cardinality-sized): a persisted store with a
+    // label PAYLOAD column, id % 13 tombstoned, a live predicate, and
+    // the Misra–Gries two-pass floor at share ≥ 9.5%. Counts above the
+    // floor are EXACT (pass 2 recounts candidates), so the oracle is a
+    // plain filtered GROUP BY with the same integer-ceiling threshold —
+    // a tombstone leaking into the counts, a predicate applied
+    // post-sketch, or an off-by-one in the ceiling all fail the hash.
+    "v22_facet_top" -> ((s, d) => {
+      val store = facetStore(s, d)
+      store.facetTop("label", shareMicro = 95000L,
+        predicate = Some(col("id") % 7 =!= 0))
+    }),
   )
+
+  /** Memoized payload-carrying store for v22 (the facadeAppendStore
+    * shape): embeddings with their `label` column as addBatch payload,
+    * id % 13 tombstoned via the facade. */
+  private val facetStorePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def facetStore(s: SparkSession, d: String): graft.VectorStore = {
+    val path = facetStorePaths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-facet-store")
+      val emb = Tables.embeddings(s, d)
+      val store = graft.VectorStore.openOrCreate(s, p,
+        graft.operators.IndexParams(dim = 64))
+      store.addBatch(emb.select(col("vec_id").as("id"),
+        col("embedding").as("vector"), col("label")))
+      val gone = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      store.removeMultiple(gone)
+      p
+    })
+    graft.VectorStore.openOrCreate(s, path,
+      graft.operators.IndexParams(dim = 64))
+  }
 
   /** A CLUSTERED low-dim vector table derived DETERMINISTICALLY from
     * the embeddings fixture (both engines re-derive it bit-exactly, so
@@ -753,6 +790,18 @@ object VectorQueries {
            |    WHERE score > 0.5 AND NOT isnan(score))
            |  WHERE rn <= 20),
            |""".stripMargin + mmrSelStagesSql(5, 700000L)),
+      // v22: live = not tombstoned (id % 13) AND predicate (id % 7);
+      // the floor is the integer ceiling ceil(n·share/1e6) the operator
+      // computes — mirrored with the same +999999 integer arithmetic.
+      "v22_facet_top" ->
+        """WITH live AS (
+          |  SELECT vec_id AS id, label FROM embeddings
+          |  WHERE vec_id % 13 <> 0 AND vec_id % 7 <> 0),
+          |tot AS (SELECT count(*) AS n FROM live)
+          |SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
+          |FROM live CROSS JOIN tot
+          |GROUP BY label, tot.n
+          |HAVING count(*) >= (tot.n * 95000 + 999999) // 1000000""".stripMargin,
     )
   }
 

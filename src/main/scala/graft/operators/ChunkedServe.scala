@@ -95,13 +95,25 @@ object ChunkedServe {
     * pushed-down filter over the query relation (each chunk job re-scans
     * the query source; queries are the SMALL side by construction —
     * materialize upstream if the scan itself is expensive). Chunks run
-    * sequentially; each chunk's result (k rows per query) is persisted
-    * MEMORY_AND_DISK — lineage kept, recomputable on executor loss —
-    * and counted (the materialization barrier) before the next chunk
-    * starts. The returned relation is the persisted UNION of the chunk
+    * sequentially; each chunk's result (k rows per query) is
+    * materialized with LINEAGE SEVERED (`localCheckpoint`) before the
+    * next chunk starts. Severing is load-bearing, not a nicety: a
+    * lineage-kept chunk cache pins the chunk's SHUFFLE FILES on disk
+    * (the union references every chunk's dependencies until the caller
+    * unpersists), so a long chunk sequence accumulates the very volume
+    * chunking exists to bound — the r15 QueryBatchProbe measured the
+    * 100 k × 384 rung filling a 77 GB disk at ~15 of 64 chunks; with
+    * per-chunk severing + the GC hint below, retired chunks' shuffle
+    * files delete between chunks and peak disk stays ~one chunk. The
+    * trade (same as every delta-chain overlay's `localCheckpoint`): a
+    * severed chunk result is not recomputable on storage loss — its
+    * blocks are k-rows-per-query narrow and MEMORY_AND_DISK, so the
+    * exposure is executor death, where the caller re-runs the serve.
+    * The returned relation is the persisted UNION of the chunk
     * results — O(Q × k) narrow rows total — re-materialized once from
-    * the chunk caches, which are then released, so ONE `.unpersist()`
-    * on the returned DataFrame frees everything this call cached.
+    * the chunk checkpoints, which are then released, so ONE
+    * `.unpersist()` on the returned DataFrame frees everything this
+    * call cached.
     *
     * `shufflePartitions`, when set, is applied to the session for the
     * duration of EACH chunk's materialization and restored after —
@@ -122,18 +134,30 @@ object ChunkedServe {
     val outs = (0 until chunks).map { i =>
       val part = queries.filter(chunkOf === i.toLong)
       withShufflePartitions(spark, shufflePartitions) {
-        val out = serve(part).persist(StorageLevel.MEMORY_AND_DISK)
-        out.count() // barrier: one chunk's volume in flight at a time
+        // localCheckpoint(eager): the materialization barrier (one
+        // chunk's volume in flight at a time) AND the lineage sever
+        // that lets ContextCleaner retire this chunk's shuffle files
+        // once the loop iteration drops the plan reference
+        val out = serve(part).localCheckpoint(true)
+        // ContextCleaner is weak-reference-driven: without a driver GC
+        // the retired dependencies survive until an incidental GC,
+        // which on a large driver heap can be never — one explicit GC
+        // per chunk (milliseconds next to a chunk's serve) makes the
+        // shuffle-file retirement deterministic
+        System.gc()
         out
       }
     }
-    // one persisted relation to hand back: fill it from the (already
-    // materialized) chunk caches, then release those — the caller owns
-    // exactly one cache entry and one unpersist()
+    // one persisted relation to hand back, filled from the (already
+    // materialized) chunk checkpoints. The caller owns one unpersist();
+    // the chunk checkpoint blocks themselves are OUTPUT-sized (k rows
+    // per query, narrow), stay referenced through the union's plan as
+    // its recompute path, and are garbage-collected with the returned
+    // DataFrame — the volume chunking bounds (LUT/rerank shuffles) is
+    // already retired per chunk above
     val union = outs.reduce(_.unionByName(_))
       .persist(StorageLevel.MEMORY_AND_DISK)
     union.count()
-    outs.foreach(_.unpersist(blocking = false))
     union
   }
 

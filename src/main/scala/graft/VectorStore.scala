@@ -794,14 +794,36 @@ class VectorStore private (
     // and I/O; the overlay retires superseded rows by node-delta version
     IndexBuild.membershipNarrow(dN, p)
       .write.mode("overwrite").parquet(s"$dir/memb")
-    newE.select(col("layer").as("level"), col("src"), col("dst"),
-        col("score")).localCheckpoint()
-      .write.mode("overwrite").parquet(s"$dir/edges")
-    rsrc.localCheckpoint()
-      .write.mode("overwrite").parquet(s"$dir/rsrc")
+    val eOut = newE.select(col("layer").as("level"), col("src"),
+      col("dst"), col("score")).localCheckpoint()
+    eOut.write.mode("overwrite").parquet(s"$dir/edges")
+    val rOut = rsrc.localCheckpoint()
+    rOut.write.mode("overwrite").parquet(s"$dir/rsrc")
     graft.util.Fs.writeStringAtomic(spark, s"$path/INDEX", s"$v ${k + 1}")
+    // free this batch's checkpoint blocks NOW: the overlay checkpoints
+    // are CORPUS-sized (nodes + edges), Dataset.unpersist is a
+    // CacheManager no-op for checkpointed plans, and GC of the internal
+    // RDDs is nondeterministic on a large heap — a streamed sequence of
+    // graph folds otherwise accumulates dead generations in the storage
+    // pool until eviction churn bends the per-batch wall (IngestProbe
+    // 1 M measured 26 → 83 s across 5 batches; flat after this free)
+    Seq(n, e, dN, eOut, rOut).foreach(dropCheckpointBlocks)
     if (k + 1 >= compactEvery) compactIndex()
   }
+
+  /** Deterministically drop a `localCheckpoint`'ed relation's storage
+    * blocks. They belong to the checkpoint's internal RDD —
+    * `Dataset.unpersist` (a CacheManager lookup) never finds them, so
+    * without this they survive until a driver GC collects the RDD
+    * object, which on a large heap can be batches away. Safe only once
+    * nothing will read the relation again (a severed checkpoint is not
+    * recomputable). No-op for non-checkpointed plans. */
+  private def dropCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Test seam: the served graph (base ⊕ chain) — GraphDeltaSpec pins
     * overlay ≡ sequential-full-merge row equality through it. */
@@ -1851,6 +1873,13 @@ class VectorStore private (
       onAppend("bq", st)
       if (st.retrainRecommended && config.autoRetrain) buildBqIndex()
     }
+    dropCheckpointBlocks(deltaRows)
+    // graph folds shuffle corpus-bucket-sized volumes per batch; their
+    // shuffle files are ContextCleaner-retired only after a driver GC
+    // (the ChunkedServe rule) — one GC per graph-bearing batch (tens of
+    // seconds each) keeps a long-running ingest's disk flat. Compressed-
+    // only batches are sub-second and delta-sized: natural GC suffices.
+    if (Fs.exists(spark, s"$path/INDEX")) System.gc()
   }
 
   /** Streaming ingest that keeps EVERY serving tier fresh — the

@@ -818,7 +818,7 @@ class VectorStore private (
     * object, which on a large heap can be batches away. Safe only once
     * nothing will read the relation again (a severed checkpoint is not
     * recomputable). No-op for non-checkpointed plans. */
-  private def dropCheckpointBlocks(df: DataFrame): Unit =
+  private[graft] def dropCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false); ()

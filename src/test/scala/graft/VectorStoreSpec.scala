@@ -1084,6 +1084,28 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("dropCheckpointBlocks frees a checkpointed relation's storage now") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-ckpt").toString,
+      IndexParams(dim = 4))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("id", "vector")
+      .localCheckpoint()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "localCheckpoint should register persistent RDDs")
+    // Dataset.unpersist is the documented no-op (CacheManager miss) —
+    // the reason the explicit drop exists
+    ck.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added) === added,
+      "Dataset.unpersist must not find checkpoint blocks (the premise)")
+    store.dropCheckpointBlocks(ck)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
+      "dropCheckpointBlocks must retire the checkpoint's RDD")
+    // no-op on a plain (non-checkpointed) plan
+    store.dropCheckpointBlocks(Seq((2L, 0)).toDF("id", "x"))
+    store.delete()
+  }
+
   test("compressed searches without an index fail with a clear message") {
     val store = VectorStore.openOrCreate(spark,
       java.nio.file.Files.createTempDirectory("graft-store-noidx").toString,

@@ -1386,33 +1386,76 @@ class VectorStore private (
   }
 
   /** [[loadPqIndex]] with SERVING-shaped codes: the long (id, sub, code)
-    * overlay packs to one (id, codes) row per vector ONCE per PQINDEX
-    * generation (pointer-stamped memo, the [[loadIndexOverlayFull]]
-    * rule) — packing is an n×m-row groupBy, and paying it per serve call
-    * dominated the 10 M-vector wall (158 s/serve vs a 33 s exact scan;
-    * packed + memoized, repeat serves skip it entirely). The packed
-    * relation persists at MEMORY_AND_DISK (~(8 B id + m×4 B codes)/row —
-    * the compressed tier itself, the working set a PQ serving process
-    * holds by design) KEEPING the parquet-backed lineage: an executor
-    * loss or block eviction between serves recomputes the lost blocks
-    * from the generation's parquet instead of failing every later serve
-    * the way a lineage-truncating localCheckpoint would. Superseded
-    * generations unpersist on eviction — a continuous-ingest server
-    * would otherwise leak one cached relation per generation. Lifecycle
-    * paths (appends, compaction, drift) keep the long-form
-    * [[loadPqIndex]]. */
-  private val pqPackedMemo = scala.collection.concurrent.TrieMap
+    * BASE table packs to one (id, codes) row per vector ONCE per PQINDEX
+    * base GENERATION — not once per pointer stamp. Packing is an n×m-row
+    * groupBy, and paying it per serve call dominated the 10 M-vector
+    * wall (158 s/serve vs a 33 s exact scan); keying the pack by the
+    * full "v k" stamp still re-packed the WHOLE corpus on every ingest
+    * batch (each [[appendPqIndex]] flips k), which made the first
+    * mid-ingest serve at 30 M a 136 s cold call. The base pack now keys
+    * by generation v alone and SURVIVES delta flips: a serve under
+    * stamp "v k" anti-joins the cached packed base on the delta's
+    * touched ids and unions the delta's packed live rows — overlay work
+    * proportional to the O(|Δ|) delta chain, the base side one
+    * map-side probe of the cached relation (the [[resolvedDelta]]
+    * shape, applied post-pack).
+    *
+    * The packed base persists at MEMORY_AND_DISK (~(8 B id + m×4 B
+    * codes)/row — the compressed tier itself, the working set a PQ
+    * serving process holds by design) KEEPING the parquet-backed
+    * lineage: an executor loss or block eviction between serves
+    * recomputes the lost blocks from the generation's parquet instead
+    * of failing every later serve the way a lineage-truncating
+    * localCheckpoint would. Superseded generations unpersist on
+    * eviction — a continuous-ingest server would otherwise leak one
+    * cached relation per generation. The composed per-stamp artifact is
+    * NOT persisted (its base rows are already the cached generation;
+    * caching both would double the tier) — it memoizes un-persisted so
+    * repeat serves at one stamp skip re-listing and re-resolving the
+    * delta chain, and eviction is a plain remove (the localCheckpointed
+    * delta blocks die by ContextCleaner weak-ref, the [[overlayMemo]]
+    * rule). Lifecycle paths (appends, compaction, drift) keep the
+    * long-form [[loadPqIndex]]. */
+  private[graft] val pqBasePackedMemo = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
+  private[graft] val pqServingMemo = scala.collection.concurrent.TrieMap
+    .empty[String, AdaptiveSearch.PqPrebuilt]
   private[graft] def servingPqIndex(): AdaptiveSearch.PqPrebuilt = {
-    val pre = loadPqIndex()
-    val stamp = pointerStamp("PQINDEX")
-    pqPackedMemo.keys.foreach { s =>
-      if (s != stamp)
-        pqPackedMemo.remove(s).foreach(_.unpersist(blocking = false)) }
-    val packed = pqPackedMemo.getOrElseUpdate(stamp,
-      PqIndex.packCodes(pre.codes).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    pre.copy(codes = packed)
+    val (v, k) = Snapshots.currentWithDeltas(spark, path, "PQINDEX")
+      .getOrElse(throw new IllegalStateException(
+        s"no PQ index under $path — call buildPqIndex() first"))
+    val stamp = s"$v $k"
+    pqServingMemo.keys.foreach { s =>
+      if (s != stamp) { pqServingMemo.remove(s); () } }
+    val baseKey = v.toString
+    pqBasePackedMemo.keys.foreach { s =>
+      if (s != baseKey)
+        pqBasePackedMemo.remove(s).foreach(_.unpersist(blocking = false)) }
+    pqServingMemo.getOrElseUpdate(stamp, {
+      val dir = pqDir(v)
+      val packedBase = pqBasePackedMemo.getOrElseUpdate(baseKey,
+        PqIndex.packCodes(spark.read.parquet(s"$dir/codes")).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val centroids = spark.read.parquet(s"$dir/centroids")
+      val codebooks = spark.read.parquet(s"$dir/codebooks")
+      val baseAsg = spark.read.parquet(s"$dir/assignments")
+      resolvedDelta("pq", v, k) match {
+        case None => AdaptiveSearch.PqPrebuilt(
+          centroids, baseAsg, codebooks, packedBase)
+        case Some(resolved) =>
+          val ids = resolved.select(col("id")).distinct()
+          val liveRows = resolved.filter(!col("deleted"))
+          AdaptiveSearch.PqPrebuilt(
+            centroids,
+            baseAsg.join(ids, Seq("id"), "left_anti")
+              .unionByName(
+                liveRows.select(col("id"), col("cell")).distinct()),
+            codebooks,
+            packedBase.join(ids, Seq("id"), "left_anti")
+              .unionByName(PqIndex.packCodes(
+                liveRows.select(col("id"), col("sub"), col("code")))))
+      }
+    })
   }
 
   /** Fold `delta` (id, vector[, deleted]) into the persisted PQ

@@ -173,7 +173,8 @@ object AdaptiveSearch {
       statsHint: Option[(Long, Double)] = None,
       queryCount: Long = -1L,
       lutBudgetBytes: Long = ChunkedServe.DefaultLutBudgetBytes,
-      rerankBudgetBytes: Long = ChunkedServe.DefaultRerankBudgetBytes)
+      rerankBudgetBytes: Long = ChunkedServe.DefaultRerankBudgetBytes,
+      exactGateBytes: Long = 64L << 20)
       : (Strategy, DataFrame) = {
     val mSub = PqIndex.subspaces(params.dim)
     // `statsHint` skips the two per-call decision jobs (corpus count +
@@ -214,8 +215,34 @@ object AdaptiveSearch {
         pqCutoff = pqCutoff,
         pqEligible = params.dim % mSub == 0) match {
       case UseExact =>
-        (UseExact, KnnSearch.knnExact(KnnSearch.restrictIds(nodes, idFilter),
-          queries, k, minSim, params.metric))
+        // Q-AWARE serving, exact flavor: while the query side fits the
+        // broadcast gate the arm is one map-side corpus sweep and needs
+        // no bounding — the cheap plan-stats read below keeps that path
+        // job-free. Past the gate, knnExact's fallback is the
+        // shuffle-replicated nested loop (corpus re-shuffled per
+        // query-side partition) — at serving-batch Q that is the exact
+        // tower's Q-wall, so the dispatcher bounds the batch the same
+        // way the UsePq arm does: chunk at the broadcast budget and
+        // sweep the corpus once per chunk, never through a shuffle.
+        // Each chunk's slice is localCheckpointed so the in-chunk gate
+        // reads the TRUE chunk size (a derived query relation's default
+        // stats estimate would otherwise push every chunk back to the
+        // nested loop — the r14 recommend gate lesson). chunked ≡
+        // unchunked row-for-row (per-query independence).
+        val restricted = KnnSearch.restrictIds(nodes, idFilter)
+        def serveExact(qs: DataFrame): DataFrame =
+          KnnSearch.knnExact(restricted, qs, k, minSim, params.metric)
+        if (queries.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= exactGateBytes)
+          (UseExact, serveExact(queries))
+        else {
+          val q = if (queryCount >= 0L) queryCount else queries.count()
+          val chunkRows =
+            ChunkedServe.exactChunkRows(params.dim, exactGateBytes)
+          if (q <= chunkRows) (UseExact, serveExact(queries))
+          else (UseExact, ChunkedServe.serveChunked(queries, "query_id",
+            chunkRows, q)(qs => serveExact(qs.localCheckpoint())))
+        }
       case UseLsh =>
         // With a persisted graph index at hand, this arm upgrades to a
         // SEEDED hybrid (expansions can only improve on the seeds). The

@@ -65,6 +65,24 @@ object ChunkedServe {
       rerankChunkRows(shortlist, dim, rerankBudgetBytes)))
   }
 
+  /** Queries per chunk so the EXACT arm's query side stays inside the
+    * broadcast gate ([[KnnSearch.maybeBroadcast]]'s ceiling). The exact
+    * tower's Q-scaled structure is different from the compressed arms':
+    * while the query relation broadcasts, the score pass is one
+    * map-side sweep of the node table (no corpus shuffle, candidates
+    * collapse through WindowGroupLimit before the one O(Q×k) rank
+    * exchange); past the gate it falls back to the shuffle-replicated
+    * nested loop, which re-shuffles the CORPUS once per query-side
+    * partition — the volume chunking exists to avoid. Chunked at this
+    * budget every chunk keeps the broadcast plan, so a Q of any size
+    * costs `chunks` sequential map-side corpus sweeps and never ships
+    * corpus bytes through a shuffle. Per-query bytes mirror the plan
+    * estimate the gate reads: vector floats + per-row overhead. */
+  def exactChunkRows(dim: Int, broadcastBytes: Long = 64L << 20): Long = {
+    val perQuery = dim.toLong * 4L + 64L
+    math.max(1L, broadcastBytes / perQuery)
+  }
+
   /** Queries per chunk so the exact-rerank re-attach tail stays inside
     * budget — the binding wall for the per-query-LUT IP arm and the
     * uncompressed shortlist+rerank arms (JL/MRL/OPQ). */

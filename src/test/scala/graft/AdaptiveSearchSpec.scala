@@ -65,6 +65,30 @@ class AdaptiveSearchSpec extends SparkSpec {
     chunked.unpersist()
   }
 
+  test("Q-aware EXACT arm: a gate budget that forces chunking serves the " +
+      "identical rows as the unchunked broadcast sweep") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nodesDf = VectorQueries.asVectorTable(emb)
+    val queriesDf = VectorQueries.querySet(emb)
+    val (s1, direct) = AdaptiveSearch.search(
+      nodesDf, queriesDf, k = 5, minSim = 0.2, IndexParams(bucketBits = 4))
+    assert(s1 === AdaptiveSearch.UseExact)
+    // a ~3-query gate (dim 64 → 320 B/query) fails the stats read AND
+    // drives exactChunkRows to 3 → the query set splits into many
+    // chunks, each localCheckpointed back inside the broadcast plan;
+    // the union must equal the single-sweep result row-for-row
+    val (s2, chunked) = AdaptiveSearch.search(
+      nodesDf, queriesDf, k = 5, minSim = 0.2, IndexParams(bucketBits = 4),
+      exactGateBytes = 1000L)
+    assert(s2 === AdaptiveSearch.UseExact)
+    val a = direct.select("query_id", "id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = chunked.select("query_id", "id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(b === a)
+    chunked.unpersist()
+  }
+
   test("LSH arm upgrades to the seeded hybrid when a prebuilt graph " +
       "index is provided; without one it stays plain LSH") {
     import graft.operators.{AnnSearch, IndexBuild}

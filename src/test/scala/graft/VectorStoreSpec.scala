@@ -1106,6 +1106,59 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("servingPqIndex: the packed base survives delta pointer flips — " +
+      "append batches never re-pack the corpus (mid-ingest serves warm)") {
+    val store = VectorStore.openOrCreate(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-warm").toString,
+      IndexParams(dim = 8, m = 4, levelMax = 1, bucketBits = 2, nBands = 2))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
+    store.addBatch((0L until 40L).map(i => (i, vec(i))).toDF("id", "vector"))
+    store.buildPqIndex(cells = 4)
+
+    store.searchPq(Seq((1L, vec(1L))).toDF("query_id", "query_vec"), 1)
+      .collect()
+    assert(store.pqBasePackedMemo.size === 1, "one packed base generation")
+    val (genKey, packedBefore) = store.pqBasePackedMemo.head
+
+    // three append flips (k: 0→3): the base pack must be the SAME cached
+    // relation after every flip — re-packing per stamp was the 136 s
+    // cold mid-ingest call at 30 M
+    for (b <- 0 until 3) {
+      val lo = 100L + b * 10
+      store.appendPqIndex(
+        (lo until lo + 10).map(i => (i, vec(i))).toDF("id", "vector"),
+        qeFloorMicro = 5000L)
+      val qv = Seq((lo, vec(lo)), (1L, vec(1L)))
+        .toDF("query_id", "query_vec")
+      // appended id self-hits through the serving overlay
+      assert(store.searchPq(qv, k = 1, strengthSetting = 0)
+        .filter(col("query_id") === col("id")).count() === 2)
+      assert(store.pqBasePackedMemo.get(genKey).exists(_ eq packedBefore),
+        s"append flip $b re-packed the base")
+      assert(packedBefore.storageLevel.useMemory,
+        s"append flip $b dropped the base cache")
+    }
+    // per-stamp composed artifacts never persist (the base IS the cache)
+    assert(store.pqServingMemo.size === 1)
+    assert(store.pqServingMemo.head._2.codes.storageLevel
+      === org.apache.spark.storage.StorageLevel.NONE,
+      "composed per-stamp codes must not double-cache the tier")
+
+    // compaction = new generation: old base evicts + unpersists, the new
+    // generation packs fresh under a new key
+    store.compactPqIndex()
+    store.searchPq(Seq((105L, vec(105L))).toDF("query_id", "query_vec"), 1)
+      .collect()
+    assert(store.pqBasePackedMemo.size === 1)
+    assert(!store.pqBasePackedMemo.contains(genKey),
+      "superseded generation's base must evict")
+    assert(packedBefore.storageLevel
+      === org.apache.spark.storage.StorageLevel.NONE,
+      "superseded generation's base must unpersist")
+    store.delete()
+  }
+
   test("compressed searches without an index fail with a clear message") {
     val store = VectorStore.openOrCreate(spark,
       java.nio.file.Files.createTempDirectory("graft-store-noidx").toString,

@@ -92,12 +92,30 @@ object DiversifyProbe {
       }.count()
     }
 
+    // DISPATCHED MMR / grouped (the searchMmrAuto / searchGroupedAuto
+    // compositions past the cutoff): the IVF arm's depth-50 shortlist
+    // feeds the same selection kernels instead of the exact pass —
+    // same trained centroids as the recommend arm (build-once serving
+    // artifact, outside the timing)
+    val (_, tMmrIvf) = timed {
+      val cands = graft.operators.IvfIndex.search(nodes, centroids,
+        queries, k = 50, minSim = -2.0, nProbe = 8)
+      Diversify.mmrFromCandidates(cands, nodes, k = 10).count()
+    }
+    val (_, tGroupedIvf) = timed {
+      val cands = graft.operators.IvfIndex.search(nodes, centroids,
+        queries, k = 50, minSim = -2.0, nProbe = 8)
+      Diversify.groupedFromCandidates(cands, nodes, k = 10, perGroup = 2,
+        groupCol = "grp").count()
+    }
+
     println(s"""{"n":$n,"dim":$dim,"lowdim":$lowDim,"q":$q,""" +
       s""""exact_sec":$tExact,"mmr50_sec":$tMmr,""" +
       s""""grouped_sec":$tGrouped,"page2_sec":$tPage,""" +
       s""""page_cache_cold_sec":$tPageCold,""" +
       s""""page_cache_warm_sec":$tPageWarm,""" +
-      s""""recommend_sec":$tRec,"recommend_ivf_sec":$tRecIvf}""")
+      s""""recommend_sec":$tRec,"recommend_ivf_sec":$tRecIvf,""" +
+      s""""mmr_ivf_sec":$tMmrIvf,"grouped_ivf_sec":$tGroupedIvf}""")
     spark.stop()
   }
 }

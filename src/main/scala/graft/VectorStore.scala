@@ -1287,6 +1287,15 @@ class VectorStore private (
       spark.read.parquet(s"$dir/codebooks"),
       spark.read.parquet(s"$dir/codes"), mSub, subLen)
     Fs.writeStringAtomic(spark, s"$dir/_STATS", qe.toString)
+    // serving-shaped codes written AT BUILD TIME (from the just-written
+    // parquet, not the encode lineage): the (id, codes) pack is an
+    // n×m-row groupBy — paid once here, where the build already holds
+    // the rows, instead of by the FIRST serve of every generation and
+    // every process restart (the 101 s cold-serve term at 10 M).
+    // [[servingPqIndex]] reads this table when present; generations
+    // written before it exists fall back to packing on first serve.
+    PqIndex.packCodes(spark.read.parquet(s"$dir/codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes_packed")
     // build args ride the generation so a drift-triggered retrain
     // ([[startIngest]] autoRetrain) replays THIS build's parameters
     Fs.writeStringAtomic(spark, s"$dir/_ARGS",
@@ -1398,7 +1407,12 @@ class VectorStore private (
     * touched ids and unions the delta's packed live rows — overlay work
     * proportional to the O(|Δ|) delta chain, the base side one
     * map-side probe of the cached relation (the [[resolvedDelta]]
-    * shape, applied post-pack).
+    * shape, applied post-pack). Generations written since the
+    * build-time pack carry a `codes_packed` parquet table
+    * ([[buildPqIndex]]/[[compactPqIndex]]), so even the FIRST serve of
+    * a generation — or of a restarted process — is a parquet scan, not
+    * a groupBy; the in-memory pack survives only as the pre-upgrade
+    * fallback.
     *
     * The packed base persists at MEMORY_AND_DISK (~(8 B id + m×4 B
     * codes)/row — the compressed tier itself, the working set a PQ
@@ -1433,9 +1447,15 @@ class VectorStore private (
         pqBasePackedMemo.remove(s).foreach(_.unpersist(blocking = false)) }
     pqServingMemo.getOrElseUpdate(stamp, {
       val dir = pqDir(v)
-      val packedBase = pqBasePackedMemo.getOrElseUpdate(baseKey,
-        PqIndex.packCodes(spark.read.parquet(s"$dir/codes")).persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val packedBase = pqBasePackedMemo.getOrElseUpdate(baseKey, {
+        // generations since the build-time pack ship codes_packed —
+        // the base load is then a parquet scan, and the groupBy pack
+        // survives only as the pre-upgrade fallback
+        val packedDir = s"$dir/codes_packed"
+        (if (Fs.exists(spark, packedDir)) spark.read.parquet(packedDir)
+         else PqIndex.packCodes(spark.read.parquet(s"$dir/codes")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
       val centroids = spark.read.parquet(s"$dir/centroids")
       val codebooks = spark.read.parquet(s"$dir/codebooks")
       val baseAsg = spark.read.parquet(s"$dir/assignments")
@@ -1548,6 +1568,11 @@ class VectorStore private (
           .write.mode("overwrite").parquet(s"$dir/codebooks")
         asg.write.mode("overwrite").parquet(s"$dir/assignments")
         codes.write.mode("overwrite").parquet(s"$dir/codes")
+        // the compacted generation's serving-shaped pack, before the
+        // flip (the buildPqIndex rule): the first post-compaction serve
+        // reads it instead of re-packing the corpus
+        PqIndex.packCodes(spark.read.parquet(s"$dir/codes"))
+          .write.mode("overwrite").parquet(s"$dir/codes_packed")
         Fs.writeStringAtomic(spark, s"$dir/_STATS",
           Fs.readString(spark, s"$oldDir/_STATS"))
         Fs.writeStringAtomic(spark, s"$path/PQINDEX", (v + 1).toString)

@@ -221,6 +221,58 @@ object Retrieval {
     * so this stage is tiny at any corpus scale. The surfaced score
     * quantizes via `floor(rrf·1e8 + 0.5)` (same portability rationale as
     * [[bm25TopK]] — no `round(double)` in any cross-engine-checked path). */
+  /** Weighted-score hybrid fusion — the alpha-blend every production
+    * retrieval stack offers next to RRF (Weaviate/Pinecone "hybrid
+    * alpha"): the two runs' score scales are incomparable (BM25 micros
+    * vs cosine in [−1, 1]), so each run min-max normalizes PER QUERY to
+    * [0, 1e6] integer micros, then
+    * `hybrid = alpha·normA + (1e6 − alpha)·normB` as an exact BIGINT —
+    * order-free, hash-checkable, no float accumulation anywhere past
+    * the input scores. Absent-from-one-run docs contribute norm 0 on
+    * that side (the RRF absent-list rule); a constant-score run
+    * (mx = mn, including a single-candidate list) normalizes to a full
+    * 1e6 — a lone hit is a full-strength hit, not a zero. Both runs are
+    * top-k-sized, so the fusion never touches corpus-scale data.
+    *
+    * Determinism across engines: input scores quantize via
+    * `floor(score·1e6 + 0.5)` (recovers BM25's integer micros exactly;
+    * cosine doubles are bit-identical per OracleParitySpec), and the
+    * normalization division runs in double with operands ≤ 1e14 —
+    * exactly representable, so both engines floor the same quotient.
+    *
+    * @param alphaMicro weight of `runA` in micros (0..1e6); 5e5 = equal
+    * @return (query_id, id, hybrid_micro BIGINT, rn INT) */
+  def hybridWeighted(runA: DataFrame, runB: DataFrame, topK: Int,
+      alphaMicro: Long = 500000L): DataFrame = {
+    require(alphaMicro >= 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in [0, 1000000], got $alphaMicro")
+    def norm(run: DataFrame, out: String): DataFrame = {
+      val wq = Window.partitionBy(col("query_id"))
+      run.select(col("query_id"), col("id"),
+          floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("sm"))
+        .withColumn("mn", min(col("sm")).over(wq))
+        .withColumn("mx", max(col("sm")).over(wq))
+        .select(col("query_id"), col("id"),
+          when(col("mx") === col("mn"), lit(1000000L))
+            .otherwise(floor(
+              (col("sm") - col("mn")).cast("double") * lit(1000000.0) /
+                (col("mx") - col("mn")).cast("double")).cast("long"))
+            .as(out))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hybrid_micro").desc, col("id").asc)
+    norm(runA, "na").join(norm(runB, "nb"),
+        Seq("query_id", "id"), "full_outer")
+      .withColumn("hybrid_micro",
+        lit(alphaMicro) * coalesce(col("na"), lit(0L)) +
+        lit(1000000L - alphaMicro) * coalesce(col("nb"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("id"), col("hybrid_micro"),
+        col("rn").cast("int").as("rn"))
+  }
+
   def rrfFuse(runA: DataFrame, runB: DataFrame, topK: Int, c: Int = 60)
       : DataFrame = {
     val a = runA.select(col("query_id"), col("id"), col("rn").as("rn_a"))

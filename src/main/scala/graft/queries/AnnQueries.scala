@@ -729,6 +729,33 @@ object AnnQueries {
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
+    // The dispatcher's Q-BOUNDED EXACT arm ([[operators.AdaptiveSearch]]
+    // UseExact + [[operators.ChunkedServe.exactChunkRows]]): v01's exact
+    // batch kNN served THROUGH AdaptiveSearch.search with a gate budget
+    // sized from the query count so the set splits into ~4 sequential
+    // chunks (the a37 fixed-chunk-count rule — job count must not grow
+    // with sf), each chunk localCheckpointed back inside the broadcast
+    // plan. Chunked ≡ unchunked exactly (per-query independence), so
+    // the oracle is v01's full DuckDB re-derivation — a dropped hash
+    // bucket, a double-served query, or a per-chunk gate regression
+    // hash-mismatches.
+    "a42_chunked_exact_serve" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val qset = VectorQueries.querySet(emb)
+      val q = qset.count()
+      // exactChunkRows = gate / (dim*4 + 64); dim 64 → 320 B/query
+      val gate = math.max(1L, (q + 3) / 4) * 320L
+      val (strat, res) = graft.operators.AdaptiveSearch.search(
+        VectorQueries.asVectorTable(emb), qset, k = 10,
+        minSim = KnnSearch.scaleThreshold(50),
+        IndexParams(bucketBits = 4), queryCount = q,
+        exactGateBytes = gate)
+      require(strat == graft.operators.AdaptiveSearch.UseExact,
+        s"a42 must exercise the exact arm, dispatched $strat")
+      res.select(col("query_id"), col("id"), col("rn"))
+    }),
+
     // Scalar quantization (SQ8) — the second compression family (FAISS SQ):
     // per-dimension 8-bit codes against corpus min/max bounds, SYMMETRIC
     // integer squared-L2 ranking (query quantized with the same bounds).
@@ -2854,6 +2881,11 @@ object AnnQueries {
           |    row_number() OVER (PARTITION BY query_id
           |      ORDER BY score DESC, id) AS rn
           |  FROM aft)
-          |WHERE rn <= 10""".stripMargin)
+          |WHERE rn <= 10""".stripMargin) +
+      // a42 serves v01's exact pipeline through the dispatcher's
+      // Q-bounded chunked exact arm; chunked ≡ unchunked is the
+      // contract, so the oracle IS v01's full re-derivation.
+      ("a42_chunked_exact_serve" ->
+        VectorQueries.oracleSql("v01_knn_exact"))
   }
 }

@@ -360,6 +360,30 @@ object TextQueries {
       graft.operators.Retrieval.rrfFuse(lex, vec, topK = 10)
     }),
 
+    // Hybrid retrieval, weighted-score flavor ([[Retrieval
+    // .hybridWeighted]]): the SAME two top-20 runs as t10 fused by the
+    // alpha-blend (0.6 lexical / 0.4 dense) over per-query min-max
+    // micro-normalized scores instead of reciprocal ranks. The fused
+    // score is an exact BIGINT; the oracle re-derives both runs, both
+    // normalizations (constant-run → 1e6, absent-side → 0) and every
+    // blend — a normalization or coalesce bug hash-mismatches.
+    "t37_hybrid_weighted" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val lex = memoTower(s"$d|bm25|20")(
+        graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+          retrievalQueryDocs(s, d), topK = 20))
+      val emb = Tables.embeddings(s, d)
+      val vec = memoTower(s"$d|vec|20")(
+        graft.operators.KnnSearch.knnExact(
+          VectorQueries.asVectorTable(emb),
+          emb.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("query_vec")),
+          k = 20, minSim = -2.0))
+      graft.operators.Retrieval.hybridWeighted(lex, vec, topK = 10,
+        alphaMicro = 600000L)
+    }),
+
     // Exact dedup on a corpus with injected duplicates (each doc twice under
     // different ids): one representative + member count per content hash.
     "d01_exact_dedup" -> ((s, d) => {
@@ -1424,6 +1448,59 @@ object TextQueries {
          |  SELECT query_id, id, rrf,
          |    row_number() OVER (PARTITION BY query_id
          |                       ORDER BY rrf DESC, id) AS rn
+         |  FROM fused) WHERE rn <= 10""".stripMargin,
+    "t37_hybrid_weighted" ->
+      s"""${bm25OracleCte(20)},
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |vec AS (
+         |  SELECT query_id, id, score FROM (
+         |    SELECT q.query_id, e.vec_id AS id,
+         |      list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+         |          DESC, e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e
+         |    WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) > -2.0)
+         |  WHERE rn <= 20),
+         |na AS (
+         |  SELECT query_id, id,
+         |    CASE WHEN mx = mn THEN 1000000
+         |         ELSE CAST(floor(CAST(sm - mn AS DOUBLE) * 1000000.0 /
+         |                         CAST(mx - mn AS DOUBLE)) AS BIGINT)
+         |    END AS na
+         |  FROM (
+         |    SELECT query_id, id, sm,
+         |      min(sm) OVER (PARTITION BY query_id) AS mn,
+         |      max(sm) OVER (PARTITION BY query_id) AS mx
+         |    FROM (SELECT query_id, id,
+         |            CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sm
+         |          FROM lex))),
+         |nb AS (
+         |  SELECT query_id, id,
+         |    CASE WHEN mx = mn THEN 1000000
+         |         ELSE CAST(floor(CAST(sm - mn AS DOUBLE) * 1000000.0 /
+         |                         CAST(mx - mn AS DOUBLE)) AS BIGINT)
+         |    END AS nb
+         |  FROM (
+         |    SELECT query_id, id, sm,
+         |      min(sm) OVER (PARTITION BY query_id) AS mn,
+         |      max(sm) OVER (PARTITION BY query_id) AS mx
+         |    FROM (SELECT query_id, id,
+         |            CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sm
+         |          FROM vec))),
+         |fused AS (
+         |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |    coalesce(a.id, b.id) AS id,
+         |    600000 * coalesce(a.na, 0) + 400000 * coalesce(b.nb, 0)
+         |      AS hybrid_micro
+         |  FROM na a FULL OUTER JOIN nb b
+         |    ON a.query_id = b.query_id AND a.id = b.id)
+         |SELECT query_id, id, hybrid_micro, CAST(rn AS INT) AS rn FROM (
+         |  SELECT query_id, id, hybrid_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY hybrid_micro DESC, id) AS rn
          |  FROM fused) WHERE rn <= 10""".stripMargin,
     "d01_exact_dedup" ->
       """WITH all_docs AS (

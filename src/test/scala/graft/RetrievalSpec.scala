@@ -141,6 +141,33 @@ class RetrievalSpec extends SparkSpec {
     assert(fused == Set((1L, 10L), (2L, 20L)))
   }
 
+  test("hybridWeighted: hand-computed blend; absent side scores 0; " +
+      "constant run normalizes to full strength") {
+    // run A scores (q1): 10 → 0.9, 11 → 0.5, 12 → 0.1 → norms 1e6, 5e5, 0
+    val runA = Seq((1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.1))
+      .toDF("query_id", "id", "score")
+    // run B (q1): 11 → 2.0, 13 → 1.0 → norms 1e6, 0; 10 and 12 absent
+    val runB = Seq((1L, 11L, 2.0), (1L, 13L, 1.0))
+      .toDF("query_id", "id", "score")
+    val fused = Retrieval.hybridWeighted(runA, runB, topK = 10,
+        alphaMicro = 600000L)
+      .select("id", "hybrid_micro").as[(Long, Long)].collect().toMap
+    assert(fused(11L) === 600000L * 500000L + 400000L * 1000000L) // both
+    assert(fused(10L) === 600000L * 1000000L)  // absent from B → nb 0
+    assert(fused(13L) === 0L + 400000L * 0L)   // B's min normalizes to 0
+    assert(fused(12L) === 0L)                  // A's min, absent from B
+    // a constant-score run (single candidate) normalizes to full 1e6
+    val lone = Retrieval.hybridWeighted(
+      Seq((2L, 20L, 0.123)).toDF("query_id", "id", "score"),
+      Seq.empty[(Long, Long, Double)].toDF("query_id", "id", "score"),
+      topK = 5, alphaMicro = 500000L)
+      .select("id", "hybrid_micro").as[(Long, Long)].collect().toMap
+    assert(lone(20L) === 500000L * 1000000L)
+    // alpha bounds reject
+    intercept[IllegalArgumentException](
+      Retrieval.hybridWeighted(runA, runB, 5, alphaMicro = 1000001L))
+  }
+
   test("hybrid t10 query runs and keeps self-hit in the top ranks") {
     val res = graft.queries.TextQueries.queries("t10_hybrid_rrf")(spark, sf001)
     // the query doc is identical on both towers (lex self-match + cosine

@@ -1115,6 +1115,16 @@ class VectorStoreSpec extends SparkSpec {
       (0 until 8).map(j => ((i * 7 + j * 3) % 257).toFloat / 257f + 0.1f)
     store.addBatch((0L until 40L).map(i => (i, vec(i))).toDF("id", "vector"))
     store.buildPqIndex(cells = 4)
+    // the build writes the serving-shaped pack — first serve of the
+    // generation (and of any later process over it) skips the corpus
+    // groupBy, AND the packed table equals the pack of the long codes
+    assert(graft.util.Fs.exists(spark, s"${store.path}/pq_v0/codes_packed"),
+      "buildPqIndex must write codes_packed")
+    assert(spark.read.parquet(s"${store.path}/pq_v0/codes_packed")
+        .select("id", "codes").as[(Long, Seq[Int])].collect().toSet ===
+      graft.operators.PqIndex.packCodes(
+          spark.read.parquet(s"${store.path}/pq_v0/codes"))
+        .as[(Long, Seq[Int])].collect().toSet)
 
     store.searchPq(Seq((1L, vec(1L))).toDF("query_id", "query_vec"), 1)
       .collect()
@@ -1148,6 +1158,8 @@ class VectorStoreSpec extends SparkSpec {
     // compaction = new generation: old base evicts + unpersists, the new
     // generation packs fresh under a new key
     store.compactPqIndex()
+    assert(graft.util.Fs.exists(spark, s"${store.path}/pq_v1/codes_packed"),
+      "compactPqIndex must write the new generation's codes_packed")
     store.searchPq(Seq((105L, vec(105L))).toDF("query_id", "query_vec"), 1)
       .collect()
     assert(store.pqBasePackedMemo.size === 1)

@@ -207,6 +207,24 @@ class VectorStore private (
   }
   def remove(id: Long): Unit = removeMultiple(Seq(id))
 
+  /** Tombstone every LIVE row matching `predicate` — the bulk-retention
+    * API every store pairs with predicate search (TTL expiry by a
+    * payload timestamp, source retractions, erasure by payload key):
+    * the [[searchWhere]]/[[facet]] predicate surface applied to
+    * deletion, so payload columns are in scope. One narrow matching-id
+    * projection (checkpointed: the id set must not re-evaluate against
+    * the table the tombstone write is about to replace) feeds the same
+    * tombstone path as [[removeMultiple]]. Already-deleted rows don't
+    * match (idempotent: re-running with the same predicate tombstones
+    * nothing new). Returns the number of newly tombstoned ids. */
+  def removeWhere(predicate: Column): Long = {
+    val ids = nodes.filter(!col("deleted")).filter(predicate)
+      .select(col("id")).localCheckpoint()
+    val n = ids.count()
+    if (n > 0) persist(Mutations.tombstone(nodes, ids))
+    n
+  }
+
   /** Differential sync (driver.ts:245-282 / worker.ts:3-44): apply only
     * new-or-changed incoming rows; returns how many were applied. */
   def sync(incoming: DataFrame): Long = {
@@ -607,7 +625,10 @@ class VectorStore private (
   /** Point lookup — returns tombstoned rows too (driver.ts:309-312). */
   def getNode(id: Long): Option[(Long, Seq[Float], Boolean)] = {
     import spark.implicits._
+    // explicit projection: a payload-carrying store's extra columns
+    // must not reach the Tuple3 deserializer
     KnnSearch.pointLookup(nodes, lit(id))
+      .select(col("id"), col("vector"), col("deleted"))
       .as[(Long, Seq[Float], Boolean)].collect().headOption
   }
 

@@ -400,6 +400,33 @@ object VectorQueries {
       store.facetTop("label", shareMicro = 95000L,
         predicate = Some(col("id") % 7 =!= 0))
     }),
+
+    // Predicate delete THROUGH THE FACADE ([[graft.VectorStore
+    // .removeWhere]] — the bulk-retention API: TTL expiry, erasure by
+    // payload key): a payload-carrying store drops every label < 3 row
+    // in one call, the returned count is asserted against the fixture
+    // (and a second identical call must tombstone NOTHING — the
+    // idempotence contract), then the standard threshold search runs
+    // over the survivors. The oracle searches the fixture WHERE
+    // label >= 3 — a tombstone that leaks into results, or a predicate
+    // applied to queries instead of rows, hash-mismatches.
+    "v23_remove_where" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val store = graft.VectorStore.openOrCreate(s,
+        graft.util.Fs.tempDirDeletedOnExit("graft-removewhere"),
+        graft.operators.IndexParams(dim = 64))
+      store.addBatch(emb.select(col("vec_id").as("id"),
+        col("embedding").as("vector"), col("label")))
+      val expected = emb.filter(col("label") < 3).count()
+      val n = store.removeWhere(col("label") < 3)
+      require(n == expected,
+        s"removeWhere tombstoned $n rows, fixture has $expected")
+      require(store.removeWhere(col("label") < 3) == 0L,
+        "removeWhere must be idempotent (already-deleted rows don't match)")
+      store.search(querySet(emb), k = 10)
+        .select(col("query_id"), col("id"), col("rn"))
+    }),
   )
 
   /** Memoized payload-carrying store for v22 (the facadeAppendStore
@@ -802,6 +829,18 @@ object VectorQueries {
           |FROM live CROSS JOIN tot
           |GROUP BY label, tot.n
           |HAVING count(*) >= (tot.n * 95000 + 999999) // 1000000""".stripMargin,
+      "v23_remove_where" ->
+        s"""WITH q AS ($q),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS id,
+           |    list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+           |  FROM q CROSS JOIN embeddings e
+           |  WHERE e.label >= 3)
+           |SELECT query_id, id, CAST(rn AS INT) AS rn FROM (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+           |  FROM scored WHERE score > 0.5)
+           |WHERE rn <= 10""".stripMargin,
     )
   }
 

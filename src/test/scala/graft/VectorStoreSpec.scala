@@ -1106,6 +1106,25 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("removeWhere: payload-predicate bulk tombstone — count returned, " +
+      "idempotent, rows gone from search but present for pointLookup") {
+    val store = freshStore()
+    store.addBatch(Seq(
+      (1L, Seq(1f, 0f), "keep"), (2L, Seq(0.9f, 0.1f), "drop"),
+      (3L, Seq(0f, 1f), "keep"), (4L, Seq(0.1f, 0.9f), "drop"))
+      .toDF("id", "vector", "kind"))
+    assert(store.removeWhere(col("kind") === "drop") === 2L)
+    assert(store.removeWhere(col("kind") === "drop") === 0L,
+      "second call must find nothing live to tombstone")
+    val q = Seq((10L, Seq(0.5f, 0.5f))).toDF("query_id", "query_vec")
+    val got = store.search(q, k = 4, strengthSetting = 0)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L), s"tombstoned rows served: $got")
+    // reference semantics: point lookup still returns tombstoned rows
+    assert(store.getNode(2L).isDefined)
+    store.delete()
+  }
+
   test("servingPqIndex: the packed base survives delta pointer flips — " +
       "append batches never re-pack the corpus (mid-ingest serves warm)") {
     val store = VectorStore.openOrCreate(spark,

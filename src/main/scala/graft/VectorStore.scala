@@ -275,6 +275,33 @@ class VectorStore private (
       KnnSearch.scaleThreshold(strengthSetting), params.metric)
   }
 
+  /** Weighted-alpha hybrid — [[searchHybrid]]'s two-tower shape fused
+    * by [[operators.Retrieval.hybridWeighted]] instead of RRF:
+    * per-query min-max micro-normalized scores blended at `alphaMicro`
+    * (1e6 = pure lexical, 0 = pure dense — the tunable the RRF flavor
+    * deliberately lacks). Both towers fetch `fetchK` deep (default
+    * max(20, 2·topK)) so the blend sees evidence past the final page;
+    * the dense tower runs floor-free (fusion ranks RELATIVE evidence —
+    * threshold after fusing if needed). `docPredicate`/`vecPredicate`
+    * keep [[searchBm25]]/[[searchWhere]]'s exact filtered-subset
+    * semantics per side. Same query-id/doc-id alignment contract as
+    * [[searchHybrid]]; both towers are top-fetch-sized into the fusion,
+    * so the blend never touches corpus-scale data. Output
+    * (query_id, id, hybrid_micro BIGINT, rn). */
+  def searchHybridWeighted(queryDocs: DataFrame, queryVecs: DataFrame,
+      topK: Int, alphaMicro: Long = 500000L, fetchK: Int = 0,
+      docPredicate: Option[Column] = None,
+      vecPredicate: Option[Column] = None): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    validate(queryVecs, "query_id", "query_vec")
+    val fetch = if (fetchK > 0) fetchK else math.max(20, 2 * topK)
+    val lexical = searchBm25(queryDocs, fetch, docPredicate)
+    val dense = KnnSearch.knnExact(
+      vecPredicate.map(nodes.filter).getOrElse(nodes), queryVecs, fetch,
+      minSim = -2.0, params.metric)
+    Retrieval.hybridWeighted(lexical, dense, topK, alphaMicro)
+  }
+
   /** MMR-diversified search ([[operators.Diversify.mmrTopK]]) over the
     * live store: relevant-but-not-redundant top-k, λ on the micro
     * scale (1e6 = plain [[search]] order). The [[search]] threshold

@@ -427,6 +427,34 @@ object VectorQueries {
       store.search(querySet(emb), k = 10)
         .select(col("query_id"), col("id"), col("rn"))
     }),
+
+    // Weighted hybrid THROUGH THE FACADE ([[graft.VectorStore
+    // .searchHybridWeighted]]): a store holding both modalities (the
+    // fixture's aligned embeddings as vectors, documents registered
+    // via putDocuments) serves the alpha-blend in one call — BM25 over
+    // its stored documents, floor-free exact cosine over its vectors,
+    // fused by the weighted kernel. Same towers, knobs, and blend as
+    // t37, so the oracle IS t37's full re-derivation: a facade-glue
+    // bug (a tower over the wrong subset, a dropped fetch depth,
+    // normalization drift between operator and facade) hash-mismatches.
+    "v24_store_hybrid" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val store = graft.VectorStore.openOrCreate(s,
+        graft.util.Fs.tempDirDeletedOnExit("graft-hybrid-store"),
+        graft.operators.IndexParams(dim = 64))
+      store.addBatch(emb
+        .select(col("vec_id").as("id"), col("embedding").as("vector")))
+      store.putDocuments(docs.select(col("doc_id"), col("text")))
+      store.searchHybridWeighted(
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"), col("text")),
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec")),
+        topK = 10, alphaMicro = 600000L, fetchK = 20)
+    }),
   )
 
   /** Memoized payload-carrying store for v22 (the facadeAppendStore
@@ -841,6 +869,11 @@ object VectorQueries {
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
            |  FROM scored WHERE score > 0.5)
            |WHERE rn <= 10""".stripMargin,
+      // v24 serves t37's EXACT composition through the facade (the
+      // fixture's embeddings and documents are id-aligned and complete,
+      // so the store's lexical corpus equals the documents table) — the
+      // oracle is t37's full re-derivation, shared by reference.
+      "v24_store_hybrid" -> TextQueries.oracleSql("t37_hybrid_weighted"),
     )
   }
 

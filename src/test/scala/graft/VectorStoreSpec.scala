@@ -1106,6 +1106,33 @@ class VectorStoreSpec extends SparkSpec {
     store.delete()
   }
 
+  test("searchHybridWeighted: alpha blends the two towers — 0.5 fuses " +
+      "the both-tower doc first, the endpoints recover each tower's " +
+      "own order") {
+    val store = freshStore()
+    // doc 1: lexical match only (orthogonal vector); doc 2: dense match
+    // only (disjoint text); doc 3: both-tower
+    store.addBatch(Seq(
+      (1L, Seq(0f, 1f)), (2L, Seq(1f, 0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("id", "vector"))
+    store.putDocuments(Seq(
+      (1L, "spark catalyst optimizer"), (2L, "unrelated words entirely"),
+      (3L, "spark catalyst engine")).toDF("doc_id", "text"))
+    val qd = Seq((10L, "spark catalyst")).toDF("query_id", "text")
+    val qv = Seq((10L, Seq(1f, 0f))).toDF("query_id", "query_vec")
+    val fused = store.searchHybridWeighted(qd, qv, topK = 3)
+      .select("id", "rn").as[(Long, Int)].collect().toMap
+    assert(fused(3L) === 1,
+      s"both-tower doc must fuse first at alpha 0.5: $fused")
+    // alpha 1e6 = pure lexical order (doc 2 shares no terms); alpha 0 =
+    // pure dense order (doc 2 is the exact query vector)
+    assert(store.searchHybridWeighted(qd, qv, topK = 1,
+      alphaMicro = 1000000L).select("id").as[Long].head() !== 2L)
+    assert(store.searchHybridWeighted(qd, qv, topK = 1,
+      alphaMicro = 0L).select("id").as[Long].head() === 2L)
+    store.delete()
+  }
+
   test("removeWhere: payload-predicate bulk tombstone — count returned, " +
       "idempotent, rows gone from search but present for pointLookup") {
     val store = freshStore()

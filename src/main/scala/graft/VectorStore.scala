@@ -207,6 +207,20 @@ class VectorStore private (
   }
   def remove(id: Long): Unit = removeMultiple(Seq(id))
 
+  /** Keyset corpus scan — the export/scroll surface every store pairs
+    * with search (dump to a training pipeline, consistency audits,
+    * migration): one page of LIVE rows (payload columns included)
+    * strictly after `afterId` in id order. Stateless cursor = the last
+    * id of the previous page (the [[searchAfter]] rule applied to the
+    * corpus itself). Scale shape: orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition top-`limit` heaps merged at
+    * the driver, O(limit) rows moved, never a full sort shuffle; the
+    * id-ordered parquet layout means later pages prune earlier files
+    * by min/max stats. */
+  def scan(afterId: Long = Long.MinValue, limit: Int = 1000): DataFrame =
+    nodes.filter(!col("deleted") && col("id") > afterId)
+      .orderBy(col("id")).limit(limit)
+
   /** Tombstone every LIVE row matching `predicate` — the bulk-retention
     * API every store pairs with predicate search (TTL expiry by a
     * payload timestamp, source retractions, erasure by payload key):

@@ -441,12 +441,7 @@ object VectorQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val docs = Tables.documents(s, d)
-      val store = graft.VectorStore.openOrCreate(s,
-        graft.util.Fs.tempDirDeletedOnExit("graft-hybrid-store"),
-        graft.operators.IndexParams(dim = 64))
-      store.addBatch(emb
-        .select(col("vec_id").as("id"), col("embedding").as("vector")))
-      store.putDocuments(docs.select(col("doc_id"), col("text")))
+      val store = hybridStore(s, d)
       store.searchHybridWeighted(
         docs.filter(col("doc_id") % 100 === 0)
           .select(col("doc_id").as("query_id"), col("text")),
@@ -455,7 +450,43 @@ object VectorQueries {
             col("embedding").as("query_vec")),
         topK = 10, alphaMicro = 600000L, fetchK = 20)
     }),
+
+    // Keyset corpus scan THROUGH THE FACADE ([[graft.VectorStore
+    // .scan]] — the export/scroll surface): page 2 of the tombstoned
+    // payload store (the v22 fixture: id % 13 removed), cursored on
+    // page 1's last id. The oracle re-derives the live set, page 1's
+    // max id, and the strictly-after page — a tombstone leaking into a
+    // page, an inclusive cursor, or an unordered page boundary all
+    // hash-mismatch. Payload rides the page (id, label).
+    "v25_scan_page" -> ((s, d) => {
+      val store = facetStore(s, d)
+      val cursor = store.scan(limit = 100)
+        .agg(max(col("id"))).head().getLong(0)
+      store.scan(afterId = cursor, limit = 100)
+        .select(col("id"), col("label"))
+    }),
   )
+
+  /** Memoized both-modality store for v24 (the facadeAppendStore
+    * shape — mutation-free, so one build serves every harness run):
+    * embeddings as vectors, the aligned documents registered via
+    * putDocuments. */
+  private val hybridStorePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hybridStore(s: SparkSession, d: String): graft.VectorStore = {
+    val path = hybridStorePaths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-hybrid-store")
+      val store = graft.VectorStore.openOrCreate(s, p,
+        graft.operators.IndexParams(dim = 64))
+      store.addBatch(Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vector")))
+      store.putDocuments(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")))
+      p
+    })
+    graft.VectorStore.openOrCreate(s, path,
+      graft.operators.IndexParams(dim = 64))
+  }
 
   /** Memoized payload-carrying store for v22 (the facadeAppendStore
     * shape): embeddings with their `label` column as addBatch payload,
@@ -874,6 +905,14 @@ object VectorQueries {
       // so the store's lexical corpus equals the documents table) — the
       // oracle is t37's full re-derivation, shared by reference.
       "v24_store_hybrid" -> TextQueries.oracleSql("t37_hybrid_weighted"),
+      "v25_scan_page" ->
+        """WITH live AS (
+          |  SELECT vec_id AS id, label FROM embeddings
+          |  WHERE vec_id % 13 <> 0),
+          |p1 AS (SELECT id FROM live ORDER BY id LIMIT 100)
+          |SELECT id, label FROM live
+          |WHERE id > (SELECT max(id) FROM p1)
+          |ORDER BY id LIMIT 100""".stripMargin,
     )
   }
 

@@ -316,6 +316,31 @@ class VectorStore private (
     Retrieval.hybridWeighted(lexical, dense, topK, alphaMicro)
   }
 
+  /** [[searchHybridWeighted]] with the dense tower DISPATCHED — the
+    * composition rule that every serving extension follows
+    * ([[searchMmrAuto]]/[[recommendAuto]]/[[searchGroupedAuto]]): past
+    * the exact cutoff the dense run comes from whatever arm
+    * [[searchAuto]] chooses (with that arm's shortlist-recall
+    * contract) instead of a corpus-wide exact scan; the lexical tower
+    * and the top-fetch-sized fusion stage are unchanged. One semantic
+    * difference from the exact flavor, stated rather than hidden: the
+    * dense arm serves at the strength-0 floor (score > 0), so
+    * negative-similarity rows contribute no dense evidence — the
+    * documented arm-shortlist contract, not floor-free exact. Returns
+    * (chosen dense strategy, fused (query_id, id, hybrid_micro, rn)). */
+  def searchHybridAuto(queryDocs: DataFrame, queryVecs: DataFrame,
+      topK: Int, alphaMicro: Long = 500000L, fetchK: Int = 0,
+      docPredicate: Option[Column] = None,
+      vecPredicate: Option[Column] = None)
+      : (AdaptiveSearch.Strategy, DataFrame) = {
+    graft.functions.VectorFunctions.register(spark)
+    val fetch = if (fetchK > 0) fetchK else math.max(20, 2 * topK)
+    val lexical = searchBm25(queryDocs, fetch, docPredicate)
+    val (strat, dense) = searchAuto(queryVecs, fetch,
+      strengthSetting = 0, predicate = vecPredicate)
+    (strat, Retrieval.hybridWeighted(lexical, dense, topK, alphaMicro))
+  }
+
   /** MMR-diversified search ([[operators.Diversify.mmrTopK]]) over the
     * live store: relevant-but-not-redundant top-k, λ on the micro
     * scale (1e6 = plain [[search]] order). The [[search]] threshold

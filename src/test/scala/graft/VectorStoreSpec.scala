@@ -1111,13 +1111,17 @@ class VectorStoreSpec extends SparkSpec {
       "own order") {
     val store = freshStore()
     // doc 1: lexical match only (orthogonal vector); doc 2: dense match
-    // only (disjoint text); doc 3: both-tower
+    // only (disjoint text); doc 3: both-tower; doc 4: weak on both —
+    // it anchors the dense list's min-max floor so the shortlist's
+    // bottom (norm 0) isn't one of the docs under test
     store.addBatch(Seq(
-      (1L, Seq(0f, 1f)), (2L, Seq(1f, 0f)), (3L, Seq(0.9f, 0.1f)))
+      (1L, Seq(0f, 1f)), (2L, Seq(1f, 0f)), (3L, Seq(0.9f, 0.1f)),
+      (4L, Seq(0.1f, 0.9f)))
       .toDF("id", "vector"))
     store.putDocuments(Seq(
       (1L, "spark catalyst optimizer"), (2L, "unrelated words entirely"),
-      (3L, "spark catalyst engine")).toDF("doc_id", "text"))
+      (3L, "spark catalyst engine"), (4L, "nothing shared here"))
+      .toDF("doc_id", "text"))
     val qd = Seq((10L, "spark catalyst")).toDF("query_id", "text")
     val qv = Seq((10L, Seq(1f, 0f))).toDF("query_id", "query_vec")
     val fused = store.searchHybridWeighted(qd, qv, topK = 3)
@@ -1130,6 +1134,12 @@ class VectorStoreSpec extends SparkSpec {
       alphaMicro = 1000000L).select("id").as[Long].head() !== 2L)
     assert(store.searchHybridWeighted(qd, qv, topK = 1,
       alphaMicro = 0L).select("id").as[Long].head() === 2L)
+    // dispatched flavor: same fixture (all positive sims on the dense
+    // side), exact arm below the cutoff — the fused top-1 agrees
+    val (strat, fusedAuto) = store.searchHybridAuto(qd, qv, topK = 3)
+    assert(strat === graft.operators.AdaptiveSearch.UseExact)
+    assert(fusedAuto.filter(col("rn") === 1)
+      .select("id").as[Long].head() === 3L)
     store.delete()
   }
 

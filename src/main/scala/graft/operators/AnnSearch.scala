@@ -296,7 +296,8 @@ object AnnSearch {
       seedShortlist: Int = 0,
       idFilter: Option[DataFrame] = None,
       seedProbeBuckets: Int = 1, seedProbeAllOcc: Int = 0,
-      seedProjDim: Int = 0): DataFrame = {
+      seedProjDim: Int = 0,
+      queryCount: Long = -1L): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
@@ -331,7 +332,8 @@ object AnnSearch {
         projDim = seedProjDim, projShortFactor = 8)
     }
     expandAndRank(withDel, edges, seedSearch, queries, k, minSim,
-      params.metric, ef, iters, broadcastBytes, idFilter)
+      params.metric, ef, iters, broadcastBytes, idFilter,
+      queryCount, params.m)
   }
 
   /** THE selectivity-escalation rule, shared by every probed arm (the
@@ -378,7 +380,8 @@ object AnnSearch {
       centroids: DataFrame, ef: Int = 64, iters: Int = 2, nProbe: Int = 32,
       assignments: Option[DataFrame] = None,
       broadcastBytes: Long = 64L << 20,
-      idFilter: Option[DataFrame] = None): DataFrame = {
+      idFilter: Option[DataFrame] = None,
+      queryCount: Long = -1L): DataFrame = {
     require(ef >= k, s"ef $ef < k $k")
     // the coarse quantizer AND the final rank are cosine — silently
     // serving a euclidean index would change both the top-k and the
@@ -392,7 +395,8 @@ object AnnSearch {
       Double.NegativeInfinity, nProbe, assignments, idFilter,
       broadcastBytes)
     expandAndRank(withDel, edges, seeds, queries, k, minSim,
-      "cosine", ef, iters, broadcastBytes, idFilter)
+      "cosine", ef, iters, broadcastBytes, idFilter,
+      queryCount, params.m)
   }
 
   /** The shared second half of every seeded hybrid: bounded level-0
@@ -412,17 +416,44 @@ object AnnSearch {
     * cell/bucket independent of graph connectivity — and expansions add
     * matching neighbors of matching seeds. Under very selective
     * predicates raise nProbe/ef rather than relying on the walk. */
+  /** `queryCount` ≥ 0 arms the BOUNDED-FRONTIER broadcast gates (r15,
+    * guide §2.4/§3.1): the frontier is ≤ Q × ef narrow rows BY
+    * CONSTRUCTION (every hop re-caps it through the top-ef window) and
+    * the per-hop expansion is ≤ Q × ef × edgeCap rows (the build caps
+    * out-degree at M), so when those ARITHMETIC bounds fit
+    * `broadcastBytes` the hop joins broadcast the query-proportional
+    * side and the CORPUS-side relations (edge table, node re-attach)
+    * are never shuffled — without the gate every hop planned a
+    * sort-merge join that re-shuffled the edge and node tables because
+    * a checkpointed frontier has no usable stats. At 100 TB this is the
+    * difference between hops costing O(frontier) network and hops
+    * re-shuffling the graph per hop; past the gate the joins keep the
+    * old stats-driven shape. Callers that know Q (one memoized count)
+    * pass it; −1 keeps the pre-r15 plan exactly. */
   private def expandAndRank(nodes: DataFrame, edges: DataFrame,
       seeds: DataFrame, queries: DataFrame, k: Int, minSim: Double,
       metric: String, ef: Int, iters: Int,
       broadcastBytes: Long,
-      idFilter: Option[DataFrame] = None): DataFrame = {
+      idFilter: Option[DataFrame] = None,
+      queryCount: Long = -1L, edgeCap: Int = 0): DataFrame = {
     val sf = scoreFn(metric)
     val topW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
     def topEf(df: DataFrame, n: Int): DataFrame =
       df.withColumn("rn", row_number().over(topW))
         .filter(col("rn") <= n).drop("rn")
+    // one exchange for dedup + rank: pre-clustering by query_id
+    // satisfies BOTH the (query_id, id) dedup's and the rank window's
+    // required distribution (partitioning expressions ⊆ clustering
+    // keys), so the old dedup-exchange → window-exchange pair collapses
+    // to a single hash(query_id) shuffle per hop
+    def dedupTopEf(df: DataFrame, n: Int): DataFrame =
+      topEf(df.repartition(col("query_id"))
+        .dropDuplicates("query_id", "id"), n)
+    val frontierFits =
+      queryCount >= 0 && queryCount * ef.toLong * 32L <= broadcastBytes
+    val candFits = queryCount >= 0 && edgeCap > 0 &&
+      queryCount * ef.toLong * edgeCap.toLong * 24L <= broadcastBytes
     val qvs = KnnSearch.maybeBroadcast(
       queries.select(col("query_id"), col("query_vec")), broadcastBytes)
     val e0 = edges.filter(col("level") === 0).select(col("src"), col("dst"))
@@ -430,18 +461,21 @@ object AnnSearch {
       .select(col("query_id"), col("id"), col("score"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val expanded = KnnSearch.restrictIds(frontier
-        .join(e0, frontier("id") === e0("src"))
+      val fsrc = if (frontierFits) broadcast(frontier) else frontier
+      val cand = KnnSearch.restrictIds(fsrc
+        .join(e0, fsrc("id") === e0("src"))
         .select(col("query_id"), col("dst").as("id"))
         .dropDuplicates("query_id", "id"), idFilter)
+      val expanded = (if (candFits) broadcast(cand) else cand)
         .join(nodes.select(col("id"), col("vector")), Seq("id"))
         .join(qvs, Seq("query_id"))
         .withColumn("score", sf(col("query_vec"), col("vector")))
         .select(col("query_id"), col("id"), col("score"))
-      frontier = topEf(frontier.unionByName(expanded)
-        .dropDuplicates("query_id", "id"), ef).localCheckpoint()
+      frontier = dedupTopEf(frontier.unionByName(expanded), ef)
+        .localCheckpoint()
     }
-    frontier
+    val fout = if (frontierFits) broadcast(frontier) else frontier
+    fout
       .join(nodes.filter(!col("deleted")).select(col("id")), Seq("id"))
       .filter(col("score") > lit(minSim) && !isnan(col("score")))
       .withColumn("rn", row_number().over(topW))
@@ -476,12 +510,24 @@ object AnnSearch {
       k: Int, minSim: Double, params: IndexParams,
       ef: Int = 32, itersPerLevel: Int = 2, efUpper: Int = 8,
       broadcastBytes: Long = 64L << 20,
-      routedOnly: Boolean = false): DataFrame = {
+      routedOnly: Boolean = false,
+      queryCount: Long = -1L): DataFrame = {
     val sf = scoreFn(params.metric)
     val topW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id").asc)
     def topEf(df: DataFrame, n: Int): DataFrame =
       df.withColumn("rn", row_number().over(topW)).filter(col("rn") <= n).drop("rn")
+    // the [[expandAndRank]] bounded-frontier gates (r15): frontier
+    // ≤ Q × ef and per-hop expansion ≤ Q × ef × M by construction, so
+    // when the arithmetic bound fits, hop joins broadcast the
+    // query-proportional side and never shuffle the edge/node tables
+    def dedupTopEf(df: DataFrame, n: Int): DataFrame =
+      topEf(df.repartition(col("query_id"))
+        .dropDuplicates("query_id", "id"), n)
+    val frontierFits =
+      queryCount >= 0 && queryCount * ef.toLong * 32L <= broadcastBytes
+    val candFits = queryCount >= 0 &&
+      queryCount * ef.toLong * params.m.toLong * 24L <= broadcastBytes
 
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
@@ -524,8 +570,8 @@ object AnnSearch {
         val seeds = searchLsh(withDel, queries, ef,
             Double.NegativeInfinity, params, broadcastBytes)
           .select(col("query_id"), col("id"), col("score"))
-        frontier = topEf(frontier.unionByName(seeds)
-          .dropDuplicates("query_id", "id"), ef).localCheckpoint()
+        frontier = dedupTopEf(frontier.unionByName(seeds), ef)
+          .localCheckpoint()
       }
       // Expansions of one level run inside a single plan where possible:
       // the frontier below them is a checkpointed leaf, so the ×2 subtree
@@ -534,24 +580,32 @@ object AnnSearch {
       // (the walk on a small index is scheduler-bound) — but the ×2 per
       // hop COMPOUNDS, so re-checkpoint every 2 hops to keep the logical
       // plan linear in itersPerLevel instead of 2^iters.
+      // Lazy hop checkpoints (localCheckpoint(eager=false), one action
+      // driving the whole descent) were prototyped in r15 and REFUTED
+      // by measurement: steady-state wall was unchanged (~3.6 s at
+      // sf0.1×32) and the cold first call grew ~50% — the walk is not
+      // barrier-bound, it is per-hop work + planning, and deferring
+      // materialization only stacked the cold path deeper. Keep the
+      // eager form; don't re-prototype.
       var cur = frontier
       for (it <- 1 to iters) {
         if (it > 1 && it % 2 == 1) cur = cur.localCheckpoint()
-        val expanded = cur
-          .join(e, cur("id") === e("src"))
+        val csrc = if (frontierFits) broadcast(cur) else cur
+        val cand = csrc
+          .join(e, csrc("id") === e("src"))
           .select(col("query_id"), col("dst").as("id"))
           .dropDuplicates("query_id", "id")
+        val expanded = (if (candFits) broadcast(cand) else cand)
           .join(withDel.select(col("id"), col("vector")), Seq("id"))
           .join(qvs, Seq("query_id"))
           .withColumn("score", sf(col("query_vec"), col("vector")))
           .select(col("query_id"), col("id"), col("score"))
-        cur = topEf(cur.unionByName(expanded)
-          .dropDuplicates("query_id", "id"), levelEf)
+        cur = dedupTopEf(cur.unionByName(expanded), levelEf)
       }
       frontier = cur.localCheckpoint() // bound lineage across the level loop
     }
     val live = withDel.filter(!col("deleted")).select(col("id"))
-    frontier.join(live, Seq("id"))
+    (if (frontierFits) broadcast(frontier) else frontier).join(live, Seq("id"))
       .filter(col("score") > lit(minSim) && !isnan(col("score")))
       .withColumn("rn", row_number().over(topW)) // single final rank pass
       .filter(col("rn") <= k)

@@ -141,6 +141,19 @@ object ChunkedServe {
     *
     * `queryCount` < 0 means count `queries` here (one narrow job).
     */
+  /** Drive an explicit driver GC after every `GcEveryChunks` completed
+    * chunks (r15 measurement: a full `System.gc()` costs 100–400 ms of
+    * pure driver wall — at the 64-chunk 100 k × 384 wall that is noise
+    * next to ~33 s chunks, but a 4-chunk fixture-scale serve spent more
+    * wall in its four GCs than in its chunk jobs). Retired chunks'
+    * shuffle files now accumulate for at most `GcEveryChunks` chunks
+    * before ContextCleaner's weak refs are forced, so peak disk is
+    * bounded at ~`GcEveryChunks` chunk volumes instead of one — still a
+    * constant, and the 77 GB lineage-pinned accumulation the per-chunk
+    * GC was introduced against (EVERY chunk pinned until the union
+    * materialized) cannot recur. */
+  val GcEveryChunks: Int = 4
+
   def serveChunked(queries: DataFrame, idCol: String, rowsPerChunk: Long,
       queryCount: Long = -1L, shufflePartitions: Option[Int] = None)
       (serve: DataFrame => DataFrame): DataFrame = {
@@ -159,10 +172,11 @@ object ChunkedServe {
         val out = serve(part).localCheckpoint(true)
         // ContextCleaner is weak-reference-driven: without a driver GC
         // the retired dependencies survive until an incidental GC,
-        // which on a large driver heap can be never — one explicit GC
-        // per chunk (milliseconds next to a chunk's serve) makes the
-        // shuffle-file retirement deterministic
-        System.gc()
+        // which on a large driver heap can be never — a periodic
+        // explicit GC ([[GcEveryChunks]]) makes the shuffle-file
+        // retirement deterministic while keeping the fixture-scale
+        // serve (few chunks) free of per-chunk full-GC stalls
+        if ((i + 1) % GcEveryChunks == 0 && i + 1 < chunks) System.gc()
         out
       }
     }

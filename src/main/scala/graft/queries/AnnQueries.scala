@@ -161,6 +161,28 @@ object AnnQueries {
           .select(col("id"), col("vector")),
         resCb(s, d), m = 8, subLen = 8))
 
+  /** [[pqCodes]] in the PACKED serving layout (id, codes ARRAY<INT>) —
+    * the `codes_packed` materialize-at-build rule [[graft.VectorStore
+    * .buildPqIndex]] already applies: packing is an n×m-row groupBy, and
+    * before r15 every ADC serve (and every a37 CHUNK) re-paid it through
+    * [[graft.operators.PqIndex]]'s packedOf fallback. */
+  private def pqCodesPacked(s: SparkSession, d: String): DataFrame =
+    artifact(s, d, "pqcodes-packed")(
+      graft.operators.PqIndex.packCodes(pqCodes(s, d)))
+
+  /** [[resCodes]] packed (id, codes). */
+  private def resCodesPacked(s: SparkSession, d: String): DataFrame =
+    artifact(s, d, "rescodes-packed")(
+      graft.operators.PqIndex.packCodes(resCodes(s, d)))
+
+  /** [[resCodes]] packed WITH the stored norm (id, codes, nrm) — the
+    * cosine-consistent IP arm's serving layout
+    * ([[graft.operators.PqIndex.packCodesWithNorms]]). */
+  private def resCodesPackedNrm(s: SparkSession, d: String): DataFrame =
+    artifact(s, d, "rescodes-packed-nrm")(
+      graft.operators.PqIndex.packCodesWithNorms(resCodes(s, d),
+        nodesOf(s, d)))
+
   /** Per-dimension SQ bounds (pos, lo, hi) — lazy by the [[coarse10]]
     * estimate rule. */
   private def sqBounds(s: SparkSession, d: String): DataFrame =
@@ -626,7 +648,7 @@ object AnnQueries {
       val coarse = coarse10(s, d)
       val asg = asg10(s, d)
       val rcb = resCb(s, d)
-      val codes = resCodes(s, d)
+      val codes = resCodesPackedNrm(s, d)
       graft.operators.PqIndex.searchIvfPqResidualIp(codes, asg, coarse,
         rcb, VectorQueries.querySet(emb), k = 10, nProbe = 3,
         m = 8, subLen = 8, nodes = Some(nodesDf))
@@ -659,7 +681,7 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
       val cb = pqCb(s, d)
-      val codes = pqCodes(s, d)
+      val codes = pqCodesPacked(s, d)
       graft.operators.PqIndex.searchAdc(codes, cb,
         VectorQueries.querySet(emb), k = 10, m = 8, subLen = 8)
     }),
@@ -675,7 +697,7 @@ object AnnQueries {
       val coarse = coarse10(s, d)
       val asg = asg10(s, d)
       val cb = pqCb(s, d)
-      val codes = pqCodes(s, d)
+      val codes = pqCodesPacked(s, d)
       graft.operators.PqIndex.searchIvfPq(codes, asg, coarse, cb,
         VectorQueries.querySet(emb), k = 10, nProbe = 3,
         m = 8, subLen = 8)
@@ -695,7 +717,7 @@ object AnnQueries {
       val coarse = coarse10(s, d)
       val asg = asg10(s, d)
       val rcb = resCb(s, d)
-      val codes = resCodes(s, d)
+      val codes = resCodesPacked(s, d)
       graft.operators.PqIndex.searchIvfPqResidual(codes, asg, coarse, rcb,
         VectorQueries.querySet(emb), k = 10, nProbe = 3, m = 8, subLen = 8)
     }),
@@ -716,7 +738,7 @@ object AnnQueries {
       val coarse = coarse10(s, d)
       val asg = asg10(s, d)
       val rcb = resCb(s, d)
-      val codes = resCodes(s, d)
+      val codes = resCodesPacked(s, d)
       // ~4 real chunks at ANY fixture scale (the budget arithmetic is
       // ChunkedServeSpec's job; THIS row pins the equality contract
       // without growing the chunk count — and the job count — with sf)
@@ -950,7 +972,7 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val nodesDf = VectorQueries.asVectorTable(emb)
       val cb = pqCb(s, d)
-      val codes = pqCodes(s, d)
+      val codes = pqCodesPacked(s, d)
       graft.operators.PqIndex.searchAdcRerank(nodesDf, codes, cb,
         VectorQueries.querySet(emb), k = 10, shortlist = 80,
         m = 8, subLen = 8)
@@ -1152,7 +1174,7 @@ object AnnQueries {
       val coarse = coarse10(s, d)
       val asg = asg10(s, d)
       val cb = pqCb(s, d)
-      val codes = pqCodes(s, d)
+      val codes = pqCodesPacked(s, d)
       graft.operators.PqIndex.searchIvfPq(codes, asg, coarse, cb,
         VectorQueries.querySet(emb), k = 10, nProbe = 3,
         m = 8, subLen = 8,

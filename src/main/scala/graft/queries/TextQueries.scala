@@ -176,6 +176,25 @@ object TextQueries {
     bpeMergesCache.getOrElseUpdate(d, graft.operators.TextFeaturizer
       .bpeTrain(Tables.documents(s, d), nMerges = 8))
 
+  /** Memoized per-dir BPE SEGMENTATION of the corpus (the tokenizer's
+    * serving output — tokenize once at build, consume many: t30 pins
+    * the per-doc piece stream, t33 packs sequences from the same piece
+    * counts; pre-r15 each row re-replayed all 8 merges over every word
+    * per call). Parquet round-trips the (id, wpos, pos, piece) rows
+    * exactly; the merges themselves stay memoized in [[bpeMergesFor]]. */
+  private val bpeSegPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bpeSegmentedFor(s: SparkSession, d: String): DataFrame = {
+    val path = bpeSegPaths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-bpe-seg")
+      graft.operators.TextFeaturizer
+        .bpeSegment(Tables.documents(s, d), bpeMergesFor(s, d))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Retrieval audit-tower memo (the AnnQueries exactTower pattern):
     * t09/t10 each stand up a full BM25 (and t10 an exact-cosine) run —
     * pure functions of (data dir, config) with Q × topK-row results, so
@@ -913,8 +932,7 @@ object TextQueries {
     // boundary per doc via the ordered-piece md5 (the t23 pattern). The
     // oracle re-learns the merges AND re-applies them in SQL.
     "t30_bpe_segment" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.TextFeaturizer.bpeSegment(docs, bpeMergesFor(s, d))
+      bpeSegmentedFor(s, d)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_pieces"),
           md5(concat_ws(" ", transform(
@@ -933,8 +951,7 @@ object TextQueries {
     // word, and re-derives every fragment — a regression in training,
     // segmentation, or packing arithmetic fails the hash.
     "t33_bpe_packing" -> ((s, d) => {
-      val counts = graft.operators.TextFeaturizer
-        .bpeSegment(Tables.documents(s, d), bpeMergesFor(s, d))
+      val counts = bpeSegmentedFor(s, d)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_toks"))
         .select(col("id").as("doc_id"), col("n_toks"))

@@ -446,11 +446,15 @@ class VectorStore private (
     * of [[search]] given the previous page's last (score, id) as the
     * per-query cursor; cursor-less queries serve page 1. */
   def searchAfter(queries: DataFrame, cursors: DataFrame, k: Int,
-      strengthSetting: Double = 50): DataFrame = {
+      strengthSetting: Double = 50, queryCount: Long = -1L): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     validate(queries, "query_id", "query_vec")
+    // queryCount >= 0 bounds the cursor relation (one cursor survives
+    // per query) and arms the pageAfter broadcast hint — the r14
+    // derived-relation stats rule
     KnnSearch.searchAfter(nodes, queries, cursors, k,
-      KnnSearch.scaleThreshold(strengthSetting), params.metric)
+      KnnSearch.scaleThreshold(strengthSetting), params.metric,
+      cursorRowsHint = queryCount)
   }
 
   /** [[recommend]] past the exact cutoff — the [[searchMmrAuto]]
@@ -534,7 +538,7 @@ class VectorStore private (
     * cache on the next call (pointer-stamp key). */
   def searchAfterCached(queries: DataFrame, cursors: DataFrame, k: Int,
       strengthSetting: Double = 50, depth: Int = 1000,
-      predicate: Option[Column] = None)
+      predicate: Option[Column] = None, queryCount: Long = -1L)
       : (AdaptiveSearch.Strategy, DataFrame) = {
     require(k > 0 && depth >= k, s"need depth >= k > 0, got k=$k depth=$depth")
     graft.functions.VectorFunctions.register(spark)
@@ -557,7 +561,8 @@ class VectorStore private (
         pageMemo.put(queries, (key, a, p))
         (a, p)
     }
-    (arm, KnnSearch.pageAfter(shortDf, cursors, k))
+    (arm, KnnSearch.pageAfter(shortDf, cursors, k,
+      cursorRowsHint = queryCount))
   }
 
   /** [[facet]] for HIGH-CARDINALITY payload columns: only values with

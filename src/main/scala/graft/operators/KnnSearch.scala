@@ -173,10 +173,11 @@ object KnnSearch {
       metric: String = "cosine",
       idCol: String = "id",
       vecCol: String = "vector",
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      cursorRowsHint: Long = -1L): DataFrame = {
     val scored = scoreAll(nodes, queries, minSim, metric, idCol, vecCol,
       broadcastBytes = broadcastBytes)
-    pageAfter(scored, cursors, k, idCol, broadcastBytes)
+    pageAfter(scored, cursors, k, idCol, broadcastBytes, cursorRowsHint)
   }
 
   /** [[searchAfter]]'s cursor filter + page rank over an ALREADY-SCORED
@@ -186,12 +187,21 @@ object KnnSearch {
     * rank) are dropped and the page rank recomputed. Cursor and
     * strictly-after semantics exactly as documented on [[searchAfter]].
     * Queries present in `scored` but cursor-less get page 1. */
+  /** `cursorRowsHint` ≥ 0 asserts the caller-known cursor cardinality
+    * (one row per paging query — ≤ Q by the one-cursor window below),
+    * arming the broadcast when `hint × 32 B` fits `broadcastBytes`: a
+    * DERIVED cursor relation (page 1's rank-k rows, an arm's shortlist
+    * tail) carries product-propagated Catalyst estimates that defeat
+    * the stats gate (the r14 `queriesSmallHint` bug class), so without
+    * the hint every page re-planned the cursor attach as a sort-merge
+    * join that shuffled the scored relation. −1 keeps the stats gate. */
   def pageAfter(
       scored: DataFrame,
       cursors: DataFrame,
       k: Int,
       idCol: String = "id",
-      broadcastBytes: Long = 64L << 20): DataFrame = {
+      broadcastBytes: Long = 64L << 20,
+      cursorRowsHint: Long = -1L): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     // one cursor per query: a multi-row cursor relation would FAN OUT
     // every scored candidate through the join — keep the most-advanced
@@ -205,9 +215,13 @@ object KnnSearch {
       .withColumn("_cn", row_number().over(curW))
       .filter(col("_cn") === 1)
       .drop("_cn")
+    val curSide =
+      if (cursorRowsHint >= 0 && cursorRowsHint * 32L <= broadcastBytes)
+        broadcast(cur)
+      else maybeBroadcast(cur, broadcastBytes)
     val after = scored
       .select(col("query_id"), col(idCol), col("score"))
-      .join(maybeBroadcast(cur, broadcastBytes), Seq("query_id"), "left")
+      .join(curSide, Seq("query_id"), "left")
       .filter(col("after_score").isNull ||
         col("score") < col("after_score") ||
         (col("score") === col("after_score") &&

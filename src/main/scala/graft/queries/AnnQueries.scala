@@ -842,9 +842,13 @@ object AnnQueries {
       val cursors = short.filter(col("rn") === 10)
         .select(col("query_id"), col("score").as("after_score"),
           col("id").as("after_id"))
-      val short2 = short.join(cursors.select(col("query_id")),
+      // cursors is <= Q rows by construction — broadcast both attaches
+      // (the pageAfter cursorRowsHint rule)
+      val short2 = short.join(broadcast(cursors.select(col("query_id"))),
         Seq("query_id"), "left_semi")
-      graft.operators.KnnSearch.pageAfter(short2, cursors, k = 10)
+      graft.operators.KnnSearch.pageAfter(short2, cursors, k = 10,
+          cursorRowsHint = memoCount(d, "queries")(
+            VectorQueries.querySet(emb).count()))
         .select(col("query_id"), col("id"), col("rn"))
     }),
 

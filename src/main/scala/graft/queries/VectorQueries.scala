@@ -269,8 +269,11 @@ object VectorQueries {
         .select(col("query_id"), col("doc_id").as("ann_doc"))
       val exTop = exact.filter(col("rn") === 1)
         .select(col("query_id"), col("doc_id").as("ex_doc"))
-      annTop.join(exTop, Seq("query_id"))
-        .join(subsetOk, Seq("query_id"))
+      // all three audit relations are <= Q rows — broadcast the attaches
+      // so the audit tail never plans exchange+sort pairs over
+      // checkpointed/windowed leaves with no usable stats (the a03 rule)
+      annTop.join(broadcast(exTop), Seq("query_id"))
+        .join(broadcast(subsetOk), Seq("query_id"))
         .select(col("query_id"),
           (col("ann_doc") === col("ex_doc") && col("subset_ok"))
             .as("serves_filtered_top1"))
@@ -342,9 +345,13 @@ object VectorQueries {
       // restrict to queries that HAVE a full first page, so every output
       // row is a true page-2 row (cursor-less queries would restart at
       // page 1 by design and muddy the oracle)
-      val qs2 = qs.join(cursors.select(col("query_id")), Seq("query_id"),
-        "left_semi")
-      KnnSearch.searchAfter(nodes, qs2, cursors, k = 10, minSim = -2.0)
+      // cursors is <= Q rows by construction (rank-10 row per query) —
+      // broadcast both attaches (the pageAfter cursorRowsHint rule; a
+      // derived cursor relation defeats the stats gate)
+      val qs2 = qs.join(broadcast(cursors.select(col("query_id"))),
+        Seq("query_id"), "left_semi")
+      KnnSearch.searchAfter(nodes, qs2, cursors, k = 10, minSim = -2.0,
+          cursorRowsHint = memoCount(d, "queries")(qs.count()))
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
@@ -367,9 +374,10 @@ object VectorQueries {
       val cursors = page1.filter(col("rn") === 10)
         .select(col("query_id"), col("score").as("after_score"),
           col("id").as("after_id"))
-      val qs2 = qs.join(cursors.select(col("query_id")), Seq("query_id"),
-        "left_semi")
-      KnnSearch.searchAfter(nodes, qs2, cursors, k = 10, minSim = 0.5)
+      val qs2 = qs.join(broadcast(cursors.select(col("query_id"))),
+        Seq("query_id"), "left_semi")
+      KnnSearch.searchAfter(nodes, qs2, cursors, k = 10, minSim = 0.5,
+          cursorRowsHint = memoCount(d, "clqueries")(qs.count()))
         .select(col("query_id"), col("id"), col("rn"))
     }),
 
@@ -465,6 +473,14 @@ object VectorQueries {
     * shape — mutation-free, so one build serves every harness run):
     * embeddings as vectors, the aligned documents registered via
     * putDocuments. */
+  /** Fixture-count memo (the AnnQueries dispatch-stats rule): pure
+    * functions of the fixture dir, measured once per process and passed
+    * through size-hint parameters. */
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private def memoCount(d: String, key: String)(f: => Long): Long =
+    countMemo.getOrElseUpdate((d, key), f)
+
   /** Exact-tower audit memo (the AnnQueries.exactTower pattern): the
     * ground-truth side of an ANN-vs-exact audit row is a pure function
     * of (data dir, config) with a Q × k-row result — materialize once

@@ -19,11 +19,8 @@ object QueryTime {
       case rest => (None, rest)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same tuned session as the bench (see [[Bench.tunedBuilder]])
+    val spark = Bench.tunedBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-job wall clock with descriptions — where a query's sequential
     // jobs spend their time (scheduler-bound fixture-scale diagnosis)

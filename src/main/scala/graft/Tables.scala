@@ -36,7 +36,13 @@ object Tables {
   private val loaded = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict entries of stopped sessions (r16, advisor item): a
+    // long-lived multi-session host must not strongly reference dead
+    // sessions' resolved file indexes/plans for the process lifetime
+    loaded.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) loaded.remove(k)
+    }
     loaded.getOrElseUpdate((spark, dir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
@@ -48,6 +54,7 @@ object Tables {
         else df
       }
     })
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

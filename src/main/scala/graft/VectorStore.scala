@@ -909,13 +909,33 @@ class VectorStore private (
     * without this they survive until a driver GC collects the RDD
     * object, which on a large heap can be batches away. Safe only once
     * nothing will read the relation again (a severed checkpoint is not
-    * recomputable). No-op for non-checkpointed plans. */
-  private[graft] def dropCheckpointBlocks(df: DataFrame): Unit =
+    * recomputable). No-op for non-checkpointed plans — but LOUDLY
+    * (r16, verdict item 7): this relies on checkpointed plans surfacing
+    * as `LogicalRDD` leaves, an internal shape a Spark upgrade could
+    * change, and a silent no-op here quietly re-opens the 1 M-ingest
+    * storage leak (26 → 83 s/batch, r15 #5). Returns the number of
+    * RDD leaves unpersisted so CheckpointRetireSpec can pin that the
+    * path actually engages; a zero increments [[checkpointDropMisses]]
+    * and warns once per call site's first miss. */
+  private[graft] val checkpointDropMisses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def dropCheckpointBlocks(df: DataFrame): Int = {
+    var dropped = 0
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false); ()
+        l.rdd.unpersist(blocking = false); dropped += 1
       case _ => ()
     }
+    if (dropped == 0) {
+      val n = checkpointDropMisses.incrementAndGet()
+      if (n <= 3) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "dropCheckpointBlocks found no LogicalRDD leaf to unpersist " +
+          "(miss #" + n + ") — checkpoint blocks will only retire via " +
+          "driver GC; if this appears after a Spark upgrade the " +
+          "ingest-path storage retirement has silently stopped working")
+    }
+    dropped
+  }
 
   /** Test seam: the served graph (base ⊕ chain) — GraphDeltaSpec pins
     * overlay ≡ sequential-full-merge row equality through it. */
@@ -1194,14 +1214,20 @@ class VectorStore private (
   private val postingsMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def servingPostings(): DataFrame = {
-    val stamp = currentAux("DOCS").getOrElse(
+    val stampV = currentAux("DOCS").getOrElse(
       throw new IllegalStateException(
-        s"no documents under $path — call putDocuments() first")).toString
+        s"no documents under $path — call putDocuments() first"))
+    val stamp = stampV.toString
     postingsMemo.keys.foreach { s =>
       if (s != stamp)
         postingsMemo.remove(s).foreach(_.unpersist(blocking = false)) }
+    // build from the STAMPED snapshot directory, not the mutable
+    // `documents` pointer: a concurrent putDocuments between the stamp
+    // read and the corpus read would otherwise cache postings built
+    // from one snapshot under the other's stamp
     postingsMemo.getOrElseUpdate(stamp,
-      Retrieval.bm25Postings(documents)
+      Retrieval.bm25Postings(spark.read.parquet(
+          graft.util.Snapshots.versionPath(path, "docs", stampV)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 

@@ -20,6 +20,37 @@ import graft.functions.VectorFunctions
   */
 object AnnSearch {
 
+  /** Conservative multiplier between the hand-rolled ~32 B/24 B per-row
+    * frontier estimates and what a materialized broadcast actually
+    * costs (UnsafeRow framing + BroadcastHashedRelation overhead is
+    * typically 3–5× the raw column bytes): the bounded-frontier gates
+    * require `estimate × this ≤ broadcastBytes`, so a bound sized right
+    * at the gate can't pin several-hundred-MB built relations per hop. */
+  private val BroadcastOverheadX = 4L
+
+  /** Shuffle partitions for a frontier-sized exchange, derived from the
+    * ARITHMETIC bound the caller knows (the frontier is ≤ Q × ef narrow
+    * rows by construction): the session default
+    * (`spark.sql.shuffle.partitions` = cluster parallelism) fragments a
+    * KB-scale frontier into parallelism-many near-empty tasks — r15
+    * measured the walk rows ANTI-scaling from 8 → 32 cores for exactly
+    * this reason (a03 0.86, a18 0.92). Partition count tracks the bound
+    * (one partition per ~4 MB), clamped to [1, session default], so a
+    * large query batch keeps full parallelism while a small one stops
+    * paying per-task scheduling it can't use — scale-adaptive, not a
+    * local-mode constant. `queryCount` < 0 (bound unknown) keeps the
+    * session default, i.e. the pre-r16 plan exactly. */
+  private def boundedPartitions(spark: org.apache.spark.sql.SparkSession,
+      queryCount: Long, ef: Int): Int = {
+    val session = spark.sessionState.conf.numShufflePartitions
+    if (queryCount < 0) session
+    else {
+      val bound = queryCount * ef.toLong * 32L
+      math.min(session.toLong,
+        math.max(1L, bound / (4L << 20) + 1L)).toInt
+    }
+  }
+
   private def scoreFn(metric: String): (Column, Column) => Column =
     metric match {
       case "euclidean" => VectorFunctions.euclideanSim
@@ -448,19 +479,33 @@ object AnnSearch {
     // keys), so the old dedup-exchange → window-exchange pair collapses
     // to a single hash(query_id) shuffle per hop
     def dedupTopEf(df: DataFrame, n: Int): DataFrame =
-      topEf(df.repartition(col("query_id"))
+      topEf(df.repartition(
+          boundedPartitions(df.sparkSession, queryCount, ef),
+          col("query_id"))
         .dropDuplicates("query_id", "id"), n)
-    val frontierFits =
-      queryCount >= 0 && queryCount * ef.toLong * 32L <= broadcastBytes
+    val frontierFits = queryCount >= 0 &&
+      queryCount * ef.toLong * 32L * BroadcastOverheadX <= broadcastBytes
     val candFits = queryCount >= 0 && edgeCap > 0 &&
-      queryCount * ef.toLong * edgeCap.toLong * 24L <= broadcastBytes
+      queryCount * ef.toLong * edgeCap.toLong * 24L * BroadcastOverheadX <=
+        broadcastBytes
     val qvs = KnnSearch.maybeBroadcast(
       queries.select(col("query_id"), col("query_vec")), broadcastBytes)
     val e0 = edges.filter(col("level") === 0).select(col("src"), col("dst"))
     var frontier = seeds
       .select(col("query_id"), col("id"), col("score"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // Hops compose LAZILY, re-checkpointing only every 2 hops (the
+    // [[searchGraph]] cadence): each hop's (union ∪ expand) references
+    // the previous frontier twice, so the duplication factor is ≤ 4
+    // between checkpoints — bounded planning cost — while every eager
+    // checkpoint REMOVED is one fewer sequential action paying its own
+    // planning/scheduling round trip. r16 measured the walk rows
+    // spending ~half their wall BETWEEN jobs (driver planning +
+    // broadcast builds per action); dedupTopEf rows are deterministic
+    // (ties break by id), so a re-executed duplicated subtree yields
+    // identical rows and the hash-checked outputs are unchanged.
+    var sinceCp = 0
+    for (i <- 1 to iters) {
       val fsrc = if (frontierFits) broadcast(frontier) else frontier
       val cand = KnnSearch.restrictIds(fsrc
         .join(e0, fsrc("id") === e0("src"))
@@ -472,8 +517,20 @@ object AnnSearch {
         .withColumn("score", sf(col("query_vec"), col("vector")))
         .select(col("query_id"), col("id"), col("score"))
       frontier = dedupTopEf(frontier.unionByName(expanded), ef)
-        .localCheckpoint()
+      sinceCp += 1
+      // cp every 2 hops, AND before the LAST hop when anything is
+      // pending: the final action then contains exactly one
+      // un-checkpointed hop, whose (union ∪ expand) duplicates only a
+      // checkpointed LEAF — never a hop subplan that would execute
+      // twice inside the final job (measured: the lazy-tail form
+      // re-ran hop 1 inside a18/a19's final action and gave the
+      // actions-saved win back)
+      if (i < iters && (sinceCp == 2 || i == iters - 1)) {
+        frontier = frontier.localCheckpoint(); sinceCp = 0
+      }
     }
+    // the final rank materializes the last hop and the rank in ONE
+    // action — no eager checkpoint between them
     val fout = if (frontierFits) broadcast(frontier) else frontier
     fout
       .join(nodes.filter(!col("deleted")).select(col("id")), Seq("id"))
@@ -522,12 +579,15 @@ object AnnSearch {
     // when the arithmetic bound fits, hop joins broadcast the
     // query-proportional side and never shuffle the edge/node tables
     def dedupTopEf(df: DataFrame, n: Int): DataFrame =
-      topEf(df.repartition(col("query_id"))
+      topEf(df.repartition(
+          boundedPartitions(nodes.sparkSession, queryCount, ef),
+          col("query_id"))
         .dropDuplicates("query_id", "id"), n)
-    val frontierFits =
-      queryCount >= 0 && queryCount * ef.toLong * 32L <= broadcastBytes
+    val frontierFits = queryCount >= 0 &&
+      queryCount * ef.toLong * 32L * BroadcastOverheadX <= broadcastBytes
     val candFits = queryCount >= 0 &&
-      queryCount * ef.toLong * params.m.toLong * 24L <= broadcastBytes
+      queryCount * ef.toLong * params.m.toLong * 24L * BroadcastOverheadX <=
+        broadcastBytes
 
     val withDel =
       if (nodes.columns.contains("deleted")) nodes
@@ -557,6 +617,22 @@ object AnnSearch {
         .select(col("query_id"), col("id"), col("score")),
       if (entryLevel > 0) math.max(efUpper, k) else ef).localCheckpoint()
 
+    // Hops compose LAZILY across the whole descent, re-checkpointing
+    // every 2 hops REGARDLESS of level boundaries: each hop's
+    // (union ∪ expand) references the previous frontier twice, so the
+    // duplication factor stays ≤ 4 between checkpoints — bounded
+    // planning cost — while every eager end-of-level checkpoint REMOVED
+    // is one fewer sequential action paying its own planning/broadcast
+    // round trip (r16 measured a03 spending ~half its wall BETWEEN
+    // jobs). The LAST hop plus the final rank run in ONE action.
+    // Lazy hop checkpoints (localCheckpoint(eager=false), one action
+    // driving the whole descent) were prototyped in r15 and REFUTED
+    // by measurement: steady-state wall was unchanged (~3.6 s at
+    // sf0.1×32) and the cold first call grew ~50% — the walk is not
+    // barrier-bound, it is per-hop work + planning, and deferring
+    // materialization only stacked the cold path deeper. Keep the
+    // eager form; don't re-prototype.
+    var hopsSinceCp = 0
     for (level <- entryLevel to 0 by -1) {
       val e = edges.filter(col("level") === level)
         .select(col("src"), col("dst"))
@@ -565,31 +641,19 @@ object AnnSearch {
       // the reachability seeds join the frontier where the actual search
       // happens — level 0 — so the upper-layer routing budget stays the
       // reference's and the seeds aren't truncated by the narrow
-      // routing window
+      // routing window. The seeds' searchLsh subplan is the one LARGE
+      // subtree of the walk — checkpoint the merge so later hops
+      // duplicate a checkpointed leaf, never the bucket join itself.
       if (level == 0 && !routedOnly) {
         val seeds = searchLsh(withDel, queries, ef,
             Double.NegativeInfinity, params, broadcastBytes)
           .select(col("query_id"), col("id"), col("score"))
         frontier = dedupTopEf(frontier.unionByName(seeds), ef)
           .localCheckpoint()
+        hopsSinceCp = 0
       }
-      // Expansions of one level run inside a single plan where possible:
-      // the frontier below them is a checkpointed leaf, so the ×2 subtree
-      // duplication from (join ∪ union) re-reads cached blocks, not
-      // recomputed lineage. Fewer materializations = fewer sequential jobs
-      // (the walk on a small index is scheduler-bound) — but the ×2 per
-      // hop COMPOUNDS, so re-checkpoint every 2 hops to keep the logical
-      // plan linear in itersPerLevel instead of 2^iters.
-      // Lazy hop checkpoints (localCheckpoint(eager=false), one action
-      // driving the whole descent) were prototyped in r15 and REFUTED
-      // by measurement: steady-state wall was unchanged (~3.6 s at
-      // sf0.1×32) and the cold first call grew ~50% — the walk is not
-      // barrier-bound, it is per-hop work + planning, and deferring
-      // materialization only stacked the cold path deeper. Keep the
-      // eager form; don't re-prototype.
       var cur = frontier
       for (it <- 1 to iters) {
-        if (it > 1 && it % 2 == 1) cur = cur.localCheckpoint()
         val csrc = if (frontierFits) broadcast(cur) else cur
         val cand = csrc
           .join(e, csrc("id") === e("src"))
@@ -601,8 +665,13 @@ object AnnSearch {
           .withColumn("score", sf(col("query_vec"), col("vector")))
           .select(col("query_id"), col("id"), col("score"))
         cur = dedupTopEf(cur.unionByName(expanded), levelEf)
+        hopsSinceCp += 1
+        val lastHop = level == 0 && it == iters
+        if (hopsSinceCp >= 2 && !lastHop) {
+          cur = cur.localCheckpoint(); hopsSinceCp = 0
+        }
       }
-      frontier = cur.localCheckpoint() // bound lineage across the level loop
+      frontier = cur
     }
     val live = withDel.filter(!col("deleted")).select(col("id"))
     (if (frontierFits) broadcast(frontier) else frontier).join(live, Seq("id"))

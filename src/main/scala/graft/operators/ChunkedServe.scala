@@ -154,8 +154,20 @@ object ChunkedServe {
     * materialized) cannot recur. */
   val GcEveryChunks: Int = 4
 
+  /** `reliableDir`, when set, materializes each chunk as parquet under
+    * `$reliableDir/chunk_<i>` instead of `localCheckpoint` — the
+    * CLUSTER-MODE durability knob (r15 verdict item 8): a severed
+    * localCheckpoint lives in executor storage and is NOT recomputable,
+    * so in cluster mode an executor death mid-sequence fails the serve
+    * and the CALLER re-runs it (the documented local-mode trade, shared
+    * with the pagination cache and the graph-fold overlays). Pointing
+    * `reliableDir` at reliable storage (HDFS/object store) makes every
+    * materialized chunk re-readable across executor loss at the cost of
+    * one parquet round-trip per chunk. Default None keeps the
+    * local-mode behavior byte-identical. */
   def serveChunked(queries: DataFrame, idCol: String, rowsPerChunk: Long,
-      queryCount: Long = -1L, shufflePartitions: Option[Int] = None)
+      queryCount: Long = -1L, shufflePartitions: Option[Int] = None,
+      reliableDir: Option[String] = None)
       (serve: DataFrame => DataFrame): DataFrame = {
     val q = if (queryCount >= 0L) queryCount else queries.count()
     val chunks = chunkCount(q, rowsPerChunk)
@@ -169,7 +181,13 @@ object ChunkedServe {
         // chunk's volume in flight at a time) AND the lineage sever
         // that lets ContextCleaner retire this chunk's shuffle files
         // once the loop iteration drops the plan reference
-        val out = serve(part).localCheckpoint(true)
+        val out = reliableDir match {
+          case Some(dir) =>
+            val p = s"$dir/chunk_$i"
+            serve(part).write.mode("overwrite").parquet(p)
+            spark.read.parquet(p)
+          case None => serve(part).localCheckpoint(true)
+        }
         // ContextCleaner is weak-reference-driven: without a driver GC
         // the retired dependencies survive until an incidental GC,
         // which on a large driver heap can be never — a periodic

@@ -59,8 +59,11 @@ object ImportanceResampling {
       .withColumn("b", bucketOf(col("tok"), buckets))
     val np = rawB.groupBy(col("b")).agg(count(lit(1)).as("np"))
     val nq = tgtB.groupBy(col("b")).agg(count(lit(1)).as("nq"))
-    val pTot = rawB.agg(count(lit(1)).as("p_total"))
-    val qTot = tgtB.agg(count(lit(1)).as("q_total"))
+    // totals = Σ per-bucket counts: one ≤`buckets`-row agg over the
+    // model tables instead of a SECOND full tokenize pass per corpus
+    // (exact BIGINT equality — every token lands in exactly one bucket)
+    val pTot = np.agg(sum(col("np")).as("p_total"))
+    val qTot = nq.agg(sum(col("nq")).as("q_total"))
     np.join(nq, Seq("b"), "left")
       .na.fill(0L, Seq("nq"))
       .crossJoin(broadcast(pTot)).crossJoin(broadcast(qTot))

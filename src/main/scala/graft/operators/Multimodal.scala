@@ -385,18 +385,30 @@ object Multimodal {
     // element, the shingles trap.)
     val nSegs = (floor((n - windowBytes).cast("double") / segChars) + 1)
       .cast("int")
+    // positions explode FIRST and the boundary test runs as a TOP-LEVEL
+    // filter (r16): the old `filter(sequence(...), lambda)` evaluated the
+    // md5 window digest through the higher-order function's
+    // CodegenFallback — one interpreted Expression.eval tree walk per
+    // candidate position. As a Generate → Filter pair the identical
+    // predicate compiles into the whole-stage-codegen stage (md5/substr/
+    // conv are all codegen expressions); the payload column referenced
+    // per position row is a pointer into the parent row inside the same
+    // stage — only (asset_id, __e) survives to the stage boundary, so
+    // nothing payload-sized is shuffled or materialized per position.
     val segEnds = assets
       .filter(n >= windowBytes)
       .select(col("asset_id"), p.as("__p"), n.as("__n"),
         explode(sequence(lit(0), nSegs - 1)).as("__s"))
-      .select(col("asset_id"),
-        explode(filter(
+      .select(col("asset_id"), col("__p"),
+        explode(
           sequence(lit(windowBytes) + col("__s") * segChars,
             least(lit(windowBytes) + (col("__s") + 1) * segChars - 1,
-              col("__n"))),
-          e => conv(substring(md5(col("__p").substr(
-              (e - lit(windowBytes) + 1).cast("int"), lit(windowBytes))),
-            1, 8), 16, 10).cast("long") % boundaryMod === 0)).as("__e"))
+              col("__n")))).as("__e"))
+      .filter(conv(substring(md5(col("__p").substr(
+          (col("__e") - lit(windowBytes) + 1).cast("int"),
+          lit(windowBytes))),
+        1, 8), 16, 10).cast("long") % boundaryMod === 0)
+      .select(col("asset_id"), col("__e"))
     // the asset end is always a chunk end; assets shorter than one window
     // yield just the end boundary = one whole-asset chunk
     val ends = segEnds

@@ -108,7 +108,7 @@ object Retrieval {
 
   /** Serve BM25 top-`topK` from a prebuilt [[bm25Postings]] table: one
     * term equi-join + exact-BIGINT sum + rank window — at 100 TB the
-    // postings build amortizes across every query batch that reuses it.
+    * postings build amortizes across every query batch that reuses it.
     */
   def bm25Serve(postings: DataFrame, queryDocs: DataFrame, topK: Int,
       textCol: String = "text",

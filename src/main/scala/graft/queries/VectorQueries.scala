@@ -260,7 +260,7 @@ object VectorQueries {
       // dir with a Q×5-row result, so it materializes once per process
       // (the AnnQueries exactTower / TextQueries memoTower rule); the ANN
       // tower under test above stays per-call
-      val exact = auditTower(s"$d|v15|maxsim5")(
+      val exact = auditTower(s, s"$d|v15|maxsim5")(
         graft.operators.Retrieval.maxSimTopK(tv, queryVecs, topK = 5))
       val subsetOk = ann.groupBy(col("query_id"))
         .agg((sum(when(col("doc_id") % 3 =!= 0, 1).otherwise(0)) === 0)
@@ -485,11 +485,14 @@ object VectorQueries {
     * ground-truth side of an ANN-vs-exact audit row is a pure function
     * of (data dir, config) with a Q × k-row result — materialize once
     * per process, every later pass reads the checkpoint. */
-  private val auditTowerMemo =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-  private def auditTower(key: String)(build: => org.apache.spark.sql.DataFrame)
+  private val auditTowerMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  // session-keyed (r16, the Tables.load rule): a localCheckpoint's
+  // blocks belong to ONE session
+  private def auditTower(s: SparkSession, key: String)
+      (build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    auditTowerMemo.getOrElseUpdate(key, build.localCheckpoint())
+    auditTowerMemo.getOrElseUpdate((s, key), build.localCheckpoint())
 
   private val hybridStorePaths =
     scala.collection.concurrent.TrieMap.empty[String, String]

@@ -64,6 +64,29 @@ class ChunkedServeSpec extends SparkSpec {
     chunked.unpersist()
   }
 
+  test("serveChunked reliableDir: parquet-backed chunks union to the " +
+      "exact unchunked result and land on disk") {
+    val direct = KnnSearch.knnExact(nodesDf, queriesDf, 5, minSim = -2.0)
+      .select("query_id", "id", "rn").as[(Long, Long, Int)].collect().toSet
+    val q = queriesDf.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-chunks").toString
+    val chunked = ChunkedServe.serveChunked(
+      queriesDf, "query_id", math.max(1L, q / 4), queryCount = q,
+      reliableDir = Some(dir)) { chunk =>
+      KnnSearch.knnExact(nodesDf, chunk, 5, minSim = -2.0)
+    }
+    val got = chunked.select("query_id", "id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === direct)
+    // every chunk is a re-readable parquet directory (the durability
+    // contract: executor loss re-reads, never re-serves)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("chunk_"))
+    assert(dirs.length >= 4)
+    chunked.unpersist()
+  }
+
   test("single chunk short-circuits: serve called once on the full set") {
     var calls = 0
     val out = ChunkedServe.serveChunked(queriesDf, "query_id",

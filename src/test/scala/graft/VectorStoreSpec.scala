@@ -1098,11 +1098,20 @@ class VectorStoreSpec extends SparkSpec {
     ck.unpersist(blocking = true)
     assert((spark.sparkContext.getPersistentRDDs.keySet & added) === added,
       "Dataset.unpersist must not find checkpoint blocks (the premise)")
-    store.dropCheckpointBlocks(ck)
+    // r16 loud-fallback contract: the return value counts unpersisted
+    // LogicalRDD leaves, so this assertion FAILS (instead of silently
+    // leaking) if a Spark upgrade stops surfacing checkpoints as
+    // LogicalRDD and the ingest-path storage retirement dies with it
+    assert(store.dropCheckpointBlocks(ck) > 0,
+      "a checkpointed plan must surface >= 1 LogicalRDD leaf to retire")
     assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
       "dropCheckpointBlocks must retire the checkpoint's RDD")
-    // no-op on a plain (non-checkpointed) plan
-    store.dropCheckpointBlocks(Seq((2L, 0)).toDF("id", "x"))
+    // no-op on a plain (non-checkpointed) plan — returns 0 and counts
+    // the miss on the loud-fallback counter
+    val missesBefore = store.checkpointDropMisses.get()
+    assert(store.dropCheckpointBlocks(Seq((2L, 0)).toDF("id", "x")) === 0)
+    assert(store.checkpointDropMisses.get() === missesBefore + 1,
+      "a no-leaf call must increment the miss counter")
     store.delete()
   }
 

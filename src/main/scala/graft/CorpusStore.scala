@@ -760,8 +760,14 @@ class CorpusStore private (val spark: SparkSession, val path: String,
     // the overlay subtree feeds BOTH the scoring scan and the
     // provenance join-back — checkpoint it so a non-empty delta chain
     // resolves once per call, not twice (the load-bearing-checkpoint
-    // rule)
-    val view = chunkTable.localCheckpoint()
+    // rule). A DELTA-FREE generation is a plain parquet scan whose two
+    // consumers share the file scan with pushdown — eagerly
+    // checkpointing it copied the whole chunk table into executor
+    // storage per serve (r16: ~40 % of e06's steady-state wall)
+    val chainLen = Snapshots
+      .currentWithDeltas(spark, path, "CHUNKS").map(_._2).getOrElse(0L)
+    val raw = chunkTable
+    val view = if (chainLen > 0) raw.localCheckpoint() else raw
     val dim = chunkParams._3
     val qvec = TextFeaturizer.featureHash(queries, dim,
         idCol = "query_id", textCol = "text")

@@ -111,10 +111,15 @@ object TextFeaturizer {
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col("id")).orderBy(desc("tfidf_r"), asc("term"))
-    tf.join(df, Seq("term"))
+    // df as a window count over the tf rows themselves (the bm25Postings
+    // shape, r16): the old `tf.groupBy(term)` + join re-executed the
+    // whole tokenize+tf subtree a second time — same df values (tf is
+    // one row per (doc, term), so the per-term row count IS the
+    // document frequency), one corpus pass instead of two
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("tfidf_r",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))

@@ -55,6 +55,42 @@ abstract class VectorKernel extends BinaryExpression with Serializable {
     })
 }
 
+/** PUSHDOWN BARRIER: a value-identity wrapper DECLARED nondeterministic
+  * so the optimizer cannot substitute the wrapped expression into pushed
+  * predicates. The `withColumn("score", kernel).filter(score…)` shape
+  * every scoring path uses gets its filter inlined below the projection
+  * (PushPredicateThroughNonJoin substitutes the alias, then the predicate
+  * folds into the join condition), so the kernel evaluated up to THREE
+  * times per candidate row — twice in the pushed `score > t AND NOT
+  * isnan(score)` condition, once more in the surviving projection (the
+  * optimization guide's §4.4 duplication, Catalyst-native form; r16
+  * measured it on the exact-scoring family's plans). Wrapping the kernel
+  * makes the filter stay ABOVE the projection referencing the score
+  * ATTRIBUTE — one kernel evaluation per row.
+  *
+  * The wrapped expression IS deterministic in reality (a retried task
+  * recomputes identical values — no SPARK-38388-class hazard); the
+  * declaration only blocks alias substitution and constant folding.
+  * Codegen passes straight through to the child, so kernels stay inside
+  * whole-stage codegen (PlanSpec's v01 pin still sees `cosine_sim`
+  * inside a `*(n)` Project). */
+case class BarrierExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "barrier"
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+      : BarrierExpr = copy(child = newChild)
+}
+
 /** Σ aᵢ·bᵢ — reference `similarity.ts:2-11`. */
 case class DotProductExpr(left: Expression, right: Expression)
     extends VectorKernel {
@@ -789,6 +825,7 @@ object VectorFunctions {
     "top_cells" -> (es => TopCellsExpr(es)),
     "mat_vec" -> (es => MatVecExpr(es(0), es(1))),
     "mmr_select" -> (es => MmrSelectExpr(es)),
+    "barrier" -> (es => BarrierExpr(es(0))),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -800,6 +837,11 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Evaluate `c` exactly once per row ([[BarrierExpr]] — blocks the
+    * filter-pushdown alias substitution that re-evaluates an expensive
+    * kernel inside pushed predicates). Identity on values. */
+  def once(c: Column): Column = call_function("barrier", c)
 
   /** Reference null semantics: cosine of a missing vector is −1
     * (`similarity.ts:17`) rather than SQL NULL. */

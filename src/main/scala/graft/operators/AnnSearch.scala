@@ -298,7 +298,9 @@ object AnnSearch {
       .join(live.select(col("id"), col("vector")), Seq("id"))
       .join(maybeBroadcast(queries.select(col("query_id"), col("query_vec"))),
         Seq("query_id"))
-      .withColumn("score", scoreFn(metric)(col("query_vec"), col("vector")))
+      // barrier: one kernel evaluation per candidate (KnnSearch rule)
+      .withColumn("score", VectorFunctions.once(
+        scoreFn(metric)(col("query_vec"), col("vector"))))
       .filter(col("score") > lit(minSim) && !isnan(col("score"))) // see KnnSearch NaN note
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -75,12 +75,20 @@ object ImportanceResampling {
   /** Importance weight per raw document:
     * (idCol, n_tokens, logw_micro) with logw_micro the exact BIGINT sum
     * of per-token quantized log-likelihood ratios. Docs with no tokens
-    * drop (no positions to score — the t14 rule). */
+    * drop (no positions to score — the t14 rule).
+    *
+    * `model`, when set, is a prebuilt [[bucketLlr]] table — the DSIR
+    * MODEL is a build artifact (train once on a corpus snapshot, score
+    * many batches against it — the paper's own usage), so a serving
+    * caller passes the persisted table and this call costs ONE tokenize
+    * pass over `raw` instead of three (r16). None trains inline. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
       buckets: Int = 512, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      model: Option[DataFrame] = None): DataFrame = {
     require(buckets > 0, s"buckets $buckets")
-    val llr = bucketLlr(raw, target, buckets, idCol, textCol)
+    val llr = model.getOrElse(
+      bucketLlr(raw, target, buckets, idCol, textCol))
     toks(raw, idCol, textCol)
       .withColumn("b", bucketOf(col("tok"), buckets))
       .join(broadcast(llr), Seq("b"))
@@ -95,9 +103,10 @@ object ImportanceResampling {
     * (idCol, n_tokens, logw_micro, key_micro), ties broken by id. */
   def resample(raw: DataFrame, target: DataFrame, k: Int,
       buckets: Int = 512, noiseSalt: Option[String] = Some("dsir-g"),
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      model: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k $k")
-    val w = importanceWeights(raw, target, buckets, idCol, textCol)
+    val w = importanceWeights(raw, target, buckets, idCol, textCol, model)
     val gumbel6 = noiseSalt match {
       case Some(salt) =>
         // u = (h % 1e9 + 1) / (1e9 + 1) ∈ (0, 1) exactly (the

@@ -398,8 +398,9 @@ object IvfIndex {
     // broadcast ceiling
     members.join(KnnSearch.maybeBroadcast(probed, broadcastBytes),
       Seq("cell"))
-      .withColumn("score",
-        VectorFunctions.cosineSim(col("query_vec"), col("vector")))
+      // barrier: one kernel evaluation per probed member (KnnSearch rule)
+      .withColumn("score", VectorFunctions.once(
+        VectorFunctions.cosineSim(col("query_vec"), col("vector"))))
       .filter(col("score") > lit(minSim) && !isnan(col("score")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

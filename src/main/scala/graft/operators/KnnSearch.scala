@@ -132,7 +132,12 @@ object KnnSearch {
       if (queriesSmall) live.join(broadcast(queries))
       else live.join(queries.hint("SHUFFLE_REPLICATE_NL"))
     joined
-      .withColumn("score", scoreFn(col(queryVecCol), col(vecCol)))
+      // barrier (r16): without it the filter below pushes into the join
+      // condition by alias substitution and the kernel evaluates up to
+      // 3× per candidate pair (see [[graft.functions.BarrierExpr]]) —
+      // this is the hot loop of every exact-scoring consumer
+      .withColumn("score",
+        VectorFunctions.once(scoreFn(col(queryVecCol), col(vecCol))))
       // NaN guard: a zero-norm vector scores NaN; the reference's JS
       // `score > strength` is FALSE for NaN (dropped), but Spark orders
       // NaN above every double, so it would pass the filter AND take

@@ -141,9 +141,10 @@ object Retrieval {
       .join(KnnSearch.maybeBroadcast(
         queryVecs.select(col("query_id"), col("qvec_id"), col("query_vec")),
         broadcastBytes))
-      .withColumn("sim",
+      // barrier: one kernel evaluation per token pair (KnnSearch rule)
+      .withColumn("sim", graft.functions.VectorFunctions.once(
         graft.functions.VectorFunctions.cosineSim(
-          col("query_vec"), col("vector")))
+          col("query_vec"), col("vector"))))
       .filter(!isnan(col("sim")))
     sims.groupBy(col("query_id"), col("qvec_id"), col("doc_id"))
       .agg(max(col("sim")).as("mx"))
